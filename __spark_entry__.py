@@ -1,38 +1,374 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship CDC slice on sf0.001 (SURVEY.md §7.1).
+``queries()``     — one named query per implemented operator (SURVEY.md §2).
+``oracle_sql()``  — DuckDB-equivalent SQL for every oracle-checkable query.
+
+The engine lives in ``real_time_cdc_analytics_pipeline_with_clickhouse_spark/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark import oracle as _oracle
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.scalar import (
+    portable_hash64,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions import text as T
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+    cdc,
+    dedup,
+    enrich,
+    multimodal,
+    relational as R,
+    rollups,
+    similarity,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.session import (
+    apply_runtime_confs,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def _us(col: str = "event_ts") -> F.Column:
+    return F.unix_micros(F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+
+def _engagement(spark: SparkSession, sf_dir: str, dup: bool = False) -> DataFrame:
+    """CDC feed → normalized engagement events (P1-P5)."""
+    events = load_table(spark, sf_dir, "events")
+    feed = (
+        cdc_feed.duplicated_engagement_cdc_json(events)
+        if dup
+        else cdc_feed.engagement_cdc_json(events)
+    )
+    return cdc.unwrap_engagement(feed)
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part)))
+
+
+def _enriched(spark: SparkSession, sf_dir: str, dup: bool = False) -> DataFrame:
+    return enrich.enrich_events(_engagement(spark, sf_dir, dup), _dim(spark, sf_dir))
+
+
+def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def _embs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.with_duplicate_vectors(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full CDC slice (parse → compact → enrich → score →
+    hourly rollup) on sf0.001."""
+    apply_runtime_confs(spark)
+    return rollups.hourly_rollup(_enriched(spark, "/root/testdata/sf0.001")).select(
+        _us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- CDC / reference parity (SURVEY §2.3-2.7) ---
+    q["cdc_unwrap"] = lambda spark, sf: _engagement(spark, sf).select(
+        "event_id", "user_id", "content_id", "event_type", "device", "duration_ms",
+        _us().alias("event_ts_us"), "raw_payload", "source_ts_ms",
+    )
+    q["cdc_ts_parse"] = lambda spark, sf: _engagement(spark, sf).select(
+        "event_id", (F.col("event_id") % 4).alias("wire_format"), _us().alias("event_ts_us")
+    )
+    q["cdc_delete_routing"] = lambda spark, sf: cdc.unwrap_content(
+        cdc_feed.content_cdc_json(load_table(spark, sf, "part"))
+    ).select("id", "content_type", "length_seconds", "is_delete", "source_ts_ms")
+    q["dim_compaction"] = lambda spark, sf: _dim(spark, sf).select(
+        "id", "slug", "title", "content_type", "length_seconds"
+    )
+    q["enrich_join"] = lambda spark, sf: _enriched(spark, sf).select(
+        "event_id", "content_id", "user_id", "event_type", "device", "duration_ms",
+        _us().alias("event_ts_us"), "content_type", "length_seconds",
+        "engagement_seconds", "engagement_pct", "engagement_score",
+    )
+    q["engagement_score"] = lambda spark, sf: _enriched(spark, sf).select(
+        "event_id", "event_type", "duration_ms", "engagement_score"
+    )
+    q["hourly_rollup"] = lambda spark, sf: rollups.hourly_rollup(_enriched(spark, sf)).select(
+        _us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score"
+    )
+    q["dedup_latest"] = lambda spark, sf: rollups.dedup_latest_event_version(
+        _enriched(spark, sf, dup=True)
+    ).select("event_id", _us().alias("event_ts_us"), "duration_ms", "engagement_score")
+    q["user_leaderboard"] = lambda spark, sf: rollups.user_leaderboard(_enriched(spark, sf))
+    q["content_leaderboard"] = lambda spark, sf: rollups.content_leaderboard(_enriched(spark, sf))
+    q["minute_topk"] = lambda spark, sf: rollups.minute_topk(_enriched(spark, sf))
+    q["event_counters"] = lambda spark, sf: rollups.event_counters(_enriched(spark, sf))
+    q["latest_event"] = lambda spark, sf: rollups.latest_event(_enriched(spark, sf)).select(
+        "user_id", "content_id", "event_id", _us().alias("event_ts_us"), "engagement_score"
+    )
+
+    def outbox_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+        payload = rollups.outbox_json(_enriched(spark, sf))
+        p = F.col("payload")
+        return payload.select(
+            "event_id",
+            F.get_json_object(p, "$.user_id").cast("long").alias("out_user_id"),
+            F.get_json_object(p, "$.content_id").cast("long").alias("out_content_id"),
+            F.get_json_object(p, "$.event_type").alias("out_event_type"),
+            F.get_json_object(p, "$.duration_ms").cast("long").alias("out_duration_ms"),
+            F.get_json_object(p, "$.content_type").alias("out_content_type"),
+            p.contains('"duration_ms"').alias("has_duration"),
+            p.contains('"content_type"').alias("has_content_type"),
+        )
+
+    q["outbox_roundtrip"] = outbox_roundtrip
+
+    def json_props(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events").select(
+            "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+        )
+
+    q["json_props"] = json_props
+
+    def surrogate_key(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        id_str = F.when(
+            F.col("event_id") % 10 == 0,
+            F.concat(F.lit("evt-"), F.col("event_id").cast("string")),
+        ).otherwise(F.col("event_id").cast("string"))
+        out = ev.select("event_id", id_str.alias("id_str"))
+        return out.select(
+            "event_id",
+            "id_str",
+            F.coalesce(
+                F.col("id_str").try_cast("long"), F.abs(portable_hash64(F.col("id_str")))
+            ).alias("surrogate_key"),
+        )
+
+    q["surrogate_key"] = surrogate_key
+
+    # --- relational breadth (SURVEY §7.2 milestone 4) ---
+    q["pricing_summary"] = lambda spark, sf: R.pricing_summary(load_table(spark, sf, "lineitem"))
+    q["star_join_revenue"] = lambda spark, sf: R.star_join_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"), load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"), load_table(spark, sf, "region"),
+    )
+    q["top_revenue_orders"] = lambda spark, sf: R.top_unshipped_orders(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+    )
+    q["semi_join"] = lambda spark, sf: R.semi_join_customers_with_orders(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+    q["anti_join"] = lambda spark, sf: R.anti_join_parts_never_ordered(
+        load_table(spark, sf, "part"), load_table(spark, sf, "lineitem")
+    )
+    q["range_join"] = lambda spark, sf: R.range_join_shipments(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+    q["asof_join"] = lambda spark, sf: R.asof_join_latest_order(
+        load_table(spark, sf, "events"), load_table(spark, sf, "orders")
+    )
+    q["rollup_revenue"] = lambda spark, sf: R.rollup_revenue(load_table(spark, sf, "lineitem"))
+    q["cube_order_stats"] = lambda spark, sf: R.cube_order_stats(load_table(spark, sf, "orders"))
+    q["distinct_aggs"] = lambda spark, sf: R.distinct_aggregates(load_table(spark, sf, "lineitem"))
+    q["approx_distinct"] = lambda spark, sf: R.approx_distinct(load_table(spark, sf, "lineitem"))
+    q["set_ops"] = lambda spark, sf: R.set_ops_segments(load_table(spark, sf, "customer")).select(
+        "c_custkey", "op"
+    )
+    q["window_analytics"] = lambda spark, sf: R.window_order_analytics(load_table(spark, sf, "orders"))
+    q["pivot_event_types"] = lambda spark, sf: R.pivot_event_types(load_table(spark, sf, "events"))
+    q["correlated_subquery"] = lambda spark, sf: R.correlated_subquery_expensive_parts(
+        load_table(spark, sf, "part")
+    )
+    q["having_large_orders"] = lambda spark, sf: R.having_large_orders(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+    def string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+        p = load_table(spark, sf, "part")
+        return p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.col("p_name").like("%a%").alias("has_a"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.reverse("p_brand").alias("brand_rev"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        )
+
+    q["string_funcs"] = string_funcs
+
+    def date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+        o = load_table(spark, sf, "orders")
+        d = F.col("o_orderdate")
+        return o.select(
+            "o_orderkey",
+            F.year(d).alias("order_year"),
+            F.month(d).alias("order_month"),
+            F.dayofmonth(d).alias("order_day"),
+            F.dayofweek(d).alias("order_dow"),
+            F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+            F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch_start"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.quarter(d).alias("order_quarter"),
+        )
+
+    q["date_funcs"] = date_funcs
+
+    def math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+        li = load_table(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.lit("0.1").cast("decimal(2,1)")
+            ).cast("double").alias("price_tenth"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.ceil("l_extendedprice").alias("price_ceil"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+            F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+            F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+            (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+        )
+
+    q["math_funcs"] = math_funcs
+
+    def case_when_buckets(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        bucket = (
+            F.when(F.col("value") < 10, "tiny")
+            .when(F.col("value") < 50, "small")
+            .when(F.col("value") < 150, "medium")
+            .otherwise("large")
+        )
+        return ev.select(bucket.alias("bucket"), "value").groupBy("bucket").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+
+    q["case_when_buckets"] = case_when_buckets
+
+    # --- north-star extensions: dedup / similarity / text / multimodal ---
+    q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup_groups(_docs_dup(spark, sf))
+    q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _docs_dup(spark, sf), threshold=0.5
+    )
+    q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs_dup(spark, sf))
+    q["simhash_fingerprints"] = lambda spark, sf: dedup.simhash_fingerprints(
+        load_table(spark, sf, "documents")
+    )
+    q["simhash_pairs"] = lambda spark, sf: dedup.simhash_dup_pairs(_docs_dup(spark, sf))
+    q["embedding_near_dup"] = lambda spark, sf: dedup.embedding_near_dup_pairs(
+        _embs_dup(spark, sf), threshold=0.9
+    )
+    q["ann_bruteforce_topk"] = lambda spark, sf: similarity.brute_force_topk(
+        load_table(spark, sf, "embeddings"),
+        similarity.default_queries(load_table(spark, sf, "embeddings")),
+    )
+    q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
+        load_table(spark, sf, "embeddings"),
+        similarity.default_queries(load_table(spark, sf, "embeddings")),
+    )
+
+    def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+        docs = load_table(spark, sf, "documents")
+        toks = T.tokens(F.col("text"))
+        counts = {
+            lang: F.size(F.filter(toks, lambda t: t.isin(markers))).alias(f"c_{lang}")
+            for lang, markers in T.LANG_MARKERS.items()
+        }
+        scored = docs.select("doc_id", "lang", *counts.values())
+        c = {k: F.col(f"c_{k}") for k in T.LANG_MARKERS}
+        guess = (
+            F.when(
+                (c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]) & (c["en"] >= c["zh"]),
+                "en",
+            )
+            .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]) & (c["de"] >= c["zh"]), "de")
+            .when((c["fr"] >= c["es"]) & (c["fr"] >= c["zh"]), "fr")
+            .when(c["es"] >= c["zh"], "es")
+            .otherwise("zh")
+        )
+        return scored.select("doc_id", "lang", *[f"c_{k}" for k in T.LANG_MARKERS], guess.alias("guessed_lang"))
+
+    q["lang_id"] = lang_id
+
+    def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+        docs = load_table(spark, sf, "documents")
+        toks = T.tokens(F.col("text"))
+        return docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("total_chars"),
+            F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+            F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+            (F.size(toks).between(5, 1000)).alias("len_ok"),
+        )
+
+    q["text_quality"] = text_quality
+
+    def token_counts(spark: SparkSession, sf: str) -> DataFrame:
+        docs = load_table(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("ws_tokens"),
+            T.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        )
+
+    q["token_counts"] = token_counts
+
+    def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+        docs = load_table(spark, sf, "documents")
+        sig = dedup.minhash_signatures(docs, k=1)
+        return docs.select("doc_id", F.md5(T.normalize_text(F.col("text"))).alias("text_md5")).join(
+            sig.select("doc_id", F.col("mh_0").alias("min_shingle_hash")), "doc_id", "left"
+        )
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    q["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
+        multimodal.assets_from_documents(load_table(spark, sf, "documents"))
+    ).select("asset_id", "modality", "byte_len", "payload_md5")
+    q["multimodal_meta_stats"] = lambda spark, sf: multimodal.asset_metadata_stats(
+        multimodal.assets_from_documents(load_table(spark, sf, "documents"))
+    )
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_oracle.ORACLE)

@@ -1,0 +1,83 @@
+"""Scalar column expressions — the engine's "UDF surface".
+
+Everything here is a native Catalyst expression (whole-stage codegen,
+no Python in the hot path), per SURVEY.md §2.10: the reference's only
+scalar functions (timestamp parse, engagement score, hash fallback) are
+all expressible as built-ins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def engagement_base_score(event_type: Column) -> Column:
+    """CASE base score per event type.
+
+    Reference: ESJ:320-330 scores play/pause/finish/click; the driver
+    workload's categories map as view→1.0, signup→0.5, purchase→3.0,
+    click→0.2, else 1.0 (same CASE shape, else-branch included).
+    """
+    et = F.lower(event_type)
+    return (
+        F.when(et == "view", 1.0)
+        .when(et == "signup", 0.5)
+        .when(et == "purchase", 3.0)
+        .when(et == "click", 0.2)
+        .otherwise(1.0)
+    )
+
+
+def engagement_score(event_type: Column, duration_ms: Column) -> Column:
+    """base × min(2.5, ln(duration_s + 1)) when duration>0, 2dp round.
+
+    Reference: ESJ:320-337 (the ``Math.min(2.5, Math.log(...))``
+    duration multiplier and 2-decimal round).
+    """
+    dur_s = duration_ms.cast("double") / 1000.0
+    mult = F.when(duration_ms > 0, F.least(F.lit(2.5), F.log(dur_s + 1))).otherwise(1.0)
+    return F.round(engagement_base_score(event_type) * mult, 2)
+
+
+def engagement_seconds(duration_ms: Column) -> Column:
+    """ESJ:292-294 — duration/1000 as seconds (null passes through)."""
+    return duration_ms.cast("double") / 1000.0
+
+
+def engagement_pct(duration_ms: Column, length_seconds: Column) -> Column:
+    """ESJ:296-301 — percent of content consumed, 2dp, guarded."""
+    pct = (duration_ms.cast("double") / 1000.0) / length_seconds.cast("double") * 10000.0
+    return F.when(
+        (length_seconds > 0) & duration_ms.isNotNull(), F.round(pct, 0) / 100.0
+    )
+
+
+def surrogate_event_key(event_id: Column) -> Column:
+    """String event_id → stable numeric key (ESJ:521-529, P10).
+
+    The reference tries ``Long.parseLong`` and falls back to
+    ``Math.abs(String.hashCode())``.  Java's hashCode isn't
+    bit-reproducible in Spark builtins; we keep the same *semantics*
+    (parse when numeric, stable hash otherwise) with ``xxhash64``.
+    """
+    return F.coalesce(event_id.try_cast("long"), F.abs(F.xxhash64(event_id)))
+
+
+def portable_hash64(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit hash computable identically in DuckDB.
+
+    Spark:  ``conv(substr(md5(seed||x), 1, 15), 16, 10)::long``
+    DuckDB: ``('0x' || substr(md5(seed||x), 1, 15))::BIGINT``
+
+    Used by the MinHash/SimHash extension operators so their results
+    are oracle-checkable.  (At pure-production scale you'd use
+    ``xxhash64`` — cheaper — but it has no DuckDB twin.)
+    """
+    payload = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def json_int(col: Column, path: str) -> Column:
+    """P15 — ``get_json_object`` access into the props/raw_payload blob."""
+    return F.get_json_object(col, path).cast("long")

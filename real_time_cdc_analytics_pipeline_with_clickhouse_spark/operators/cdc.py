@@ -1,0 +1,110 @@
+"""CDC envelope normalization (SURVEY.md §2.3 P1-P5, §2.4 F1-F4).
+
+Re-expresses the reference's Jackson parsers
+(``EnhancedEngagementStreamingJob.java:157-274``) as declarative
+``from_json`` + projections: PERMISSIVE parsing makes malformed input
+null (P5), ``coalesce(payload.after, root)`` handles both envelope and
+bare-record shapes (P1), a 4-format ``try_to_timestamp`` chain mirrors
+the multi-format parse (P3), and delete ops route through the
+before-image id (P4).
+
+Everything is a narrow map/filter — no shuffle; at 100 TB this stage is
+pure scan-side work that fuses into one WholeStageCodegen span.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.scalar import (
+    engagement_pct,
+    engagement_score,
+    engagement_seconds,
+)
+from ..schemas import CONTENT_ENVELOPE, ENGAGEMENT_ENVELOPE
+from ..sources.cdc_feed import ISO_MICROS, ISO_MILLIS, ISO_OFFSET, ISO_SECONDS
+
+
+def parse_event_ts(c: Column) -> Column:
+    """P3 — multi-format timestamp parse; unknown formats → null.
+
+    Mirrors ESJ:206-233 (ISO-offset, then micro/milli/second local
+    forms).  ``try_to_timestamp`` returns null instead of raising, the
+    Spark analog of the reference's catch-and-null.
+    """
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit(ISO_OFFSET)),
+        F.try_to_timestamp(c, F.lit(ISO_MICROS)),
+        F.try_to_timestamp(c, F.lit(ISO_MILLIS)),
+        F.try_to_timestamp(c, F.lit(ISO_SECONDS)),
+    )
+
+
+def unwrap_engagement(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1+P2+P3+P5/F1 — envelope unwrap, field extraction, ts parse.
+
+    Input: one JSON string per change record.  Output columns:
+    event_id, user_id, content_id (long), event_type, device,
+    duration_ms (long), event_ts (timestamp), raw_payload, source_ts_ms.
+    Malformed JSON and records with no id are dropped (ESJ:200-203).
+    """
+    parsed = raw.select(F.from_json(F.col(value_col), ENGAGEMENT_ENVELOPE).alias("m"))
+    # payload.after when enveloped; else the record sits at the root
+    rec = F.coalesce(
+        F.col("m.payload.after"),
+        F.struct(
+            "m.id", "m.user_id", "m.content_id", "m.event_type",
+            "m.device", "m.duration_ms", "m.event_ts", "m.raw_payload",
+        ),
+    ).alias("r")
+    out = parsed.select(rec, F.col("m.payload.source.ts_ms").alias("source_ts_ms"))
+    return (
+        out.select(
+            F.col("r.id").try_cast("long").alias("event_id"),
+            F.col("r.user_id").try_cast("long").alias("user_id"),
+            F.col("r.content_id").try_cast("long").alias("content_id"),
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.device").alias("device"),
+            F.col("r.duration_ms").alias("duration_ms"),
+            parse_event_ts(F.col("r.event_ts")).alias("event_ts"),
+            F.col("r.raw_payload").alias("raw_payload"),
+            F.col("source_ts_ms"),
+        )
+        .where(F.col("event_id").isNotNull())  # F1/F2
+    )
+
+
+def unwrap_content(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P4+F3+F4 — content envelope unwrap with delete routing.
+
+    Upserts project the after-image; deletes (``op in ('d','D')``)
+    carry only ``before.id`` and set ``is_delete`` (ESJ:244-270).
+    Rows without an id are dropped (ESJ:269).
+    """
+    parsed = raw.select(F.from_json(F.col(value_col), CONTENT_ENVELOPE).alias("m"))
+    op = F.col("m.payload.op")
+    is_delete = F.lower(op) == "d"  # F3
+    rec = F.coalesce(
+        F.col("m.payload.after"),
+        F.struct("m.id", "m.slug", "m.title", "m.content_type", "m.length_seconds", "m.publish_ts"),
+    )
+    out = parsed.select(
+        F.when(is_delete, F.col("m.payload.before.id")).otherwise(rec["id"]).try_cast("long").alias("id"),
+        rec["slug"].alias("slug"),
+        rec["title"].alias("title"),
+        rec["content_type"].alias("content_type"),
+        rec["length_seconds"].alias("length_seconds"),
+        is_delete.alias("is_delete"),
+        F.col("m.payload.source.ts_ms").alias("source_ts_ms"),
+    )
+    return out.where(F.col("id").isNotNull())  # F4
+
+
+def enriched_columns(df: DataFrame) -> DataFrame:
+    """P6-P8 — derived engagement metrics on an already-joined frame."""
+    return (
+        df.withColumn("engagement_seconds", engagement_seconds(F.col("duration_ms")))
+        .withColumn("engagement_pct", engagement_pct(F.col("duration_ms"), F.col("length_seconds")))
+        .withColumn("engagement_score", engagement_score(F.col("event_type"), F.col("duration_ms")))
+    )

@@ -1,0 +1,193 @@
+"""Deduplication operators for LLM training-data pipelines (north star).
+
+Five families, each shuffle-aware for 100 TB:
+
+- exact        — normalize → md5 → groupBy(hash).min(doc_id): one
+  map-side-combinable shuffle keyed on the digest.
+- n-gram Jaccard — shingle → explode → self-equi-join on shingle →
+  per-pair overlap count → Jaccard filter.  The join key is the
+  shingle, so co-occurrence is computed without a cartesian.
+- MinHash + LSH — per-doc signature via k independent hashes, banded
+  into buckets; only docs sharing a band bucket pair up.  Candidate
+  generation is an equi-join on (band, bucket-key) — the classic
+  sub-quadratic path.
+- SimHash      — 16-bit weighted-bit fingerprint; near-dups share the
+  fingerprint (or a band of it).
+- embedding cosine — sign-LSH bucketing (8 hyperoctant bits) then
+  in-bucket cosine; avoids the all-pairs cartesian.
+
+Hashing uses ``portable_hash64`` (md5-based) so every operator has an
+exact DuckDB oracle; swap for ``xxhash64`` in pure-production mode.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.scalar import portable_hash64
+from ..functions.text import normalize_text, shingles
+from ..functions.vector import cosine
+
+N_MINHASH = 16
+BAND_SIZE = 4
+
+
+def with_exact_duplicates(documents: DataFrame, every: int = 10, offset: int = 100000) -> DataFrame:
+    """Test corpus with constructed duplicates: every ``every``-th doc
+    reappears under ``doc_id + offset`` (the driver corpus is all
+    distinct; dedup operators need positives to find)."""
+    dup = documents.where(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return documents.unionByName(dup)
+
+
+def with_duplicate_vectors(embeddings: DataFrame, every: int = 20, offset: int = 100000) -> DataFrame:
+    dup = embeddings.where(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding", "label"
+    )
+    return embeddings.unionByName(dup)
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by normalized-text digest.
+
+    Returns one row per digest with >1 member: (text_md5, n_dups,
+    keeper) where keeper is the smallest doc_id.
+    """
+    h = documents.select(F.col("doc_id"), F.md5(normalize_text(F.col("text"))).alias("text_md5"))
+    return (
+        h.groupBy("text_md5")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    return documents.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold."""
+    ds = _doc_shingles(documents, n)
+    sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = ds.select("doc_id", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                4,
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = N_MINHASH) -> DataFrame:
+    """k-permutation MinHash signature per doc (long columns mh_0..mh_{k-1})."""
+    exploded = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), seed=f"s{i}:")).alias(f"mh_{i}") for i in range(k)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
+
+    Bands of ``band`` consecutive minhashes; equi-join on
+    (band_id, band_key).  Returns distinct candidate pairs — the cheap
+    sub-quadratic pre-filter one verifies with Jaccard downstream.
+    """
+    sig = minhash_signatures(documents, n, k)
+    bands = []
+    for b in range(k // band):
+        key = F.concat_ws("_", *[F.col(f"mh_{b * band + j}") for j in range(band)])
+        bands.append(sig.select("doc_id", F.lit(b).alias("band_id"), key.alias("band_key")))
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionAll(x)
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash: bit b set iff the hash-bit-b majority over
+    distinct tokens is positive.  Pure expression work — one groupBy."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok")
+    ).where(F.col("tok") != "")
+    h = toks.select("doc_id", portable_hash64(F.col("tok"), seed="simhash:").alias("h"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Docs sharing an identical SimHash fingerprint (hamming-0 LSH
+    bucket; widen by banding the fingerprint for hamming>0)."""
+    fp = simhash_fingerprints(documents, bits)
+    a, b = fp.alias("a"), fp.alias("b")
+    return a.join(
+        b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash").alias("simhash"))
+
+
+def sign_lsh_bucket(vec, bits: int = 8):
+    """Hyperoctant bucket id from the signs of the first ``bits`` dims."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.element_at(vec, i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed by sign-LSH.
+
+    Only pairs inside the same hyperoctant are scored — at 100 TB the
+    bucket key is the shuffle key and each bucket is small; recall can
+    be raised with multi-probe (flip one bit) without changing shape.
+    """
+    e = embeddings.select("vec_id", "embedding", sign_lsh_bucket(F.col("embedding"), bits).alias("bucket"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)

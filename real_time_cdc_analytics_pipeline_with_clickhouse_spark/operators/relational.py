@@ -1,0 +1,263 @@
+"""Relational operator breadth (SURVEY.md §2 build plan milestone 4).
+
+The reference delegates its warehouse surface to ClickHouse; this
+module provides the equivalent query capability over the TPC-H-ish
+star schema — joins of every flavor, grouping sets/rollup/cube,
+distinct + approximate aggregates, set ops, window functions, top-k.
+
+Implementation note: everything is the plain DataFrame API so Catalyst
+owns join selection, pushdown and pruning.  Money aggregates go through
+DECIMAL(18,2) (exact; oracle-parity) and are surfaced as doubles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dec(col, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def money(agg: Column, alias: str) -> Column:
+    return agg.cast("double").alias(alias)
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: two group cols, 8 aggregates, stable ordering."""
+    li = lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(dec("l_quantity")), "sum_qty"),
+            money(F.sum(dec("l_extendedprice")), "sum_base_price"),
+            money(F.sum(disc_price), "sum_disc_price"),
+            money(F.sum(charge), "sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def star_join_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join → revenue per nation.
+
+    Catalyst broadcast-joins every dimension (all tiny vs lineitem);
+    the single shuffle is the final groupBy on n_name.
+    """
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        lineitem.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(money(F.sum(revenue), "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def top_unshipped_orders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: join + group + deterministic top-k."""
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(revenue), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority", "revenue")
+    )
+
+
+def semi_join_customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    return customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def anti_join_parts_never_ordered(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Parts with no shipment in 2001+ (filtered anti-join; the filter
+    keeps the result non-trivial on the synthetic data)."""
+    recent = lineitem.where(F.col("l_shipdate") >= F.lit("2001-01-01"))
+    return part.join(recent, F.col("p_partkey") == F.col("l_partkey"), "left_anti").select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+def range_join_shipments(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Range (non-equi) join: lineitems shipped within 30 days of the
+    order date, counted per order priority.
+
+    Keyed on l_orderkey=o_orderkey first (equi), so Catalyst plans a
+    normal hash/sort-merge join and evaluates the range as a post-join
+    predicate — the scalable shape (a pure theta-join would be a
+    cartesian).
+    """
+    j = lineitem.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 30)),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_shipped_30d"),
+        money(F.sum(dec("l_extendedprice")), "value_30d"),
+    )
+
+
+def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the customer's most recent order at
+    or before the event time (matching on user_id = o_custkey % 15 to
+    give the driver tables a shared key).
+
+    Implemented as the union-ranking idiom: tag both sides, union on
+    the time axis, and for each event row take the running latest order
+    via a window — one shuffle on (key), no cartesian, scales to any
+    fact size (the per-key state is a single running row).
+    """
+    ev = events.select(
+        F.col("event_id"), F.col("user_id").alias("k"), F.col("ts").alias("t"), F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"), F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = orders.select(
+        F.lit(None).cast("long").alias("event_id"), (F.col("o_custkey") % 15).alias("k"),
+        F.col("o_orderdate").alias("t"), F.lit(0).alias("is_event"), F.col("o_orderkey"), F.col("o_totalprice"),
+    )
+    unioned = ev.unionByName(od)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("t").asc(),
+            F.col("is_event").asc(),
+            F.col("o_orderkey").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = unioned.select(
+        "*",
+        F.last(F.col("o_orderkey"), ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last(F.col("o_totalprice"), ignorenulls=True).over(w).alias("asof_totalprice"),
+    )
+    return with_last.where(F.col("is_event") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "asof_orderkey", "asof_totalprice"
+    )
+
+
+def rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping ids."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(money(F.sum(dec("l_extendedprice")), "sum_price"), F.count("*").alias("cnt"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_price",
+            "cnt",
+        )
+    )
+
+
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(money(F.sum(dec("o_totalprice")), "sum_total"), F.count("*").alias("cnt"))
+    )
+
+
+def distinct_aggregates(lineitem: DataFrame) -> DataFrame:
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def approx_distinct(lineitem: DataFrame) -> DataFrame:
+    """approx_count_distinct (HLL++) — no exact oracle; rows-only check."""
+    return lineitem.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("approx_median_price"),
+    )
+
+
+def set_ops_segments(customer: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over derived key sets, tagged."""
+    big = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    u = big.union(building).distinct().withColumn("op", F.lit("union"))
+    i = big.intersect(building).withColumn("op", F.lit("intersect"))
+    e = big.exceptAll(building).distinct().withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e)
+
+
+def window_order_analytics(orders: DataFrame) -> DataFrame:
+    """rank / dense_rank / lag / running sum per customer order history."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wrange = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.rank().over(Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))).alias("price_rank"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.sum(dec("o_totalprice")).over(wrange).cast("double").alias("running_spend"),
+    )
+
+
+def pivot_event_types(events: DataFrame) -> DataFrame:
+    """Pivot event counts per user (fixed pivot values → no extra scan)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "signup", "purchase", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def correlated_subquery_expensive_parts(part: DataFrame) -> DataFrame:
+    """Parts priced above their brand's average (decorrelated by
+    Catalyst into an aggregate + join)."""
+    brand_avg = part.groupBy(F.col("p_brand").alias("b")).agg(
+        (F.sum(dec("p_retailprice")).cast("double") / F.count("*")).alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), part.p_brand == brand_avg.b)
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", F.round("brand_avg", 6).alias("brand_avg"))
+    )
+
+
+def having_large_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """GROUP BY + HAVING via join (TPC-H Q18 shape)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty_dec"))
+        .where(F.col("total_qty_dec") > 150)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Warehouse rollups, dedup and serving views (SURVEY.md §2.6-§2.7).
+
+ClickHouse-side constructs re-expressed as Spark aggregations:
+
+- A1  hourly rollup MV        (SummingMergeTree MV, clickhouse-init.sql:26-38)
+- A2  last-write-wins dedup   (ReplacingMergeTree,  clickhouse-init.sql:21-22)
+- A4/A5 leaderboards          (Redis ZINCRBY,       ESJ:417-428)
+- A6  per-minute trending     (Redis minute buckets, ESJ:430-436)
+- A7  event-type counters     (Redis INCR,          ESJ:438-441)
+- A8  latest event per (user,content) (Redis SETEX, ESJ:412-415)
+
+Scale notes: every aggregate here is an additive partial-aggregatable
+``groupBy`` — map-side combine keeps the shuffle to one row per
+(partition, key).  Scores are summed in DECIMAL(18,2) (exact, and
+bit-identical to the DuckDB oracle) then surfaced as double.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _sum_score(alias: str = "total_score"):
+    # per-row scores are already 2dp-rounded; decimal sum is exact and
+    # engine-order-independent (double sums are not)
+    return F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def hourly_rollup(enriched: DataFrame) -> DataFrame:
+    """A1 — GROUP BY hour × content_type × event_type → count + score sum."""
+    return (
+        enriched.groupBy(
+            F.date_trunc("hour", F.col("event_ts")).alias("hour_ts"),
+            "content_type",
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), _sum_score("total_score"))
+    )
+
+
+def dedup_latest_event_version(df: DataFrame, key: str = "event_id", version: str = "event_ts") -> DataFrame:
+    """A2 — ReplacingMergeTree(event_ts) ORDER BY event_id semantics.
+
+    Keep the max-version row per key.  The reference dedups lazily at
+    merge time (duplicate-visible until then); applying it as a view /
+    write-time compaction is the same end state, made exact.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(version).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def user_leaderboard(enriched: DataFrame) -> DataFrame:
+    """A4 + §2.7 — per-user ranked contents by cumulative score."""
+    agg = enriched.groupBy("user_id", "content_id").agg(_sum_score())
+    w = Window.partitionBy("user_id").orderBy(F.col("total_score").desc(), F.col("content_id"))
+    return agg.withColumn("rnk", F.row_number().over(w))
+
+
+def content_leaderboard(enriched: DataFrame) -> DataFrame:
+    """A5 — the same cube ranked on the other axis."""
+    agg = enriched.groupBy("content_id", "user_id").agg(_sum_score())
+    w = Window.partitionBy("content_id").orderBy(F.col("total_score").desc(), F.col("user_id"))
+    return agg.withColumn("rnk", F.row_number().over(w))
+
+
+def minute_topk(enriched: DataFrame, k: int = 5) -> DataFrame:
+    """A6 — tumbling 1-minute buckets, top-k contents per bucket.
+
+    Bucket key formatted yyyyMMddHHmm exactly as ESJ:432.
+    """
+    agg = enriched.groupBy(
+        F.date_format("event_ts", "yyyyMMddHHmm").alias("minute_bucket"),
+        "content_id",
+    ).agg(_sum_score())
+    w = Window.partitionBy("minute_bucket").orderBy(F.col("total_score").desc(), F.col("content_id"))
+    return agg.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def event_counters(enriched: DataFrame) -> DataFrame:
+    """A7 — global per-event-type counters."""
+    return enriched.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+def latest_event(enriched: DataFrame) -> DataFrame:
+    """A8 — last event per (user, content), the Redis SETEX key."""
+    w = Window.partitionBy("user_id", "content_id").orderBy(
+        F.col("event_ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        enriched.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def outbox_json(enriched: DataFrame) -> DataFrame:
+    """K3 — enriched event → JSON payload for the outbox topic.
+
+    ``to_json`` omits null fields, matching the reference's explicit
+    null-skipping serializer (ESJ:366-381).
+    """
+    return enriched.select(
+        F.col("event_id"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "content_id",
+                "event_type",
+                "device",
+                "duration_ms",
+                "engagement_score",
+                "content_type",
+                "length_seconds",
+            )
+        ).alias("payload"),
+    )

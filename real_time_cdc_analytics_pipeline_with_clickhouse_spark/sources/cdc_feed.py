@@ -1,0 +1,181 @@
+"""Deterministic Debezium-shaped CDC feeds derived from driver tables.
+
+FIXTURES.md §B: every derivation is a pure function of table columns —
+no wall clock, no RNG — so the Spark pipeline and the DuckDB oracle see
+identical inputs.  The JSON shape mirrors the unwrapped Debezium output
+the reference consumes (``debezium/enhanced-postgres-connector.json:28-34``)
+and the parser expectations of ``EnhancedEngagementStreamingJob.java``
+(ESJ:163-274).
+
+Derivation contract (duplicated, deliberately, in ``oracle.py`` SQL):
+
+engagement (from ``events``):
+  - ``content_id  = event_id % 200``          (joins part.p_partkey 0..199)
+  - ``duration_ms = floor(value*1000)``; NULL for ``click`` events
+    (mirrors sql/init.sql:92-105 — clicks carry no duration)
+  - ``device      = CASE event_id % 4 → ios|android|web|tv``
+  - ``event_ts`` wire string in one of 4 formats by ``event_id % 4``
+    (exercises the reference's multi-format parse, ESJ:206-233)
+  - ``event_id % 97 == 0``  → malformed JSON line (dropped, ESJ:200-203)
+  - ``event_id % 11 == 0``  → bare record, no ``payload`` wrapper
+    (root-fallback path, ESJ:166-167)
+
+content dimension (from ``part``):
+  - v1 insert for every key; v2 update when ``p_partkey % 3 == 0``;
+    final delete when ``p_partkey % 17 == 0`` (upsert/delete compaction
+    tests, ESJ:244-270 + 310-318)
+  - ``content_type   = CASE p_partkey % 3 → podcast|newsletter|video``
+  - ``length_seconds = p_size*60`` (v1) / ``p_size*60 + 30`` (v2)
+  - ``source_ts_ms   = 1704067200000 + p_partkey*10 + version``
+
+duplicate delivery (FIXTURES.md B4): ``event_id % 13 == 0`` rows are
+emitted twice, the second copy 1h later with +1000ms duration — drives
+the ReplacingMergeTree-style last-write-wins dedup check
+(clickhouse-init.sql:21-22).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+ISO_OFFSET = "yyyy-MM-dd'T'HH:mm:ssXXX"
+ISO_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+ISO_MILLIS = "yyyy-MM-dd'T'HH:mm:ss.SSS"
+ISO_SECONDS = "yyyy-MM-dd'T'HH:mm:ss"
+
+DIM_TS_BASE_MS = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def _device(event_id: Column) -> Column:
+    return (
+        F.when(event_id % 4 == 0, "ios")
+        .when(event_id % 4 == 1, "android")
+        .when(event_id % 4 == 2, "web")
+        .otherwise("tv")
+    )
+
+
+def _wire_ts(ts: Column, event_id: Column) -> Column:
+    """Format event time in one of the 4 formats of ESJ:206-233."""
+    return (
+        F.when(event_id % 4 == 0, F.concat(F.date_format(ts, ISO_SECONDS), F.lit("+00:00")))
+        .when(event_id % 4 == 1, F.date_format(ts, ISO_MICROS))
+        .when(event_id % 4 == 2, F.date_format(ts, ISO_MILLIS))
+        .otherwise(F.date_format(ts, ISO_SECONDS))
+    )
+
+
+def engagement_records(events: DataFrame) -> DataFrame:
+    """Wire-shape engagement record fields (pre-JSON), one per event."""
+    eid = F.col("event_id")
+    return events.select(
+        eid.cast("string").alias("id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        (eid % 200).cast("string").alias("content_id"),
+        F.col("event_type"),
+        _device(eid).alias("device"),
+        F.when(F.col("event_type") != "click", F.floor(F.col("value") * 1000).cast("long")).alias(
+            "duration_ms"
+        ),
+        _wire_ts(F.col("ts"), eid).alias("event_ts"),
+        F.col("props").alias("raw_payload"),
+        eid.alias("_event_id"),  # numeric helper, not serialized
+        F.unix_millis(F.col("ts")).alias("_source_ts_ms"),
+    )
+
+
+def _engagement_envelope_json(rec: DataFrame) -> Column:
+    record = F.struct(
+        "id", "user_id", "content_id", "event_type", "device", "duration_ms", "event_ts", "raw_payload"
+    )
+    source = F.struct(
+        F.col("_source_ts_ms").alias("ts_ms"),
+        F.lit("engagement_db").alias("db"),
+        F.lit("engagement_events").alias("table"),
+    )
+    full = F.to_json(F.struct(F.struct(F.lit("c").alias("op"), record.alias("after"), source.alias("source")).alias("payload")))
+    bare = F.to_json(record)
+    malformed = F.lit('{"payload": {"after": {"id": ')  # truncated on purpose
+    eid = F.col("_event_id")
+    return (
+        F.when(eid % 97 == 0, malformed).when(eid % 11 == 0, bare).otherwise(full)
+    )
+
+
+def engagement_cdc_json(events: DataFrame) -> DataFrame:
+    """The engagement CDC feed: one JSON string per event (col ``value``)."""
+    rec = engagement_records(events)
+    return rec.select(_engagement_envelope_json(rec).alias("value"))
+
+
+def duplicated_engagement_cdc_json(events: DataFrame) -> DataFrame:
+    """FIXTURES.md B4: at-least-once delivery — ``event_id % 13 == 0``
+    rows arrive twice; the replayed copy is 1h later with +1000ms
+    duration.  Drives the A2 last-write-wins dedup check."""
+    dupes = events.where(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") + 1.0).alias("value"),
+        "props",
+    )
+    return engagement_cdc_json(events.select("event_id", "ts", "user_id", "event_type", "value", "props").unionAll(dupes))
+
+
+def content_versions(part: DataFrame) -> DataFrame:
+    """Upsert/delete version history of the content dimension (pre-JSON)."""
+    pk = F.col("p_partkey")
+    ctype = (
+        F.when(pk % 3 == 0, "podcast").when(pk % 3 == 1, "newsletter").otherwise("video")
+    )
+    base = part.select(
+        pk.cast("string").alias("id"),
+        F.lower(F.regexp_replace(F.col("p_name"), " ", "-")).alias("slug"),
+        F.col("p_name").alias("title"),
+        ctype.alias("content_type"),
+        (F.col("p_size").cast("long") * 60).alias("length_seconds"),
+        F.lit("2024-01-01T00:00:00").alias("publish_ts"),
+        F.lit("c").alias("op"),
+        (F.lit(DIM_TS_BASE_MS) + pk * 10 + 1).alias("source_ts_ms"),
+        pk.alias("_key"),
+    )
+    v2 = (
+        base.where(F.col("_key") % 3 == 0)
+        .withColumn("length_seconds", F.col("length_seconds") + 30)
+        .withColumn("op", F.lit("u"))
+        .withColumn("source_ts_ms", F.col("source_ts_ms") + 1)
+    )
+    v3 = (
+        base.where(F.col("_key") % 17 == 0)
+        .withColumn("op", F.lit("d"))
+        .withColumn("source_ts_ms", F.col("source_ts_ms") + 2)
+    )
+    return base.unionAll(v2).unionAll(v3)
+
+
+def content_cdc_json(part: DataFrame) -> DataFrame:
+    """The content-dimension CDC feed as Debezium-envelope JSON strings."""
+    v = content_versions(part)
+    record = F.struct("id", "slug", "title", "content_type", "length_seconds", "publish_ts")
+    source = F.struct(
+        F.col("source_ts_ms").alias("ts_ms"),
+        F.lit("engagement_db").alias("db"),
+        F.lit("content").alias("table"),
+    )
+    # deletes carry before-image only (ESJ:249-259); to_json drops nulls
+    after = F.when(F.col("op") != "d", record)
+    before = F.when(F.col("op") == "d", F.struct(F.col("id")))
+    return v.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("op"),
+                    before.alias("before"),
+                    after.alias("after"),
+                    source.alias("source"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )

@@ -1,0 +1,169 @@
+"""Structured Streaming wiring (SURVEY.md §2.9).
+
+The reference's Flink job, re-expressed: file/kafka CDC source →
+envelope normalize → watermark (T1, 30 s) → stream-static enrichment
+join against the MERGE-maintained dimension (T4/J1) → windowed rollups
+(T3/A1/A6) → foreachBatch MERGE-style upsert sink (A2/T7/T8) + JSON
+outbox (K3).
+
+No Delta in this container, so MERGE is emulated per micro-batch as
+anti-join + union + latest-wins compaction over a parquet directory —
+at-least-once append with read/compact-time dedup, i.e. exactly the
+ReplacingMergeTree contract (clickhouse-init.sql:21-22), and replay
+(T9) stays idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cdc import enriched_columns, unwrap_content, unwrap_engagement
+from ..operators.enrich import compact_dim_latest
+from ..operators.rollups import dedup_latest_event_version
+from ..schemas import StructType
+
+WATERMARK_DELAY = "30 seconds"  # ESJ:88 bounded out-of-orderness
+
+RAW_VALUE_SCHEMA = StructType.fromJson(
+    {"type": "struct", "fields": [{"name": "value", "type": "string", "nullable": True, "metadata": {}}]}
+)
+
+
+def read_json_lines_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based CDC feed (the test/replay analog of the Kafka source;
+    swap for ``readStream.format('kafka')`` + the same downstream in
+    prod — S1/S2)."""
+    return spark.readStream.schema(RAW_VALUE_SCHEMA).text(path).withColumnRenamed("value", "value")
+
+
+def merge_upsert_parquet(batch: DataFrame, target_dir: str, key: str, version: str) -> None:
+    """MERGE INTO emulation for a parquet target (A2).
+
+    Reads the current target, unions the new batch, keeps the
+    max-version row per key, rewrites.  Idempotent under replay:
+    re-delivered rows lose the latest-wins tiebreak.  (With Delta this
+    is ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``.)
+    """
+    spark = batch.sparkSession
+    if os.path.isdir(target_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(target_dir)
+    ):
+        current = spark.read.parquet(target_dir)
+        merged = current.unionByName(batch.select(*current.columns))
+    else:
+        merged = batch
+    merged = dedup_latest_event_version(merged, key=key, version=version)
+    staging = target_dir.rstrip("/") + "_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    refreshed = spark.read.parquet(staging)
+    refreshed.write.mode("overwrite").parquet(target_dir)
+
+
+def maintain_dim_table(spark: SparkSession, content_json_stream: DataFrame, dim_dir: str, checkpoint: str):
+    """T4/J2 — keep a parquet dimension table current from content CDC.
+
+    Each micro-batch merges upserts/deletes latest-wins into ``dim_dir``
+    (the Spark analog of Flink broadcast-state mutation; updates apply
+    at micro-batch granularity, SURVEY.md §7.3)."""
+    changes = unwrap_content(content_json_stream)
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        sp = batch.sparkSession
+        if os.path.isdir(dim_dir) and any(f.endswith(".parquet") for f in os.listdir(dim_dir)):
+            current = sp.read.parquet(dim_dir).withColumn("is_delete", F.lit(False))
+            merged = current.select(*batch.columns).unionByName(batch)
+        else:
+            merged = batch
+        compacted = compact_dim_latest(merged)
+        staging = dim_dir.rstrip("/") + "_staging"
+        compacted.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(dim_dir)
+
+    return (
+        changes.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(apply_batch)
+        .start()
+    )
+
+
+def enriched_event_stream(spark: SparkSession, engagement_json_stream: DataFrame, dim_dir: str) -> DataFrame:
+    """S1→P1-P8→J1: normalized, watermarked, dimension-enriched stream.
+
+    Stream-static join: the parquet dim table is re-read per
+    micro-batch, so dimension updates surface without restarting."""
+    events = unwrap_engagement(engagement_json_stream).withWatermark("event_ts", WATERMARK_DELAY)
+    dim = spark.read.parquet(dim_dir).select(
+        F.col("id").alias("content_id"), "content_type", "length_seconds"
+    )
+    return enriched_columns(events.join(F.broadcast(dim), "content_id", "left"))
+
+
+def streaming_hourly_rollup(enriched: DataFrame) -> DataFrame:
+    """A1 as a streaming stateful agg (the SummingMergeTree MV analog:
+    Spark keeps partial sums in the state store, emitting finalized
+    windows past the watermark)."""
+    return enriched.groupBy(
+        F.window("event_ts", "1 hour").alias("hour_window"),
+        "content_type",
+        "event_type",
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("double").alias("total_score"),
+    )
+
+
+def streaming_minute_topk_source(enriched: DataFrame) -> DataFrame:
+    """A6 upstream agg — 1-minute tumbling buckets per content (top-k
+    ranking happens at read/serve time; rank-over-window isn't
+    incremental in streaming, and the reference also ranks lazily via
+    Redis ZREVRANGE)."""
+    return enriched.groupBy(
+        F.window("event_ts", "1 minute").alias("minute_window"), "content_id"
+    ).agg(F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("double").alias("total_score"))
+
+
+def start_warehouse_sink(enriched: DataFrame, table_dir: str, checkpoint: str):
+    """K1+A2 — foreachBatch MERGE upsert into the warehouse table."""
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        merge_upsert_parquet(
+            batch.select(
+                "event_id", "content_id", "user_id", "event_type", "event_ts",
+                "duration_ms", "device", "engagement_score", "content_type",
+                "length_seconds", "engagement_seconds", "engagement_pct",
+            ),
+            table_dir,
+            key="event_id",
+            version="event_ts",
+        )
+
+    return (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def start_outbox_sink(enriched: DataFrame, out_dir: str, checkpoint: str):
+    """K3 — JSON outbox (file sink here; Kafka sink in prod: same
+    ``to_json(struct(...))`` projection, ESJ:366-381)."""
+    payload = enriched.select(
+        F.to_json(
+            F.struct(
+                "event_id", "user_id", "content_id", "event_type", "device",
+                "duration_ms", "engagement_score", "content_type", "length_seconds",
+            )
+        ).alias("value")
+    )
+    return (
+        payload.writeStream.outputMode("append")
+        .format("text")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,46 @@
+"""Loaders for the driver's parquet tables (TESTDATA.md).
+
+``events.parquet`` carries TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` Spark reads it as a long
+of epoch-nanos, which we convert to a microsecond TimestampType here
+(``ts div 1000`` — integer division, no double round-trip, so the value
+matches DuckDB's ns→us truncation exactly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for n, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(n)
