@@ -125,8 +125,61 @@ embeddings_dup AS (
   UNION ALL
   SELECT vec_id + 100000, embedding, label
   FROM embeddings WHERE vec_id % 20 = 0
+),
+-- normalized text + tokens + word-3-shingles (twins of functions/text.py)
+doc_norm AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+),
+doc_norm_dup AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents_dup
+),
+doc_toks AS (SELECT doc_id, lang, text, string_split(norm, ' ') AS toks FROM doc_norm),
+doc_toks_dup AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM doc_norm_dup),
+doc_shingles AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+         ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM doc_toks
+),
+doc_shingles_dup AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+         ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM doc_toks_dup
+),
+shingle_x AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM doc_shingles WHERE len(sh) > 0
+),
+shingle_x_dup AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM doc_shingles_dup WHERE len(sh) > 0
 )
 """
+
+
+def _h(expr: str, seed: str) -> str:
+    """DuckDB twin of functions.scalar.portable_hash64."""
+    return f"CAST(('0x' || substr(md5('{seed}' || {expr}), 1, 15)) AS BIGINT)"
+
+
+def _sign_bucket(vec: str, bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _cosine(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
 
 
 def q(sql: str) -> str:
@@ -510,5 +563,215 @@ FROM (
               WHEN "value" < 150 THEN 'medium' ELSE 'large' END AS bucket,
          "value"
   FROM events
+) GROUP BY 1
+""")
+
+# ---------------------------------------------------------------------------
+# North-star extensions (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+ORACLE["dedup_exact"] = q("""
+SELECT text_md5, count(*) AS n_dups, min(doc_id) AS keeper
+FROM (SELECT doc_id, md5(norm) AS text_md5 FROM doc_norm_dup)
+GROUP BY 1 HAVING count(*) > 1
+""")
+
+ORACLE["dedup_ngram_jaccard"] = q("""
+SELECT doc_a, doc_b, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(n_a + n_b - n_common AS DOUBLE), 4) AS jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingle_x_dup a
+  JOIN shingle_x_dup b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+JOIN (SELECT doc_id, len(sh) AS n_a FROM doc_shingles_dup) sa ON sa.doc_id = doc_a
+JOIN (SELECT doc_id, len(sh) AS n_b FROM doc_shingles_dup) sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE)
+            / CAST(n_a + n_b - n_common AS DOUBLE), 4) >= 0.5
+""")
+
+_K, _BAND = 16, 4
+_mh_cols = ",\n         ".join(
+    f"min({_h('shingle', f's{i}:')}) AS mh_{i}" for i in range(_K)
+)
+_band_selects = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_id, concat_ws('_', {ks}) AS band_key FROM sig".format(
+        b=b, ks=", ".join(f"mh_{b * _BAND + j}" for j in range(_BAND))
+    )
+    for b in range(_K // _BAND)
+)
+ORACLE["dedup_minhash_lsh"] = q(f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM (
+  WITH sig AS (
+    SELECT doc_id,
+         {_mh_cols}
+    FROM shingle_x_dup GROUP BY doc_id
+  )
+{_band_selects}
+) a
+JOIN (
+  WITH sig AS (
+    SELECT doc_id,
+         {_mh_cols}
+    FROM shingle_x_dup GROUP BY doc_id
+  )
+{_band_selects}
+) b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""")
+
+
+def _simhash_sql(tok_cte: str, bits: int = 16) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return f"""
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+           {bit_sums}
+    FROM (
+      SELECT doc_id, {_h('t', 'simhash:')} AS h
+      FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM {tok_cte})
+      WHERE t <> ''
+    ) GROUP BY doc_id
+  )"""
+
+
+ORACLE["simhash_fingerprints"] = q(f"""
+SELECT doc_id, simhash FROM ({_simhash_sql("doc_toks")})
+""")
+
+ORACLE["simhash_pairs"] = q(f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+FROM ({_simhash_sql("doc_toks_dup")}) a
+JOIN ({_simhash_sql("doc_toks_dup")}) b
+  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+""")
+
+ORACLE["embedding_near_dup"] = q(f"""
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_cosine("a.embedding", "b.embedding")}, 4) AS cos_sim
+  FROM (SELECT vec_id, embedding, {_sign_bucket("embedding", 8)} AS bucket FROM embeddings_dup) a
+  JOIN (SELECT vec_id, embedding, {_sign_bucket("embedding", 8)} AS bucket FROM embeddings_dup) b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.9
+""")
+
+ORACLE["ann_bruteforce_topk"] = q(f"""
+SELECT query_id, neighbor_id, rnk, round(cos6, 4) AS cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS rnk
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round({_cosine("q.embedding", "e.embedding")}, 6) AS cos6
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
+    WHERE e.vec_id <> q.vec_id
+  )
+) WHERE rnk <= 5
+""")
+
+ORACLE["ann_ivf_topk"] = q(f"""
+SELECT query_id, neighbor_id, rnk, round(cos6, 4) AS cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS rnk
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round({_cosine("q.embedding", "e.embedding")}, 6) AS cos6
+    FROM (SELECT vec_id, embedding, {_sign_bucket("embedding", 6)} AS bucket FROM embeddings) e
+    JOIN (SELECT vec_id, embedding, {_sign_bucket("embedding", 6)} AS bucket
+          FROM embeddings WHERE vec_id % 100 = 0) q
+      ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+  )
+) WHERE rnk <= 5
+""")
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+_marker_counts = ",\n       ".join(
+    "CAST(len(list_filter(toks, x -> list_contains({lst}, x))) AS INT) AS c_{lang}".format(
+        lst="[" + ", ".join(f"'{m}'" for m in ms) + "]", lang=lang
+    )
+    for lang, ms in _MARKERS.items()
+)
+ORACLE["lang_id"] = q(f"""
+SELECT doc_id, lang, c_en, c_de, c_fr, c_es, c_zh,
+       CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+            WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+            WHEN c_es >= c_zh THEN 'es'
+            ELSE 'zh' END AS guessed_lang
+FROM (
+  SELECT doc_id, lang,
+       {_marker_counts}
+  FROM doc_toks
+)
+""")
+
+_STOPWORDS = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for']"
+ORACLE["text_quality"] = q(f"""
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS total_chars,
+       CASE WHEN len(toks) > 0 THEN
+         round(CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS}, x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) END AS stopword_ratio,
+       CASE WHEN length(text) > 0 THEN
+         round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+       (len(toks) BETWEEN 5 AND 1000) AS len_ok
+FROM doc_toks
+""")
+
+ORACLE["token_counts"] = q("""
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens
+FROM doc_toks
+""")
+
+ORACLE["doc_fingerprint"] = q(f"""
+SELECT n.doc_id, md5(n.norm) AS text_md5, s.min_shingle_hash
+FROM doc_norm n
+LEFT JOIN (
+  SELECT doc_id, min({_h('shingle', 's0:')}) AS min_shingle_hash
+  FROM shingle_x GROUP BY doc_id
+) s ON n.doc_id = s.doc_id
+""")
+
+ORACLE["multimodal_features"] = q("""
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5
+FROM documents
+""")
+
+ORACLE["multimodal_meta_stats"] = q("""
+SELECT modality, count(*) AS n_assets,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN doc_id % 3 = 0
+                THEN ((doc_id % 16 + 1) * 64) * ((doc_id % 9 + 1) * 64)
+                ELSE 0 END) AS BIGINT) AS total_pixels
+FROM (
+  SELECT doc_id, text,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+  FROM documents
 ) GROUP BY 1
 """)
