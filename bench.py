@@ -1,0 +1,80 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing forces full execution with the noop sink (no driver-side
+collect — we measure the engine, not py4j row transfer).  The CDC
+slice timing also yields an events/s figure against the reference's
+deployed 3,333 events/s envelope (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.session import get_spark
+
+# Representative of every engine layer: CDC parse→enrich→rollup, heavy
+# relational shapes, windowing, and the north-star extension operators.
+BENCH_QUERIES = [
+    "hourly_rollup",        # full CDC slice: feed build → parse → join → score → agg
+    "dedup_latest",         # duplicate-delivery replay + last-write-wins compaction
+    "minute_topk",          # windowed top-k ranking
+    "pricing_summary",      # TPC-H Q1 shape (scan-heavy agg)
+    "star_join_revenue",    # 6-way broadcast star join
+    "top_revenue_orders",   # join + group + global top-k
+    "window_analytics",     # 4 window functions over orders
+    "asof_join",            # as-of union-ranking idiom
+    "dedup_minhash_lsh",    # shingle → minhash → banded LSH join
+    "dedup_ngram_jaccard",  # shingle self-join + Jaccard
+    "ann_bruteforce_topk",  # exact cosine top-k
+    "embedding_near_dup",   # sign-LSH bucketed cosine pairs
+    "multimodal_features",  # Arrow-batched mapInPandas feature extraction
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # JVM/codegen warmup on a trivial plan
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    timings["_cdc_events_per_sec"] = round(n_events / timings["hourly_rollup"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.stderr.write("bench: starting\n")
+    main()

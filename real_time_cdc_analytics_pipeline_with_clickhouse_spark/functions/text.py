@@ -62,17 +62,25 @@ def punct_ratio(c: Column) -> Column:
     return F.when(n > 0, punct.cast("double") / n.cast("double"))
 
 
-def shingles(c: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>) of the normalized text.
-
-    Built with ``transform`` over token indexes — stays in codegen, no
-    explode until the caller chooses to.
-    """
-    toks = tokens(c)
-    k = F.size(toks) - (n - 1)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an *already materialized* token array."""
+    k = F.size(t) - (n - 1)
     arr = F.transform(
         F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
     )
     # guard: F.sequence(0, -1) would DESCEND, not produce an empty array
     return F.when(k > 0, arr).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) of the normalized text.
+
+    The token array is bound as a higher-order-function *input*
+    (``transform(array(tokens), t -> ...)``) so it is evaluated once
+    per row.  Referencing the tokens expression inside the lambda
+    instead would re-run normalize+split per element_at — measured
+    ~50× slower on real documents.
+    """
+    bound = F.transform(F.array(tokens(c)), lambda t: shingles_from_tokens(t, n))
+    return F.element_at(bound, 1)

@@ -65,9 +65,14 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    return documents.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh")
-    ).where(F.size("sh") > 0)
+    # single-file corpora arrive as 1-2 partitions; spread the
+    # regex/shingle work across the cluster before the heavy map stage
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (
+        documents.repartition(par)
+        .select("doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
@@ -116,13 +121,19 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band
     sub-quadratic pre-filter one verifies with Jaccard downstream.
     """
     sig = minhash_signatures(documents, n, k)
-    bands = []
-    for b in range(k // band):
-        key = F.concat_ws("_", *[F.col(f"mh_{b * band + j}") for j in range(band)])
-        bands.append(sig.select("doc_id", F.lit(b).alias("band_id"), key.alias("band_key")))
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionAll(x)
+    # one struct per band, exploded — a single pass over the signature
+    # table (a union of per-band selects would recompute the whole
+    # shingle→minhash pipeline once per band)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", *[F.col(f"mh_{b * band + j}") for j in range(band)]).alias("band_key"),
+        )
+        for b in range(k // band)
+    ]
+    all_bands = sig.select("doc_id", F.explode(F.array(*entries)).alias("bk")).select(
+        "doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
     a, b_ = all_bands.alias("a"), all_bands.alias("b")
     return (
         a.join(
@@ -139,7 +150,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band
 def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc SimHash: bit b set iff the hash-bit-b majority over
     distinct tokens is positive.  Pure expression work — one groupBy."""
-    toks = documents.select(
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    toks = documents.repartition(par).select(
         "doc_id", F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok")
     ).where(F.col("tok") != "")
     h = toks.select("doc_id", portable_hash64(F.col("tok"), seed="simhash:").alias("h"))
@@ -181,13 +193,22 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits
     bucket key is the shuffle key and each bucket is small; recall can
     be raised with multi-probe (flip one bit) without changing shape.
     """
-    e = embeddings.select("vec_id", "embedding", sign_lsh_bucket(F.col("embedding"), bits).alias("bucket"))
+    from ..functions.vector import dot, norm
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = embeddings.repartition(par).select(
+        "vec_id", "embedding",
+        sign_lsh_bucket(F.col("embedding"), bits).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+        ).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold)

@@ -27,13 +27,25 @@ def default_queries(embeddings: DataFrame, every: int = 100) -> DataFrame:
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
-    """Exact top-k neighbors per query by cosine (query ≠ neighbor)."""
-    scored = embeddings.crossJoin(F.broadcast(queries)).where(
+    """Exact top-k neighbors per query by cosine (query ≠ neighbor).
+
+    Norms are precomputed once per vector (identical value to a
+    per-pair norm — same fold over the same array — at 1/3 the work),
+    and the corpus is spread across the cluster before scoring.
+    """
+    from ..functions.vector import dot, norm
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = embeddings.repartition(par).withColumn("nrm", norm(F.col("embedding")))
+    q = queries.withColumn("qnrm", norm(F.col("query_vec")))
+    scored = corpus.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -45,18 +57,27 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, bits: int = 6) -> DataFrame:
     """Approximate top-k: probe only the query's sign-LSH bucket."""
-    corpus = embeddings.select(
-        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding"), bits).alias("bucket")
+    from ..functions.vector import dot, norm
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = embeddings.repartition(par).select(
+        "vec_id", "embedding",
+        sign_lsh_bucket(F.col("embedding"), bits).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     q = queries.select(
-        "query_id", "query_vec", sign_lsh_bucket(F.col("query_vec"), bits).alias("bucket")
+        "query_id", "query_vec",
+        sign_lsh_bucket(F.col("query_vec"), bits).alias("bucket"),
+        norm(F.col("query_vec")).alias("qnrm"),
     )
     scored = corpus.join(F.broadcast(q), "bucket").where(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -104,8 +104,14 @@ def _engagement_envelope_json(rec: DataFrame) -> Column:
 
 
 def engagement_cdc_json(events: DataFrame) -> DataFrame:
-    """The engagement CDC feed: one JSON string per event (col ``value``)."""
-    rec = engagement_records(events)
+    """The engagement CDC feed: one JSON string per event (col ``value``).
+
+    Repartitioned to the session's parallelism — the analog of the
+    reference topic's 16 Kafka partitions (a single-file parquet input
+    would otherwise serialize the whole parse chain onto one task).
+    """
+    par = events.sparkSession.sparkContext.defaultParallelism
+    rec = engagement_records(events.repartition(par))
     return rec.select(_engagement_envelope_json(rec).alias("value"))
 
 
