@@ -61,7 +61,12 @@ def surrogate_event_key(event_id: Column) -> Column:
     bit-reproducible in Spark builtins; we keep the same *semantics*
     (parse when numeric, stable hash otherwise) with ``xxhash64``.
     """
-    return F.coalesce(event_id.try_cast("long"), F.abs(F.xxhash64(event_id)))
+    # xxhash64(NULL) yields the seed (42), not NULL — guard explicitly
+    # so a missing id stays SQL NULL as in the reference (ESJ:528).
+    return F.when(
+        event_id.isNotNull(),
+        F.coalesce(event_id.try_cast("long"), F.abs(F.xxhash64(event_id))),
+    )
 
 
 def portable_hash64(col: Column, seed: str = "") -> Column:

@@ -23,20 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.cdc import enriched_columns, unwrap_content, unwrap_engagement
 from ..operators.enrich import compact_dim_latest
 from ..operators.rollups import dedup_latest_event_version
-from ..schemas import StructType
 
 WATERMARK_DELAY = "30 seconds"  # ESJ:88 bounded out-of-orderness
-
-RAW_VALUE_SCHEMA = StructType.fromJson(
-    {"type": "struct", "fields": [{"name": "value", "type": "string", "nullable": True, "metadata": {}}]}
-)
 
 
 def read_json_lines_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based CDC feed (the test/replay analog of the Kafka source;
     swap for ``readStream.format('kafka')`` + the same downstream in
-    prod — S1/S2)."""
-    return spark.readStream.schema(RAW_VALUE_SCHEMA).text(path).withColumnRenamed("value", "value")
+    prod — S1/S2).  Yields one ``value`` string column, like Kafka."""
+    return spark.readStream.text(path)
 
 
 def merge_upsert_parquet(batch: DataFrame, target_dir: str, key: str, version: str) -> None:

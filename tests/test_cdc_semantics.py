@@ -1,0 +1,90 @@
+"""Unit-level CDC semantics beyond the oracle checks (SURVEY.md §2.3-2.4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.scalar import (
+    surrogate_event_key,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import cdc
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def test_malformed_and_bare_records(spark, sf_dir):
+    """P1/P5: malformed JSON dropped, bare records (no payload) parsed."""
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    feed = cdc_feed.engagement_cdc_json(events)
+    out = cdc.unwrap_engagement(feed)
+    n_malformed = events.where(F.col("event_id") % 97 == 0).count()
+    assert out.count() == n - n_malformed
+    # bare records survive with fields intact but no source block
+    bare = out.where((F.col("event_id") % 11 == 0))
+    assert bare.count() > 0
+    assert bare.where(F.col("source_ts_ms").isNotNull()).count() == 0
+    assert bare.where(F.col("event_ts").isNull()).count() == 0
+
+
+def test_four_timestamp_formats_all_parse(spark, sf_dir):
+    """P3: every wire format round-trips to a non-null timestamp."""
+    events = load_table(spark, sf_dir, "events")
+    out = cdc.unwrap_engagement(cdc_feed.engagement_cdc_json(events))
+    per_fmt = (
+        out.groupBy((F.col("event_id") % 4).alias("fmt"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("event_ts").isNull().cast("int")).alias("nulls"))
+        .collect()
+    )
+    assert len(per_fmt) == 4
+    for r in per_fmt:
+        assert r["nulls"] == 0, f"format {r['fmt']} produced null timestamps"
+
+
+def test_unknown_timestamp_format_yields_null():
+    import pyspark.sql.functions as F  # noqa: F811
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.session import get_spark
+
+    spark = get_spark("ts-edge")
+    df = spark.createDataFrame([("31/12/2024 10:00",), ("garbage",), (None,)], ["s"])
+    out = df.select(cdc.parse_event_ts(F.col("s")).alias("t"))
+    assert all(r["t"] is None for r in out.collect())
+
+
+def test_delete_routing_uses_before_image(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    changes = cdc.unwrap_content(cdc_feed.content_cdc_json(part))
+    deletes = changes.where(F.col("is_delete"))
+    n_expected = part.where(F.col("p_partkey") % 17 == 0).count()
+    assert deletes.count() == n_expected
+    # delete rows carry the key from the before-image, nothing else
+    assert deletes.where(F.col("id").isNull()).count() == 0
+    assert deletes.where(F.col("content_type").isNotNull()).count() == 0
+
+
+def test_surrogate_key_fallback(spark):
+    df = spark.createDataFrame([("123",), ("evt-9",), (None,)], ["id"])
+    out = df.select(F.col("id"), surrogate_event_key(F.col("id")).alias("k")).collect()
+    by_id = {r["id"]: r["k"] for r in out}
+    assert by_id["123"] == 123            # numeric string parses
+    assert by_id["evt-9"] is not None and by_id["evt-9"] >= 0  # hash fallback
+    assert by_id[None] is None            # null propagates (P10)
+
+
+def test_enriched_golden_schema(spark, sf_dir):
+    """FIXTURES.md B3: the enrichment slice exposes the golden columns."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import enrich
+
+    events = cdc.unwrap_engagement(
+        cdc_feed.engagement_cdc_json(load_table(spark, sf_dir, "events"))
+    )
+    dim = enrich.compact_dim_latest(
+        cdc.unwrap_content(cdc_feed.content_cdc_json(load_table(spark, sf_dir, "part")))
+    )
+    out = enrich.enrich_events(events, dim)
+    expected = {
+        "event_id", "content_id", "user_id", "event_type", "event_ts", "duration_ms",
+        "device", "engagement_score", "content_type", "length_seconds",
+        "engagement_seconds", "engagement_pct",
+    }
+    assert expected <= set(out.columns)

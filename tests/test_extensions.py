@@ -1,0 +1,92 @@
+"""Behavioral tests for the north-star operators (beyond oracle parity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def test_exact_dedup_finds_constructed_duplicates(spark, sf_dir):
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents"))
+    groups = dedup.exact_dedup_groups(docs).collect()
+    n_dup_sources = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).count()
+    assert len(groups) == n_dup_sources
+    assert all(r["n_dups"] == 2 for r in groups)
+    assert all(r["keeper"] < 100000 for r in groups)  # keeper = original
+
+
+def test_minhash_candidates_superset_of_exact_dups(spark, sf_dir):
+    """LSH with identical signatures must catch every exact duplicate."""
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents"))
+    cands = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    expected = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 10 == 0) & (F.col("n_chars") > 0))
+        .select("doc_id")
+        .collect()
+    }
+    missing = expected - cands
+    assert not missing, f"exact dups missed by LSH: {sorted(missing)[:5]}"
+
+
+def test_jaccard_exact_dups_score_one(spark, sf_dir):
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    dup_pairs = [r for r in pairs if r["doc_b"] == r["doc_a"] + 100000]
+    assert dup_pairs and all(r["jaccard"] == 1.0 for r in dup_pairs)
+
+
+def test_ann_excludes_self_and_ranks_duplicates_first(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = similarity.default_queries(embs)
+    topk = similarity.brute_force_topk(embs, queries, k=3)
+    rows = topk.collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_ivf_subset_of_bruteforce_candidates(spark, sf_dir):
+    """IVF results are cosine-correct: any neighbor IVF returns scores
+    identically to the brute-force ranking for the same pair."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = similarity.default_queries(embs)
+    ivf = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in similarity.ivf_topk(embs, q).collect()}
+    bf_all = similarity.brute_force_topk(embs, q, k=10**6)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf_all.collect()}
+    for pair, cs in ivf.items():
+        assert pair in bf and abs(bf[pair] - cs) < 1e-9
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
+
+
+def test_multimodal_feature_extraction_matches_local_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    assets = multimodal.assets_from_documents(docs)
+    feats = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    for d in docs.collect():
+        f = feats[d["doc_id"]]
+        raw = d["text"].encode("utf-8")
+        assert f["byte_len"] == len(raw)
+        assert f["payload_md5"] == hashlib.md5(raw).hexdigest()
+        assert f["mean_byte"] == pytest.approx(sum(raw) / len(raw))
+
+
+def test_simhash_is_16_bit(spark, sf_dir):
+    fps = dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents")).collect()
+    assert all(0 <= r["simhash"] < 2**16 for r in fps)

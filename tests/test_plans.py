@@ -1,0 +1,53 @@
+"""Physical-plan assertions — the 100 TB stance, enforced (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import (
+    assert_broadcast_join,
+    plan_string,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+QUERIES = entrymod.queries()
+
+
+def test_enrich_join_is_broadcast(spark, sf_dir):
+    """The dim join must never shuffle the fact side (J1)."""
+    assert_broadcast_join(QUERIES["enrich_join"](spark, sf_dir))
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_string(QUERIES["star_join_revenue"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, "a dimension fell back to sort-merge:\n" + plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_string(QUERIES["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_string(df)
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in schema_line
+    assert "l_quantity" in schema_line
+
+
+def test_no_cartesian_in_range_join(spark, sf_dir):
+    plan = plan_string(QUERIES["range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partial_aggregation_in_rollup(spark, sf_dir):
+    """Hourly rollup must map-side combine (partial_count/sum before
+    the exchange) — the property that bounds shuffle volume at scale."""
+    plan = plan_string(QUERIES["hourly_rollup"](spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower()

@@ -1,0 +1,201 @@
+"""Streaming semantics tests (SURVEY.md §5.3) — replay-vs-batch
+equivalence, MERGE idempotence under duplicate delivery, watermark
+late-data behavior.  File-source micro-batches driven synchronously
+with ``processAllAvailable``."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import cdc, enrich, rollups
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+from tests.oracle_utils import frame_rows
+
+
+def _write_feed_files(df, out_dir: str, n_files: int = 3) -> None:
+    df.repartition(n_files).write.mode("overwrite").text(out_dir)
+
+
+def test_dim_maintenance_stream_equals_batch_compaction(spark, sf_dir, tmp_path):
+    """Replaying the content CDC feed through the streaming dim
+    maintainer must land in the same state as batch latest-wins
+    compaction (J2 / T4)."""
+    part = load_table(spark, sf_dir, "part")
+    feed = cdc_feed.content_cdc_json(part)
+    feed_dir = str(tmp_path / "content_feed")
+    _write_feed_files(feed.selectExpr("value"), feed_dir)
+
+    dim_dir = str(tmp_path / "dim")
+    stream = sp.read_json_lines_stream(spark, feed_dir)
+    q = sp.maintain_dim_table(spark, stream, dim_dir, str(tmp_path / "ckpt_dim"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(dim_dir).select("id", "content_type", "length_seconds")
+    want = enrich.compact_dim_latest(cdc.unwrap_content(feed)).select(
+        "id", "content_type", "length_seconds"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_warehouse_merge_idempotent_under_duplicate_delivery(spark, sf_dir, tmp_path):
+    """A2/T8: replaying the duplicated feed through the foreachBatch
+    MERGE sink yields exactly the batch dedup result — the engine's
+    exactly-once upgrade over ReplacingMergeTree's eventual dedup."""
+    events = load_table(spark, sf_dir, "events").limit(400)
+    part = load_table(spark, sf_dir, "part")
+    dup_feed = cdc_feed.duplicated_engagement_cdc_json(events)
+
+    feed_dir = str(tmp_path / "ev_feed")
+    _write_feed_files(dup_feed, feed_dir, n_files=4)
+
+    # static dim the stream joins against
+    dim_dir = str(tmp_path / "dim")
+    enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+
+    wh_dir = str(tmp_path / "warehouse")
+    stream = sp.read_json_lines_stream(spark, feed_dir)
+    enriched = sp.enriched_event_stream(spark, stream, dim_dir)
+    q = sp.start_warehouse_sink(enriched, wh_dir, str(tmp_path / "ckpt_wh"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(wh_dir).select("event_id", "event_ts", "duration_ms")
+    want = rollups.dedup_latest_event_version(
+        enrich.enrich_events(
+            cdc.unwrap_engagement(dup_feed),
+            enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))),
+        )
+    ).select("event_id", "event_ts", "duration_ms")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert len(g) == len(w) and g == w
+    # keys unique — duplicates collapsed
+    assert len({r[0] for r in g}) == len(g)
+
+
+def test_streaming_hourly_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """A1 as a streaming stateful agg must converge to the batch
+    rollup (complete mode, memory sink)."""
+    events = load_table(spark, sf_dir, "events").limit(500)
+    part = load_table(spark, sf_dir, "part")
+    feed = cdc_feed.engagement_cdc_json(events)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(feed, feed_dir)
+
+    dim_dir = str(tmp_path / "dim")
+    enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+
+    enriched = sp.enriched_event_stream(spark, sp.read_json_lines_stream(spark, feed_dir), dim_dir)
+    agg = sp.streaming_hourly_rollup(enriched)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_roll"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT hour_window.start AS hour_ts, content_type, event_type, cnt, total_score FROM hourly_out"
+    )
+    want = rollups.hourly_rollup(
+        enrich.enrich_events(
+            cdc.unwrap_engagement(feed),
+            enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))),
+        )
+    ).select(F.col("hour_ts"), "content_type", "event_type", "cnt", "total_score")
+    assert frame_rows(got.columns, [tuple(r) for r in got.collect()]) == frame_rows(
+        want.columns, [tuple(r) for r in want.collect()]
+    )
+
+
+def test_watermark_drops_very_late_rows(spark, tmp_path):
+    """T1/T6: in append mode a row older than the watermark is dropped
+    from the windowed agg; fresh rows pass."""
+    feed_dir = str(tmp_path / "late_feed")
+    os.makedirs(feed_dir)
+
+    def envelope(eid: int, ts: str) -> str:
+        return (
+            '{"payload": {"op": "c", "after": {"id": "%d", "user_id": "1", '
+            '"content_id": "5", "event_type": "view", "device": "web", '
+            '"duration_ms": 1000, "event_ts": "%s"}, '
+            '"source": {"ts_ms": 1, "db": "d", "table": "t"}}}' % (eid, ts)
+        )
+
+    # batch 1: events at 10:00 and 12:00 → watermark advances to 11:59:30
+    with open(f"{feed_dir}/b1.txt", "w") as f:
+        f.write(envelope(1, "2024-01-01T10:00:00") + "\n")
+        f.write(envelope(2, "2024-01-01T12:00:00") + "\n")
+
+    events = cdc.unwrap_engagement(spark.readStream.text(feed_dir)).withWatermark(
+        "event_ts", sp.WATERMARK_DELAY
+    )
+    agg = events.groupBy(F.window("event_ts", "1 hour").alias("w")).agg(F.count("*").alias("cnt"))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: one very late event (09:30, far behind watermark) and one fresh (12:05)
+    with open(f"{feed_dir}/b2.txt", "w") as f:
+        f.write(envelope(3, "2024-01-01T09:30:00") + "\n")
+        f.write(envelope(4, "2024-01-01T12:05:00") + "\n")
+    q.processAllAvailable()
+    # batch 3: push watermark forward so finalized windows flush
+    with open(f"{feed_dir}/b3.txt", "w") as f:
+        f.write(envelope(5, "2024-01-01T15:00:00") + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    out = {
+        (r["w"]["start"].hour, r["cnt"])
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # 10:00 window has exactly 1 row — the 09:30 straggler was dropped;
+    # 12:00 window counts both the on-time and the slightly-late row
+    assert (10, 1) in out
+    assert (12, 2) in out
+    assert not any(h == 9 for h, _ in out)
+
+
+def test_outbox_sink_writes_null_free_json(spark, sf_dir, tmp_path):
+    """K3: outbox JSON omits null fields (ESJ:366-381 semantics)."""
+    events = load_table(spark, sf_dir, "events").limit(200)
+    part = load_table(spark, sf_dir, "part")
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(cdc_feed.engagement_cdc_json(events), feed_dir)
+    dim_dir = str(tmp_path / "dim")
+    enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+
+    out_dir = str(tmp_path / "outbox")
+    enriched = sp.enriched_event_stream(spark, sp.read_json_lines_stream(spark, feed_dir), dim_dir)
+    q = sp.start_outbox_sink(enriched, out_dir, str(tmp_path / "ckpt_out"))
+    q.processAllAvailable()
+    q.stop()
+
+    lines = spark.read.text(out_dir)
+    n = lines.count()
+    assert n > 0
+    # click events carry no duration; their payload must omit the field
+    clicks_with_duration = lines.where(
+        F.col("value").contains('"event_type":"click"') & F.col("value").contains('"duration_ms"')
+    ).count()
+    assert clicks_with_duration == 0
