@@ -174,6 +174,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["surrogate_key"] = surrogate_key
 
+    def ts_fallback(spark: SparkSession, sf: str) -> DataFrame:
+        """P11 — unparseable event time falls back to a fixed instant
+        (the reference uses now(); tests pin a literal, SURVEY §7.3)."""
+        ev = load_table(spark, sf, "events")
+        wire = F.when(F.col("event_id") % 23 == 0, F.lit("not-a-timestamp")).otherwise(
+            F.date_format("ts", cdc_feed.ISO_SECONDS)
+        )
+        parsed = cdc.parse_event_ts(wire)
+        fallback = F.lit("2024-02-01 00:00:00").cast("timestamp")
+        return ev.select(
+            "event_id",
+            F.unix_micros(F.coalesce(parsed, fallback)).alias("event_ts_us"),
+            (F.col("event_id") % 23 == 0).alias("used_fallback"),
+        )
+
+    q["ts_fallback"] = ts_fallback
+    q["rollup_incremental_merge"] = lambda spark, sf: rollups.incremental_rollup_merge(
+        _enriched(spark, sf)
+    ).select(_us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score")
+    q["sessionize"] = lambda spark, sf: rollups.sessionize(load_table(spark, sf, "events"))
+
     # --- relational breadth (SURVEY §7.2 milestone 4) ---
     q["pricing_summary"] = lambda spark, sf: R.pricing_summary(load_table(spark, sf, "lineitem"))
     q["star_join_revenue"] = lambda spark, sf: R.star_join_revenue(
@@ -206,6 +227,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["window_analytics"] = lambda spark, sf: R.window_order_analytics(load_table(spark, sf, "orders"))
     q["pivot_event_types"] = lambda spark, sf: R.pivot_event_types(load_table(spark, sf, "events"))
+    q["unpivot_event_counts"] = lambda spark, sf: R.unpivot_event_counts(
+        load_table(spark, sf, "events")
+    )
+    q["grouping_sets_revenue"] = lambda spark, sf: R.grouping_sets_revenue(
+        spark, load_table(spark, sf, "lineitem")
+    )
     q["correlated_subquery"] = lambda spark, sf: R.correlated_subquery_expensive_parts(
         load_table(spark, sf, "part")
     )
@@ -284,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- north-star extensions: dedup / similarity / text / multimodal ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup_groups(_docs_dup(spark, sf))
+    q["training_data_prep"] = lambda spark, sf: dedup.training_data_prep(_docs_dup(spark, sf))
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs_dup(spark, sf), threshold=0.5
     )

@@ -23,7 +23,7 @@ exact DuckDB oracle; swap for ``xxhash64`` in pure-production mode.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.scalar import portable_hash64
 from ..functions.text import normalize_text, shingles
@@ -176,6 +176,29 @@ def simhash_dup_pairs(documents: DataFrame, bits: int = 16) -> DataFrame:
     return a.join(
         b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash").alias("simhash"))
+
+
+def training_data_prep(documents: DataFrame) -> DataFrame:
+    """End-to-end training-data prep slice: normalize → quality filter
+    (token count + punctuation ratio) → exact dedup (keep smallest
+    doc_id per digest).  The composition a 100 TB corpus pipeline runs
+    before tokenization; every stage is expression-level except the
+    one dedup shuffle on the digest."""
+    from ..functions.text import normalize_text, punct_ratio, tokens
+
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("p_ratio"),
+        F.md5(normalize_text(F.col("text"))).alias("text_md5"),
+    ).where((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000) & (F.col("p_ratio") < 0.35))
+    w = Window.partitionBy("text_md5").orderBy(F.col("doc_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens", "text_md5")
+    )
 
 
 def sign_lsh_bucket(vec, bits: int = 8):

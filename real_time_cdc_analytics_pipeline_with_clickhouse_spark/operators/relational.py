@@ -246,6 +246,34 @@ def correlated_subquery_expensive_parts(part: DataFrame) -> DataFrame:
     )
 
 
+def unpivot_event_counts(events: DataFrame) -> DataFrame:
+    """Pivot → unpivot round trip: per-user counts widened to columns,
+    then melted back with ``stack`` (keeps explicit zero rows)."""
+    wide = pivot_event_types(events)
+    types = ["view", "click", "signup", "purchase", "error"]
+    stack_expr = "stack({n}, {args}) as (event_type, cnt)".format(
+        n=len(types), args=", ".join(f"'{t}', `{t}`" for t in types)
+    )
+    return wide.selectExpr("user_id", stack_expr)
+
+
+def grouping_sets_revenue(spark, lineitem: DataFrame) -> DataFrame:
+    """GROUPING SETS with grouping flags (SQL surface — no DataFrame
+    API for arbitrary sets)."""
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(*) AS cnt
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 def having_large_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """GROUP BY + HAVING via join (TPC-H Q18 shape)."""
     big = (

@@ -92,6 +92,53 @@ def latest_event(enriched: DataFrame) -> DataFrame:
     )
 
 
+def incremental_rollup_merge(enriched: DataFrame) -> DataFrame:
+    """A3 — SummingMergeTree re-merge semantics: two partial rollups
+    (split by event_id parity, standing in for two ingest batches)
+    re-aggregate to exactly the full rollup.
+
+    Partial sums stay DECIMAL end-to-end; only the final merge casts to
+    double — the associativity the additive MV relies on.
+    """
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("event_ts")).alias("hour_ts"),
+            "content_type",
+            "event_type",
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("engagement_score").cast("decimal(18,2)")).alias("score_dec"),
+        )
+
+    parts = partial(enriched.where(F.col("event_id") % 2 == 0)).unionByName(
+        partial(enriched.where(F.col("event_id") % 2 == 1))
+    )
+    return parts.groupBy("hour_ts", "content_type", "event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("score_dec").cast("double").alias("total_score"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user session sequence via gap detection —
+    lag(ts) + cumulative sum over a session-start flag (one shuffle on
+    user_id; per-key state is a single running counter, so the window
+    scales to arbitrarily long histories)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > gap_us), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(is_new).over(wrun).cast("long").alias("session_seq"),
+    )
+
+
 def outbox_json(enriched: DataFrame) -> DataFrame:
     """K3 — enriched event → JSON payload for the outbox topic.
 

@@ -775,3 +775,83 @@ FROM (
   FROM documents
 ) GROUP BY 1
 """)
+
+# ---------------------------------------------------------------------------
+# Coverage wave 3: A3 re-merge, P11 fallback, sessionize, unpivot,
+# grouping sets, training-data prep
+# ---------------------------------------------------------------------------
+
+ORACLE["ts_fallback"] = q("""
+SELECT event_id,
+       epoch_us(CASE WHEN event_id % 23 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+                     ELSE date_trunc('second', CAST(ts AS TIMESTAMP)) END) AS event_ts_us,
+       (event_id % 23 = 0) AS used_fallback
+FROM events
+""")
+
+ORACLE["rollup_incremental_merge"] = q("""
+SELECT epoch_us(hour_ts) AS hour_ts_us, content_type, event_type,
+       CAST(sum(cnt) AS BIGINT) AS cnt,
+       CAST(sum(score_dec) AS DOUBLE) AS total_score
+FROM (
+  SELECT date_trunc('hour', event_ts) AS hour_ts, content_type, event_type,
+         count(*) AS cnt, sum(CAST(engagement_score AS DECIMAL(18,2))) AS score_dec
+  FROM enriched WHERE event_id % 2 = 0 GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT date_trunc('hour', event_ts), content_type, event_type,
+         count(*), sum(CAST(engagement_score AS DECIMAL(18,2)))
+  FROM enriched WHERE event_id % 2 = 1 GROUP BY 1, 2, 3
+) GROUP BY 1, 2, 3
+""")
+
+ORACLE["sessionize"] = q("""
+SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       CAST(sum(is_new) OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_us IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM (
+    SELECT event_id, user_id, ts,
+           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+    FROM events
+  )
+)
+""")
+
+ORACLE["unpivot_event_counts"] = q("""
+SELECT u.user_id, t.event_type, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (SELECT unnest(['view','click','signup','purchase','error']) AS event_type) t
+LEFT JOIN (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) c
+  ON c.user_id = u.user_id AND c.event_type = t.event_type
+""")
+
+ORACLE["grouping_sets_revenue"] = q("""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+
+ORACLE["training_data_prep"] = q("""
+SELECT doc_id, lang, n_tokens, text_md5 FROM (
+  SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS _rn
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+           CASE WHEN length(text) > 0 THEN
+             round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE), 6) END AS p_ratio,
+           md5(norm) AS text_md5
+    FROM doc_norm_dup
+  ) WHERE n_tokens BETWEEN 10 AND 1000 AND p_ratio < 0.35
+) WHERE _rn = 1
+""")
