@@ -233,6 +233,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grouping_sets_revenue"] = lambda spark, sf: R.grouping_sets_revenue(
         spark, load_table(spark, sf, "lineitem")
     )
+    q["exact_quantiles"] = lambda spark, sf: R.exact_quantiles(load_table(spark, sf, "lineitem"))
+    q["conditional_aggs"] = lambda spark, sf: R.conditional_aggregates(
+        load_table(spark, sf, "lineitem")
+    )
+    q["array_agg_event_types"] = lambda spark, sf: R.array_agg_event_types(
+        load_table(spark, sf, "events")
+    )
+    q["salted_rollup"] = lambda spark, sf: rollups.salted_event_type_rollup(_enriched(spark, sf))
+
+    def streaming_replay_rollup(spark: SparkSession, sf: str) -> DataFrame:
+        """The CDC feed replayed through the *streaming* path (file
+        source → watermark → stream-static join → foreachBatch MERGE
+        sink), then rolled up — hash-matches the batch hourly_rollup
+        oracle, proving replay-vs-batch equivalence through the gate."""
+        import tempfile
+
+        from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+            pipeline as sp,
+        )
+
+        base = tempfile.mkdtemp(prefix="sg_stream_")
+        events = load_table(spark, sf, "events")
+        feed_dir = f"{base}/feed"
+        cdc_feed.engagement_cdc_json(events).write.mode("overwrite").text(feed_dir)
+        dim_dir = f"{base}/dim"
+        _dim(spark, sf).write.mode("overwrite").parquet(dim_dir)
+        wh_dir = f"{base}/wh"
+        stream = sp.read_json_lines_stream(spark, feed_dir)
+        enriched = sp.enriched_event_stream(spark, stream, dim_dir)
+        sink = sp.start_warehouse_sink(enriched, wh_dir, f"{base}/ckpt")
+        sink.processAllAvailable()
+        sink.stop()
+        return rollups.hourly_rollup(spark.read.parquet(wh_dir)).select(
+            _us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score"
+        )
+
+    q["streaming_replay_rollup"] = streaming_replay_rollup
     q["correlated_subquery"] = lambda spark, sf: R.correlated_subquery_expensive_parts(
         load_table(spark, sf, "part")
     )

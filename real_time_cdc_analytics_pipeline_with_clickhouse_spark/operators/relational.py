@@ -246,6 +246,40 @@ def correlated_subquery_expensive_parts(part: DataFrame) -> DataFrame:
     )
 
 
+def exact_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group."""
+    pct = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p90"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def conditional_aggregates(lineitem: DataFrame) -> DataFrame:
+    """count_if / filtered sums / bool_or — conditional agg surface."""
+    disc = F.col("l_discount") > 0.05
+    return lineitem.groupBy("l_linestatus").agg(
+        F.count_if(disc).alias("n_discounted"),
+        F.sum(F.when(disc, F.col("l_extendedprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("discounted_rev"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def array_agg_event_types(events: DataFrame) -> DataFrame:
+    """Deterministic array aggregation: sorted distinct event types per
+    user (collect_set is unordered — always sort before exposing)."""
+    return events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.size(F.sort_array(F.collect_set("event_type"))).alias("n_types"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_csv"),
+    )
+
+
 def unpivot_event_counts(events: DataFrame) -> DataFrame:
     """Pivot → unpivot round trip: per-user counts widened to columns,
     then melted back with ``stack`` (keeps explicit zero rows)."""

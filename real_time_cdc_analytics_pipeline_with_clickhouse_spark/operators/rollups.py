@@ -119,6 +119,28 @@ def incremental_rollup_merge(enriched: DataFrame) -> DataFrame:
     )
 
 
+def salted_event_type_rollup(enriched: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Skew-resistant two-stage aggregation (the salting pattern).
+
+    ``event_type`` has ~5 hot values — at 100 TB a direct groupBy puts
+    each key on one reducer.  Stage 1 groups on (key, salt) spreading
+    each hot key over ``salt_buckets`` reducers; stage 2 merges the
+    partials.  Result is bit-identical to the direct groupBy (counts
+    and DECIMAL sums are associative), which the oracle asserts.
+    """
+    salted = enriched.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("engagement_score").cast("decimal(18,2)")).alias("score_dec"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("score_dec").cast("double").alias("total_score"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user session sequence via gap detection —
     lag(ts) + cumulative sum over a session-start flag (one shuffle on

@@ -855,3 +855,43 @@ SELECT doc_id, lang, n_tokens, text_md5 FROM (
   ) WHERE n_tokens BETWEEN 10 AND 1000 AND p_ratio < 0.35
 ) WHERE _rn = 1
 """)
+
+# ---------------------------------------------------------------------------
+# Coverage wave 4: quantiles, conditional/array aggs, salting, streaming replay
+# ---------------------------------------------------------------------------
+
+ORACLE["exact_quantiles"] = q("""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       count(*) AS cnt
+FROM lineitem GROUP BY 1
+""")
+
+ORACLE["conditional_aggs"] = q("""
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_rev,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       count(*) AS cnt
+FROM lineitem GROUP BY 1
+""")
+
+ORACLE["array_agg_event_types"] = q("""
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+FROM events GROUP BY 1
+""")
+
+ORACLE["salted_rollup"] = q("""
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
+FROM enriched GROUP BY 1
+""")
+
+# streaming replay must converge to exactly the batch rollup
+ORACLE["streaming_replay_rollup"] = ORACLE["hourly_rollup"]
