@@ -27,6 +27,38 @@ from ..operators.rollups import dedup_latest_event_version
 WATERMARK_DELAY = "30 seconds"  # ESJ:88 bounded out-of-orderness
 
 
+def kafka_cdc_source(
+    spark: SparkSession, brokers: str, topic: str, starting_offsets: str = "latest"
+) -> DataFrame:
+    """S1/S2 — the production source: Kafka topic of Debezium JSON.
+
+    Mirrors ESJ:76-107 (latest offsets, string values).  Requires the
+    spark-sql-kafka connector on the classpath; tests use the file
+    source below, which yields the identical ``value`` column.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+
+
+def kafka_outbox_sink(payload: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """K3 production sink: enriched JSON → ``external.enriched_events``
+    (ESJ:132-150; at-least-once, made idempotent downstream by A2)."""
+    return (
+        payload.selectExpr("CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def read_json_lines_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based CDC feed (the test/replay analog of the Kafka source;
     swap for ``readStream.format('kafka')`` + the same downstream in

@@ -1,0 +1,71 @@
+"""Custom stateful operator test: per-user running scores with TTL
+(the Redis ZINCRBY leaderboard analog, applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import cdc, enrich
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming.stateful import (
+    running_user_scores,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def test_running_scores_accumulate_across_batches(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").limit(300)
+    part = load_table(spark, sf_dir, "part")
+    feed_dir = str(tmp_path / "feed")
+
+    # two micro-batches: split the feed into two files written separately
+    feed = cdc_feed.engagement_cdc_json(events).collect()
+    half = len(feed) // 2
+    import os
+
+    os.makedirs(feed_dir)
+    with open(f"{feed_dir}/b1.txt", "w") as f:
+        f.write("\n".join(r["value"] for r in feed[:half]) + "\n")
+
+    dim_dir = str(tmp_path / "dim")
+    enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+
+    enriched = sp.enriched_event_stream(spark, sp.read_json_lines_stream(spark, feed_dir), dim_dir)
+    scores = running_user_scores(enriched, ttl_ms=0)  # TTL off: let processAllAvailable settle
+    q = (
+        scores.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_scores")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    with open(f"{feed_dir}/b2.txt", "w") as f:
+        f.write("\n".join(r["value"] for r in feed[half:]) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    # scores are positive so the running total is monotone: the final
+    # state per (user, content) is the max emitted value
+    got_df = spark.sql(
+        "SELECT user_id, content_id, max(total_score) AS total_score"
+        " FROM user_scores GROUP BY 1, 2"
+    )
+    got = {(r["user_id"], r["content_id"]): r["total_score"] for r in got_df.collect()}
+
+    batch = enrich.enrich_events(
+        cdc.unwrap_engagement(spark.createDataFrame(feed)),
+        enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))),
+    )
+    want_rows = (
+        batch.groupBy("user_id", "content_id")
+        .agg(F.round(F.sum("engagement_score"), 2).alias("s"))
+        .collect()
+    )
+    want = {(r["user_id"], r["content_id"]): r["s"] for r in want_rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
