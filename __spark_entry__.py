@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["user_leaderboard"] = lambda spark, sf: rollups.user_leaderboard(_enriched(spark, sf))
     q["content_leaderboard"] = lambda spark, sf: rollups.content_leaderboard(_enriched(spark, sf))
     q["minute_topk"] = lambda spark, sf: rollups.minute_topk(_enriched(spark, sf))
+    q["trending_recent"] = lambda spark, sf: rollups.trending_recent(_enriched(spark, sf))
     q["event_counters"] = lambda spark, sf: rollups.event_counters(_enriched(spark, sf))
     q["latest_event"] = lambda spark, sf: rollups.latest_event(_enriched(spark, sf)).select(
         "user_id", "content_id", "event_id", _us().alias("event_ts_us"), "engagement_score"

@@ -11,7 +11,7 @@ Five families, each shuffle-aware for 100 TB:
   into buckets; only docs sharing a band bucket pair up.  Candidate
   generation is an equi-join on (band, bucket-key) — the classic
   sub-quadratic path.
-- SimHash      — 16-bit weighted-bit fingerprint; near-dups share the
+- SimHash      — 32-bit weighted-bit fingerprint; near-dups share the
   fingerprint (or a band of it).
 - embedding cosine — sign-LSH bucketing (8 hyperoctant bits) then
   in-bucket cosine; avoids the all-pairs cartesian.
@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 
 from ..functions.scalar import portable_hash64
 from ..functions.text import normalize_text, shingles
-from ..functions.vector import cosine
+from ..functions.vector import dot, norm
 
 N_MINHASH = 16
 BAND_SIZE = 4
@@ -147,9 +147,13 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band
     )
 
 
-def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
+def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash: bit b set iff the hash-bit-b majority over
-    distinct tokens is positive.  Pure expression work — one groupBy."""
+    distinct tokens is positive.  Pure expression work — one groupBy.
+
+    32 bits: a 16-bit space saturates around ~5k docs (birthday-bound
+    collisions make every doc pair with something); production would
+    band a 64/128-bit fingerprint for hamming>0 search."""
     par = documents.sparkSession.sparkContext.defaultParallelism
     toks = documents.repartition(par).select(
         "doc_id", F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok")
@@ -168,7 +172,7 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_dup_pairs(documents: DataFrame, bits: int = 16) -> DataFrame:
+def simhash_dup_pairs(documents: DataFrame, bits: int = 32) -> DataFrame:
     """Docs sharing an identical SimHash fingerprint (hamming-0 LSH
     bucket; widen by banding the fingerprint for hamming>0)."""
     fp = simhash_fingerprints(documents, bits)
@@ -216,8 +220,6 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits
     bucket key is the shuffle key and each bucket is small; recall can
     be raised with multi-probe (flip one bit) without changing shape.
     """
-    from ..functions.vector import dot, norm
-
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     e = embeddings.repartition(par).select(
         "vec_id", "embedding",

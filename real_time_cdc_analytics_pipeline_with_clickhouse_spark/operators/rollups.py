@@ -161,6 +161,24 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def trending_recent(enriched: DataFrame, minutes: int = 15, k: int = 5) -> DataFrame:
+    """T5 — the Redis 15-min trending TTL as a retention predicate.
+
+    Serving views replace key expiry with a time filter; anchored to
+    ``max(event_ts)`` (data time) so the result is deterministic — in
+    production the anchor is ``current_timestamp()``.
+    """
+    mx = enriched.agg(F.max("event_ts").alias("_mx"))
+    recent = enriched.join(F.broadcast(mx)).where(
+        F.col("event_ts") >= F.col("_mx") - F.expr(f"INTERVAL {minutes} MINUTES")
+    )
+    agg = recent.groupBy(
+        F.date_format("event_ts", "yyyyMMddHHmm").alias("minute_bucket"), "content_id"
+    ).agg(_sum_score())
+    w = Window.partitionBy("minute_bucket").orderBy(F.col("total_score").desc(), F.col("content_id"))
+    return agg.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def outbox_json(enriched: DataFrame) -> DataFrame:
     """K3 — enriched event → JSON payload for the outbox topic.
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.vector import cosine
+from ..functions.vector import dot, norm
 from .dedup import sign_lsh_bucket
 
 
@@ -33,8 +33,6 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     per-pair norm — same fold over the same array — at 1/3 the work),
     and the corpus is spread across the cluster before scoring.
     """
-    from ..functions.vector import dot, norm
-
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = embeddings.repartition(par).withColumn("nrm", norm(F.col("embedding")))
     q = queries.withColumn("qnrm", norm(F.col("query_vec")))
@@ -57,8 +55,6 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, bits: int = 6) -> DataFrame:
     """Approximate top-k: probe only the query's sign-LSH bucket."""
-    from ..functions.vector import dot, norm
-
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = embeddings.repartition(par).select(
         "vec_id", "embedding",

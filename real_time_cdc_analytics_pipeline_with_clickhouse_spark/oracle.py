@@ -623,7 +623,7 @@ JOIN (
 """)
 
 
-def _simhash_sql(tok_cte: str, bits: int = 16) -> str:
+def _simhash_sql(tok_cte: str, bits: int = 32) -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(bits)
@@ -895,3 +895,18 @@ FROM enriched GROUP BY 1
 
 # streaming replay must converge to exactly the batch rollup
 ORACLE["streaming_replay_rollup"] = ORACLE["hourly_rollup"]
+
+ORACLE["trending_recent"] = q("""
+SELECT minute_bucket, content_id, total_score, rnk FROM (
+  SELECT minute_bucket, content_id, total_score,
+         row_number() OVER (PARTITION BY minute_bucket
+                            ORDER BY total_score DESC, content_id) AS rnk
+  FROM (
+    SELECT strftime(event_ts, '%Y%m%d%H%M') AS minute_bucket, content_id,
+           CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
+    FROM enriched
+    WHERE event_ts >= (SELECT max(event_ts) FROM enriched) - INTERVAL 15 MINUTE
+    GROUP BY 1, 2
+  )
+) WHERE rnk <= 5
+""")

@@ -87,6 +87,6 @@ def test_multimodal_feature_extraction_matches_local_hash(spark, sf_dir):
         assert f["mean_byte"] == pytest.approx(sum(raw) / len(raw))
 
 
-def test_simhash_is_16_bit(spark, sf_dir):
+def test_simhash_fits_bit_width(spark, sf_dir):
     fps = dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents")).collect()
-    assert all(0 <= r["simhash"] < 2**16 for r in fps)
+    assert all(0 <= r["simhash"] < 2**32 for r in fps)
