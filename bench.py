@@ -51,16 +51,49 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
 
+    # two iterations, min per query: first run pays JIT/codegen warmup,
+    # min is the steady-state figure a long-running cluster job sees
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        df = queries[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            df = queries[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     timings["_cdc_events_per_sec"] = round(n_events / timings["hourly_rollup"], 1)
+
+    # scale probe: replicate the event stream 10× and push it through
+    # the full parse→enrich→score→rollup slice (unique ids so the
+    # dedup/group keys keep realistic cardinality)
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import cdc, enrich
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import rollups as RU
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    blown = (
+        ev.crossJoin(spark.range(10).select(F.col("id").alias("_rep")))
+        .select(
+            (F.col("event_id") * 10 + F.col("_rep")).alias("event_id"),
+            "ts", "user_id", "event_type", "value", "props",
+        )
+    )
+    dim = enrich.compact_dim_latest(
+        cdc.unwrap_content(cdc_feed.content_cdc_json(load_table(spark, sf_dir, "part")))
+    )
+    slice10 = RU.hourly_rollup(
+        enrich.enrich_events(cdc.unwrap_engagement(cdc_feed.engagement_cdc_json(blown)), dim)
+    )
+    t0 = time.time()
+    slice10.write.mode("overwrite").format("noop").save()
+    t10 = time.time() - t0
+    timings["_cdc_events_per_sec_10x"] = round(n_events * 10 / t10, 1)
     print(
         json.dumps(
             {

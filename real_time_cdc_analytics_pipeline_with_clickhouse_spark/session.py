@@ -46,11 +46,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
 def get_spark(app_name: str = "cdc-analytics-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    import tempfile
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # saveAsTable target for bucketed tables (kept out of the repo)
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "sg_warehouse"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
