@@ -44,3 +44,81 @@ def month_slice(spark: SparkSession, path: str, yyyymm: str) -> DataFrame:
     the scan touches exactly one month directory (assert via
     ``PartitionFilters`` in the plan)."""
     return read_warehouse(spark, path).where(F.col(MONTH_COL) == yyyymm)
+
+
+def _stage_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """Rewrite ``path`` from ``df`` safely while ``df`` may be reading
+    it: materialize to a staging dir, then overwrite the target from
+    the staging copy."""
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "_staging"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
+    r = spark.read.parquet(staging).write.mode("overwrite")
+    if partition_by:
+        r = r.partitionBy(partition_by)
+    r.parquet(path)
+
+
+def compact_warehouse(spark: SparkSession, path: str) -> None:
+    """Small-file compaction — the MergeTree background-merge analog.
+
+    Streaming micro-batch appends leave many small files per month;
+    rewriting each month partition as few key-sorted files restores
+    scan efficiency and row-group stats (run periodically, like
+    ClickHouse merges — the table's logical content is unchanged).
+    """
+    df = (
+        read_warehouse(spark, path)
+        .repartition(F.col(MONTH_COL))
+        .sortWithinPartitions("event_id")
+    )
+    _stage_swap(df, path, partition_by=MONTH_COL)
+
+
+# --- incremental hourly-rollup maintenance (the MV insert-trigger analog) ---
+
+_ROLLUP_KEY = ["hour_ts", "content_type", "event_type"]
+
+
+def _partial_rollup(enriched: DataFrame) -> DataFrame:
+    return enriched.groupBy(
+        F.date_trunc("hour", F.col("event_ts")).alias("hour_ts"),
+        "content_type",
+        "event_type",
+    ).agg(
+        F.count("*").alias("cnt"),
+        # DECIMAL in storage: increments merge exactly, in any order
+        F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("decimal(28,2)").alias("score_dec"),
+    )
+
+
+def write_rollup(enriched: DataFrame, path: str) -> None:
+    """Materialize the hourly rollup (clickhouse-init.sql:26-38 analog)."""
+    _partial_rollup(enriched).write.mode("overwrite").parquet(path)
+
+
+def merge_rollup_increment(spark: SparkSession, path: str, new_enriched: DataFrame) -> None:
+    """Fold a new batch into the stored rollup additively — the
+    SummingMergeTree partial-merge, run at write time.  Because partials
+    are DECIMAL, increment order cannot change the stored values; the
+    result is bit-identical to a full recompute (tested)."""
+    current = spark.read.parquet(path)
+    merged = (
+        current.unionByName(_partial_rollup(new_enriched))
+        .groupBy(*_ROLLUP_KEY)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
+        )
+    )
+    _stage_swap(merged, path)
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(
+        "hour_ts", "content_type", "event_type", "cnt",
+        F.col("score_dec").cast("double").alias("total_score"),
+    )

@@ -36,6 +36,59 @@ def test_month_partition_pruning(spark, sf_dir, tmp_path):
     assert empty.count() == 0
 
 
+def test_compaction_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
+    """MergeTree-background-merge analog: many small files → few
+    key-sorted files, identical logical content."""
+    import glob
+
+    path = str(tmp_path / "wh")
+    enr = _enriched(spark, sf_dir)
+    # simulate micro-batch append fragmentation: 20 files per month
+    (
+        enr.withColumn(warehouse.MONTH_COL, F.date_format("event_ts", "yyyyMM"))
+        .repartition(20)
+        .write.mode("overwrite")
+        .partitionBy(warehouse.MONTH_COL)
+        .parquet(path)
+    )
+    before_files = len(glob.glob(f"{path}/*/*.parquet"))
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).select("event_id", "engagement_score").collect())
+    )
+    warehouse.compact_warehouse(spark, path)
+    after_files = len(glob.glob(f"{path}/*/*.parquet"))
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(path).select("event_id", "engagement_score").collect())
+    )
+    assert after_rows == before_rows
+    assert after_files < before_files
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """SummingMergeTree insert-trigger analog: fold batches into the
+    stored rollup; decimal partials make the result bit-identical to a
+    full recompute regardless of batch boundaries."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import rollups
+
+    path = str(tmp_path / "mv")
+    enr = _enriched(spark, sf_dir)
+    b1 = enr.where(F.col("event_id") % 3 == 0)
+    b2 = enr.where(F.col("event_id") % 3 == 1)
+    b3 = enr.where(F.col("event_id") % 3 == 2)
+    warehouse.write_rollup(b1, path)
+    warehouse.merge_rollup_increment(spark, path, b2)
+    warehouse.merge_rollup_increment(spark, path, b3)
+    from tests.oracle_utils import frame_rows
+
+    got_df = warehouse.read_rollup(spark, path)
+    want_df = rollups.hourly_rollup(enr).select(
+        "hour_ts", "content_type", "event_type", "cnt", "total_score"
+    )
+    got = frame_rows(got_df.columns, [tuple(r) for r in got_df.collect()])
+    want = frame_rows(want_df.columns, [tuple(r) for r in want_df.collect()])
+    assert got == want
+
+
 def test_key_sort_gives_rowgroup_stats(spark, sf_dir, tmp_path):
     """sortWithinPartitions(event_id) → parquet min/max stats act as a
     sparse index; a point lookup pushes the key filter to the scan."""
