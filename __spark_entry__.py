@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = lambda spark, sf: R.asof_join_latest_order(
         load_table(spark, sf, "events"), load_table(spark, sf, "orders")
     )
+    q["asof_join_pandas"] = lambda spark, sf: R.asof_join_pandas(
+        load_table(spark, sf, "events"), load_table(spark, sf, "orders")
+    )
     q["rollup_revenue"] = lambda spark, sf: R.rollup_revenue(load_table(spark, sf, "lineitem"))
     q["cube_order_stats"] = lambda spark, sf: R.cube_order_stats(load_table(spark, sf, "orders"))
     q["distinct_aggs"] = lambda spark, sf: R.distinct_aggregates(load_table(spark, sf, "lineitem"))

@@ -162,6 +162,55 @@ def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def asof_join_pandas(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join via cogrouped ``applyInPandas`` + ``pd.merge_asof`` —
+    the per-key Arrow-batched alternative to the union-ranking idiom
+    (same semantics, tested equivalent).  Scales as one shuffle on the
+    key with per-group pandas work; preferable when per-key history
+    fits a worker and the pandas ecosystem is already in play.
+    """
+    import pandas as pd
+
+    ev = events.select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    od = orders.select(
+        (F.col("o_custkey") % 15).alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["t", "event_id"])
+        # deterministic tie-break: among same-date orders keep max key
+        right = right.sort_values(["t", "o_orderkey"])
+        out = pd.merge_asof(
+            left,
+            right.rename(columns={"t": "ot"}),
+            left_on="t",
+            right_on="ot",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["k_x"] if "k_x" in out else out["k"],
+                "asof_orderkey": out["o_orderkey"],
+                "asof_totalprice": out["o_totalprice"],
+            }
+        )
+
+    return (
+        ev.groupBy("k")
+        .cogroup(od.groupBy("k"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, asof_orderkey long, asof_totalprice double",
+        )
+    )
+
+
 def rollup_revenue(lineitem: DataFrame) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with grouping ids."""
     return (

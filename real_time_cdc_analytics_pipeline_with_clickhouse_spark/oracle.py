@@ -910,3 +910,6 @@ SELECT minute_bucket, content_id, total_score, rnk FROM (
   )
 ) WHERE rnk <= 5
 """)
+
+# cogrouped-pandas as-of variant: same semantics, same oracle
+ORACLE["asof_join_pandas"] = ORACLE["asof_join"]

@@ -1,0 +1,70 @@
+"""Edge-case robustness: empty inputs and degenerate documents must
+flow through every operator without errors."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+    cdc,
+    dedup,
+    enrich,
+    rollups,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def test_empty_event_stream(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").where(F.lit(False))
+    dim = enrich.compact_dim_latest(
+        cdc.unwrap_content(cdc_feed.content_cdc_json(load_table(spark, sf_dir, "part")))
+    )
+    enriched = enrich.enrich_events(
+        cdc.unwrap_engagement(cdc_feed.engagement_cdc_json(events)), dim
+    )
+    assert enriched.count() == 0
+    assert rollups.hourly_rollup(enriched).count() == 0
+    assert rollups.minute_topk(enriched).count() == 0
+    assert rollups.latest_event(enriched).count() == 0
+
+
+def test_degenerate_documents(spark):
+    """Empty text, punctuation-only, single word, sub-shingle-length —
+    the guards (empty-shingle arrays, token filters) must hold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "!!! ??? ...", "en", "s", 11),
+            (3, "word", "en", "s", 4),
+            (4, "two words", "en", "s", 9),
+            (5, "exactly three words", "en", "s", 19),
+            (6, "exactly three words", "en", "s", 19),  # dup of 5
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # shingle-based ops: docs 1-4 contribute nothing; 5/6 pair up
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(5, 6, 1.0)]
+    cands = dedup.minhash_lsh_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in cands] == [(5, 6)]
+    # simhash drops empty-token docs, keeps the rest
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert 1 not in fps and 2 not in fps  # no alphanumeric tokens
+    assert fps[5] == fps[6]
+    # exact dedup sees the duplicate pair (and the empty/punct pair,
+    # which both normalize to "")
+    groups = {r["keeper"]: r["n_dups"] for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups == {1: 2, 5: 2}
+
+
+def test_dim_with_all_deleted_keys(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "s", "t", "podcast", 60, False, 100),
+            (1, None, None, None, None, True, 200),
+        ],
+        "id long, slug string, title string, content_type string, "
+        "length_seconds long, is_delete boolean, source_ts_ms long",
+    )
+    assert enrich.compact_dim_latest(changes).count() == 0
