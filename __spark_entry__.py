@@ -372,6 +372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "embeddings"),
         similarity.default_queries(load_table(spark, sf, "embeddings")),
     )
+    q["ann_quantized_topk"] = lambda spark, sf: similarity.quantized_topk(
+        load_table(spark, sf, "embeddings"),
+        similarity.default_queries(load_table(spark, sf, "embeddings")),
+    )
 
     def lang_id(spark: SparkSession, sf: str) -> DataFrame:
         docs = load_table(spark, sf, "documents")

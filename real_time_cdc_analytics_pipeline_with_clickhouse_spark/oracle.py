@@ -913,3 +913,26 @@ SELECT minute_bucket, content_id, total_score, rnk FROM (
 
 # cogrouped-pandas as-of variant: same semantics, same oracle
 ORACLE["asof_join_pandas"] = ORACLE["asof_join"]
+
+# int8-quantized ANN: similarity is an exact integer dot of quantized,
+# L2-normalized vectors — no float comparison anywhere
+_QV = (
+    "list_transform(CAST({v} AS DOUBLE[]), x -> CAST(round(x / "
+    "sqrt(list_dot_product(CAST({v} AS DOUBLE[]), CAST({v} AS DOUBLE[]))) * 127) AS BIGINT))"
+)
+ORACLE["ann_quantized_topk"] = q(f"""
+SELECT query_id, neighbor_id, rnk, int_dot
+FROM (
+  SELECT query_id, neighbor_id, int_dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY int_dot DESC, neighbor_id) AS rnk
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           CAST(list_dot_product({_QV.format(v='q.embedding')},
+                                 {_QV.format(v='e.embedding')}) AS BIGINT) AS int_dot
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
+    WHERE e.vec_id <> q.vec_id
+  )
+) WHERE rnk <= 5
+""")
