@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- north-star extensions: dedup / similarity / text / multimodal ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup_groups(_docs_dup(spark, sf))
     q["training_data_prep"] = lambda spark, sf: dedup.training_data_prep(_docs_dup(spark, sf))
+    q["tfidf_top_terms"] = lambda spark, sf: dedup.tfidf_top_terms(
+        load_table(spark, sf, "documents")
+    )
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs_dup(spark, sf), threshold=0.5
     )

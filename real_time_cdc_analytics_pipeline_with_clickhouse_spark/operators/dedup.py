@@ -182,6 +182,49 @@ def simhash_dup_pairs(documents: DataFrame, bits: int = 32) -> DataFrame:
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash").alias("simhash"))
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Three additive aggregations (term counts, doc lengths, doc
+    frequencies) + one ranking window — every stage partial-aggregates,
+    and the corpus size joins in as a broadcast scalar (no driver-side
+    constant).  Ranking happens on the 6dp-rounded score with a term
+    tiebreak (cross-engine determinism).
+    """
+    from ..functions.text import tokens
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        documents.repartition(par)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("dl").cast("double"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
 def training_data_prep(documents: DataFrame) -> DataFrame:
     """End-to-end training-data prep slice: normalize → quality filter
     (token count + punctuation ratio) → exact dedup (keep smallest

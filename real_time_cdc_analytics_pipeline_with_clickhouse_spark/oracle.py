@@ -936,3 +936,34 @@ FROM (
   )
 ) WHERE rnk <= 5
 """)
+
+ORACLE["tfidf_top_terms"] = q("""
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM (
+    SELECT tf.doc_id, tf.term,
+           round((CAST(tf.cnt AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+                 * ln(CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+    FROM (
+      SELECT doc_id, t AS term, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+      GROUP BY 1, 2
+    ) tf
+    JOIN (
+      SELECT doc_id, count(*) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+      GROUP BY 1
+    ) dl ON tf.doc_id = dl.doc_id
+    JOIN (
+      SELECT term, count(*) AS df FROM (
+        SELECT doc_id, t AS term, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    ) df ON tf.term = df.term
+    CROSS JOIN (SELECT count(*) AS n_docs FROM documents) nd
+  )
+) WHERE rnk <= 3
+""")
