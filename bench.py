@@ -33,7 +33,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",    # shingle → minhash → banded LSH join
     "dedup_ngram_jaccard",  # shingle self-join + Jaccard
     "ann_bruteforce_topk",  # exact cosine top-k
+    "ann_quantized_topk",   # int8-quantized integer-dot top-k
     "embedding_near_dup",   # sign-LSH bucketed cosine pairs
+    "tfidf_top_terms",      # 3-stage additive text aggregation + rank
     "multimodal_features",  # Arrow-batched mapInPandas feature extraction
 ]
 
