@@ -120,13 +120,61 @@ def maintain_dim_table(spark: SparkSession, content_json_stream: DataFrame, dim_
 def enriched_event_stream(spark: SparkSession, engagement_json_stream: DataFrame, dim_dir: str) -> DataFrame:
     """S1→P1-P8→J1: normalized, watermarked, dimension-enriched stream.
 
-    Stream-static join: the parquet dim table is re-read per
-    micro-batch, so dimension updates surface without restarting."""
+    Stream-static join against a dim table that is STABLE for the
+    stream's lifetime (the file listing is pinned at plan time — an
+    in-place overwrite of ``dim_dir`` mid-stream breaks the scan).
+    For a dimension mutated by its own CDC feed while the event stream
+    runs, use ``start_enriched_warehouse_pipeline``, which re-reads the
+    dim inside ``foreachBatch`` — the micro-batch-granular analog of
+    Flink broadcast-state updates."""
     events = unwrap_engagement(engagement_json_stream).withWatermark("event_ts", WATERMARK_DELAY)
     dim = spark.read.parquet(dim_dir).select(
         F.col("id").alias("content_id"), "content_type", "length_seconds"
     )
     return enriched_columns(events.join(F.broadcast(dim), "content_id", "left"))
+
+
+WAREHOUSE_COLUMNS = [
+    "event_id", "content_id", "user_id", "event_type", "event_ts",
+    "duration_ms", "device", "engagement_score", "content_type",
+    "length_seconds", "engagement_seconds", "engagement_pct",
+]
+
+
+def start_enriched_warehouse_pipeline(
+    spark: SparkSession,
+    engagement_json_stream: DataFrame,
+    dim_dir: str,
+    table_dir: str,
+    checkpoint: str,
+):
+    """The full live pipeline with a *mutable* dimension (T4 + K1 + A2).
+
+    Normalization/watermark run in the streaming plan; the dimension
+    join, scoring, and MERGE upsert run inside ``foreachBatch``, where
+    the dim parquet is freshly listed every micro-batch — dim updates
+    (including overwrites by ``maintain_dim_table``) apply from the
+    next batch, exactly the latency contract of the reference's Flink
+    broadcast state (per-record there, per-micro-batch here)."""
+    events = unwrap_engagement(engagement_json_stream).withWatermark("event_ts", WATERMARK_DELAY)
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        sp_ = batch.sparkSession
+        sp_.catalog.refreshByPath(dim_dir)
+        dim = sp_.read.parquet(dim_dir).select(
+            F.col("id").alias("content_id"), "content_type", "length_seconds"
+        )
+        enriched = enriched_columns(batch.join(F.broadcast(dim), "content_id", "left"))
+        merge_upsert_parquet(
+            enriched.select(*WAREHOUSE_COLUMNS), table_dir, key="event_id", version="event_ts"
+        )
+
+    return (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
 
 
 def streaming_hourly_rollup(enriched: DataFrame) -> DataFrame:
@@ -158,14 +206,7 @@ def start_warehouse_sink(enriched: DataFrame, table_dir: str, checkpoint: str):
 
     def sink(batch: DataFrame, _epoch: int) -> None:
         merge_upsert_parquet(
-            batch.select(
-                "event_id", "content_id", "user_id", "event_type", "event_ts",
-                "duration_ms", "device", "engagement_score", "content_type",
-                "length_seconds", "engagement_seconds", "engagement_pct",
-            ),
-            table_dir,
-            key="event_id",
-            version="event_ts",
+            batch.select(*WAREHOUSE_COLUMNS), table_dir, key="event_id", version="event_ts"
         )
 
     return (
