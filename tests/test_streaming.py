@@ -174,6 +174,53 @@ def test_watermark_drops_very_late_rows(spark, tmp_path):
     assert not any(h == 9 for h, _ in out)
 
 
+def test_checkpoint_restart_resumes_without_duplicates(spark, sf_dir, tmp_path):
+    """T7/T9: stop the warehouse pipeline, restart from the same
+    checkpoint, feed more data — the final table equals a single
+    uninterrupted run (offsets resume; MERGE keeps replays idempotent)."""
+    events = load_table(spark, sf_dir, "events").limit(300)
+    part = load_table(spark, sf_dir, "part")
+    feed = cdc_feed.engagement_cdc_json(events).collect()
+    half = len(feed) // 2
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    with open(f"{feed_dir}/b1.txt", "w") as f:
+        f.write("\n".join(r["value"] for r in feed[:half]) + "\n")
+
+    dim_dir = str(tmp_path / "dim")
+    enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+
+    wh_dir = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = sp.start_enriched_warehouse_pipeline(
+        spark, sp.read_json_lines_stream(spark, feed_dir), dim_dir, wh_dir, ckpt
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    n_after_first = spark.read.parquet(wh_dir).count()
+    assert 0 < n_after_first < len(feed)
+
+    # restart from the same checkpoint; deliver the rest
+    with open(f"{feed_dir}/b2.txt", "w") as f:
+        f.write("\n".join(r["value"] for r in feed[half:]) + "\n")
+    q2 = sp.start_enriched_warehouse_pipeline(
+        spark, sp.read_json_lines_stream(spark, feed_dir), dim_dir, wh_dir, ckpt
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(wh_dir)
+    want = enrich.enrich_events(
+        cdc.unwrap_engagement(spark.createDataFrame(feed)),
+        enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part))),
+    )
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
 def test_outbox_sink_writes_null_free_json(spark, sf_dir, tmp_path):
     """K3: outbox JSON omits null fields (ESJ:366-381 semantics)."""
     events = load_table(spark, sf_dir, "events").limit(200)
