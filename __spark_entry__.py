@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_top_terms"] = lambda spark, sf: dedup.tfidf_top_terms(
         load_table(spark, sf, "documents")
     )
+    q["hash_split"] = lambda spark, sf: dedup.hash_split(load_table(spark, sf, "documents"))
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs_dup(spark, sf), threshold=0.5
     )

@@ -182,6 +182,26 @@ def simhash_dup_pairs(documents: DataFrame, bits: int = 32) -> DataFrame:
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash").alias("simhash"))
 
 
+def hash_split(documents: DataFrame, val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    Splits must be stable across runs and machines and must follow the
+    *content*, not the row id (so re-crawled duplicates land in the
+    same split and never leak train→test).  Bucket = md5-derived hash
+    of the normalized text mod 100; purely map-side — at 100 TB this is
+    a free column on the scan.
+    """
+    from ..functions.text import normalize_text
+
+    bucket = F.pmod(portable_hash64(normalize_text(F.col("text")), seed="split:"), F.lit(100))
+    split = (
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return documents.select("doc_id", "lang", bucket.alias("bucket"), split.alias("split"))
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 

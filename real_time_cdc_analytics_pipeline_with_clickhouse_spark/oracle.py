@@ -967,3 +967,16 @@ SELECT doc_id, term, tfidf, rnk FROM (
   )
 ) WHERE rnk <= 3
 """)
+
+# deterministic content-hash train/val/test split
+ORACLE["hash_split"] = q("""
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 5 THEN 'test'
+            WHEN bucket < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('split:' || norm), 1, 15)) AS BIGINT) % 100 AS bucket
+  FROM doc_norm
+)
+""")
