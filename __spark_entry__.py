@@ -5,6 +5,13 @@
 ``oracle_sql()``  — DuckDB-equivalent SQL for every oracle-checkable query.
 
 The engine lives in ``real_time_cdc_analytics_pipeline_with_clickhouse_spark/``.
+
+The driver's correctness gate records the FIRST 50 ``queries()``
+entries in insertion order.  The registry is therefore kept ≤ 50 by
+consolidating projection-redundant parity queries (see
+tests/test_consolidated.py, which keeps the folded-away variants
+oracle-checked in pytest), and the extension operators are registered
+before the relational-breadth block.  KEEP IT ≤ 50.
 """
 
 from __future__ import annotations
@@ -98,9 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id", "user_id", "content_id", "event_type", "device", "duration_ms",
         _us().alias("event_ts_us"), "raw_payload", "source_ts_ms",
     )
-    q["cdc_ts_parse"] = lambda spark, sf: _engagement(spark, sf).select(
-        "event_id", (F.col("event_id") % 4).alias("wire_format"), _us().alias("event_ts_us")
-    )
     q["cdc_delete_routing"] = lambda spark, sf: cdc.unwrap_content(
         cdc_feed.content_cdc_json(load_table(spark, sf, "part"))
     ).select("id", "content_type", "length_seconds", "is_delete", "source_ts_ms")
@@ -112,9 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _us().alias("event_ts_us"), "content_type", "length_seconds",
         "engagement_seconds", "engagement_pct", "engagement_score",
     )
-    q["engagement_score"] = lambda spark, sf: _enriched(spark, sf).select(
-        "event_id", "event_type", "duration_ms", "engagement_score"
-    )
     q["hourly_rollup"] = lambda spark, sf: rollups.hourly_rollup(_enriched(spark, sf)).select(
         _us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score"
     )
@@ -122,7 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _enriched(spark, sf, dup=True)
     ).select("event_id", _us().alias("event_ts_us"), "duration_ms", "engagement_score")
     q["user_leaderboard"] = lambda spark, sf: rollups.user_leaderboard(_enriched(spark, sf))
-    q["content_leaderboard"] = lambda spark, sf: rollups.content_leaderboard(_enriched(spark, sf))
     q["minute_topk"] = lambda spark, sf: rollups.minute_topk(_enriched(spark, sf))
     q["trending_recent"] = lambda spark, sf: rollups.trending_recent(_enriched(spark, sf))
     q["event_counters"] = lambda spark, sf: rollups.event_counters(_enriched(spark, sf))
@@ -146,105 +146,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["outbox_roundtrip"] = outbox_roundtrip
 
-    def json_props(spark: SparkSession, sf: str) -> DataFrame:
-        ev = load_table(spark, sf, "events").select(
-            "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
-        )
-        return ev.groupBy("event_type").agg(
-            F.count("*").alias("cnt"),
-            F.sum("k").alias("sum_k"),
-            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
-        )
-
-    q["json_props"] = json_props
-
-    def surrogate_key(spark: SparkSession, sf: str) -> DataFrame:
+    def cdc_edge_cases(spark: SparkSession, sf: str) -> DataFrame:
+        """P10 + P11 in one per-row pass: parse-else-hash surrogate key
+        and unparseable-timestamp fallback (the reference uses now();
+        tests pin a literal, SURVEY §7.3)."""
         ev = load_table(spark, sf, "events")
         id_str = F.when(
             F.col("event_id") % 10 == 0,
             F.concat(F.lit("evt-"), F.col("event_id").cast("string")),
         ).otherwise(F.col("event_id").cast("string"))
-        out = ev.select("event_id", id_str.alias("id_str"))
-        return out.select(
-            "event_id",
-            "id_str",
-            F.coalesce(
-                F.col("id_str").try_cast("long"), F.abs(portable_hash64(F.col("id_str")))
-            ).alias("surrogate_key"),
-        )
-
-    q["surrogate_key"] = surrogate_key
-
-    def ts_fallback(spark: SparkSession, sf: str) -> DataFrame:
-        """P11 — unparseable event time falls back to a fixed instant
-        (the reference uses now(); tests pin a literal, SURVEY §7.3)."""
-        ev = load_table(spark, sf, "events")
         wire = F.when(F.col("event_id") % 23 == 0, F.lit("not-a-timestamp")).otherwise(
             F.date_format("ts", cdc_feed.ISO_SECONDS)
         )
         parsed = cdc.parse_event_ts(wire)
         fallback = F.lit("2024-02-01 00:00:00").cast("timestamp")
-        return ev.select(
+        out = ev.select(
             "event_id",
+            id_str.alias("id_str"),
             F.unix_micros(F.coalesce(parsed, fallback)).alias("event_ts_us"),
             (F.col("event_id") % 23 == 0).alias("used_fallback"),
         )
+        return out.withColumn(
+            "surrogate_key",
+            F.coalesce(
+                F.col("id_str").try_cast("long"), F.abs(portable_hash64(F.col("id_str")))
+            ),
+        )
 
-    q["ts_fallback"] = ts_fallback
+    q["cdc_edge_cases"] = cdc_edge_cases
     q["rollup_incremental_merge"] = lambda spark, sf: rollups.incremental_rollup_merge(
         _enriched(spark, sf)
     ).select(_us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score")
     q["sessionize"] = lambda spark, sf: rollups.sessionize(load_table(spark, sf, "events"))
-
-    # --- relational breadth (SURVEY §7.2 milestone 4) ---
-    q["pricing_summary"] = lambda spark, sf: R.pricing_summary(load_table(spark, sf, "lineitem"))
-    q["star_join_revenue"] = lambda spark, sf: R.star_join_revenue(
-        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
-        load_table(spark, sf, "customer"), load_table(spark, sf, "supplier"),
-        load_table(spark, sf, "nation"), load_table(spark, sf, "region"),
-    )
-    q["top_revenue_orders"] = lambda spark, sf: R.top_unshipped_orders(
-        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
-        load_table(spark, sf, "customer"),
-    )
-    q["semi_join"] = lambda spark, sf: R.semi_join_customers_with_orders(
-        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
-    )
-    q["anti_join"] = lambda spark, sf: R.anti_join_parts_never_ordered(
-        load_table(spark, sf, "part"), load_table(spark, sf, "lineitem")
-    )
-    q["range_join"] = lambda spark, sf: R.range_join_shipments(
-        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
-    )
-    q["asof_join"] = lambda spark, sf: R.asof_join_latest_order(
-        load_table(spark, sf, "events"), load_table(spark, sf, "orders")
-    )
-    q["asof_join_pandas"] = lambda spark, sf: R.asof_join_pandas(
-        load_table(spark, sf, "events"), load_table(spark, sf, "orders")
-    )
-    q["rollup_revenue"] = lambda spark, sf: R.rollup_revenue(load_table(spark, sf, "lineitem"))
-    q["cube_order_stats"] = lambda spark, sf: R.cube_order_stats(load_table(spark, sf, "orders"))
-    q["distinct_aggs"] = lambda spark, sf: R.distinct_aggregates(load_table(spark, sf, "lineitem"))
-    q["approx_distinct"] = lambda spark, sf: R.approx_distinct(load_table(spark, sf, "lineitem"))
-    q["set_ops"] = lambda spark, sf: R.set_ops_segments(load_table(spark, sf, "customer")).select(
-        "c_custkey", "op"
-    )
-    q["window_analytics"] = lambda spark, sf: R.window_order_analytics(load_table(spark, sf, "orders"))
-    q["pivot_event_types"] = lambda spark, sf: R.pivot_event_types(load_table(spark, sf, "events"))
-    q["unpivot_event_counts"] = lambda spark, sf: R.unpivot_event_counts(
-        load_table(spark, sf, "events")
-    )
-    q["grouping_sets_revenue"] = lambda spark, sf: R.grouping_sets_revenue(
-        spark, load_table(spark, sf, "lineitem")
-    )
-    q["exact_quantiles"] = lambda spark, sf: R.exact_quantiles(load_table(spark, sf, "lineitem"))
-    q["conditional_aggs"] = lambda spark, sf: R.conditional_aggregates(
-        load_table(spark, sf, "lineitem")
-    )
-    q["array_agg_event_types"] = lambda spark, sf: R.array_agg_event_types(
-        load_table(spark, sf, "events")
-    )
-    q["salted_rollup"] = lambda spark, sf: rollups.salted_event_type_rollup(_enriched(spark, sf))
 
     def streaming_replay_rollup(spark: SparkSession, sf: str) -> DataFrame:
         """The CDC feed replayed through the *streaming* path (file
@@ -274,81 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["streaming_replay_rollup"] = streaming_replay_rollup
-    q["correlated_subquery"] = lambda spark, sf: R.correlated_subquery_expensive_parts(
-        load_table(spark, sf, "part")
-    )
-    q["having_large_orders"] = lambda spark, sf: R.having_large_orders(
-        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
-    )
-
-    def string_funcs(spark: SparkSession, sf: str) -> DataFrame:
-        p = load_table(spark, sf, "part")
-        return p.select(
-            "p_partkey",
-            F.upper("p_name").alias("name_upper"),
-            F.substring("p_name", 1, 5).alias("name_prefix"),
-            F.length("p_name").alias("name_len"),
-            F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
-            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-            F.col("p_name").like("%a%").alias("has_a"),
-            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
-            F.reverse("p_brand").alias("brand_rev"),
-            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        )
-
-    q["string_funcs"] = string_funcs
-
-    def date_funcs(spark: SparkSession, sf: str) -> DataFrame:
-        o = load_table(spark, sf, "orders")
-        d = F.col("o_orderdate")
-        return o.select(
-            "o_orderkey",
-            F.year(d).alias("order_year"),
-            F.month(d).alias("order_month"),
-            F.dayofmonth(d).alias("order_day"),
-            F.dayofweek(d).alias("order_dow"),
-            F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
-            F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch_start"),
-            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
-            F.quarter(d).alias("order_quarter"),
-        )
-
-    q["date_funcs"] = date_funcs
-
-    def math_funcs(spark: SparkSession, sf: str) -> DataFrame:
-        li = load_table(spark, sf, "lineitem")
-        return li.select(
-            "l_orderkey",
-            "l_linenumber",
-            (
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.lit("0.1").cast("decimal(2,1)")
-            ).cast("double").alias("price_tenth"),
-            F.floor("l_extendedprice").alias("price_floor"),
-            F.ceil("l_extendedprice").alias("price_ceil"),
-            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-            F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
-            F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
-            (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
-        )
-
-    q["math_funcs"] = math_funcs
-
-    def case_when_buckets(spark: SparkSession, sf: str) -> DataFrame:
-        ev = load_table(spark, sf, "events")
-        bucket = (
-            F.when(F.col("value") < 10, "tiny")
-            .when(F.col("value") < 50, "small")
-            .when(F.col("value") < 150, "medium")
-            .otherwise("large")
-        )
-        return ev.select(bucket.alias("bucket"), "value").groupBy("bucket").agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-
-    q["case_when_buckets"] = case_when_buckets
+    q["salted_rollup"] = lambda spark, sf: rollups.salted_event_type_rollup(_enriched(spark, sf))
 
     # --- north-star extensions: dedup / similarity / text / multimodal ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup_groups(_docs_dup(spark, sf))
@@ -361,9 +220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_dup(spark, sf), threshold=0.5
     )
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs_dup(spark, sf))
-    q["simhash_fingerprints"] = lambda spark, sf: dedup.simhash_fingerprints(
-        load_table(spark, sf, "documents")
-    )
     q["simhash_pairs"] = lambda spark, sf: dedup.simhash_dup_pairs(_docs_dup(spark, sf))
     q["embedding_near_dup"] = lambda spark, sf: dedup.embedding_near_dup_pairs(
         _embs_dup(spark, sf), threshold=0.9
@@ -381,61 +237,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.default_queries(load_table(spark, sf, "embeddings")),
     )
 
-    def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    def text_analysis(spark: SparkSession, sf: str) -> DataFrame:
+        """Language-ID, quality metrics, token counts and document
+        fingerprints (md5 + min-shingle minhash + simhash) in one
+        per-document pass: the scalar metrics are pure expressions on
+        the scan; the two fingerprint aggregates left-join back on
+        doc_id."""
         docs = load_table(spark, sf, "documents")
         toks = T.tokens(F.col("text"))
-        counts = {
-            lang: F.size(F.filter(toks, lambda t: t.isin(markers))).alias(f"c_{lang}")
+        cnt = {
+            lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
             for lang, markers in T.LANG_MARKERS.items()
         }
-        scored = docs.select("doc_id", "lang", *counts.values())
-        c = {k: F.col(f"c_{k}") for k in T.LANG_MARKERS}
         guess = (
             F.when(
-                (c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]) & (c["en"] >= c["zh"]),
+                (cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["fr"])
+                & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["zh"]),
                 "en",
             )
-            .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]) & (c["de"] >= c["zh"]), "de")
-            .when((c["fr"] >= c["es"]) & (c["fr"] >= c["zh"]), "fr")
-            .when(c["es"] >= c["zh"], "es")
+            .when((cnt["de"] >= cnt["fr"]) & (cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["zh"]), "de")
+            .when((cnt["fr"] >= cnt["es"]) & (cnt["fr"] >= cnt["zh"]), "fr")
+            .when(cnt["es"] >= cnt["zh"], "es")
             .otherwise("zh")
         )
-        return scored.select("doc_id", "lang", *[f"c_{k}" for k in T.LANG_MARKERS], guess.alias("guessed_lang"))
-
-    q["lang_id"] = lang_id
-
-    def text_quality(spark: SparkSession, sf: str) -> DataFrame:
-        docs = load_table(spark, sf, "documents")
-        toks = T.tokens(F.col("text"))
-        return docs.select(
+        base = docs.select(
             "doc_id",
+            "lang",
+            guess.alias("guessed_lang"),
             F.size(toks).alias("n_tokens"),
-            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("total_chars"),
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias(
+                "total_chars"
+            ),
             F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
             F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
             (F.size(toks).between(5, 1000)).alias("len_ok"),
-        )
-
-    q["text_quality"] = text_quality
-
-    def token_counts(spark: SparkSession, sf: str) -> DataFrame:
-        docs = load_table(spark, sf, "documents")
-        return docs.select(
-            "doc_id",
-            T.token_count(F.col("text")).alias("ws_tokens"),
             T.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+            F.md5(T.normalize_text(F.col("text"))).alias("text_md5"),
         )
-
-    q["token_counts"] = token_counts
-
-    def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-        docs = load_table(spark, sf, "documents")
-        sig = dedup.minhash_signatures(docs, k=1)
-        return docs.select("doc_id", F.md5(T.normalize_text(F.col("text"))).alias("text_md5")).join(
-            sig.select("doc_id", F.col("mh_0").alias("min_shingle_hash")), "doc_id", "left"
+        sig = dedup.minhash_signatures(docs, k=1).select(
+            "doc_id", F.col("mh_0").alias("min_shingle_hash")
         )
+        fp = dedup.simhash_fingerprints(docs).select("doc_id", "simhash")
+        return base.join(sig, "doc_id", "left").join(fp, "doc_id", "left")
 
-    q["doc_fingerprint"] = doc_fingerprint
+    q["text_analysis"] = text_analysis
 
     q["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
         multimodal.assets_from_documents(load_table(spark, sf, "documents"))
@@ -444,6 +289,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.assets_from_documents(load_table(spark, sf, "documents"))
     )
 
+    # --- relational breadth (SURVEY §7.2 milestone 4) ---
+    q["pricing_summary"] = lambda spark, sf: R.pricing_summary(load_table(spark, sf, "lineitem"))
+    q["star_join_revenue"] = lambda spark, sf: R.star_join_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"), load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"), load_table(spark, sf, "region"),
+    )
+    q["top_revenue_orders"] = lambda spark, sf: R.top_unshipped_orders(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+    )
+    q["semi_anti_join"] = lambda spark, sf: R.semi_anti_join_keys(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "part"), load_table(spark, sf, "lineitem"),
+    )
+    q["range_join"] = lambda spark, sf: R.range_join_shipments(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+    q["asof_join"] = lambda spark, sf: R.asof_join_latest_order(
+        load_table(spark, sf, "events"), load_table(spark, sf, "orders")
+    )
+    q["cube_order_stats"] = lambda spark, sf: R.cube_order_stats(load_table(spark, sf, "orders"))
+    q["grouping_analytics"] = lambda spark, sf: R.grouping_analytics(
+        spark, load_table(spark, sf, "lineitem")
+    )
+    q["distinct_stats"] = lambda spark, sf: R.distinct_stats(load_table(spark, sf, "lineitem"))
+    q["set_ops"] = lambda spark, sf: R.set_ops_segments(load_table(spark, sf, "customer")).select(
+        "c_custkey", "op"
+    )
+    q["window_analytics"] = lambda spark, sf: R.window_order_analytics(load_table(spark, sf, "orders"))
+    q["unpivot_event_counts"] = lambda spark, sf: R.unpivot_event_counts(
+        load_table(spark, sf, "events")
+    )
+    q["quantile_conditional_aggs"] = lambda spark, sf: R.quantile_conditional_aggs(
+        load_table(spark, sf, "lineitem")
+    )
+    q["array_agg_event_types"] = lambda spark, sf: R.array_agg_event_types(
+        load_table(spark, sf, "events")
+    )
+    q["correlated_subquery"] = lambda spark, sf: R.correlated_subquery_expensive_parts(
+        load_table(spark, sf, "part")
+    )
+    q["having_large_orders"] = lambda spark, sf: R.having_large_orders(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+    def scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+        """Scalar-function surface — string / date / math / JSON / CASE
+        in one per-row pass over events (the per-table string/date/math
+        variants live on in tests/test_consolidated.py)."""
+        ev = load_table(spark, sf, "events")
+        v = F.col("value")
+        bucket = (
+            F.when(v < 10, "tiny")
+            .when(v < 50, "small")
+            .when(v < 150, "medium")
+            .otherwise("large")
+        )
+        return ev.select(
+            "event_id",
+            # string functions
+            F.upper("event_type").alias("et_upper"),
+            F.substring("event_type", 1, 3).alias("et_prefix"),
+            F.length("event_type").alias("et_len"),
+            F.concat_ws("|", "event_type", F.col("user_id").cast("string")).alias("et_user"),
+            F.col("event_type").like("%i%").alias("has_i"),
+            F.lpad(F.col("user_id").cast("string"), 6, "0").alias("user_padded"),
+            F.reverse("event_type").alias("et_rev"),
+            F.replace(F.col("event_type"), F.lit("e"), F.lit("3")).alias("et_leet"),
+            F.regexp_extract("event_type", "^([a-z]+)", 1).alias("et_word"),
+            # JSON payload access (P15)
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+            # date functions
+            F.year("ts").alias("ev_year"),
+            F.month("ts").alias("ev_mon"),
+            F.dayofmonth("ts").alias("ev_day"),
+            F.dayofweek("ts").alias("ev_dow"),
+            F.quarter("ts").alias("ev_quarter"),
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("days_into_2024"),
+            # math functions
+            F.floor(v).alias("v_floor"),
+            F.ceil(v).alias("v_ceil"),
+            F.abs(v - 50).alias("v_dev"),
+            F.round(F.sqrt(F.abs(v)), 6).alias("v_sqrt"),
+            F.round(F.log(F.abs(v) + 1), 6).alias("v_ln"),
+            F.round(F.pow(v, 2), 2).alias("v_sq"),
+            (F.floor(v).cast("long") % 7).alias("v_mod"),
+            # CASE buckets
+            bucket.alias("v_bucket"),
+        )
+
+    q["scalar_funcs"] = scalar_funcs
+
+    assert len(q) <= 50, f"driver gate records only 50 queries; got {len(q)}"
     return q
 
 

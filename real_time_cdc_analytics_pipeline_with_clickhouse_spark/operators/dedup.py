@@ -75,13 +75,31 @@ def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold."""
-    ds = _doc_shingles(documents, n)
-    sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = ds.select("doc_id", F.explode("sh").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+MAX_SHINGLE_DF = 100
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
+
+    Scale guards (the self-equi-join on ``shingle`` is quadratic in
+    each shingle's document frequency — one stop-phrase shingle with
+    df=10⁶ would yield 10¹² candidate rows):
+
+    - shingles with df > ``max_df`` are dropped *before* the join
+      (standard stop-shingle removal; Jaccard is then computed over
+      the filtered shingle universe on both sides, including the
+      per-doc set sizes, so the statistic stays internally consistent);
+    - the per-doc size tables join by plain equi-join — they are
+      corpus-proportional, never broadcast.
+    """
+    exploded = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
+    df_tab = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = exploded.join(df_tab.where(F.col("df") <= max_df).select("shingle"), "shingle")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -90,8 +108,8 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -208,8 +226,11 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     Three additive aggregations (term counts, doc lengths, doc
     frequencies) + one ranking window — every stage partial-aggregates,
     and the corpus size joins in as a broadcast scalar (no driver-side
-    constant).  Ranking happens on the 6dp-rounded score with a term
-    tiebreak (cross-engine determinism).
+    constant).  The document-frequency table grows with the corpus
+    vocabulary, so it joins by plain shuffle equi-join on ``term``
+    (AQE coalesces/broadcasts it at small scale; at 100 TB a forced
+    broadcast would be a multi-GB driver OOM).  Ranking happens on the
+    6dp-rounded score with a term tiebreak (cross-engine determinism).
     """
     from ..functions.text import tokens
 
@@ -225,7 +246,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     n_docs = documents.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(doclen, "doc_id")
-        .join(F.broadcast(docfreq), "term")
+        .join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

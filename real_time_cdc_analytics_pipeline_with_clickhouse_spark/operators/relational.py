@@ -55,13 +55,16 @@ def star_join_revenue(
 ) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join → revenue per nation.
 
-    Catalyst broadcast-joins every dimension (all tiny vs lineitem);
-    the single shuffle is the final groupBy on n_name.
+    Broadcast hints only on the genuinely bounded dims (supplier /
+    nation / region).  ``orders`` is fact-proportional (~¼ of lineitem
+    rows) and ``customer`` grows with scale factor — both are left to
+    AQE, which broadcasts them at small SF and shuffle-joins at 100 TB
+    instead of OOMing the driver on a forced broadcast.
     """
     revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
     return (
-        lineitem.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -211,17 +214,25 @@ def asof_join_pandas(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
-def rollup_revenue(lineitem: DataFrame) -> DataFrame:
-    """ROLLUP over (returnflag, linestatus) with grouping ids."""
-    return (
-        lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(money(F.sum(dec("l_extendedprice")), "sum_price"), F.count("*").alias("cnt"))
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "sum_price",
-            "cnt",
-        )
+def grouping_analytics(spark, lineitem: DataFrame) -> DataFrame:
+    """GROUPING SETS with grouping flags (SQL surface — no DataFrame
+    API for arbitrary sets).  The set list is a superset of
+    ``ROLLUP (l_returnflag, l_linestatus)`` — the (flag, status),
+    (flag) and () sets are exactly the rollup lattice — plus the
+    (status)-only set, so one query exercises both ROLLUP semantics
+    and free-form grouping sets."""
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(*) AS cnt
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
     )
 
 
@@ -232,19 +243,30 @@ def cube_order_stats(orders: DataFrame) -> DataFrame:
     )
 
 
-def distinct_aggregates(lineitem: DataFrame) -> DataFrame:
+def distinct_stats(lineitem: DataFrame) -> DataFrame:
+    """Exact + approximate distinct/quantile aggregates, self-checking.
+
+    HLL++ (``approx_count_distinct``) and ``percentile_approx`` have no
+    cross-engine oracle, so the sketches are surfaced as *bounded
+    relative-error flags* against the exact aggregates computed in the
+    same pass: the oracle asserts the exact columns and that both
+    approximations landed within 5% — a hard correctness check that
+    never depends on sketch internals.
+    """
+    exact_median = F.expr("percentile(l_extendedprice, 0.5D)")
+    approx_median = F.expr("percentile_approx(l_extendedprice, 0.5D)")
+    approx_parts = F.approx_count_distinct("l_partkey", rsd=0.02)
     return lineitem.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_rows"),
-    )
-
-
-def approx_distinct(lineitem: DataFrame) -> DataFrame:
-    """approx_count_distinct (HLL++) — no exact oracle; rows-only check."""
-    return lineitem.groupBy("l_linestatus").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("approx_median_price"),
+        (
+            F.abs(approx_parts - F.countDistinct("l_partkey"))
+            <= F.countDistinct("l_partkey") * 0.05
+        ).alias("approx_parts_ok"),
+        (F.abs(approx_median - exact_median) <= F.abs(exact_median) * 0.05).alias(
+            "approx_median_ok"
+        ),
     )
 
 
@@ -295,21 +317,15 @@ def correlated_subquery_expensive_parts(part: DataFrame) -> DataFrame:
     )
 
 
-def exact_quantiles(lineitem: DataFrame) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group."""
+def quantile_conditional_aggs(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation) + conditional aggregates
+    (count_if / filtered sums / bool_or) in one grouped pass."""
     pct = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")
-    return lineitem.groupBy("l_returnflag").agg(
+    disc = F.col("l_discount") > 0.05
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.element_at(pct, 1), 6).alias("p25"),
         F.round(F.element_at(pct, 2), 6).alias("p50"),
         F.round(F.element_at(pct, 3), 6).alias("p90"),
-        F.count("*").alias("cnt"),
-    )
-
-
-def conditional_aggregates(lineitem: DataFrame) -> DataFrame:
-    """count_if / filtered sums / bool_or — conditional agg surface."""
-    disc = F.col("l_discount") > 0.05
-    return lineitem.groupBy("l_linestatus").agg(
         F.count_if(disc).alias("n_discounted"),
         F.sum(F.when(disc, F.col("l_extendedprice").cast("decimal(18,2)")))
         .cast("double")
@@ -321,11 +337,16 @@ def conditional_aggregates(lineitem: DataFrame) -> DataFrame:
 
 def array_agg_event_types(events: DataFrame) -> DataFrame:
     """Deterministic array aggregation: sorted distinct event types per
-    user (collect_set is unordered — always sort before exposing)."""
+    user (collect_set is unordered — always sort before exposing).
+
+    The raw array stays internal: only the scalar projections (size,
+    csv) are returned, because array-typed result columns defeat
+    order-insensitive row canonicalization downstream (pandas cannot
+    sort/factorize ndarray cells)."""
+    types = F.sort_array(F.collect_set("event_type"))
     return events.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
-        F.size(F.sort_array(F.collect_set("event_type"))).alias("n_types"),
-        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_csv"),
+        F.size(types).alias("n_types"),
+        F.concat_ws(",", types).alias("types_csv"),
     )
 
 
@@ -340,21 +361,17 @@ def unpivot_event_counts(events: DataFrame) -> DataFrame:
     return wide.selectExpr("user_id", stack_expr)
 
 
-def grouping_sets_revenue(spark, lineitem: DataFrame) -> DataFrame:
-    """GROUPING SETS with grouping flags (SQL surface — no DataFrame
-    API for arbitrary sets)."""
-    lineitem.createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS INT) AS g_flag,
-               CAST(grouping(l_linestatus) AS INT) AS g_status,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               count(*) AS cnt
-        FROM _gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+def semi_anti_join_keys(customer: DataFrame, orders: DataFrame, part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI join surface in one tagged key list:
+    customers having ≥1 order (semi) and parts never shipped since
+    2001 (filtered anti)."""
+    semi = semi_join_customers_with_orders(customer, orders).select(
+        F.col("c_custkey").alias("key"), F.lit("semi").alias("op")
     )
+    anti = anti_join_parts_never_ordered(part, lineitem).select(
+        F.col("p_partkey").alias("key"), F.lit("anti").alias("op")
+    )
+    return semi.unionByName(anti)
 
 
 def having_large_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

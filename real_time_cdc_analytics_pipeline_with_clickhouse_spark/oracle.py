@@ -137,7 +137,7 @@ doc_norm_dup AS (
          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
   FROM documents_dup
 ),
-doc_toks AS (SELECT doc_id, lang, text, string_split(norm, ' ') AS toks FROM doc_norm),
+doc_toks AS (SELECT doc_id, lang, text, norm, string_split(norm, ' ') AS toks FROM doc_norm),
 doc_toks_dup AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM doc_norm_dup),
 doc_shingles AS (
   SELECT doc_id, list_distinct(
@@ -158,6 +158,13 @@ shingle_x AS (
 ),
 shingle_x_dup AS (
   SELECT doc_id, unnest(sh) AS shingle FROM doc_shingles_dup WHERE len(sh) > 0
+),
+-- stop-shingle removal twin (operators/dedup.py MAX_SHINGLE_DF)
+shingle_kept_dup AS (
+  SELECT doc_id, shingle FROM shingle_x_dup
+  WHERE shingle IN (
+    SELECT shingle FROM shingle_x_dup GROUP BY shingle HAVING count(*) <= 100
+  )
 )
 """
 
@@ -199,11 +206,6 @@ SELECT event_id, user_id, content_id, event_type, device, duration_ms,
 FROM engagement
 """)
 
-ORACLE["cdc_ts_parse"] = q("""
-SELECT event_id, event_id % 4 AS wire_format, epoch_us(event_ts) AS event_ts_us
-FROM engagement
-""")
-
 ORACLE["cdc_delete_routing"] = q("""
 SELECT id, content_type, length_seconds, is_delete, source_ts_ms
 FROM dim_versions
@@ -218,11 +220,6 @@ ORACLE["enrich_join"] = q("""
 SELECT event_id, content_id, user_id, event_type, device, duration_ms,
        epoch_us(event_ts) AS event_ts_us, content_type, length_seconds,
        engagement_seconds, engagement_pct, engagement_score
-FROM enriched
-""")
-
-ORACLE["engagement_score"] = q("""
-SELECT event_id, event_type, duration_ms, engagement_score
 FROM enriched
 """)
 
@@ -250,17 +247,6 @@ SELECT user_id, content_id, total_score,
                           ORDER BY total_score DESC, content_id) AS rnk
 FROM (
   SELECT user_id, content_id,
-         CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
-  FROM enriched GROUP BY 1, 2
-)
-""")
-
-ORACLE["content_leaderboard"] = q("""
-SELECT content_id, user_id, total_score,
-       row_number() OVER (PARTITION BY content_id
-                          ORDER BY total_score DESC, user_id) AS rnk
-FROM (
-  SELECT content_id, user_id,
          CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
   FROM enriched GROUP BY 1, 2
 )
@@ -306,26 +292,18 @@ SELECT event_id,
 FROM enriched
 """)
 
-ORACLE["json_props"] = q("""
-SELECT event_type,
-       count(*) AS cnt,
-       CAST(sum(k) AS BIGINT) AS sum_k,
-       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(*) AS avg_k
-FROM (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events
-) GROUP BY 1
-""")
-
-ORACLE["surrogate_key"] = q("""
+ORACLE["cdc_edge_cases"] = q("""
 SELECT event_id,
        id_str,
        coalesce(
          TRY_CAST(id_str AS BIGINT),
          abs(CAST(('0x' || substr(md5(id_str), 1, 15)) AS BIGINT))
-       ) AS surrogate_key
+       ) AS surrogate_key,
+       epoch_us(CASE WHEN event_id % 23 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+                     ELSE date_trunc('second', CAST(ts AS TIMESTAMP)) END) AS event_ts_us,
+       (event_id % 23 = 0) AS used_fallback
 FROM (
-  SELECT event_id,
+  SELECT event_id, ts,
          CASE WHEN event_id % 10 = 0 THEN 'evt-' || CAST(event_id AS VARCHAR)
               ELSE CAST(event_id AS VARCHAR) END AS id_str
   FROM events
@@ -386,13 +364,11 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """)
 
-ORACLE["semi_join"] = q("""
-SELECT c_custkey, c_name, c_mktsegment FROM customer
+ORACLE["semi_anti_join"] = q("""
+SELECT c_custkey AS key, 'semi' AS op FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-""")
-
-ORACLE["anti_join"] = q("""
-SELECT p_partkey, p_name, p_type FROM part
+UNION ALL
+SELECT p_partkey, 'anti' FROM part
 WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2001-01-01')
@@ -431,14 +407,6 @@ FROM (
 ) WHERE is_event = 1
 """)
 
-ORACLE["rollup_revenue"] = q("""
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-       count(*) AS cnt
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""")
-
 ORACLE["cube_order_stats"] = q("""
 SELECT o_orderstatus, o_orderpriority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
@@ -447,11 +415,13 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
 
-ORACLE["distinct_aggs"] = q("""
+ORACLE["distinct_stats"] = q("""
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
-       count(*) AS n_rows
+       count(*) AS n_rows,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_median_ok
 FROM lineitem GROUP BY 1
 """)
 
@@ -485,16 +455,6 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """)
 
-ORACLE["pivot_event_types"] = q("""
-SELECT user_id,
-       count(*) FILTER (WHERE event_type = 'view') AS "view",
-       count(*) FILTER (WHERE event_type = 'click') AS click,
-       count(*) FILTER (WHERE event_type = 'signup') AS signup,
-       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-       count(*) FILTER (WHERE event_type = 'error') AS error
-FROM events GROUP BY 1
-""")
-
 ORACLE["correlated_subquery"] = q("""
 SELECT p_partkey, p_brand, p_retailprice, round(brand_avg, 6) AS brand_avg
 FROM (
@@ -515,55 +475,36 @@ JOIN (
 ) ON o_orderkey = l_orderkey
 """)
 
-ORACLE["string_funcs"] = q("""
-SELECT p_partkey,
-       upper(p_name) AS name_upper,
-       substr(p_name, 1, 5) AS name_prefix,
-       length(p_name) AS name_len,
-       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
-       concat_ws('|', p_brand, p_type) AS brand_type,
-       (p_name LIKE '%a%') AS has_a,
-       replace(p_type, ' ', '_') AS type_snake,
-       reverse(p_brand) AS brand_rev,
-       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
-FROM part
-""")
-
-ORACLE["date_funcs"] = q("""
-SELECT o_orderkey,
-       CAST(year(o_orderdate) AS INT) AS order_year,
-       CAST(month(o_orderdate) AS INT) AS order_month,
-       CAST(day(o_orderdate) AS INT) AS order_day,
-       CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,  -- DuckDB dow is 0-based, Spark 1-based
-       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
-       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
-       CAST(quarter(o_orderdate) AS INT) AS order_quarter
-FROM orders
-""")
-
-ORACLE["math_funcs"] = q("""
-SELECT l_orderkey, l_linenumber,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS price_tenth,
-       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-       abs(l_discount - 0.05) AS disc_dev,
-       round(sqrt(l_quantity), 6) AS qty_sqrt,
-       round(ln(l_extendedprice), 6) AS price_ln,
-       round(pow(l_quantity, 2), 2) AS qty_sq,
-       CAST(l_quantity AS BIGINT) % 7 AS qty_mod
-FROM lineitem
-""")
-
-ORACLE["case_when_buckets"] = q("""
-SELECT bucket, count(*) AS cnt,
-       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM (
-  SELECT CASE WHEN "value" < 10 THEN 'tiny' WHEN "value" < 50 THEN 'small'
-              WHEN "value" < 150 THEN 'medium' ELSE 'large' END AS bucket,
-         "value"
-  FROM events
-) GROUP BY 1
+ORACLE["scalar_funcs"] = q("""
+SELECT event_id,
+       upper(event_type) AS et_upper,
+       substr(event_type, 1, 3) AS et_prefix,
+       length(event_type) AS et_len,
+       concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS et_user,
+       (event_type LIKE '%i%') AS has_i,
+       lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_padded,
+       reverse(event_type) AS et_rev,
+       replace(event_type, 'e', '3') AS et_leet,
+       regexp_extract(event_type, '^([a-z]+)', 1) AS et_word,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       CAST(year(t) AS INT) AS ev_year,
+       CAST(month(t) AS INT) AS ev_mon,
+       CAST(day(t) AS INT) AS ev_day,
+       CAST(dayofweek(t) + 1 AS INT) AS ev_dow,  -- DuckDB dow is 0-based, Spark 1-based
+       CAST(quarter(t) AS INT) AS ev_quarter,
+       strftime(date_trunc('month', t), '%Y-%m-%d') AS month_start,
+       strftime(last_day(CAST(t AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(t AS DATE)) AS INT) AS days_into_2024,
+       CAST(floor("value") AS BIGINT) AS v_floor,
+       CAST(ceil("value") AS BIGINT) AS v_ceil,
+       abs("value" - 50) AS v_dev,
+       round(sqrt(abs("value")), 6) AS v_sqrt,
+       round(ln(abs("value") + 1), 6) AS v_ln,
+       round(pow("value", 2), 2) AS v_sq,
+       CAST(floor("value") AS BIGINT) % 7 AS v_mod,
+       CASE WHEN "value" < 10 THEN 'tiny' WHEN "value" < 50 THEN 'small'
+            WHEN "value" < 150 THEN 'medium' ELSE 'large' END AS v_bucket
+FROM (SELECT *, CAST(ts AS TIMESTAMP) AS t FROM events)
 """)
 
 # ---------------------------------------------------------------------------
@@ -582,12 +523,12 @@ SELECT doc_a, doc_b, n_common,
              / CAST(n_a + n_b - n_common AS DOUBLE), 4) AS jaccard
 FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingle_x_dup a
-  JOIN shingle_x_dup b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shingle_kept_dup a
+  JOIN shingle_kept_dup b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-JOIN (SELECT doc_id, len(sh) AS n_a FROM doc_shingles_dup) sa ON sa.doc_id = doc_a
-JOIN (SELECT doc_id, len(sh) AS n_b FROM doc_shingles_dup) sb ON sb.doc_id = doc_b
+JOIN (SELECT doc_id, count(*) AS n_a FROM shingle_kept_dup GROUP BY 1) sa ON sa.doc_id = doc_a
+JOIN (SELECT doc_id, count(*) AS n_b FROM shingle_kept_dup GROUP BY 1) sb ON sb.doc_id = doc_b
 WHERE round(CAST(n_common AS DOUBLE)
             / CAST(n_a + n_b - n_common AS DOUBLE), 4) >= 0.5
 """)
@@ -641,10 +582,6 @@ def _simhash_sql(tok_cte: str, bits: int = 32) -> str:
     ) GROUP BY doc_id
   )"""
 
-
-ORACLE["simhash_fingerprints"] = q(f"""
-SELECT doc_id, simhash FROM ({_simhash_sql("doc_toks")})
-""")
 
 ORACLE["simhash_pairs"] = q(f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
@@ -709,23 +646,19 @@ _marker_counts = ",\n       ".join(
     )
     for lang, ms in _MARKERS.items()
 )
-ORACLE["lang_id"] = q(f"""
-SELECT doc_id, lang, c_en, c_de, c_fr, c_es, c_zh,
+_STOPWORDS = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for']"
+ORACLE["text_analysis"] = q(f"""
+SELECT t.doc_id, t.lang,
        CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
             WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
             WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
             WHEN c_es >= c_zh THEN 'es'
-            ELSE 'zh' END AS guessed_lang
+            ELSE 'zh' END AS guessed_lang,
+       n_tokens, total_chars, stopword_ratio, punct_ratio, len_ok,
+       bpe_ish_tokens, text_md5, s.min_shingle_hash, f.simhash
 FROM (
   SELECT doc_id, lang,
-       {_marker_counts}
-  FROM doc_toks
-)
-""")
-
-_STOPWORDS = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for']"
-ORACLE["text_quality"] = q(f"""
-SELECT doc_id,
+       {_marker_counts},
        CAST(len(toks) AS INT) AS n_tokens,
        CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS total_chars,
        CASE WHEN len(toks) > 0 THEN
@@ -734,25 +667,17 @@ SELECT doc_id,
        CASE WHEN length(text) > 0 THEN
          round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                / CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
-       (len(toks) BETWEEN 5 AND 1000) AS len_ok
-FROM doc_toks
-""")
-
-ORACLE["token_counts"] = q("""
-SELECT doc_id,
-       CAST(len(toks) AS INT) AS ws_tokens,
+       (len(toks) BETWEEN 5 AND 1000) AS len_ok,
        CAST(len(regexp_extract_all(lower(text),
-            '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens
-FROM doc_toks
-""")
-
-ORACLE["doc_fingerprint"] = q(f"""
-SELECT n.doc_id, md5(n.norm) AS text_md5, s.min_shingle_hash
-FROM doc_norm n
+            '[a-z]{{1,4}}|[0-9]{{1,3}}|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+       md5(norm) AS text_md5
+  FROM doc_toks
+) t
 LEFT JOIN (
   SELECT doc_id, min({_h('shingle', 's0:')}) AS min_shingle_hash
   FROM shingle_x GROUP BY doc_id
-) s ON n.doc_id = s.doc_id
+) s ON t.doc_id = s.doc_id
+LEFT JOIN ({_simhash_sql("doc_toks")}) f ON t.doc_id = f.doc_id
 """)
 
 ORACLE["multimodal_features"] = q("""
@@ -780,14 +705,6 @@ FROM (
 # Coverage wave 3: A3 re-merge, P11 fallback, sessionize, unpivot,
 # grouping sets, training-data prep
 # ---------------------------------------------------------------------------
-
-ORACLE["ts_fallback"] = q("""
-SELECT event_id,
-       epoch_us(CASE WHEN event_id % 23 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
-                     ELSE date_trunc('second', CAST(ts AS TIMESTAMP)) END) AS event_ts_us,
-       (event_id % 23 = 0) AS used_fallback
-FROM events
-""")
 
 ORACLE["rollup_incremental_merge"] = q("""
 SELECT epoch_us(hour_ts) AS hour_ts_us, content_type, event_type,
@@ -831,14 +748,15 @@ LEFT JOIN (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
   ON c.user_id = u.user_id AND c.event_type = t.event_type
 """)
 
-ORACLE["grouping_sets_revenue"] = q("""
+ORACLE["grouping_analytics"] = q("""
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) AS INT) AS g_flag,
        CAST(grouping(l_linestatus) AS INT) AS g_status,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        count(*) AS cnt
 FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
 """)
 
 ORACLE["training_data_prep"] = q("""
@@ -860,28 +778,21 @@ SELECT doc_id, lang, n_tokens, text_md5 FROM (
 # Coverage wave 4: quantiles, conditional/array aggs, salting, streaming replay
 # ---------------------------------------------------------------------------
 
-ORACLE["exact_quantiles"] = q("""
-SELECT l_returnflag,
+ORACLE["quantile_conditional_aggs"] = q("""
+SELECT l_returnflag, l_linestatus,
        round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
        round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
-       count(*) AS cnt
-FROM lineitem GROUP BY 1
-""")
-
-ORACLE["conditional_aggs"] = q("""
-SELECT l_linestatus,
        count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
             FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_rev,
        bool_or(l_tax > 0.07) AS any_high_tax,
        count(*) AS cnt
-FROM lineitem GROUP BY 1
+FROM lineitem GROUP BY 1, 2
 """)
 
 ORACLE["array_agg_event_types"] = q("""
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
        CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types,
        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
 FROM events GROUP BY 1
@@ -910,9 +821,6 @@ SELECT minute_bucket, content_id, total_score, rnk FROM (
   )
 ) WHERE rnk <= 5
 """)
-
-# cogrouped-pandas as-of variant: same semantics, same oracle
-ORACLE["asof_join_pandas"] = ORACLE["asof_join"]
 
 # int8-quantized ANN: similarity is an exact integer dot of quantized,
 # L2-normalized vectors — no float comparison anywhere

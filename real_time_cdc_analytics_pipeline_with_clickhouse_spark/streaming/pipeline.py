@@ -66,27 +66,79 @@ def read_json_lines_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.text(path)
 
 
-def merge_upsert_parquet(batch: DataFrame, target_dir: str, key: str, version: str) -> None:
-    """MERGE INTO emulation for a parquet target (A2).
+MONTH_COL = "event_month"  # clickhouse-init.sql:27 PARTITION BY toYYYYMM
 
-    Reads the current target, unions the new batch, keeps the
-    max-version row per key, rewrites.  Idempotent under replay:
-    re-delivered rows lose the latest-wins tiebreak.  (With Delta this
-    is ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``.)
+
+def merge_upsert_parquet(batch: DataFrame, target_dir: str, key: str, version: str) -> None:
+    """Partition-scoped MERGE INTO emulation for a parquet target (A2).
+
+    The target is laid out ``PARTITION BY event_month=yyyyMM`` (the
+    ClickHouse ``toYYYYMM(event_ts)`` layout, clickhouse-init.sql:27).
+    Each micro-batch:
+
+    1. derives the set of months present in the batch (a collect of a
+       handful of month strings — bounded by the watermark, not the
+       table);
+    2. reads ONLY those month partitions of the current target
+       (partition pruning — untouched months are never read or
+       written, so the per-batch cost is O(affected months), not
+       O(table); the round-1 full-table rewrite was O(table) per batch
+       ⇒ O(n²) over a stream's life);
+    3. unions the batch, keeps the max-``version`` row per ``key``
+       (idempotent under replay — re-delivered rows lose the
+       latest-wins tiebreak);
+    4. rewrites only the affected partitions via *dynamic partition
+       overwrite*: the job commits through the Hadoop commit protocol
+       (staged task files moved into place at commit), never
+       delete-target-then-rewrite, so a crash mid-write leaves every
+       previously committed partition intact.
+
+    Dedup scope note: latest-wins applies within a month partition —
+    exactly ReplacingMergeTree's contract (ClickHouse deduplicates
+    "only within the same partition", clickhouse-init.sql:27's
+    toYYYYMM); a version that moves a key across months coexists with
+    the old month's row until a compaction, as it would there.
+
+    (With Delta this is ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT`` + partition pruning on the merge condition.)
     """
     spark = batch.sparkSession
-    if os.path.isdir(target_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(target_dir)
-    ):
-        current = spark.read.parquet(target_dir)
-        merged = current.unionByName(batch.select(*current.columns))
-    else:
-        merged = batch
-    merged = dedup_latest_event_version(merged, key=key, version=version)
-    staging = target_dir.rstrip("/") + "_staging"
-    merged.write.mode("overwrite").parquet(staging)
-    refreshed = spark.read.parquet(staging)
-    refreshed.write.mode("overwrite").parquet(target_dir)
+    batch = batch.withColumn(MONTH_COL, F.date_format(F.col(version), "yyyyMM"))
+    batch.persist()
+    try:
+        months = [r[0] for r in batch.select(MONTH_COL).distinct().collect()]
+        if not months:
+            return
+        exists = os.path.isdir(target_dir) and any(
+            f.startswith(MONTH_COL + "=") for f in os.listdir(target_dir)
+        )
+        if exists:
+            current = (
+                spark.read.parquet(target_dir)
+                .withColumn(MONTH_COL, F.col(MONTH_COL).cast("string"))
+                .where(F.col(MONTH_COL).isin(months))
+            )
+            merged = current.select(*batch.columns).unionByName(batch)
+        else:
+            merged = batch
+        merged = dedup_latest_event_version(merged, key=key, version=version)
+        # staging materialization: the final write reads from staging,
+        # never from the directory it is overwriting
+        staging = target_dir.rstrip("/") + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .partitionBy(MONTH_COL)
+                .parquet(target_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        batch.unpersist()
 
 
 def maintain_dim_table(spark: SparkSession, content_json_stream: DataFrame, dim_dir: str, checkpoint: str):

@@ -27,24 +27,36 @@ def _update_user_scores_factory(ttl_ms: int):
             # TTL expiry — drop the leaderboard state, emit nothing
             state.remove()
             return
+        # vectorized merge: prior state + all batch rows concat into one
+        # frame, groupby-sum (no per-row Python loop)
+        parts = []
         if state.exists:
             content_ids, totals = state.get
-            acc = dict(zip(content_ids, totals))
-        else:
-            acc = {}
+            parts.append(pd.DataFrame({"content_id": content_ids, "s": totals}))
         for pdf in pdfs:
-            for cid, score in zip(pdf["content_id"], pdf["engagement_score"]):
-                if cid is not None and not pd.isna(cid):
-                    acc[int(cid)] = acc.get(int(cid), 0.0) + float(score)
-        keys = sorted(acc)
-        state.update((keys, [acc[k] for k in keys]))
+            rows = pdf[["content_id", "engagement_score"]].dropna(subset=["content_id"])
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "content_id": rows["content_id"].astype("int64"),
+                        "s": rows["engagement_score"].astype("float64"),
+                    }
+                )
+            )
+        acc = (
+            pd.concat(parts, ignore_index=True).groupby("content_id")["s"].sum().sort_index()
+            if parts
+            else pd.Series(dtype="float64")
+        )
+        keys = acc.index.astype("int64").tolist()
+        state.update((keys, acc.to_list()))
         if ttl_ms > 0:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(keys),
                 "content_id": keys,
-                "total_score": [round(acc[k], 2) for k in keys],
+                "total_score": acc.round(2).to_list(),
             }
         )
 

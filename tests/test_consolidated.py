@@ -1,0 +1,225 @@
+"""Oracle parity for query variants folded OUT of the driver registry.
+
+The driver's correctness gate records only the first 50
+``queries()`` entries, so projection-redundant variants were
+consolidated (VERDICT.md round 1, next-round item 1).  Nothing lost
+its correctness check: every folded-away variant is still
+oracle-differential-tested here, with the same DuckDB twin SQL it had
+in the driver registry.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dedup, rollups
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.oracle import _simhash_sql, q
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+from tests.oracle_utils import compare
+
+
+def _check(sdf, sql, ducks):
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ducks.sql(sql)
+    problems = compare(sdf.columns, srows, [d[0] for d in res.description], res.fetchall())
+    assert not problems, " | ".join(problems)
+    assert srows, "empty result"
+
+
+def test_cdc_ts_parse(spark, sf_dir, ducks):
+    """4-wire-format timestamp parse (projection of cdc_unwrap)."""
+    sdf = entrymod._engagement(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % 4).alias("wire_format"),
+        F.unix_micros("event_ts").alias("event_ts_us"),
+    )
+    _check(sdf, q("""
+SELECT event_id, event_id % 4 AS wire_format, epoch_us(event_ts) AS event_ts_us
+FROM engagement
+"""), ducks)
+
+
+def test_engagement_score_projection(spark, sf_dir, ducks):
+    sdf = entrymod._enriched(spark, sf_dir).select(
+        "event_id", "event_type", "duration_ms", "engagement_score"
+    )
+    _check(sdf, q("""
+SELECT event_id, event_type, duration_ms, engagement_score FROM enriched
+"""), ducks)
+
+
+def test_content_leaderboard(spark, sf_dir, ducks):
+    sdf = rollups.content_leaderboard(entrymod._enriched(spark, sf_dir))
+    _check(sdf, q("""
+SELECT content_id, user_id, total_score,
+       row_number() OVER (PARTITION BY content_id
+                          ORDER BY total_score DESC, user_id) AS rnk
+FROM (
+  SELECT content_id, user_id,
+         CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
+  FROM enriched GROUP BY 1, 2
+)
+"""), ducks)
+
+
+def test_json_props(spark, sf_dir, ducks):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    sdf = ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+    )
+    _check(sdf, q("""
+SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(*) AS avg_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY 1
+"""), ducks)
+
+
+def test_pivot_event_types(spark, sf_dir, ducks):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.relational import (
+        pivot_event_types,
+    )
+
+    sdf = pivot_event_types(load_table(spark, sf_dir, "events"))
+    _check(sdf, q("""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'view') AS "view",
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY 1
+"""), ducks)
+
+
+def test_rollup_revenue(spark, sf_dir, ducks):
+    """ROLLUP lattice (now a subset of the grouping_analytics sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sdf = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.count("*").alias("cnt"),
+    )
+    _check(sdf, q("""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""), ducks)
+
+
+def test_string_funcs(spark, sf_dir, ducks):
+    p = load_table(spark, sf_dir, "part")
+    sdf = p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+    _check(sdf, q("""
+SELECT p_partkey, upper(p_name) AS name_upper, substr(p_name, 1, 5) AS name_prefix,
+       length(p_name) AS name_len, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       concat_ws('|', p_brand, p_type) AS brand_type, (p_name LIKE '%a%') AS has_a,
+       replace(p_type, ' ', '_') AS type_snake, reverse(p_brand) AS brand_rev,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+"""), ducks)
+
+
+def test_date_funcs(spark, sf_dir, ducks):
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    sdf = o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.dayofweek(d).alias("order_dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).alias("order_quarter"),
+    )
+    _check(sdf, q("""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+         AS days_since_epoch_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter
+FROM orders
+"""), ducks)
+
+
+def test_math_funcs(spark, sf_dir, ducks):
+    li = load_table(spark, sf_dir, "lineitem")
+    sdf = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)") * F.lit("0.1").cast("decimal(2,1)")
+        ).cast("double").alias("price_tenth"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+    _check(sdf, q("""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS price_tenth,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(pow(l_quantity, 2), 2) AS qty_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+FROM lineitem
+"""), ducks)
+
+
+def test_case_when_buckets(spark, sf_dir, ducks):
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "tiny")
+        .when(F.col("value") < 50, "small")
+        .when(F.col("value") < 150, "medium")
+        .otherwise("large")
+    )
+    sdf = ev.select(bucket.alias("bucket"), "value").groupBy("bucket").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    _check(sdf, q("""
+SELECT bucket, count(*) AS cnt,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT CASE WHEN "value" < 10 THEN 'tiny' WHEN "value" < 50 THEN 'small'
+              WHEN "value" < 150 THEN 'medium' ELSE 'large' END AS bucket, "value"
+  FROM events
+) GROUP BY 1
+"""), ducks)
+
+
+def test_simhash_fingerprints(spark, sf_dir, ducks):
+    sdf = dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    _check(sdf, q(f"""
+SELECT doc_id, simhash FROM ({_simhash_sql("doc_toks")})
+"""), ducks)

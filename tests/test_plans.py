@@ -19,9 +19,19 @@ def test_enrich_join_is_broadcast(spark, sf_dir):
     assert_broadcast_join(QUERIES["enrich_join"](spark, sf_dir))
 
 
-def test_star_join_broadcasts_all_dims(spark, sf_dir):
+def test_star_join_broadcasts_true_dims_only(spark, sf_dir):
+    """supplier/nation/region are forced broadcasts; orders/customer are
+    fact-proportional and must NOT carry a broadcast hint (left to AQE,
+    which picks broadcast at small SF and shuffle join at 100 TB)."""
     plan = plan_string(QUERIES["star_join_revenue"](spark, sf_dir))
-    assert "SortMergeJoin" not in plan, "a dimension fell back to sort-merge:\n" + plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    import inspect
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import relational
+
+    src = inspect.getsource(relational.star_join_revenue)
+    assert "broadcast(orders" not in src and "broadcast(customer" not in src
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):

@@ -221,6 +221,44 @@ def test_checkpoint_restart_resumes_without_duplicates(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == got.count()
 
 
+def test_merge_upsert_rewrites_only_affected_months(spark, tmp_path):
+    """The MERGE emulation must be partition-scoped: a batch touching
+    only 2024-02 leaves 2024-01's files bit-identical (same names,
+    same mtimes) — the property that keeps per-batch cost O(affected
+    months) instead of O(table)."""
+    import datetime as dt
+
+    schema = "event_id long, event_ts timestamp, v long"
+    tgt = str(tmp_path / "merge_tgt")
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10), 5), (2, dt.datetime(2024, 2, 10), 6)], schema
+    )
+    sp.merge_upsert_parquet(b1, tgt, key="event_id", version="event_ts")
+
+    jan = os.path.join(tgt, "event_month=202401")
+    snap = lambda d: {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}  # noqa: E731
+    jan_before = snap(jan)
+
+    # batch touching only February: upsert id=2 (newer version) + insert id=3
+    b2 = spark.createDataFrame(
+        [(2, dt.datetime(2024, 2, 12), 60), (3, dt.datetime(2024, 2, 11), 7)], schema
+    )
+    sp.merge_upsert_parquet(b2, tgt, key="event_id", version="event_ts")
+
+    assert snap(jan) == jan_before, "untouched month was rewritten"
+    got = {
+        (r["event_id"], r["v"])
+        for r in spark.read.parquet(tgt).select("event_id", "v").collect()
+    }
+    assert got == {(1, 5), (2, 60), (3, 7)}
+
+    # replaying the same batch is a no-op on content (idempotent)
+    sp.merge_upsert_parquet(b2, tgt, key="event_id", version="event_ts")
+    n = spark.read.parquet(tgt).count()
+    assert n == 3
+    assert snap(jan) == jan_before
+
+
 def test_outbox_sink_writes_null_free_json(spark, sf_dir, tmp_path):
     """K3: outbox JSON omits null fields (ESJ:366-381 semantics)."""
     events = load_table(spark, sf_dir, "events").limit(200)
