@@ -49,17 +49,30 @@ def month_slice(spark: SparkSession, path: str, yyyymm: str) -> DataFrame:
 def _stage_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Rewrite ``path`` from ``df`` safely while ``df`` may be reading
     it: materialize to a staging dir, then overwrite the target from
-    the staging copy."""
+    the staging copy.
+
+    For a partitioned target the final overwrite runs in *dynamic*
+    partition-overwrite mode: each partition is replaced at job commit
+    (staged task files moved into place), never delete-everything-then-
+    rewrite — a crash mid-swap loses at most the partitions whose
+    commit was in flight, and the staging copy still holds the full
+    intended state."""
     spark = df.sparkSession
     staging = path.rstrip("/") + "_staging"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(staging)
-    r = spark.read.parquet(staging).write.mode("overwrite")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     if partition_by:
-        r = r.partitionBy(partition_by)
-    r.parquet(path)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        r = spark.read.parquet(staging).write.mode("overwrite")
+        if partition_by:
+            r = r.partitionBy(partition_by)
+        r.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def compact_warehouse(spark: SparkSession, path: str) -> None:
