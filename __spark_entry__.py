@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_dup(spark, sf), threshold=0.5
     )
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs_dup(spark, sf))
+    q["fuzzy_dedup_keep"] = lambda spark, sf: dedup.fuzzy_dedup_keep(_docs_dup(spark, sf))
     q["simhash_pairs"] = lambda spark, sf: dedup.simhash_dup_pairs(_docs_dup(spark, sf))
     q["embedding_near_dup"] = lambda spark, sf: dedup.embedding_near_dup_pairs(
         _embs_dup(spark, sf), threshold=0.9

@@ -293,6 +293,50 @@ def training_data_prep(documents: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_dedup_keep(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dedup flow end-to-end: MinHash → banded LSH
+    candidate pairs → exact Jaccard verification on candidates only →
+    greedy keeper selection (a doc is dropped iff it is the higher id
+    of a verified near-dup pair).
+
+    Scale shape: candidate generation is the sub-quadratic banded
+    equi-join (``minhash_lsh_pairs``); the exact-Jaccard step joins the
+    shingle table only against the candidate pairs (cost ∝ candidates,
+    not corpus²); the final drop is one anti-join.  This is the fuzzy
+    upgrade of ``training_data_prep``'s exact dedup — the composition
+    a 100 TB corpus pipeline runs (cf. MinHash-LSH dedup in the
+    RefinedWeb/SlimPajama-style pipelines).
+    """
+    cand = minhash_lsh_pairs(documents, n, k, band)
+    ex = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    verified = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            >= threshold
+        )
+    )
+    drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 def sign_lsh_bucket(vec, bits: int = 8):
     """Hyperoctant bucket id from the signs of the first ``bits`` dims."""
     out = F.lit(0)

@@ -876,6 +876,43 @@ SELECT doc_id, term, tfidf, rnk FROM (
 ) WHERE rnk <= 3
 """)
 
+# MinHash→LSH→Jaccard-verify→drop: the fuzzy training-set dedup flow
+ORACLE["fuzzy_dedup_keep"] = q(f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents_dup d
+WHERE d.doc_id NOT IN (
+  SELECT DISTINCT cm.doc_b FROM (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (
+        WITH sig AS (
+          SELECT doc_id,
+               {_mh_cols}
+          FROM shingle_x_dup GROUP BY doc_id
+        )
+      {_band_selects}
+      ) a
+      JOIN (
+        WITH sig AS (
+          SELECT doc_id,
+               {_mh_cols}
+          FROM shingle_x_dup GROUP BY doc_id
+        )
+      {_band_selects}
+      ) b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ) c
+    JOIN shingle_x_dup ea ON ea.doc_id = c.doc_a
+    JOIN shingle_x_dup eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+    GROUP BY 1, 2
+  ) cm
+  JOIN (SELECT doc_id, count(*) AS n FROM shingle_x_dup GROUP BY 1) sa ON sa.doc_id = cm.doc_a
+  JOIN (SELECT doc_id, count(*) AS n FROM shingle_x_dup GROUP BY 1) sb ON sb.doc_id = cm.doc_b
+  WHERE CAST(cm.n_common AS DOUBLE)
+        / CAST(sa.n + sb.n - cm.n_common AS DOUBLE) >= 0.5
+)
+""")
+
 # deterministic content-hash train/val/test split
 ORACLE["hash_split"] = q("""
 SELECT doc_id, lang, bucket,

@@ -46,6 +46,27 @@ def test_jaccard_exact_dups_score_one(spark, sf_dir):
     assert dup_pairs and all(r["jaccard"] == 1.0 for r in dup_pairs)
 
 
+def test_fuzzy_dedup_drops_every_constructed_duplicate(spark, sf_dir):
+    """End-to-end MinHash→LSH→Jaccard-verify→drop: every constructed
+    duplicate (identical text ⇒ Jaccard 1.0) must be dropped, every
+    kept doc_id is unique, and originals are preserved over copies
+    (greedy keeps the lower id)."""
+    base = load_table(spark, sf_dir, "documents")
+    docs = dedup.with_exact_duplicates(base)
+    kept = {r["doc_id"] for r in dedup.fuzzy_dedup_keep(docs).collect()}
+    dup_ids = {
+        r["doc_id"] + 100000
+        for r in base.where((F.col("doc_id") % 10 == 0) & (F.col("n_chars") > 0)).select("doc_id").collect()
+    }
+    assert not (kept & dup_ids), "a constructed duplicate survived fuzzy dedup"
+    # the originals of those duplicates survive (lower id wins)
+    originals = {d - 100000 for d in dup_ids}
+    surviving_originals = kept & originals
+    # an original may still be dropped if it is itself a near-dup of an
+    # even-lower-id document — but never ALL of them
+    assert surviving_originals
+
+
 def test_ann_excludes_self_and_ranks_duplicates_first(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     queries = similarity.default_queries(embs)
