@@ -1,0 +1,40 @@
+"""Fleet-wide physical-plan audit: no query may plan a cartesian or
+nested-loop join except the documented scalar/bounded broadcasts.
+
+At 100 TB an accidental CartesianProduct or a BroadcastNestedLoopJoin
+against an unbounded side is a job-killer; this guard catches one the
+moment a query regresses, across the WHOLE registry rather than the
+few hand-picked plans in test_plans.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import plan_string
+
+QUERIES = entrymod.queries()
+
+# Queries whose BroadcastNestedLoopJoin is a deliberate 1-row-or-bounded
+# broadcast, reviewed for scale:
+#   trending_recent      — scalar max(event_ts) retention bound (1 row)
+#   tfidf_top_terms      — scalar corpus count n_docs (1 row)
+#   ann_bruteforce_topk  — the query SET broadcast against the corpus
+#                          (exact-baseline semantics; corpus never shuffles)
+#   ann_quantized_topk   — same shape, int8-quantized
+BNLJ_ALLOWED = {"trending_recent", "tfidf_top_terms", "ann_bruteforce_topk", "ann_quantized_topk"}
+
+# streaming_replay_rollup runs an actual stream; its batch twin
+# (hourly_rollup) is audited instead.
+SKIP = {"streaming_replay_rollup"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_no_unintended_cartesian_or_bnlj(name, spark, sf_dir):
+    plan = plan_string(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin (not on the reviewed allow-list)"
+        )
