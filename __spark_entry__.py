@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents")
     )
     q["hash_split"] = lambda spark, sf: dedup.hash_split(load_table(spark, sf, "documents"))
+    q["vocab_top_bigrams"] = lambda spark, sf: dedup.vocab_top_bigrams(
+        load_table(spark, sf, "documents")
+    )
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs_dup(spark, sf), threshold=0.5
     )

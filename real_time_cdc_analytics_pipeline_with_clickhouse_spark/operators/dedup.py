@@ -270,6 +270,29 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def vocab_top_bigrams(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-level vocabulary construction: global top-k word bigrams
+    by frequency (the table a tokenizer-training / vocab-pruning pass
+    computes).  One partial-aggregated shuffle on the bigram, then a
+    TakeOrdered top-k — no global sort of the full vocabulary.  Ties
+    break on the bigram string for cross-engine determinism.
+    """
+    from ..functions.text import shingles
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        documents.repartition(par)
+        .select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
+        .where(F.col("bigram") != "")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
 def training_data_prep(documents: DataFrame) -> DataFrame:
     """End-to-end training-data prep slice: normalize → quality filter
     (token count + punctuation ratio) → exact dedup (keep smallest

@@ -913,6 +913,19 @@ WHERE d.doc_id NOT IN (
 )
 """)
 
+# corpus vocabulary: global top-k word bigrams by frequency
+ORACLE["vocab_top_bigrams"] = q("""
+SELECT bigram, cnt FROM (
+  SELECT bigram, count(*) AS cnt FROM (
+    SELECT unnest(
+      CASE WHEN len(toks) >= 2
+           THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+           ELSE CAST([] AS VARCHAR[]) END) AS bigram
+    FROM doc_toks
+  ) WHERE bigram <> '' GROUP BY 1
+) ORDER BY cnt DESC, bigram ASC LIMIT 20
+""")
+
 # deterministic content-hash train/val/test split
 ORACLE["hash_split"] = q("""
 SELECT doc_id, lang, bucket,
