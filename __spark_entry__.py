@@ -32,6 +32,7 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.scalar imp
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions import text as T
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
     cdc,
+    corpus,
     dedup,
     enrich,
     multimodal,
@@ -123,7 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _enriched(spark, sf, dup=True)
     ).select("event_id", _us().alias("event_ts_us"), "duration_ms", "engagement_score")
     q["user_leaderboard"] = lambda spark, sf: rollups.user_leaderboard(_enriched(spark, sf))
-    q["minute_topk"] = lambda spark, sf: rollups.minute_topk(_enriched(spark, sf))
+    # minute_topk folded into pytest (tests/test_consolidated.py) — same
+    # agg+rank path as trending_recent, which stays driver-checked
     q["trending_recent"] = lambda spark, sf: rollups.trending_recent(_enriched(spark, sf))
     q["event_counters"] = lambda spark, sf: rollups.event_counters(_enriched(spark, sf))
     q["latest_event"] = lambda spark, sf: rollups.latest_event(_enriched(spark, sf)).select(
@@ -207,7 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["streaming_replay_rollup"] = streaming_replay_rollup
-    q["salted_rollup"] = lambda spark, sf: rollups.salted_event_type_rollup(_enriched(spark, sf))
+    # salted_rollup folded into pytest (tests/test_consolidated.py) —
+    # bit-equal to the unsalted event_type rollup by construction
 
     # --- north-star extensions: dedup / similarity / text / multimodal ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup_groups(_docs_dup(spark, sf))
@@ -223,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_dup(spark, sf), threshold=0.5
     )
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs_dup(spark, sf))
+    q["dedup_clusters"] = lambda spark, sf: dedup.dedup_clusters(_docs_dup(spark, sf))
     q["fuzzy_dedup_keep"] = lambda spark, sf: dedup.fuzzy_dedup_keep(_docs_dup(spark, sf))
     q["simhash_pairs"] = lambda spark, sf: dedup.simhash_dup_pairs(_docs_dup(spark, sf))
     q["embedding_near_dup"] = lambda spark, sf: dedup.embedding_near_dup_pairs(
@@ -289,8 +293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
         multimodal.assets_from_documents(load_table(spark, sf, "documents"))
     ).select("asset_id", "modality", "byte_len", "payload_md5")
-    q["multimodal_meta_stats"] = lambda spark, sf: multimodal.asset_metadata_stats(
-        multimodal.assets_from_documents(load_table(spark, sf, "documents"))
+    # multimodal_meta_stats folded into pytest (tests/test_consolidated.py)
+    q["deterministic_sample"] = lambda spark, sf: corpus.deterministic_sample(
+        load_table(spark, sf, "documents")
+    )
+    q["pack_sequences"] = lambda spark, sf: corpus.pack_sequences(
+        load_table(spark, sf, "documents")
     )
 
     # --- relational breadth (SURVEY §7.2 milestone 4) ---
@@ -393,4 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_oracle.ORACLE)
+    # ORACLE also carries twins for registry-folded variants (checked in
+    # tests/test_consolidated.py); the driver contract exposes only the
+    # entries with a live queries() key.
+    registered = set(queries())
+    return {k: v for k, v in _oracle.ORACLE.items() if k in registered}

@@ -1,0 +1,121 @@
+"""Corpus-curation operators for training-data pipelines (north star).
+
+Two operations every large-scale pretraining pipeline runs after
+dedup/filtering and before tokenization:
+
+- deterministic sampling — hash-Bernoulli keep/drop with per-language
+  (stratum) rates.  Purely map-side: the keep decision is a hash of
+  the *content*, so it is reproducible across runs, machines, and
+  engine versions, and re-crawled duplicates get the same verdict.
+  At 100 TB this is a free predicate on the scan — no shuffle at all.
+- sequence packing — greedily fill fixed-size context windows with
+  whole documents (the batch-shaping step before training).  Packing
+  is a sequential fold (each doc's placement depends on the running
+  fill), so it cannot be a window function; we shard the corpus by a
+  deterministic key and run the fold per shard via ``applyInPandas``
+  (Arrow-batched, one shuffle on the shard key).  Shards are
+  independent, so parallelism = number of shards — at 100 TB you
+  raise ``shards`` to O(cluster cores) and each task streams its
+  shard once.
+
+Both use md5-derived hashing / plain column expressions so each has
+an exact DuckDB oracle (oracle.py: ``deterministic_sample``,
+``pack_sequences`` — the packing twin is a recursive CTE running the
+same fold).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.scalar import portable_hash64
+from ..functions.text import normalize_text, tokens
+
+# Per-language keep rates for the stratified sampler: down-weight the
+# over-represented strata (the classic data-mixing move).  Absent
+# languages keep everything.
+SAMPLE_RATES: dict[str, float] = {"en": 0.5, "zh": 0.25}
+
+PACK_CAPACITY = 512
+PACK_SHARDS = 32
+PACK_SCHEMA = "doc_id long, shard int, n_tokens int, pack_id int, off_tokens int"
+
+
+def deterministic_sample(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    denom: int = 10_000,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Stratified hash-Bernoulli sample of the corpus.
+
+    A doc is kept iff ``hash(normalized_text) mod denom`` falls under
+    its language's rate threshold (and it passes the short-doc gate).
+    Hashing the *content* (not the row id) makes the decision stable
+    under re-ingestion and consistent for byte-identical duplicates.
+    Unlike ``DataFrame.sample`` (partition-order dependent, not
+    reproducible across engines), this is exact and portable.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    thr = None
+    for lang, rate in rates.items():
+        step = F.when(F.col("lang") == lang, F.lit(int(rate * denom)))
+        thr = step if thr is None else thr.when(F.col("lang") == lang, F.lit(int(rate * denom)))
+    thr = F.lit(denom) if thr is None else thr.otherwise(F.lit(denom))
+    u = F.pmod(portable_hash64(normalize_text(F.col("text")), seed="sample:"), F.lit(denom))
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            u.alias("u"),
+            thr.alias("_thr"),
+        )
+        .where((F.col("n_tokens") >= min_tokens) & (F.col("u") < F.col("_thr")))
+        .drop("_thr")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, capacity: int = PACK_CAPACITY, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Greedy whole-document packing into fixed token windows.
+
+    Docs are sharded by ``doc_id mod shards`` and, within a shard in
+    doc_id order, appended to the current pack while they fit; a doc
+    that would overflow starts a new pack (a doc longer than
+    ``capacity`` gets a pack to itself — truncation is the
+    tokenizer's call, not the packer's).  Returns one row per doc
+    with its (shard, pack_id, off_tokens) placement.
+
+    The fold runs per shard inside ``applyInPandas`` — Arrow-batched,
+    no driver collect; the only shuffle is the groupBy on the shard
+    key.  Determinism: shard key and intra-shard order are pure
+    functions of doc_id, so placement is reproducible anywhere.
+    """
+
+    docs = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, offs = [], []
+        pid, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                pid += 1
+                fill = 0
+            pack_ids.append(pid)
+            offs.append(fill)
+            fill += t
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int32")
+        pdf["off_tokens"] = pd.Series(offs, dtype="int32")
+        return pdf
+
+    return docs.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)

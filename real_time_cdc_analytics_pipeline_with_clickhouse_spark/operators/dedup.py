@@ -360,6 +360,66 @@ def fuzzy_dedup_keep(
     return documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: every node starts labeled with itself; each round a
+    node takes the min of its own and its neighbors' labels; at the
+    fixpoint the label is the component's minimum node id.
+
+    Scale shape: each round is one equi-join (edges × labels, both
+    keyed on the node id) plus one combinable min-aggregation — no
+    cartesian, no driver-side graph.  ``localCheckpoint`` truncates
+    the growing lineage each round.  Convergence is detected from the
+    global label sum — labels only ever decrease, so an unchanged sum
+    IS the fixpoint — which costs one scalar action per round (the
+    only driver materialization).  Rounds needed = graph diameter;
+    dedup-cluster graphs are shallow (near-cliques of copies), so
+    this converges in 2-3 rounds.  For adversarially long path graphs
+    switch to large-star/small-star (O(log n) rounds, same join
+    primitive).
+
+    ``pairs``: (doc_a, doc_b) candidate edges, one direction.
+    Returns (doc_id, label) for every node appearing in ≥1 pair.
+    """
+    und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        prop = und.withColumnRenamed("src", "doc_id").join(labels, "doc_id").select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
+    """Duplicate *clusters* (not just pairs): connected components over
+    the MinHash-LSH candidate graph, sized.
+
+    Pairwise dedup under-drops transitive copies (a~b, b~c but a≁c
+    keeps two of the three); clustering drops all but one per
+    component.  Returns (doc_id, cluster_id, cluster_size) for every
+    doc in at least one candidate pair, cluster_id = min doc_id of
+    the component — the canonical keeper.
+    """
+    comp = connected_components(minhash_lsh_pairs(documents, n, k, band))
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
 def sign_lsh_bucket(vec, bits: int = 8):
     """Hyperoctant bucket id from the signs of the first ``bits`` dims."""
     out = F.lit(0)

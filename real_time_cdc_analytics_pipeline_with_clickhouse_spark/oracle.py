@@ -938,3 +938,80 @@ FROM (
   FROM doc_norm
 )
 """)
+
+# ---------------------------------------------------------------------------
+# Coverage wave 5 (round 2): duplicate clustering, deterministic
+# sampling, sequence packing.  The non-SQL-native parts (transitive
+# closure, the sequential packing fold) are expressed as recursive
+# CTEs — scoped inside a derived table so the shared PREFIX stays
+# non-recursive.
+# ---------------------------------------------------------------------------
+
+# connected components over the MinHash-LSH candidate graph: reach is
+# the label-propagation closure (reach(n, l) iff n and l share a
+# component), min per node = component id.
+ORACLE["dedup_clusters"] = q(f"""
+SELECT doc_id, cluster_id, cluster_size FROM (
+  WITH RECURSIVE sig AS (
+    SELECT doc_id,
+         {_mh_cols}
+    FROM shingle_x_dup GROUP BY doc_id
+  ),
+  bands AS (
+{_band_selects}
+  ),
+  und AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+  ),
+  reach AS (
+    SELECT src AS doc_id, src AS label FROM und
+    UNION
+    SELECT u.dst AS doc_id, r.label FROM reach r JOIN und u ON u.src = r.doc_id
+  ),
+  comp AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+  csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+  SELECT comp.doc_id, comp.cluster_id, csize.cluster_size
+  FROM comp JOIN csize USING (cluster_id)
+)
+""")
+
+# stratified hash-Bernoulli sampling (operators/corpus.py twin)
+ORACLE["deterministic_sample"] = q(f"""
+SELECT doc_id, lang, n_tokens, u FROM (
+  SELECT doc_id, lang,
+         CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+         {_h("norm", "sample:")} % 10000 AS u
+  FROM doc_norm
+) WHERE n_tokens >= 5
+  AND u < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 10000 END
+""")
+
+# greedy sequence packing: the same fold operators/corpus.py runs in
+# applyInPandas, expressed as a per-shard recursive CTE over rn order.
+ORACLE["pack_sequences"] = q("""
+SELECT doc_id, shard, n_tokens, pack_id, off_tokens FROM (
+  WITH RECURSIVE base AS (
+    SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+           CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+           CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS INT) AS rn
+    FROM doc_norm
+  ),
+  packed AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS INT) AS pack_id, CAST(0 AS INT) AS off_tokens, n_tokens AS fill
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+           CAST(CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > 512
+                     THEN p.pack_id + 1 ELSE p.pack_id END AS INT),
+           CAST(CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > 512
+                     THEN 0 ELSE p.fill END AS INT),
+           CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > 512
+                THEN b.n_tokens ELSE p.fill + b.n_tokens END
+    FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+  )
+  SELECT doc_id, shard, n_tokens, pack_id, off_tokens FROM packed
+)
+""")

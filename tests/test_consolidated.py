@@ -13,8 +13,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 import __spark_entry__ as entrymod
-from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dedup, rollups
-from real_time_cdc_analytics_pipeline_with_clickhouse_spark.oracle import _simhash_sql, q
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+    dedup,
+    multimodal,
+    rollups,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.oracle import (
+    ORACLE,
+    _simhash_sql,
+    q,
+)
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 from tests.oracle_utils import compare
 
@@ -216,6 +224,31 @@ FROM (
   FROM events
 ) GROUP BY 1
 """), ducks)
+
+
+def test_minute_topk(spark, sf_dir, ducks):
+    """A6 minute-bucket top-k (folded r2: same agg+rank path as the
+    driver-checked trending_recent, minus the retention filter)."""
+    sdf = rollups.minute_topk(entrymod._enriched(spark, sf_dir))
+    _check(sdf, ORACLE["minute_topk"], ducks)
+
+
+def test_salted_rollup(spark, sf_dir, ducks):
+    """T10 skew salting (folded r2): salted two-stage rollup stays
+    bit-equal to the direct event_type rollup."""
+    sdf = rollups.salted_event_type_rollup(entrymod._enriched(spark, sf_dir))
+    _check(sdf, ORACLE["salted_rollup"], ducks)
+
+
+def test_multimodal_meta_stats(spark, sf_dir, ducks):
+    """Typed-metadata rollup per modality (folded r2: the group-stats
+    companion of the driver-checked multimodal_features)."""
+    sdf = multimodal.asset_metadata_stats(
+        multimodal.assets_from_documents(
+            entrymod.load_table(spark, sf_dir, "documents")
+        )
+    )
+    _check(sdf, ORACLE["multimodal_meta_stats"], ducks)
 
 
 def test_simhash_fingerprints(spark, sf_dir, ducks):

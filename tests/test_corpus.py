@@ -1,0 +1,139 @@
+"""Behavioral tests for the corpus-curation operators (r2): duplicate
+clustering, deterministic sampling, sequence packing.
+
+Oracle parity for all three runs through the driver gate
+(tools/check_oracle.py / CORRECTNESS_r{N}.json); these tests pin the
+*semantics* on constructed inputs where the expected answer is known
+by hand.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus, dedup
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_merges_chains(spark):
+    """A chain a-b, b-c plus a separate pair must give exactly two
+    components labeled by their minimum node."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — the
+    convergence loop must run them all, not stop after one."""
+    edges = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = {r["label"] for r in dedup.connected_components(pairs).collect()}
+    assert labels == {0}
+
+
+def test_dedup_clusters_cover_constructed_duplicates(spark, sf_dir):
+    """Every constructed duplicate (doc_id + 100000) must land in the
+    same cluster as its source, and cluster_id = min member."""
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents"))
+    rows = dedup.dedup_clusters(docs).collect()
+    cl = {r["doc_id"]: r["cluster_id"] for r in rows}
+    originals = [d for d in cl if d < 100000 and d % 10 == 0]
+    assert originals, "no constructed duplicates clustered"
+    for d in originals:
+        assert cl.get(d + 100000) == cl[d] == min(cl[d], d)
+    for r in rows:
+        assert r["cluster_size"] >= 2 or cl[r["cluster_id"]] is not None
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_is_deterministic_and_stratified(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r["doc_id"] for r in corpus.deterministic_sample(docs).collect())
+    b = sorted(r["doc_id"] for r in corpus.deterministic_sample(docs).collect())
+    assert a == b and a, "sampling must be reproducible run-to-run"
+    by_lang = {
+        r["lang"]: r["cnt"]
+        for r in corpus.deterministic_sample(docs)
+        .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    tot = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    # strata with rate 1.0 keep everything except the short-doc gate
+    for lang in tot:
+        if lang not in corpus.SAMPLE_RATES:
+            assert by_lang.get(lang, 0) <= tot[lang]
+    # down-weighted strata keep roughly the target share (hash-uniform)
+    assert 0.3 <= by_lang["en"] / tot["en"] <= 0.7
+    assert by_lang["zh"] / tot["zh"] <= 0.5
+
+
+def test_sample_follows_content_not_row_id(spark):
+    """Byte-identical texts under different doc_ids get the same verdict."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en"),
+         (2, "alpha beta gamma delta epsilon zeta", "en"),
+         (3, "one two three four five six", "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept = {r["doc_id"] for r in corpus.deterministic_sample(docs).collect()}
+    assert (1 in kept) == (2 in kept)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_greedy_fill(spark):
+    """Known token counts in one shard → hand-checkable packing."""
+    texts = {
+        0: "a " * 300,   # 300 tokens (trailing trim) -> pack 0 @ 0
+        32: "b " * 200,  # fits: pack 0 @ 300 (300+200=500 <= 512)
+        64: "c " * 20,   # overflow (520 > 512): pack 1 @ 0
+        96: "d " * 600,  # longer than capacity: own pack 2 @ 0
+        128: "e " * 10,  # pack 3 @ 0 (600+10 > 512)
+    }
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in corpus.pack_sequences(docs).collect()}
+    assert all(r["shard"] == 0 for r in rows.values())
+    assert (rows[0]["pack_id"], rows[0]["off_tokens"]) == (0, 0)
+    assert (rows[32]["pack_id"], rows[32]["off_tokens"]) == (0, 300)
+    assert (rows[64]["pack_id"], rows[64]["off_tokens"]) == (1, 0)
+    assert (rows[96]["pack_id"], rows[96]["off_tokens"]) == (2, 0)
+    assert (rows[128]["pack_id"], rows[128]["off_tokens"]) == (3, 0)
+
+
+def test_pack_sequences_invariants_on_corpus(spark, sf_dir):
+    """Corpus-wide invariants: every doc placed exactly once; no pack
+    overflows unless it holds a single oversized doc; pack ids are
+    dense per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = corpus.pack_sequences(docs)
+    assert packed.count() == docs.count()
+    over = packed.where(
+        (F.col("off_tokens") + F.col("n_tokens") > corpus.PACK_CAPACITY)
+        & (F.col("off_tokens") > 0)
+    )
+    assert over.count() == 0
+    dense = (
+        packed.groupBy("shard")
+        .agg(F.countDistinct("pack_id").alias("n"), F.max("pack_id").alias("mx"))
+        .where(F.col("n") != F.col("mx") + 1)
+    )
+    assert dense.count() == 0
