@@ -815,10 +815,13 @@ SELECT minute_bucket, content_id, total_score, rnk FROM (
   FROM (
     SELECT strftime(event_ts, '%Y%m%d%H%M') AS minute_bucket, content_id,
            CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
-    FROM enriched
-    WHERE event_ts >= (SELECT max(event_ts) FROM enriched) - INTERVAL 15 MINUTE
-    GROUP BY 1, 2
+    FROM enriched GROUP BY 1, 2
   )
+  -- bucket-granularity retention: trailing 15 minute-buckets anchored
+  -- at the latest bucket (operators/rollups.trending_recent twin)
+  WHERE strptime(minute_bucket, '%Y%m%d%H%M')
+        >= (SELECT strptime(max(strftime(event_ts, '%Y%m%d%H%M')), '%Y%m%d%H%M')
+            FROM enriched) - INTERVAL 15 MINUTE
 ) WHERE rnk <= 5
 """)
 

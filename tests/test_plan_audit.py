@@ -18,7 +18,7 @@ QUERIES = entrymod.queries()
 
 # Queries whose BroadcastNestedLoopJoin is a deliberate 1-row-or-bounded
 # broadcast, reviewed for scale:
-#   trending_recent      — scalar max(event_ts) retention bound (1 row)
+#   trending_recent      — scalar max minute-bucket retention bound (1 row)
 #   tfidf_top_terms      — scalar corpus count n_docs (1 row)
 #   ann_bruteforce_topk  — the query SET broadcast against the corpus
 #                          (exact-baseline semantics; corpus never shuffles)
