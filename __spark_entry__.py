@@ -36,6 +36,7 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
     dedup,
     enrich,
     multimodal,
+    quality,
     relational as R,
     rollups,
     similarity,
@@ -213,7 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bit-equal to the unsalted event_type rollup by construction
 
     # --- north-star extensions: dedup / similarity / text / multimodal ---
-    q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup_groups(_docs_dup(spark, sf))
+    # dedup_exact folded into pytest (tests/test_consolidated.py) — its
+    # digest-keyed shuffle is stage 1 of training_data_prep, driver-checked
     q["training_data_prep"] = lambda spark, sf: dedup.training_data_prep(_docs_dup(spark, sf))
     q["tfidf_top_terms"] = lambda spark, sf: dedup.tfidf_top_terms(
         load_table(spark, sf, "documents")
@@ -294,6 +296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.assets_from_documents(load_table(spark, sf, "documents"))
     ).select("asset_id", "modality", "byte_len", "payload_md5")
     # multimodal_meta_stats folded into pytest (tests/test_consolidated.py)
+    q["quality_signals"] = lambda spark, sf: quality.quality_signals(
+        load_table(spark, sf, "documents")
+    )
+    q["pii_redact"] = lambda spark, sf: quality.pii_redact(
+        quality.with_synthetic_pii(load_table(spark, sf, "documents"))
+    )
     q["deterministic_sample"] = lambda spark, sf: corpus.deterministic_sample(
         load_table(spark, sf, "documents")
     )
@@ -322,7 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = lambda spark, sf: R.asof_join_latest_order(
         load_table(spark, sf, "events"), load_table(spark, sf, "orders")
     )
-    q["cube_order_stats"] = lambda spark, sf: R.cube_order_stats(load_table(spark, sf, "orders"))
+    # cube_order_stats folded into pytest (tests/test_consolidated.py) —
+    # cube is the same Expand-based grouping-sets path grouping_analytics drives
     q["grouping_analytics"] = lambda spark, sf: R.grouping_analytics(
         spark, load_table(spark, sf, "lineitem")
     )

@@ -1,0 +1,171 @@
+"""Corpus quality scoring and PII redaction (LLM-data-pipeline ops).
+
+Two first-class pre-training data-prep stages the reference's warehouse
+layer has no analog for, designed 100 TB-first:
+
+- ``quality_signals``: Gopher-style per-document repetition / quality
+  heuristics (published in Rae et al. 2021, "Scaling Language Models" —
+  the public filtering recipe).  Token-histogram metrics come from one
+  explode → two-level partial aggregation (map-side combinable, keyed
+  by (doc_id, term) then doc_id); the bigram-repetition metrics are
+  pure array expressions on the scan.  The only shuffle-join is
+  doc_id ⋈ doc_id between the scan and its own histogram — AQE picks
+  the strategy, nothing corpus-proportional is ever broadcast.
+- ``pii_redact``: regex scrubbing (emails / phone numbers / IPv4) as
+  pure ``regexp_count`` + ``regexp_replace`` expressions — entirely
+  map-side, a free column at any scale.
+
+No Python UDFs anywhere; every expression is JVM-side and
+whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.text import shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality signals
+# ---------------------------------------------------------------------------
+
+# Default thresholds: tuned so the driver's synthetic word-soup corpus
+# splits both ways (real corpora would tune per source, as the paper
+# does).  All metrics are rounded to 6dp before thresholding so the
+# flag is bit-stable cross-engine.
+MIN_TOKENS = 20
+MIN_DISTINCT_RATIO = 0.4
+MAX_TOP_TOKEN_FRAC = 0.12
+MAX_DUP_BIGRAM_FRAC = 0.06
+MEAN_WORD_LEN_RANGE = (3.0, 10.0)
+
+
+def quality_signals(documents: DataFrame) -> DataFrame:
+    """Per-document repetition/quality metrics + a keep/drop flag.
+
+    Columns: ``n_tokens`` (non-empty whitespace tokens),
+    ``distinct_ratio`` (type/token ratio), ``top_token_frac`` (share of
+    the single most frequent token), ``dup_bigram_frac`` (fraction of
+    word bigrams that are repeats — the Gopher "duplicate n-gram"
+    signal), ``mean_word_len``, and ``quality_ok``.
+
+    Plan shape: scan → explode(term) → partial-agg (doc_id, term) →
+    partial-agg (doc_id) → equi-join back to the scan's array-expr
+    projection on doc_id.  Both aggregations are additive (combinable
+    map-side); the join is doc-keyed and AQE-planned.
+    """
+    bg = shingles(F.col("text"), 2)
+    n_big = F.size(bg)
+    base = documents.select(
+        "doc_id",
+        "lang",
+        F.when(
+            n_big > 0,
+            F.round(
+                (n_big - F.size(F.array_distinct(bg))).cast("double") / n_big.cast("double"),
+                6,
+            ),
+        ).alias("dup_bigram_frac"),
+    )
+    term_counts = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = term_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.length("term")).alias("tok_chars"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    distinct_ratio = F.round(F.col("n_distinct").cast("double") / n_tok, 6)
+    top_token_frac = F.round(F.col("max_cnt").cast("double") / n_tok, 6)
+    mean_word_len = F.round(F.col("tok_chars").cast("double") / n_tok, 6)
+    out = base.join(hist, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        top_token_frac.alias("top_token_frac"),
+        "dup_bigram_frac",
+        mean_word_len.alias("mean_word_len"),
+    )
+    quality_ok = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO)
+        & (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
+        & (F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0)) <= MAX_DUP_BIGRAM_FRAC)
+        & F.col("mean_word_len").between(*MEAN_WORD_LEN_RANGE)
+    )
+    return out.withColumn("quality_ok", quality_ok)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Deliberately simple, RE2-compatible patterns (the oracle runs them in
+# DuckDB's RE2 engine; Spark runs them in java.util.regex — the subset
+# below behaves identically in both).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b555-[0-9]{4}\\b"
+IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def with_synthetic_pii(documents: DataFrame) -> Column | DataFrame:
+    """Deterministically append synthetic PII to the driver's corpus
+    (it is word-soup with none) so the redaction path has real work:
+    every doc_id≡0 (mod 3) gains an email, ≡1 (mod 4) a phone number,
+    ≡2 (mod 5) an IPv4 — some docs get several, most get at least one,
+    and a fixed residue class gets none at all."""
+    d = F.col("doc_id")
+    email = F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
+    phone = F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))
+    ip = F.concat(
+        F.lit(" host 10."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+        F.lit("."),
+        ((d * 13) % 256).cast("string"),
+    )
+    text2 = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, email).otherwise(F.lit("")),
+        F.when(d % 4 == 1, phone).otherwise(F.lit("")),
+        F.when(d % 5 == 2, ip).otherwise(F.lit("")),
+    )
+    return documents.withColumn("text", text2)
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Count and scrub emails / phones / IPv4s from ``text``.
+
+    Pure per-row expressions (``regexp_count`` + a ``regexp_replace``
+    chain, email first so its digits can't shadow the later numeric
+    patterns) — no shuffle, no UDF; at 100 TB this is a map-only pass
+    that fuses into the scan.  The redacted text is surfaced as an md5
+    so the result stays canonicalizable downstream.
+    """
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(t, F.lit(PHONE_RE))
+    n_ips = F.regexp_count(t, F.lit(IP_RE))
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -1018,3 +1018,72 @@ SELECT doc_id, shard, n_tokens, pack_id, off_tokens FROM (
   SELECT doc_id, shard, n_tokens, pack_id, off_tokens FROM packed
 )
 """)
+
+# ---------------------------------------------------------------------------
+# Coverage wave 6 (round 2): Gopher-style quality signals + PII
+# redaction (operators/quality.py twins).
+# ---------------------------------------------------------------------------
+
+ORACLE["quality_signals"] = q("""
+SELECT m.doc_id, m.lang, m.n_tokens, m.distinct_ratio, m.top_token_frac,
+       m.dup_bigram_frac, m.mean_word_len,
+       (m.n_tokens >= 20
+        AND m.distinct_ratio >= 0.4
+        AND m.top_token_frac <= 0.12
+        AND coalesce(m.dup_bigram_frac, 0.0) <= 0.06
+        AND m.mean_word_len BETWEEN 3.0 AND 10.0) AS quality_ok
+FROM (
+  SELECT a.doc_id, b.lang,
+         a.n_tokens,
+         round(CAST(a.n_distinct AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS distinct_ratio,
+         round(CAST(a.max_cnt AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS top_token_frac,
+         CASE WHEN len(b.bg) > 0
+              THEN round(CAST(len(b.bg) - len(list_distinct(b.bg)) AS DOUBLE)
+                         / CAST(len(b.bg) AS DOUBLE), 6) END AS dup_bigram_frac,
+         round(CAST(a.tok_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS mean_word_len
+  FROM (
+    SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+           max(cnt) AS max_cnt, sum(cnt * len(term)) AS tok_chars
+    FROM (
+      SELECT doc_id, t AS term, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+      GROUP BY 1, 2
+    ) GROUP BY 1
+  ) a
+  JOIN (
+    SELECT doc_id, lang,
+      CASE WHEN len(toks) >= 2
+           THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+           ELSE CAST([] AS VARCHAR[]) END AS bg
+    FROM doc_toks
+  ) b ON a.doc_id = b.doc_id
+) m
+""")
+
+ORACLE["pii_redact"] = q("""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text2, '\\b555-[0-9]{4}\\b')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ips,
+       (len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+        + len(regexp_extract_all(text2, '\\b555-[0-9]{4}\\b'))
+        + len(regexp_extract_all(text2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) > 0 AS has_pii,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS redacted_md5
+FROM (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 5 = 2
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END AS text2
+  FROM documents
+)
+""")

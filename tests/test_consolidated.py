@@ -256,3 +256,23 @@ def test_simhash_fingerprints(spark, sf_dir, ducks):
     _check(sdf, q(f"""
 SELECT doc_id, simhash FROM ({_simhash_sql("doc_toks")})
 """), ducks)
+
+
+def test_cube_order_stats(spark, sf_dir, ducks):
+    """CUBE lattice (folded r2: cube is the same Expand-based
+    grouping-sets physical path the driver-checked grouping_analytics
+    drives; kept oracle-checked here)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        relational as R,
+    )
+
+    sdf = R.cube_order_stats(load_table(spark, sf_dir, "orders"))
+    _check(sdf, ORACLE["cube_order_stats"], ducks)
+
+
+def test_dedup_exact_groups(spark, sf_dir, ducks):
+    """Exact duplicate groups (folded r2: the md5-digest shuffle is
+    stage 1 of the driver-checked training_data_prep; the group view
+    stays oracle-checked here)."""
+    sdf = dedup.exact_dedup_groups(entrymod._docs_dup(spark, sf_dir))
+    _check(sdf, ORACLE["dedup_exact"], ducks)
