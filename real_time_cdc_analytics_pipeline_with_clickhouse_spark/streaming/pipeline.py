@@ -66,6 +66,26 @@ def read_json_lines_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.text(path)
 
 
+def dedup_within_watermark_stream(engagement_json_stream: DataFrame) -> DataFrame:
+    """T8 in-stream alternative: drop re-delivered ``event_id``s inside
+    the watermark window, BEFORE the sink.
+
+    The MERGE sink (A2) dedups at storage; this variant is the
+    stream-side guard the reference gets from ReplacingMergeTree —
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and expires its key state once the watermark passes, so state is
+    bounded by (arrival rate × watermark delay), not by stream history.
+    First-arrival-wins differs from the sink's latest-version-wins:
+    use this for duplicate *deliveries* (same payload re-sent, where
+    either copy is fine) and the MERGE for *versioned* upserts.
+    """
+    return (
+        unwrap_engagement(engagement_json_stream)
+        .withWatermark("event_ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 MONTH_COL = "event_month"  # clickhouse-init.sql:27 PARTITION BY toYYYYMM
 
 

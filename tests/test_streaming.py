@@ -284,3 +284,31 @@ def test_outbox_sink_writes_null_free_json(spark, sf_dir, tmp_path):
         F.col("value").contains('"event_type":"click"') & F.col("value").contains('"duration_ms"')
     ).count()
     assert clicks_with_duration == 0
+
+
+def test_dedup_within_watermark_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """T8 stream-side dedup: re-delivering the identical CDC feed must
+    yield exactly one row per event_id (first-arrival-wins), matching
+    the batch-normalized feed bit-for-bit."""
+    events = load_table(spark, sf_dir, "events").limit(300)
+    feed = cdc_feed.engagement_cdc_json(events).selectExpr("value")
+    feed_dir = str(tmp_path / "dup_feed")
+    feed.repartition(2).write.mode("overwrite").text(feed_dir)
+    # second delivery of the same payloads (new files, same contents)
+    feed.repartition(3).write.mode("append").text(feed_dir)
+
+    out_dir = str(tmp_path / "deduped")
+    stream = sp.dedup_within_watermark_stream(sp.read_json_lines_stream(spark, feed_dir))
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out_dir).select("event_id", "event_ts", "duration_ms")
+    want = cdc.unwrap_engagement(feed).select("event_id", "event_ts", "duration_ms")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
