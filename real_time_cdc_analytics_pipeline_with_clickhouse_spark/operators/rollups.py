@@ -178,7 +178,15 @@ def trending_recent(enriched: DataFrame, minutes: int = 15, k: int = 5) -> DataF
     agg = enriched.groupBy(
         F.date_format("event_ts", "yyyyMMddHHmm").alias("minute_bucket"), "content_id"
     ).agg(_sum_score())
-    mx = agg.agg(F.max("minute_bucket").alias("_mx"))
+    # anchor = max bucket, computed as max(struct(bucket, score)) so the
+    # anchor branch needs BOTH columns of `agg`: column pruning then
+    # cannot slim the shared aggregate, the two branches' shuffles
+    # canonicalize identically, and ReusedExchange makes the anchor a
+    # near-free read of the main branch's exchange instead of a second
+    # full parse of the event feed (measured ~2× on the CDC slice).
+    mx = agg.agg(F.max(F.struct("minute_bucket", "total_score")).alias("_m")).select(
+        F.col("_m.minute_bucket").alias("_mx")
+    )
     recent = (
         agg.join(F.broadcast(mx))
         .where(
