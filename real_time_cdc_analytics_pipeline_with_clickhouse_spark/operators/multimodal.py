@@ -76,6 +76,98 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id long, width long, height long, out_width long, out_height long, resized_md5 string"
+)
+
+
+def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing for image assets: aspect-preserving target dims +
+    a deterministic digest standing in for the resized pixel buffer.
+
+    The dimension math is vectorized pandas (integer, deterministic);
+    the pixel transform itself would live where the md5 is computed —
+    ``decode_media`` documents the stub.  One Arrow batch in, one out;
+    non-image rows are filtered before the UDF so the Python stage only
+    ever sees the rows it must touch.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            scale_num = w.combine(h, max)  # longest side
+            out_w = (w * max_side) // scale_num
+            out_h = (h * max_side) // scale_num
+            # no upscaling: assets already within bounds pass through
+            small = scale_num <= max_side
+            out_w = out_w.where(~small, w)
+            out_h = out_h.where(~small, h)
+            digest = [
+                hashlib.md5(bytes(p) + f":{ow}x{oh}".encode()).hexdigest()
+                for p, ow, oh in zip(pdf["payload"], out_w, out_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "resized_md5": digest,
+                }
+            )
+
+    images = assets.where(F.col("modality") == "image")
+    return images.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx long, ts_ms long, frame_md5 string"
+FRAME_RATE = 24  # synthetic fixed fps for ts derivation
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video assets: one output row per sampled
+    frame — the row-expanding ``mapInPandas`` shape a real decoder
+    uses (iterate frames, emit every Nth).
+
+    Frame payloads are deterministic digests of (payload, frame_idx)
+    standing in for decoded frames (``decode_media`` stub applies).
+    Expansion happens inside the Arrow batch, so a 10k-frame video
+    never materializes per-frame rows on the driver, and partitions
+    stay balanced by input asset.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out_ids, out_idx, out_ts, out_md5 = [], [], [], []
+            for aid, payload, n_frames in zip(
+                pdf["asset_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                for i in range(0, int(n_frames), every_n):
+                    out_ids.append(aid)
+                    out_idx.append(i)
+                    out_ts.append(i * 1000 // FRAME_RATE)
+                    out_md5.append(
+                        hashlib.md5(bytes(payload) + f":frame{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "frame_idx": out_idx,
+                    "ts_ms": out_ts,
+                    "frame_md5": out_md5,
+                }
+            )
+
+    videos = assets.where((F.col("modality") == "video") & F.col("n_frames").isNotNull())
+    return videos.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def asset_metadata_stats(assets: DataFrame) -> DataFrame:
     """Typed-metadata rollup per modality (pure column ops)."""
     return assets.groupBy("modality").agg(

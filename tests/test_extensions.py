@@ -111,3 +111,51 @@ def test_multimodal_feature_extraction_matches_local_hash(spark, sf_dir):
 def test_simhash_fits_bit_width(spark, sf_dir):
     fps = dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents")).collect()
     assert all(0 <= r["simhash"] < 2**32 for r in fps)
+
+
+def test_resize_images_dims_and_digest(spark, sf_dir):
+    """Aspect-preserving resize plumbing: dims follow the integer
+    downscale rule, digest matches a local recomputation, only image
+    rows reach the UDF."""
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    assets = multimodal.assets_from_documents(docs)
+    out = {r["asset_id"]: r for r in multimodal.resize_images(assets, max_side=256).collect()}
+    srcs = assets.where(F.col("modality") == "image").collect()
+    assert set(out) == {r["asset_id"] for r in srcs}
+    for s in srcs:
+        r = out[s["asset_id"]]
+        long_side = max(s["width"], s["height"])
+        if long_side <= 256:
+            assert (r["out_width"], r["out_height"]) == (s["width"], s["height"])
+        else:
+            assert (r["out_width"], r["out_height"]) == (
+                s["width"] * 256 // long_side,
+                s["height"] * 256 // long_side,
+            )
+            assert max(r["out_width"], r["out_height"]) == 256
+        want = hashlib.md5(
+            bytes(s["payload"]) + f":{r['out_width']}x{r['out_height']}".encode()
+        ).hexdigest()
+        assert r["resized_md5"] == want
+
+
+def test_sample_frames_expansion(spark, sf_dir):
+    """Row-expanding frame sampling: every Nth frame per video, ts from
+    the fixed frame rate, digests recomputable locally."""
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    assets = multimodal.assets_from_documents(docs)
+    frames = multimodal.sample_frames(assets, every_n=10).collect()
+    vids = {r["asset_id"]: r for r in assets.where(F.col("modality") == "video").collect()}
+    by_asset: dict[int, list] = {}
+    for f in frames:
+        by_asset.setdefault(f["asset_id"], []).append(f)
+    expected_counts = {
+        aid: (int(v["n_frames"]) + 9) // 10 for aid, v in vids.items() if v["n_frames"]
+    }
+    assert {a: len(fs) for a, fs in by_asset.items()} == expected_counts
+    some = frames[0]
+    src = vids[some["asset_id"]]
+    assert some["ts_ms"] == some["frame_idx"] * 1000 // multimodal.FRAME_RATE
+    assert some["frame_md5"] == hashlib.md5(
+        bytes(src["payload"]) + f":frame{some['frame_idx']}".encode()
+    ).hexdigest()
