@@ -159,3 +159,24 @@ def test_sample_frames_expansion(spark, sf_dir):
     assert some["frame_md5"] == hashlib.md5(
         bytes(src["payload"]) + f":frame{some['frame_idx']}".encode()
     ).hexdigest()
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    """Learned-centroid IVF must recover most exact neighbors while
+    scoring only the probed cells (recall@5 ≥ 0.6 at 4/16 probes on the
+    driver corpus), and must return exactly k rows per query."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    qs = similarity.default_queries(embs)
+    exact = similarity.brute_force_topk(embs, qs, k=5).collect()
+    approx = similarity.ivf_kmeans_topk(embs, qs, k=5, n_centroids=16, n_probe=4).collect()
+    want: dict[int, set] = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(want)
+    assert all(len(v) == 5 for v in got.values())
+    hits = sum(len(want[q] & got[q]) for q in want)
+    recall = hits / sum(len(v) for v in want.values())
+    assert recall >= 0.6, f"recall@5 too low: {recall:.2f}"
