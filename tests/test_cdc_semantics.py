@@ -88,3 +88,29 @@ def test_enriched_golden_schema(spark, sf_dir):
         "engagement_seconds", "engagement_pct",
     }
     assert expected <= set(out.columns)
+
+
+def test_schema_drift_extra_fields_ignored(spark):
+    """Forward compatibility: Debezium adding columns (or envelope
+    fields like txId) must not break the declared-schema parse — the
+    consumed projection stays intact, unknown fields are skipped."""
+    drifted = spark.createDataFrame(
+        [
+            (
+                '{"payload": {"op": "c", "txId": 991, "after": '
+                '{"id": "41", "user_id": "7", "content_id": "3", "event_type": "view", '
+                '"device": "web", "duration_ms": 1500, "event_ts": "2024-01-01T00:00:05", '
+                '"raw_payload": "{}", "brand_new_column": "surprise"}, '
+                '"source": {"ts_ms": 1704067205000, "db": "app", "table": "engagement_events", '
+                '"sequence": "[1,2]"}}}',
+            ),
+            # bare-record shape with drifted extras
+            ('{"id": "42", "user_id": "8", "event_type": "click", "extra": [1, 2, 3]}',),
+        ],
+        "value string",
+    )
+    rows = {r["event_id"]: r for r in cdc.unwrap_engagement(drifted).collect()}
+    assert set(rows) == {41, 42}
+    assert rows[41]["duration_ms"] == 1500 and rows[41]["source_ts_ms"] == 1704067205000
+    assert rows[41]["event_type"] == "view"
+    assert rows[42]["event_type"] == "click" and rows[42]["duration_ms"] is None
