@@ -84,10 +84,14 @@ def quality_signals(documents: DataFrame) -> DataFrame:
     distinct_ratio = F.round(F.col("n_distinct").cast("double") / n_tok, 6)
     top_token_frac = F.round(F.col("max_cnt").cast("double") / n_tok, 6)
     mean_word_len = F.round(F.col("tok_chars").cast("double") / n_tok, 6)
-    out = base.join(hist, "doc_id").select(
+    # LEFT join: a document with no tokens at all has no histogram row
+    # but must still surface (as n_tokens=0, quality_ok=false) — a
+    # quality FILTER that silently loses rows would corrupt counts
+    # downstream.
+    out = base.join(hist, "doc_id", "left").select(
         "doc_id",
         "lang",
-        "n_tokens",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         distinct_ratio.alias("distinct_ratio"),
         top_token_frac.alias("top_token_frac"),
         "dup_bigram_frac",
@@ -141,14 +145,16 @@ def with_synthetic_pii(documents: DataFrame) -> Column | DataFrame:
     return documents.withColumn("text", text2)
 
 
-def pii_redact(documents: DataFrame) -> DataFrame:
+def pii_redact(documents: DataFrame, keep_text: bool = False) -> DataFrame:
     """Count and scrub emails / phones / IPv4s from ``text``.
 
     Pure per-row expressions (``regexp_count`` + a ``regexp_replace``
     chain, email first so its digits can't shadow the later numeric
     patterns) — no shuffle, no UDF; at 100 TB this is a map-only pass
     that fuses into the scan.  The redacted text is surfaced as an md5
-    so the result stays canonicalizable downstream.
+    so the result stays canonicalizable downstream; pass
+    ``keep_text=True`` to also get the redacted string (debugging /
+    downstream pipelines that consume the scrubbed corpus).
     """
     t = F.col("text")
     redacted = F.regexp_replace(
@@ -161,11 +167,14 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
     n_phones = F.regexp_count(t, F.lit(PHONE_RE))
     n_ips = F.regexp_count(t, F.lit(IP_RE))
-    return documents.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
         n_ips.alias("n_ips"),
         ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
         F.md5(redacted).alias("redacted_md5"),
-    )
+    ]
+    if keep_text:
+        cols.append(redacted.alias("redacted"))
+    return documents.select(*cols)

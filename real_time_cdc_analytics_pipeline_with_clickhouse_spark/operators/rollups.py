@@ -39,6 +39,44 @@ def hourly_rollup(enriched: DataFrame) -> DataFrame:
     )
 
 
+def fill_hourly_gaps(rollup: DataFrame) -> DataFrame:
+    """Dense hourly series per (content_type, event_type): hours with no
+    events between each group's first and last hour get explicit zero
+    rows — the ClickHouse ``ORDER BY ... WITH FILL STEP`` analog for
+    time-series consumers that need gapless axes.
+
+    Spark-native shape: per-group min/max (one combinable agg), then
+    ``sequence(h0, h1, interval 1 hour)`` + ``explode`` generates the
+    dense spine distributed (no driver loop, no UDF); the real rollup
+    left-joins back null-safely (content_type is null for dim misses —
+    a plain equi-join would silently zero those groups).  The spine is
+    groups × hours — proportional to the *rollup*, not the fact table.
+    """
+    spine = (
+        rollup.groupBy("content_type", "event_type")
+        .agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))
+        .select(
+            "content_type",
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"),
+        )
+    )
+    s, r = spine.alias("s"), rollup.alias("r")
+    cond = (
+        F.col("s.content_type").eqNullSafe(F.col("r.content_type"))
+        & F.col("s.event_type").eqNullSafe(F.col("r.event_type"))
+        & (F.col("s.hour_ts") == F.col("r.hour_ts"))
+    )
+    return s.join(r, cond, "left").select(
+        F.col("s.hour_ts").alias("hour_ts"),
+        F.col("s.content_type").alias("content_type"),
+        F.col("s.event_type").alias("event_type"),
+        F.coalesce(F.col("r.cnt"), F.lit(0)).alias("cnt"),
+        F.coalesce(F.col("r.total_score"), F.lit(0.0)).alias("total_score"),
+        F.col("r.cnt").isNull().alias("is_gap"),
+    )
+
+
 def dedup_latest_event_version(df: DataFrame, key: str = "event_id", version: str = "event_ts") -> DataFrame:
     """A2 — ReplacingMergeTree(event_ts) ORDER BY event_id semantics.
 

@@ -1033,8 +1033,8 @@ SELECT m.doc_id, m.lang, m.n_tokens, m.distinct_ratio, m.top_token_frac,
         AND coalesce(m.dup_bigram_frac, 0.0) <= 0.06
         AND m.mean_word_len BETWEEN 3.0 AND 10.0) AS quality_ok
 FROM (
-  SELECT a.doc_id, b.lang,
-         a.n_tokens,
+  SELECT b.doc_id, b.lang,
+         coalesce(a.n_tokens, 0) AS n_tokens,
          round(CAST(a.n_distinct AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS distinct_ratio,
          round(CAST(a.max_cnt AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS top_token_frac,
          CASE WHEN len(b.bg) > 0
@@ -1042,6 +1042,13 @@ FROM (
                          / CAST(len(b.bg) AS DOUBLE), 6) END AS dup_bigram_frac,
          round(CAST(a.tok_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS mean_word_len
   FROM (
+    SELECT doc_id, lang,
+      CASE WHEN len(toks) >= 2
+           THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+           ELSE CAST([] AS VARCHAR[]) END AS bg
+    FROM doc_toks
+  ) b
+  LEFT JOIN (
     SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
            max(cnt) AS max_cnt, sum(cnt * len(term)) AS tok_chars
     FROM (
@@ -1049,14 +1056,7 @@ FROM (
       FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
       GROUP BY 1, 2
     ) GROUP BY 1
-  ) a
-  JOIN (
-    SELECT doc_id, lang,
-      CASE WHEN len(toks) >= 2
-           THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
-           ELSE CAST([] AS VARCHAR[]) END AS bg
-    FROM doc_toks
-  ) b ON a.doc_id = b.doc_id
+  ) a ON a.doc_id = b.doc_id
 ) m
 """)
 
@@ -1086,4 +1086,31 @@ FROM (
                       || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END AS text2
   FROM documents
 )
+""")
+
+# hourly gap filling (rollups.fill_hourly_gaps twin) — dense hour spine
+# per group, zero rows where no events landed, null-safe group join
+ORACLE["rollup_gap_fill"] = q("""
+SELECT epoch_us(s.hour_ts) AS hour_ts_us, s.content_type, s.event_type,
+       coalesce(r.cnt, 0) AS cnt,
+       coalesce(r.total_score, 0.0) AS total_score,
+       r.cnt IS NULL AS is_gap
+FROM (
+  SELECT content_type, event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM (
+    SELECT content_type, event_type,
+           min(date_trunc('hour', event_ts)) AS h0,
+           max(date_trunc('hour', event_ts)) AS h1
+    FROM enriched GROUP BY 1, 2
+  )
+) s
+LEFT JOIN (
+  SELECT date_trunc('hour', event_ts) AS hour_ts, content_type, event_type,
+         count(*) AS cnt,
+         CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
+  FROM enriched GROUP BY 1, 2, 3
+) r ON s.content_type IS NOT DISTINCT FROM r.content_type
+   AND s.event_type IS NOT DISTINCT FROM r.event_type
+   AND s.hour_ts = r.hour_ts
 """)

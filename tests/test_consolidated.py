@@ -276,3 +276,16 @@ def test_dedup_exact_groups(spark, sf_dir, ducks):
     stays oracle-checked here)."""
     sdf = dedup.exact_dedup_groups(entrymod._docs_dup(spark, sf_dir))
     _check(sdf, ORACLE["dedup_exact"], ducks)
+
+
+def test_rollup_gap_fill(spark, sf_dir, ducks):
+    """WITH FILL analog: dense hourly spine with explicit zero rows,
+    null-safe on the nullable content_type group key."""
+    sdf = rollups.fill_hourly_gaps(
+        rollups.hourly_rollup(entrymod._enriched(spark, sf_dir))
+    ).select(
+        F.unix_micros("hour_ts").alias("hour_ts_us"),
+        "content_type", "event_type", "cnt", "total_score", "is_gap",
+    )
+    _check(sdf, ORACLE["rollup_gap_fill"], ducks)
+    assert sdf.where("is_gap").count() > 0, "fixture should contain real gaps"

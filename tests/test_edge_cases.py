@@ -68,3 +68,53 @@ def test_dim_with_all_deleted_keys(spark):
         "length_seconds long, is_delete boolean, source_ts_ms long",
     )
     assert enrich.compact_dim_latest(changes).count() == 0
+
+
+def test_quality_signals_keeps_tokenless_docs(spark):
+    """A document with no tokens must surface as n_tokens=0 /
+    quality_ok=false, not vanish from the quality report."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "!!! ... ###", "en", "s", 11),
+            (3, "real words here make a documentworth keeping around ok", "en", "s", 54),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in quality.quality_signals(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["quality_ok"] is False
+    assert rows[2]["n_tokens"] == 0 and rows[2]["quality_ok"] is False
+    assert rows[3]["n_tokens"] > 0
+
+
+def test_pii_redact_leaves_no_pattern_behind(spark):
+    """Redaction property: after the replace chain, none of the PII
+    regexes match the redacted text — including adversarial placements
+    (string edges, adjacency, multiples)."""
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import quality
+
+    texts = [
+        "a@b.co starts it and ends with x.y@example.org",
+        "call 555-1234 or 555-9999 from 10.0.0.1",
+        "mixed a.b-c_d@sub.domain.io 192.168.1.255 555-0000 tail",
+        "no pii at all",
+        "555-123 (too short) 1.2.3 (not an ip) not@tld (no dot)",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = quality.pii_redact(docs, keep_text=True)
+    residue = out.where(
+        (F.regexp_count("redacted", F.lit(quality.EMAIL_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(quality.PHONE_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(quality.IP_RE)) > 0)
+    ).collect()
+    assert not residue, residue
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert (got[0]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (2, 2, 1)
+    assert got[3]["has_pii"] is False and got[4]["has_pii"] is False
