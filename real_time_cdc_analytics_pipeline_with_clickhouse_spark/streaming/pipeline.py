@@ -263,6 +263,22 @@ def streaming_hourly_rollup(enriched: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sliding_counts(
+    enriched: DataFrame, length: str = "10 minutes", hop: str = "5 minutes"
+) -> DataFrame:
+    """T3+ — hopping (sliding) windows: each event lands in
+    length/hop overlapping windows, the smoothing variant of the
+    tumbling minute buckets (Spark assigns all containing windows at
+    map time; state per open window, watermark-evicted like any
+    windowed agg)."""
+    return enriched.groupBy(
+        F.window("event_ts", length, hop).alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("double").alias("total_score"),
+    )
+
+
 def streaming_minute_topk_source(enriched: DataFrame) -> DataFrame:
     """A6 upstream agg — 1-minute tumbling buckets per content (top-k
     ranking happens at read/serve time; rank-over-window isn't

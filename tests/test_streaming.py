@@ -312,3 +312,48 @@ def test_dedup_within_watermark_drops_redelivered_events(spark, sf_dir, tmp_path
     got = spark.read.parquet(out_dir).select("event_id", "event_ts", "duration_ms")
     want = cdc.unwrap_engagement(feed).select("event_id", "event_ts", "duration_ms")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_sliding_windows_equal_batch(spark, sf_dir, tmp_path):
+    """Hopping windows (10 min length, 5 min hop): the streaming
+    stateful agg must converge to the identical batch hopping-window
+    aggregation — every event in exactly length/hop windows."""
+    events = load_table(spark, sf_dir, "events").limit(500)
+    part = load_table(spark, sf_dir, "part")
+    feed = cdc_feed.engagement_cdc_json(events)
+    feed_dir = str(tmp_path / "feed_sw")
+    _write_feed_files(feed, feed_dir)
+    dim_dir = str(tmp_path / "dim_sw")
+    dim = enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part)))
+    dim.write.mode("overwrite").parquet(dim_dir)
+
+    enriched = sp.enriched_event_stream(spark, sp.read_json_lines_stream(spark, feed_dir), dim_dir)
+    q = (
+        sp.streaming_sliding_counts(enriched)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT w.start AS w_start, event_type, cnt, total_score FROM sliding_out"
+    )
+    want = (
+        enrich.enrich_events(cdc.unwrap_engagement(feed), dim)
+        .groupBy(F.window("event_ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("double").alias("total_score"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "total_score")
+    )
+    # each event appears in exactly 2 windows (10/5)
+    n_events = cdc.unwrap_engagement(feed).count()
+    assert want.agg(F.sum("cnt")).first()[0] == 2 * n_events
+    assert frame_rows(got.columns, [tuple(r) for r in got.collect()]) == frame_rows(
+        want.columns, [tuple(r) for r in want.collect()]
+    )
