@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "multimodal_features",  # Arrow-batched mapInPandas feature extraction
     "dedup_clusters",       # connected components over the LSH graph
     "pack_sequences",       # sharded applyInPandas packing fold
+    "quality_signals",      # explode + two-level additive agg + doc-keyed join
+    "pii_redact",           # map-only regex scrub (scan-fused)
 ]
 
 

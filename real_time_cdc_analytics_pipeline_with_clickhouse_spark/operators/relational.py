@@ -294,6 +294,38 @@ def window_order_analytics(orders: DataFrame) -> DataFrame:
     )
 
 
+def window_frame_analytics(orders: DataFrame) -> DataFrame:
+    """Window *frame* variants beyond the running-sum basics: bounded
+    ROWS moving average, lead, first_value, ntile and percent_rank —
+    one pass, one shuffle on the partition key (all five share the
+    per-customer sort, so Spark plans a single Window operator chain).
+
+    Money math in DECIMAL before the double cast; percent_rank rounded
+    (it divides by n-1, the one float in the pass) — cross-engine
+    deterministic with the orderkey tiebreak.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wmove = w.rowsBetween(-2, 0)
+    wprice = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        # exact decimal SUM over the frame, divided as double: avg-of-
+        # decimal would tie-break .005 differently per engine (HALF_UP
+        # vs HALF_EVEN); a /1,/2,/3 division of a 2dp sum can't land on
+        # a 4dp rounding boundary, so this is bit-deterministic
+        F.round(
+            F.sum(dec("o_totalprice")).over(wmove).cast("double")
+            / F.count("*").over(wmove),
+            4,
+        ).alias("moving_avg_3"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("first_orderkey"),
+        F.ntile(4).over(wprice).alias("price_quartile"),
+        F.round(F.percent_rank().over(wprice), 6).alias("price_pct_rank"),
+    )
+
+
 def pivot_event_types(events: DataFrame) -> DataFrame:
     """Pivot event counts per user (fixed pivot values → no extra scan)."""
     return (

@@ -1114,3 +1114,23 @@ LEFT JOIN (
    AND s.event_type IS NOT DISTINCT FROM r.event_type
    AND s.hour_ts = r.hour_ts
 """)
+
+# window frame variants (relational.window_frame_analytics twin)
+ORACLE["window_frames"] = q("""
+SELECT o_orderkey, o_custkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+       lead(o_orderkey, 1) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderkey,
+       first_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS first_orderkey,
+       ntile(4) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+       round(percent_rank() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey), 6) AS price_pct_rank
+FROM orders
+""")

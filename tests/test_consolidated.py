@@ -289,3 +289,15 @@ def test_rollup_gap_fill(spark, sf_dir, ducks):
     )
     _check(sdf, ORACLE["rollup_gap_fill"], ducks)
     assert sdf.where("is_gap").count() > 0, "fixture should contain real gaps"
+
+
+def test_window_frame_analytics(spark, sf_dir, ducks):
+    """Bounded-frame moving average, lead/first_value, ntile,
+    percent_rank (consolidated: shares window_analytics' single
+    per-customer Window chain)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        relational as R,
+    )
+
+    sdf = R.window_frame_analytics(load_table(spark, sf_dir, "orders"))
+    _check(sdf, ORACLE["window_frames"], ducks)

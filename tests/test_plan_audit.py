@@ -38,3 +38,15 @@ def test_no_unintended_cartesian_or_bnlj(name, spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a BroadcastNestedLoopJoin (not on the reviewed allow-list)"
         )
+
+
+def test_trending_anchor_reuses_rollup_exchange(spark, sf_dir):
+    """Perf regression guard: trending_recent's max-bucket anchor must
+    read the rollup's own shuffle (ReusedExchange / AQE stage reuse),
+    not re-parse the CDC feed a second time."""
+    df = QUERIES["trending_recent"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "(reused)" in executed, (
+        "anchor branch no longer reuses the rollup exchange"
+    )
