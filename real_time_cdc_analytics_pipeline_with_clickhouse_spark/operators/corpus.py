@@ -119,3 +119,45 @@ def pack_sequences(
         return pdf
 
     return docs.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def prepare_training_corpus(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """The full corpus-prep flow a pretraining pipeline runs, composed
+    from the engine's stages:
+
+        quality filter → PII redaction → fuzzy (MinHash-LSH) dedup →
+        content-hash split
+
+    Returns one row per *surviving* document: doc_id, lang, split,
+    n_tokens, redacted_md5.
+
+    Composition notes (100 TB stance): the quality gate and redaction
+    are scan-side; dedup is the banded-LSH sub-quadratic flow over
+    only the quality survivors (filter FIRST — junk docs never pay
+    shingle/minhash cost); the split is a free map-side column.  Each
+    stage is individually oracle-checked (quality_signals, pii_redact,
+    fuzzy_dedup_keep, hash_split); this composition is invariant-tested
+    (tests/test_corpus.py).
+    """
+    from .dedup import fuzzy_dedup_keep, hash_split
+    from .quality import pii_redact, quality_signals
+
+    keep_quality = quality_signals(documents).where(F.col("quality_ok")).select(
+        "doc_id", F.col("n_tokens")
+    )
+    gated = documents.join(keep_quality, "doc_id")
+    kept = fuzzy_dedup_keep(gated, threshold=jaccard_threshold).select("doc_id")
+    survivors = gated.join(kept, "doc_id")
+    red = pii_redact(survivors).select("doc_id", "redacted_md5")
+    split = hash_split(survivors, val_pct=val_pct, test_pct=test_pct).select("doc_id", "split")
+    return (
+        survivors.select("doc_id", "lang", "n_tokens")
+        .join(red, "doc_id")
+        .join(split, "doc_id")
+        .select("doc_id", "lang", "split", "n_tokens", "redacted_md5")
+    )

@@ -137,3 +137,36 @@ def test_pack_sequences_invariants_on_corpus(spark, sf_dir):
         .where(F.col("n") != F.col("mx") + 1)
     )
     assert dense.count() == 0
+
+
+def test_prepare_training_corpus_invariants(spark, sf_dir):
+    """Composed quality→redact→dedup→split flow: survivors are a
+    subset of quality passes, contain no verified near-dup pair, carry
+    a valid split, and the whole flow is deterministic."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        corpus,
+        dedup,
+        quality,
+    )
+
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents"))
+    out = corpus.prepare_training_corpus(docs)
+    rows = out.collect()
+    assert rows, "pipeline should keep something"
+    ids = {r["doc_id"] for r in rows}
+
+    ok_ids = {
+        r["doc_id"]
+        for r in quality.quality_signals(docs).where("quality_ok").collect()
+    }
+    assert ids <= ok_ids, "a quality-rejected doc survived"
+
+    # no surviving exact-duplicate pair (exact dups are Jaccard 1.0):
+    # of each constructed (doc_id, doc_id+100000) pair that passed the
+    # quality gate, at most one side may remain
+    paired = {i for i in ids if i >= 100000 and (i - 100000) in ids}
+    assert not paired, f"near-dup pairs survived dedup: {sorted(paired)[:5]}"
+
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    again = {(r["doc_id"], r["split"], r["redacted_md5"]) for r in corpus.prepare_training_corpus(docs).collect()}
+    assert again == {(r["doc_id"], r["split"], r["redacted_md5"]) for r in rows}
