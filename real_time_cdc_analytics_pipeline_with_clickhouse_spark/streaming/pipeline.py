@@ -263,6 +263,25 @@ def streaming_hourly_rollup(enriched: DataFrame) -> DataFrame:
     )
 
 
+def with_stream_metrics(enriched: DataFrame, name: str = "cdc_metrics") -> DataFrame:
+    """Pipeline observability (the Flink metrics-registry analog):
+    per-micro-batch counters computed INSIDE the stream — row count,
+    dimension misses, null timestamps, score total — surfaced via
+    ``StreamingQueryProgress.observedMetrics[name]``.
+
+    ``observe`` rides the existing plan as an accumulator-style
+    aggregate: zero extra passes, zero shuffles, works identically on
+    batch DataFrames (returned via ``Observation``).  At 100 TB this
+    is the difference between monitoring and a second job."""
+    return enriched.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("content_type").isNull(), 1).otherwise(0)).alias("n_dim_miss"),
+        F.sum(F.when(F.col("event_ts").isNull(), 1).otherwise(0)).alias("n_null_ts"),
+        F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("double").alias("score_sum"),
+    )
+
+
 def streaming_sliding_counts(
     enriched: DataFrame, length: str = "10 minutes", hop: str = "5 minutes"
 ) -> DataFrame:

@@ -357,3 +357,43 @@ def test_streaming_sliding_windows_equal_batch(spark, sf_dir, tmp_path):
     assert frame_rows(got.columns, [tuple(r) for r in got.collect()]) == frame_rows(
         want.columns, [tuple(r) for r in want.collect()]
     )
+
+
+def test_stream_metrics_observed_per_batch(spark, sf_dir, tmp_path):
+    """observe() metrics must report exactly the processed rows and
+    dim misses across micro-batches (summed over progress events) with
+    no extra pass over the data."""
+    events = load_table(spark, sf_dir, "events").limit(400)
+    part = load_table(spark, sf_dir, "part")
+    feed = cdc_feed.engagement_cdc_json(events)
+    feed_dir = str(tmp_path / "feed_obs")
+    _write_feed_files(feed, feed_dir)
+    dim_dir = str(tmp_path / "dim_obs")
+    dim = enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part)))
+    dim.write.mode("overwrite").parquet(dim_dir)
+
+    enriched = sp.with_stream_metrics(
+        sp.enriched_event_stream(spark, sp.read_json_lines_stream(spark, feed_dir), dim_dir)
+    )
+    q = (
+        enriched.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = list(q.recentProgress)
+    q.stop()
+
+    got_rows = sum(
+        p["observedMetrics"]["cdc_metrics"]["n_rows"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("cdc_metrics")
+    )
+    got_miss = sum(
+        p["observedMetrics"]["cdc_metrics"]["n_dim_miss"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("cdc_metrics")
+    )
+    batch = enrich.enrich_events(cdc.unwrap_engagement(feed), dim)
+    assert got_rows == batch.count()
+    assert got_miss == batch.where(F.col("content_type").isNull()).count()
