@@ -50,3 +50,39 @@ def test_trending_anchor_reuses_rollup_exchange(spark, sf_dir):
     assert "ReusedExchange" in executed or "(reused)" in executed, (
         "anchor branch no longer reuses the rollup exchange"
     )
+
+
+def test_aqe_splits_skewed_join(spark):
+    """T10 skew lever, demonstrated live: a 90%-one-key join with
+    thresholds scaled to the fixture must plan skew=true splits in the
+    final adaptive SortMergeJoin — the same mechanism that rescues a
+    hot-key shuffle at 100 TB (there with the default 256 MB
+    thresholds)."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        facts = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dims = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        agg = facts.join(dims, "k").groupBy().count()
+        assert agg.collect()[0][0] == 200000
+        executed = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
