@@ -99,3 +99,73 @@ def test_engagement_score_matches_model(spark, events):
     }
     for i, (t, d) in enumerate(events):
         assert got[i] == _model_score(t, d), (t, d, got[i], _model_score(t, d))
+
+
+_pii_text = st.lists(
+    st.one_of(
+        st.text(alphabet="abcdefghij XYZ.,-@", min_size=0, max_size=12),
+        st.sampled_from(
+            [
+                "bob@example.com",
+                "a.b-c_d@sub.domain.io",
+                "555-0134",
+                "call 555-9999 now",
+                "10.20.30.40",
+                "192.168.1.255",
+                "not@tld",
+                "555-12",
+                "1.2.3",
+            ]
+        ),
+    ),
+    min_size=0,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_pii_text, min_size=1, max_size=6))
+def test_pii_redaction_idempotent_and_clean(spark, texts):
+    """For arbitrary text with embedded PII fragments: (1) no PII
+    pattern survives redaction, (2) redaction is idempotent — the
+    placeholders contain no redactable substring."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = quality.pii_redact(docs, keep_text=True)
+    residue = once.where(
+        (F.regexp_count("redacted", F.lit(quality.EMAIL_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(quality.PHONE_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(quality.IP_RE)) > 0)
+    ).count()
+    assert residue == 0
+    twice = quality.pii_redact(
+        once.select("doc_id", F.col("redacted").alias("text")), keep_text=True
+    )
+    pairs = once.select("doc_id", "redacted").join(
+        twice.select("doc_id", F.col("redacted").alias("re2")), "doc_id"
+    )
+    assert pairs.where(F.col("redacted") != F.col("re2")).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(st.text(alphabet="abc d.!", min_size=0, max_size=30), min_size=1, max_size=6))
+def test_quality_metric_bounds(spark, texts):
+    """All ratio metrics live in [0,1] (or null), token counts are
+    non-negative, and every input doc comes back exactly once."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = quality.quality_signals(docs).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(texts)))
+    for r in rows:
+        assert r["n_tokens"] >= 0
+        for m in ("distinct_ratio", "top_token_frac", "dup_bigram_frac"):
+            v = r[m]
+            assert v is None or 0.0 <= v <= 1.0, (m, v)
+        assert r["mean_word_len"] is None or r["mean_word_len"] > 0
