@@ -161,3 +161,24 @@ def prepare_training_corpus(
         .join(split, "doc_id")
         .select("doc_id", "lang", "split", "n_tokens", "redacted_md5")
     )
+
+
+def heavy_hitter_terms(documents: DataFrame, support: float = 0.02) -> DataFrame:
+    """Approximate corpus-level heavy hitters: terms appearing in more
+    than ``support`` fraction of term occurrences, via Spark's
+    single-pass ``freqItems`` (Karp-Papadimitriou-Shenker counters).
+
+    Guarantee (and the test's invariant): the result is a SUPERSET of
+    the true heavy hitters — false positives possible, false negatives
+    not.  One pass, no shuffle beyond the explode; the exact
+    verification rollup (groupBy term) is what you run when the
+    candidate set must be confirmed — candidates first makes that
+    second pass a semi-join instead of a full aggregation at 100 TB.
+    """
+    toks = documents.select(F.explode(tokens(F.col("text"))).alias("term")).where(
+        F.col("term") != ""
+    )
+    hits = toks.freqItems(["term"], support=support).first()["term_freqItems"]
+    return documents.sparkSession.createDataFrame(
+        [(t,) for t in sorted(hits)], "term string"
+    )

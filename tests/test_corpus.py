@@ -170,3 +170,24 @@ def test_prepare_training_corpus_invariants(spark, sf_dir):
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     again = {(r["doc_id"], r["split"], r["redacted_md5"]) for r in corpus.prepare_training_corpus(docs).collect()}
     assert again == {(r["doc_id"], r["split"], r["redacted_md5"]) for r in rows}
+
+
+def test_heavy_hitters_superset_of_true(spark, sf_dir):
+    """freqItems guarantee: every term whose occurrence share exceeds
+    the support threshold must appear in the candidate set."""
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.text import tokens
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["term"] for r in corpus.heavy_hitter_terms(docs, support=0.02).collect()}
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term")).where(F.col("term") != "")
+    n = toks.count()
+    true_heavy = {
+        r["term"]
+        for r in toks.groupBy("term").count().where(F.col("count") > 0.02 * n).collect()
+    }
+    assert true_heavy, "fixture corpus should have heavy terms at 2%"
+    missing = true_heavy - got
+    assert not missing, f"freqItems dropped true heavy hitters: {sorted(missing)[:5]}"
