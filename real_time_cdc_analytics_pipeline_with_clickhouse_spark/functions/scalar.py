@@ -86,3 +86,27 @@ def portable_hash64(col: Column, seed: str = "") -> Column:
 def json_int(col: Column, path: str) -> Column:
     """P15 — ``get_json_object`` access into the props/raw_payload blob."""
     return F.get_json_object(col, path).cast("long")
+
+
+# --- MinHash permutation family (shared with the DuckDB oracle) -------------
+
+MINHASH_P = 1073741789  # largest prime below 2^30: products stay < 2^60
+
+
+def minhash_perm_consts(i: int) -> tuple[int, int]:
+    """(a_i, b_i) of the i-th universal-hash permutation
+    ``(a_i * h + b_i) mod MINHASH_P``.  Derived from fixed multipliers
+    so Spark and the oracle SQL generate the identical family."""
+    return (2654435761 * (i + 1)) % MINHASH_P, (40503 * i) % MINHASH_P
+
+
+def minhash_base(col: Column) -> Column:
+    """The shared 30-bit base hash: ONE md5 per value (the expensive
+    part), reduced mod MINHASH_P; the k permutations are then cheap
+    integer affine maps of it — ~k× less hashing than k seeded md5s."""
+    return portable_hash64(col, seed="mh:") % MINHASH_P
+
+
+def minhash_perm(base: Column, i: int) -> Column:
+    a, b = minhash_perm_consts(i)
+    return (F.lit(a) * base + F.lit(b)) % MINHASH_P

@@ -127,11 +127,21 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3, k: int = N_MINHASH) -> DataFrame:
-    """k-permutation MinHash signature per doc (long columns mh_0..mh_{k-1})."""
+    """k-permutation MinHash signature per doc (long columns mh_0..mh_{k-1}).
+
+    One md5 per shingle (the expensive part), then k cheap integer
+    affine permutations ``(a_i·h + b_i) mod p`` of the shared base —
+    the classic universal-hash construction, ~k× less hashing than k
+    seeded digests (subexpression elimination computes the base once
+    per row across all k aggregates).  Constants live in
+    ``functions.scalar`` so the DuckDB oracle generates the identical
+    family.
+    """
+    from ..functions.scalar import minhash_base, minhash_perm
+
     exploded = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
-    aggs = [
-        F.min(portable_hash64(F.col("shingle"), seed=f"s{i}:")).alias(f"mh_{i}") for i in range(k)
-    ]
+    base = minhash_base(F.col("shingle"))
+    aggs = [F.min(minhash_perm(base, i)).alias(f"mh_{i}") for i in range(k)]
     return exploded.groupBy("doc_id").agg(*aggs)
 
 

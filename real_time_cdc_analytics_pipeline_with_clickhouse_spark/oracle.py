@@ -534,8 +534,18 @@ WHERE round(CAST(n_common AS DOUBLE)
 """)
 
 _K, _BAND = 16, 4
+# one md5 base mod p, then k affine permutations — constants from
+# functions.scalar.minhash_perm_consts (single-sourced family)
+from .functions.scalar import MINHASH_P as _MHP
+from .functions.scalar import minhash_perm_consts as _mh_ab
+
+_mh_base = f"({_h('shingle', 'mh:')} % {_MHP})"
+_mh_ab0a = _mh_ab(0)[0]  # b_0 = 0, so mh_0 = (a_0 * base) % p
 _mh_cols = ",\n         ".join(
-    f"min({_h('shingle', f's{i}:')}) AS mh_{i}" for i in range(_K)
+    "min(({a} * {base} + {b}) % {p}) AS mh_{i}".format(
+        a=_mh_ab(i)[0], b=_mh_ab(i)[1], base=_mh_base, p=_MHP, i=i
+    )
+    for i in range(_K)
 )
 _band_selects = "\n  UNION ALL\n".join(
     "  SELECT doc_id, {b} AS band_id, concat_ws('_', {ks}) AS band_key FROM sig".format(
@@ -674,7 +684,7 @@ FROM (
   FROM doc_toks
 ) t
 LEFT JOIN (
-  SELECT doc_id, min({_h('shingle', 's0:')}) AS min_shingle_hash
+  SELECT doc_id, min(({_mh_ab0a} * ({_h('shingle', 'mh:')} % {_MHP})) % {_MHP}) AS min_shingle_hash
   FROM shingle_x GROUP BY doc_id
 ) s ON t.doc_id = s.doc_id
 LEFT JOIN ({_simhash_sql("doc_toks")}) f ON t.doc_id = f.doc_id
