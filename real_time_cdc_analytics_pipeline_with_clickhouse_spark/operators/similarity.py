@@ -213,3 +213,49 @@ def ivf_kmeans_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding (+ member count, mean norm): the
+    vector-analytics rollup behind cluster inspection and IVF cell
+    seeding.
+
+    Element-wise mean via ``posexplode`` → (label, dim) partial
+    averages → re-assembled in dim order with ``array_agg`` over a
+    sorted collect — two combinable aggregations, shuffle keyed by
+    (label, dim) then label; never a per-row Python loop.  Rounded 6dp
+    so the assembled array is canonical cross-engine.
+    """
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    by_dim = exploded.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    # element encoded as integer micro-units: double→string formatting
+    # is engine-specific (scientific notation thresholds), integers are
+    # not
+    micro = F.round(F.col("m") * 1_000_000).cast("long")
+    centroid = (
+        by_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", micro.alias("um")))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda s: s["um"].cast("string")).alias("centroid"),
+        )
+    )
+    stats = embeddings.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(norm(F.col("embedding"))), 6).alias("mean_norm"),
+    )
+    return (
+        stats.join(centroid, "label")
+        .select(
+            "label",
+            "n_vecs",
+            "mean_norm",
+            F.concat_ws(",", "centroid").alias("centroid_um_csv"),
+        )
+    )

@@ -1144,3 +1144,30 @@ SELECT o_orderkey, o_custkey,
          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey), 6) AS price_pct_rank
 FROM orders
 """)
+
+# per-label vector centroid rollup (similarity.label_centroids twin);
+# centroid surfaced as a csv of 6dp means so the row canonicalizes
+ORACLE["label_centroids"] = q("""
+SELECT s.label, s.n_vecs, s.mean_norm,
+       array_to_string(c.centroid, ',') AS centroid_um_csv
+FROM (
+  SELECT label, count(*) AS n_vecs,
+         round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))), 6) AS mean_norm
+  FROM embeddings GROUP BY 1
+) s
+JOIN (
+  SELECT label,
+         list(CAST(CAST(round(m * 1000000, 0) AS BIGINT) AS VARCHAR) ORDER BY dim)
+           AS centroid
+  FROM (
+    SELECT label, CAST(i AS INT) - 1 AS dim, avg(x) AS m
+    FROM (
+      -- parallel unnests zip: (value, 1-based position)
+      SELECT label, unnest(embedding) AS x,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+) c ON s.label = c.label
+""")

@@ -301,3 +301,14 @@ def test_window_frame_analytics(spark, sf_dir, ducks):
 
     sdf = R.window_frame_analytics(load_table(spark, sf_dir, "orders"))
     _check(sdf, ORACLE["window_frames"], ducks)
+
+
+def test_label_centroids(spark, sf_dir, ducks):
+    """Per-label mean embedding rollup (posexplode → dim-keyed partial
+    averages → ordered reassembly), DuckDB-twinned."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        similarity,
+    )
+
+    sdf = similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    _check(sdf, ORACLE["label_centroids"], ducks)
