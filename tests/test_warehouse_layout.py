@@ -98,3 +98,33 @@ def test_key_sort_gives_rowgroup_stats(spark, sf_dir, tmp_path):
     plan = plan_string(lookup)
     assert "PushedFilters" in plan and "EqualTo(event_id,101)" in plan
     assert lookup.count() == 1
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """Downstream schema drift: a later month written with an extra
+    column must be readable together with old months via mergeSchema —
+    old rows surface the new column as null, no rewrite of history."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path / "wh_evolve")
+    base = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.lit("202401").alias("event_month"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    base.write.partitionBy("event_month").parquet(wh)
+    evolved = spark.range(10, 15).select(
+        F.col("id").alias("event_id"),
+        F.lit("202402").alias("event_month"),
+        (F.col("id") * 1.5).alias("score"),
+        F.lit("web").alias("platform"),  # new column appears in Feb
+    )
+    evolved.write.mode("append").partitionBy("event_month").parquet(wh)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(wh)
+    assert "platform" in merged.columns
+    assert merged.count() == 15
+    jan = merged.where(F.col("event_month") == "202401")
+    assert jan.where(F.col("platform").isNull()).count() == jan.count()
+    feb = merged.where(F.col("event_month") == "202402")
+    assert feb.where(F.col("platform") == "web").count() == 5
