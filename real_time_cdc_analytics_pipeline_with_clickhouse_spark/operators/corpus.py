@@ -182,3 +182,51 @@ def heavy_hitter_terms(documents: DataFrame, support: float = 0.02) -> DataFrame
     return documents.sparkSession.createDataFrame(
         [(t,) for t in sorted(hits)], "term string"
     )
+
+
+CDC_WINDOW = 8       # rolling window width (chars)
+CDC_DIVISOR = 64     # expected chunk size ≈ divisor chars
+CDC_CHUNK_SCHEMA = "doc_id long, chunk_idx int, chunk string"
+
+
+def content_defined_chunks(
+    documents: DataFrame, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the hash of the trailing ``window`` characters ≡ 0 (mod
+    ``divisor``) — boundaries follow CONTENT, so an edit near the start
+    moves only the chunks it touches, and identical passages chunk
+    identically across documents (the property fixed-size chunking
+    lacks, and why dedup/embedding pipelines chunk this way).
+
+    Pure array expressions: per-position window hashes via
+    ``transform(sequence(...))`` + ``xxhash64`` (every position
+    independent — the "rolling" hash parallelizes trivially), boundary
+    filter, then slice between consecutive boundaries and explode.
+    O(total chars) hashing, no shuffle, no UDF.
+    """
+    txt = normalize_text(F.col("text"))
+    n = F.length(txt)
+    # candidate boundary AFTER position i (1-based, i >= window)
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(window), n),
+            lambda i: F.when(
+                F.xxhash64(txt.substr(i - window + 1, F.lit(window))) % divisor == 0,
+                i,
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    starts = F.slice(bounds, 1, F.size(bounds) - 1)
+    chunks = F.zip_with(
+        starts,
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda a, b: txt.substr(a + 1, b - a),
+    )
+    out = documents.select(
+        "doc_id",
+        F.posexplode(F.filter(chunks, lambda c: F.length(c) > 0)).alias("chunk_idx", "chunk"),
+    )
+    return out

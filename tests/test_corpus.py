@@ -191,3 +191,32 @@ def test_heavy_hitters_superset_of_true(spark, sf_dir):
     assert true_heavy, "fixture corpus should have heavy terms at 2%"
     missing = true_heavy - got
     assert not missing, f"freqItems dropped true heavy hitters: {sorted(missing)[:5]}"
+
+
+def test_content_defined_chunks_reassemble_and_stability(spark, sf_dir):
+    """Chunks must concatenate back to the normalized text, and a
+    prefix edit must leave the boundary structure after the edit
+    region intact (the content-defined property — fixed-size chunking
+    would shift every later chunk)."""
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.text import (
+        normalize_text,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    chunks = corpus.content_defined_chunks(docs)
+    rejoined = chunks.orderBy("doc_id", "chunk_idx").groupBy("doc_id").agg(
+        F.concat_ws("", F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))).getField("chunk")).alias("glued")
+    )
+    orig = docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    bad = rejoined.join(orig, "doc_id").where(F.col("glued") != F.col("norm")).count()
+    assert bad == 0
+
+    edited = docs.select("doc_id", F.concat(F.lit("zzedit marker "), F.col("text")).alias("text"))
+    a = {(r["doc_id"], r["chunk"]) for r in chunks.collect()}
+    b = {(r["doc_id"], r["chunk"]) for r in corpus.content_defined_chunks(edited).collect()}
+    # shared chunks despite the prefix edit: boundaries resynchronize
+    overlap = len(a & b) / max(1, len(a))
+    assert overlap > 0.5, f"content-defined boundaries did not resync: {overlap:.2f}"
