@@ -83,9 +83,20 @@ def dedup_latest_event_version(df: DataFrame, key: str = "event_id", version: st
     Keep the max-version row per key.  The reference dedups lazily at
     merge time (duplicate-visible until then); applying it as a view /
     write-time compaction is the same end state, made exact.
+
+    ``max_by`` instead of a row_number window: a hash aggregate with
+    map-side partial merge — duplicates collapse BEFORE the shuffle
+    (a replayed stream re-sends the same rows to the same map tasks),
+    and no per-key sort.  Version ties are arbitrary in both
+    formulations; re-deliveries carry identical payloads, so either
+    pick is the same row.
     """
-    w = Window.partitionBy(key).orderBy(F.col(version).desc())
-    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    others = [c for c in df.columns if c != key]
+    return (
+        df.groupBy(key)
+        .agg(F.max_by(F.struct(*others), F.col(version)).alias("_r"))
+        .select(key, "_r.*")
+    )
 
 
 def user_leaderboard(enriched: DataFrame) -> DataFrame:
