@@ -12,7 +12,7 @@ the exact property the reference gets from Flink broadcast state.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from .cdc import enriched_columns
 
@@ -24,15 +24,18 @@ def compact_dim_latest(changes: DataFrame) -> DataFrame:
     ``is_delete`` participates in the tiebreak so a same-millisecond
     delete beats its predecessor, matching arrival-order overwrite in
     the reference's map state.
+
+    ``max_by`` on (source_ts_ms, is_delete): combinable hash
+    aggregate — version history collapses map-side before the shuffle
+    (a long CDC backlog compacts in one pass), no per-key sort.
     """
-    w = Window.partitionBy("id").orderBy(
-        F.col("source_ts_ms").desc(), F.col("is_delete").desc()
+    others = [c for c in changes.columns if c != "id"]
+    latest = (
+        changes.groupBy("id")
+        .agg(F.max_by(F.struct(*others), F.struct("source_ts_ms", "is_delete")).alias("_r"))
+        .select("id", "_r.*")
     )
-    return (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & ~F.col("is_delete"))
-        .drop("_rn", "is_delete")
-    )
+    return latest.where(~F.col("is_delete")).drop("is_delete")
 
 
 def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:

@@ -132,12 +132,18 @@ def event_counters(enriched: DataFrame) -> DataFrame:
 
 
 def latest_event(enriched: DataFrame) -> DataFrame:
-    """A8 — last event per (user, content), the Redis SETEX key."""
-    w = Window.partitionBy("user_id", "content_id").orderBy(
-        F.col("event_ts").desc(), F.col("event_id").desc()
-    )
+    """A8 — last event per (user, content), the Redis SETEX key.
+
+    ``max_by`` on (event_ts, event_id): combinable hash aggregate, no
+    per-key sort (same rationale as ``dedup_latest_event_version``);
+    the event_id tiebreak keeps same-second events deterministic.
+    """
+    keys = ["user_id", "content_id"]
+    others = [c for c in enriched.columns if c not in keys]
     return (
-        enriched.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        enriched.groupBy(*keys)
+        .agg(F.max_by(F.struct(*others), F.struct("event_ts", "event_id")).alias("_r"))
+        .select(*keys, "_r.*")
     )
 
 
