@@ -178,3 +178,34 @@ def pii_redact(documents: DataFrame, keep_text: bool = False) -> DataFrame:
     if keep_text:
         cols.append(redacted.alias("redacted"))
     return documents.select(*cols)
+
+
+def unigram_logprob_score(documents: DataFrame) -> DataFrame:
+    """Per-document mean unigram negative log-probability — the
+    information-theoretic quality/novelty signal (a document of rare
+    tokens scores high, boilerplate scores low; the cheap proxy for a
+    language-model perplexity filter).
+
+    Two additive aggregations (corpus unigram counts; per-doc sums
+    after an equi-join on term) — the same shuffle shape as TF-IDF;
+    the corpus-total row rides along as a broadcast scalar.  Rounded
+    6dp over double math identical in DuckDB.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))),
+                6,
+            ).alias("mean_neg_logp"),
+        )
+    )
+    return scored

@@ -1171,3 +1171,27 @@ JOIN (
   ) GROUP BY 1
 ) c ON s.label = c.label
 """)
+
+# per-doc mean unigram -log p (quality.unigram_logprob_score twin)
+ORACLE["unigram_logprob"] = q("""
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(CAST(f.tf AS DOUBLE) / CAST(n.n_total AS DOUBLE))), 6)
+         AS mean_neg_logp
+FROM (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+) t
+JOIN (
+  SELECT term, count(*) AS tf FROM (
+    SELECT t AS term
+    FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+  ) GROUP BY 1
+) f ON t.term = f.term
+CROSS JOIN (
+  SELECT count(*) AS n_total FROM (
+    SELECT t FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+  )
+) n
+GROUP BY 1
+""")

@@ -312,3 +312,11 @@ def test_label_centroids(spark, sf_dir, ducks):
 
     sdf = similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
     _check(sdf, ORACLE["label_centroids"], ducks)
+
+
+def test_unigram_logprob(spark, sf_dir, ducks):
+    """Mean unigram -log p quality/novelty signal, DuckDB-twinned."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import quality
+
+    sdf = quality.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+    _check(sdf, ORACLE["unigram_logprob"], ducks)

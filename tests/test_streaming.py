@@ -397,3 +397,26 @@ def test_stream_metrics_observed_per_batch(spark, sf_dir, tmp_path):
     batch = enrich.enrich_events(cdc.unwrap_engagement(feed), dim)
     assert got_rows == batch.count()
     assert got_miss == batch.where(F.col("content_type").isNull()).count()
+
+
+def test_available_now_trigger_drains_and_terminates(spark, sf_dir, tmp_path):
+    """T9 backfill mode: availableNow processes the existing backlog in
+    bounded micro-batches and terminates on its own — the batch-drain
+    trigger a scheduled backfill job uses (no manual stop)."""
+    events = load_table(spark, sf_dir, "events").limit(300)
+    feed = cdc_feed.engagement_cdc_json(events).selectExpr("value")
+    feed_dir = str(tmp_path / "feed_an")
+    _write_feed_files(feed, feed_dir)
+
+    out_dir = str(tmp_path / "out_an")
+    stream = cdc.unwrap_engagement(sp.read_json_lines_stream(spark, feed_dir))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_an"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    got = spark.read.parquet(out_dir).count()
+    assert got == cdc.unwrap_engagement(feed).count()
