@@ -180,3 +180,15 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     hits = sum(len(want[q] & got[q]) for q in want)
     recall = hits / sum(len(v) for v in want.values())
     assert recall >= 0.6, f"recall@5 too low: {recall:.2f}"
+
+
+def test_hash_split_no_content_leakage(spark, sf_dir):
+    """Content-keyed splitting: an exact duplicate (same text, new id)
+    must land in the SAME split as its original — id-keyed splitting
+    would leak train text into test via re-crawls."""
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents"))
+    split = {r["doc_id"]: r["split"] for r in dedup.hash_split(docs).collect()}
+    dup_ids = [i for i in split if i >= 100000]
+    assert dup_ids, "fixture should contain constructed duplicates"
+    mismatched = [i for i in dup_ids if split[i] != split[i - 100000]]
+    assert not mismatched, f"duplicates split differently: {mismatched[:5]}"
