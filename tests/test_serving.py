@@ -1,0 +1,47 @@
+"""Serving lookup API (§3.3): getters must return the operator-computed
+values and their predicates must prune/push into the scans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark import serving
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import rollups
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import plan_string
+
+import __spark_entry__ as entrymod
+
+
+def test_serving_lookups_match_operators_and_prune(spark, sf_dir, tmp_path):
+    enriched = entrymod._enriched(spark, sf_dir)
+    base = str(tmp_path / "serving")
+    serving.materialize_serving_tables(enriched, base)
+
+    # pick a real (user, content) pair
+    some = rollups.latest_event(enriched).select("user_id", "content_id").first()
+    uid, cid = some["user_id"], some["content_id"]
+
+    lb = serving.get_user_leaderboard(spark, base, uid)
+    want_lb = (
+        rollups.user_leaderboard(enriched)
+        .where(F.col("user_id") == uid)
+        .where(F.col("rnk") <= 10)
+    )
+    assert sorted(map(tuple, lb.select(*want_lb.columns).collect())) == sorted(
+        map(tuple, want_lb.collect())
+    )
+    # per-user read prunes to the user's bucket partition
+    lb_plan = plan_string(lb)
+    assert "user_bucket" in lb_plan and "PartitionFilters" in lb_plan
+
+    le = serving.get_latest_event(spark, base, uid, cid)
+    assert le.count() == 1
+    le_plan = plan_string(le)
+    assert "PushedFilters" in le_plan and f"EqualTo(user_id,{uid})" in le_plan
+
+    ec = serving.get_event_counter(spark, base, "view").collect()
+    want_ec = rollups.event_counters(enriched).where(F.col("event_type") == "view").collect()
+    assert [tuple(r) for r in ec] == [tuple(r) for r in want_ec]
+
+    tr = serving.get_trending(spark, base)
+    assert tr.count() > 0
