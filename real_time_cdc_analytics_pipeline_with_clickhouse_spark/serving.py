@@ -28,8 +28,7 @@ def materialize_serving_tables(enriched: DataFrame, base_dir: str) -> None:
     directory — the layout analog of Redis key sharding — without
     creating millions of tiny single-user partitions."""
     (
-        rollups.user_leaderboard(enriched)
-        .withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(1024)))
+        _leaderboard_state(enriched)
         .write.mode("overwrite")
         .partitionBy("user_bucket")
         .parquet(f"{base_dir}/user_leaderboard")
@@ -39,14 +38,98 @@ def materialize_serving_tables(enriched: DataFrame, base_dir: str) -> None:
     rollups.trending_recent(enriched).write.mode("overwrite").parquet(f"{base_dir}/trending")
 
 
+N_BUCKETS = 1024
+
+
+def _leaderboard_state(enriched: DataFrame) -> DataFrame:
+    """(user, content) → exact decimal score partials + bucket + rank.
+
+    Scores are stored as DECIMAL so increments merge exactly — an
+    incrementally maintained table stays bit-identical to a full
+    recompute regardless of batch arrival order."""
+    agg = enriched.groupBy("user_id", "content_id").agg(
+        F.sum(F.col("engagement_score").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("score_dec")
+    )
+    return _rank_state(agg)
+
+
+def _rank_state(agg: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("score_dec").desc(), F.col("content_id"))
+    return (
+        agg.withColumn("total_score", F.col("score_dec").cast("double"))
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
+    )
+
+
+def merge_leaderboard_increment(spark: SparkSession, base_dir: str, new_enriched: DataFrame) -> None:
+    """Fold a micro-batch into the stored leaderboard incrementally —
+    the warehouse's partition-scoped MERGE pattern generalized from
+    time partitions to key-space buckets:
+
+    1. decimal score deltas per (user, content) from the batch only;
+    2. the affected ``user_bucket`` set (≤ N_BUCKETS, a bounded
+       collect) prunes the read — untouched buckets are never read or
+       written;
+    3. merge = additive decimal sum, then re-rank ONLY the affected
+       buckets' users;
+    4. dynamic partition overwrite commits just those buckets.
+
+    Exactness: decimal addition is associative/commutative, so any
+    batch arrival order lands bit-identical to a full recompute
+    (tested).
+    """
+    delta = new_enriched.groupBy("user_id", "content_id").agg(
+        F.sum(F.col("engagement_score").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("score_dec")
+    ).withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
+    delta.persist()
+    try:
+        buckets = [r[0] for r in delta.select("user_bucket").distinct().collect()]
+        if not buckets:
+            return
+        path = f"{base_dir}/user_leaderboard"
+        current = (
+            spark.read.parquet(path)
+            .where(F.col("user_bucket").isin(buckets))
+            .select("user_id", "content_id", "score_dec", "user_bucket")
+        )
+        merged = (
+            current.unionByName(delta)
+            .groupBy("user_id", "content_id", "user_bucket")
+            .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
+        )
+        ranked = _rank_state(merged.drop("user_bucket"))
+        staging = path.rstrip("/") + "_staging"
+        ranked.write.mode("overwrite").partitionBy("user_bucket").parquet(staging)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .partitionBy("user_bucket")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        delta.unpersist()
+
+
 def get_user_leaderboard(spark: SparkSession, base_dir: str, user_id: int, k: int = 10) -> DataFrame:
     """ZREVRANGE user_engagement:{user} 0 k — ranked contents."""
     return (
         spark.read.parquet(f"{base_dir}/user_leaderboard")
-        .where((F.col("user_bucket") == user_id % 1024) & (F.col("user_id") == user_id))
+        .where((F.col("user_bucket") == user_id % N_BUCKETS) & (F.col("user_id") == user_id))
         .where(F.col("rnk") <= k)
         .orderBy("rnk")
-        .drop("user_bucket")
+        .drop("user_bucket", "score_dec")
     )
 
 

@@ -45,3 +45,47 @@ def test_serving_lookups_match_operators_and_prune(spark, sf_dir, tmp_path):
 
     tr = serving.get_trending(spark, base)
     assert tr.count() > 0
+
+
+def test_incremental_leaderboard_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Partition-scoped incremental maintenance: materialize from the
+    first half of the stream, fold the second half in as an increment —
+    the table must be bit-identical to a full recompute, and untouched
+    user buckets must keep their original files."""
+    import os
+
+    enriched = entrymod._enriched(spark, sf_dir).persist()
+    first = enriched.where(F.col("event_id") % 2 == 0)
+    second = enriched.where(F.col("event_id") % 2 == 1)
+
+    base_inc = str(tmp_path / "inc")
+    serving.materialize_serving_tables(first, base_inc)
+    # restrict the increment to a small user set so most buckets are untouched
+    small = second.where(F.col("user_id") % 97 == 0)
+    lb_dir = f"{base_inc}/user_leaderboard"
+    untouched_bucket_files = {
+        d: sorted(os.listdir(f"{lb_dir}/{d}"))
+        for d in os.listdir(lb_dir)
+        if d.startswith("user_bucket=")
+    }
+    serving.merge_leaderboard_increment(spark, base_inc, small)
+
+    base_full = str(tmp_path / "full")
+    serving.materialize_serving_tables(first.unionByName(small), base_full)
+
+    got = spark.read.parquet(f"{base_inc}/user_leaderboard").select(
+        "user_id", "content_id", "total_score", "rnk"
+    )
+    want = spark.read.parquet(f"{base_full}/user_leaderboard").select(
+        "user_id", "content_id", "total_score", "rnk"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    touched = {
+        f"user_bucket={int(r[0]) % serving.N_BUCKETS}"
+        for r in small.select("user_id").distinct().collect()
+    }
+    for d, files in untouched_bucket_files.items():
+        if d not in touched:
+            assert sorted(os.listdir(f"{lb_dir}/{d}")) == files, f"{d} was rewritten"
+    enriched.unpersist()
