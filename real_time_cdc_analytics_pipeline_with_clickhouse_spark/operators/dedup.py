@@ -214,6 +214,46 @@ def simhash_dup_pairs(documents: DataFrame, bits: int = 32) -> DataFrame:
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash").alias("simhash"))
 
 
+def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 1) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ ``max_hamming`` (default 1)
+    by bit-flip multiprobing: each fingerprint emits itself plus its
+    ``bits`` single-bit flips, candidates come from an equi-join of
+    probes against exact fingerprints — still sub-quadratic (probe
+    table = 33× the tiny fingerprint table, never the corpus²), the
+    standard radius-1 widening of the hamming-0 bucket join.  True
+    hamming distance is verified on the candidates with ``bit_count``.
+    """
+    fp = simhash_fingerprints(documents, bits)
+    probes = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[F.col("simhash").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+            )
+        ).alias("probe"),
+    )
+    exact = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("probe"))
+    cand = (
+        probes.join(exact, "probe")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def hash_split(documents: DataFrame, val_pct: int = 5, test_pct: int = 5) -> DataFrame:
     """Deterministic train/val/test assignment by content hash.
 

@@ -1195,3 +1195,24 @@ CROSS JOIN (
 ) n
 GROUP BY 1
 """)
+
+# hamming<=1 SimHash pairs via bit-flip multiprobe (dedup.simhash_near_pairs twin)
+ORACLE["simhash_near_pairs"] = q(f"""
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT c.doc_a, c.doc_b,
+         CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+  FROM (
+    SELECT DISTINCT p.doc_id AS doc_a, e.doc_id AS doc_b
+    FROM (
+      SELECT doc_id,
+             CASE WHEN b = -1 THEN simhash
+                  ELSE xor(simhash, (CAST(1 AS BIGINT) << b)) END AS probe
+      FROM ({_simhash_sql("doc_toks_dup")}),
+           (SELECT unnest(generate_series(-1, 31)) AS b)
+    ) p
+    JOIN ({_simhash_sql("doc_toks_dup")}) e ON p.probe = e.simhash AND p.doc_id < e.doc_id
+  ) c
+  JOIN ({_simhash_sql("doc_toks_dup")}) fa ON fa.doc_id = c.doc_a
+  JOIN ({_simhash_sql("doc_toks_dup")}) fb ON fb.doc_id = c.doc_b
+) WHERE hamming <= 1
+""")

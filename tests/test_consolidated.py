@@ -320,3 +320,15 @@ def test_unigram_logprob(spark, sf_dir, ducks):
 
     sdf = quality.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
     _check(sdf, ORACLE["unigram_logprob"], ducks)
+
+
+def test_simhash_near_pairs(spark, sf_dir, ducks):
+    """Radius-1 SimHash multiprobe (bit-flip candidates, verified
+    hamming), DuckDB-twinned; must be a superset of the hamming-0
+    pairs."""
+    docs = entrymod._docs_dup(spark, sf_dir)
+    sdf = dedup.simhash_near_pairs(docs)
+    _check(sdf, ORACLE["simhash_near_pairs"], ducks)
+    zero = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_dup_pairs(docs).collect()}
+    near = {(r["doc_a"], r["doc_b"]) for r in sdf.collect()}
+    assert zero <= near
