@@ -1216,3 +1216,19 @@ SELECT doc_a, doc_b, hamming FROM (
   JOIN ({_simhash_sql("doc_toks_dup")}) fb ON fb.doc_id = c.doc_b
 ) WHERE hamming <= 1
 """)
+
+# hopping-window agg twin (10 min windows, 5 min hop): every event is in
+# exactly two windows — its 5-min-aligned bucket and the one before
+ORACLE["hopping_window_counts"] = q("""
+SELECT epoch_us(w_start) AS w_start_us, event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(engagement_score AS DECIMAL(18,2))) AS DOUBLE) AS total_score
+FROM (
+  SELECT e.*, unnest([b, b - INTERVAL 5 MINUTE]) AS w_start
+  FROM (
+    SELECT *, to_timestamp(CAST(floor(epoch(event_ts) / 300) * 300 AS BIGINT)) AS b
+    FROM enriched
+  ) e
+)
+GROUP BY 1, 2
+""")

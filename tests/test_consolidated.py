@@ -332,3 +332,18 @@ def test_simhash_near_pairs(spark, sf_dir, ducks):
     zero = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_dup_pairs(docs).collect()}
     near = {(r["doc_a"], r["doc_b"]) for r in sdf.collect()}
     assert zero <= near
+
+
+def test_hopping_window_counts(spark, sf_dir, ducks):
+    """Batch hopping-window agg (10 min / 5 min) against a DuckDB twin
+    that materializes each event's two containing windows explicitly."""
+    sdf = (
+        entrymod._enriched(spark, sf_dir)
+        .groupBy(F.window("event_ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("engagement_score").cast("decimal(18,2)")).cast("double").alias("total_score"),
+        )
+        .select(F.unix_micros("w.start").alias("w_start_us"), "event_type", "cnt", "total_score")
+    )
+    _check(sdf, ORACLE["hopping_window_counts"], ducks)
