@@ -295,7 +295,10 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("term") != "")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # doc length and document frequency both derive from the (much
+    # smaller) tf table — the exploded token stream is aggregated
+    # exactly once
+    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = documents.agg(F.count("*").alias("n_docs"))
     scored = (

@@ -420,3 +420,40 @@ def test_available_now_trigger_drains_and_terminates(spark, sf_dir, tmp_path):
     assert q.awaitTermination(120), "availableNow query did not self-terminate"
     got = spark.read.parquet(out_dir).count()
     assert got == cdc.unwrap_engagement(feed).count()
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """Stateful merging session windows (30 s gap) in the stream must
+    converge to the batch session_window aggregation — the native
+    analog of the batch sessionize operator's gap logic."""
+    events = load_table(spark, sf_dir, "events").limit(400)
+    feed = cdc_feed.engagement_cdc_json(events).selectExpr("value")
+    feed_dir = str(tmp_path / "feed_sess")
+    _write_feed_files(feed, feed_dir)
+
+    stream = cdc.unwrap_engagement(sp.read_json_lines_stream(spark, feed_dir)).withWatermark(
+        "event_ts", "30 seconds"
+    )
+    agg = stream.groupBy(
+        F.session_window("event_ts", "30 seconds").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT w.start AS s, w.end AS e, user_id, n_events FROM sess_out")
+    want = (
+        cdc.unwrap_engagement(feed)
+        .groupBy(F.session_window("event_ts", "30 seconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "user_id", "n_events")
+    )
+    assert frame_rows(got.columns, [tuple(r) for r in got.collect()]) == frame_rows(
+        want.columns, [tuple(r) for r in want.collect()]
+    )
