@@ -505,3 +505,40 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits
         ).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = 3, min_overlap: int = 2
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_overlap`` distinct word n-grams with an evaluation set
+    (the standard guard against test-set leakage into training data).
+
+    Scale shape: benchmark shingles are DISTINCT n-grams of the (small)
+    eval corpus; the overlap count is one equi-join on the shingle key
+    against the training side's exploded shingles + a doc-keyed count —
+    sub-quadratic, no cartesian, and the training corpus never
+    broadcasts.  Returns every input doc with ``n_overlap`` and a
+    ``contaminated`` flag.
+    """
+    bench_sh = (
+        _doc_shingles(benchmark, n)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    doc_sh = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
+    overlap = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

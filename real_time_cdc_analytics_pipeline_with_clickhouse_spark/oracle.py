@@ -1232,3 +1232,20 @@ FROM (
 )
 GROUP BY 1, 2
 """)
+
+# benchmark decontamination twin: benchmark = every 25th document;
+# overlap = distinct-benchmark-shingle hits per training doc
+ORACLE["decontaminate"] = q("""
+SELECT d.doc_id, d.lang,
+       coalesce(o.n_overlap, 0) AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 2 AS contaminated
+FROM documents d
+LEFT JOIN (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM shingle_x s
+  JOIN (
+    SELECT DISTINCT shingle FROM shingle_x WHERE doc_id % 25 = 0
+  ) b ON s.shingle = b.shingle
+  GROUP BY 1
+) o ON d.doc_id = o.doc_id
+""")

@@ -347,3 +347,14 @@ def test_hopping_window_counts(spark, sf_dir, ducks):
         .select(F.unix_micros("w.start").alias("w_start_us"), "event_type", "cnt", "total_score")
     )
     _check(sdf, ORACLE["hopping_window_counts"], ducks)
+
+
+def test_decontaminate(spark, sf_dir, ducks):
+    """Eval-set n-gram decontamination (benchmark = every 25th doc),
+    DuckDB-twinned; benchmark members must flag themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    sdf = dedup.decontaminate(docs, bench)
+    _check(sdf, ORACLE["decontaminate"], ducks)
+    self_flags = sdf.where((F.col("doc_id") % 25 == 0) & ~F.col("contaminated")).count()
+    assert self_flags == 0, "benchmark docs must be flagged contaminated"
