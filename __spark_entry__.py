@@ -296,7 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.assets_from_documents(load_table(spark, sf, "documents"))
     ).select("asset_id", "modality", "byte_len", "payload_md5")
     # multimodal_meta_stats folded into pytest (tests/test_consolidated.py)
-    q["quality_signals"] = lambda spark, sf: quality.quality_signals(
+    # Gate variant surfaces ratios as integer ppm (pure integer division
+    # both sides) — round 2's hash-red row was driver float
+    # canonicalization on raw double ratios; the double-valued
+    # quality_signals stays oracle-checked in tests/test_consolidated.py.
+    q["quality_signals"] = lambda spark, sf: quality.quality_signals_ppm(
         load_table(spark, sf, "documents")
     )
     q["pii_redact"] = lambda spark, sf: quality.pii_redact(

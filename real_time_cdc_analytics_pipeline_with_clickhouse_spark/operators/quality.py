@@ -107,6 +107,71 @@ def quality_signals(documents: DataFrame) -> DataFrame:
     return out.withColumn("quality_ok", quality_ok)
 
 
+def quality_signals_ppm(documents: DataFrame) -> DataFrame:
+    """Gate-stable twin of :func:`quality_signals`: every ratio is a
+    parts-per-million BIGINT computed with pure *integer* division
+    (``x div y``), and ``quality_ok`` is derived from those integers —
+    no double arithmetic anywhere in the comparison path, so Spark and
+    any SQL oracle agree bit-for-bit regardless of each engine's float
+    rounding or formatting rules (round 2's one red driver row was
+    exactly such a float-canonicalization fragility).
+
+    Same plan shape as the double-valued version: scan → explode →
+    two combinable aggregations → doc-keyed equi-join.  Thresholds are
+    the ppm images of the module constants (floor-division boundary
+    semantics; both engines truncate non-negative quotients the same
+    way).
+    """
+    bg = shingles(F.col("text"), 2)
+    base = documents.select(
+        "doc_id",
+        "lang",
+        F.size(bg).cast("long").alias("n_big"),
+        F.size(F.array_distinct(bg)).cast("long").alias("n_big_distinct"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN n_big > 0 THEN ((n_big - n_big_distinct) * 1000000) div n_big END"
+        ).alias("dup_bigram_ppm"),
+    )
+    term_counts = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = term_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.length("term")).alias("tok_chars"),
+    )
+    out = base.join(hist, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tokens"),
+        F.expr("(n_distinct * 1000000) div n_tok").alias("distinct_ppm"),
+        F.expr("(max_cnt * 1000000) div n_tok").alias("top_token_ppm"),
+        "dup_bigram_ppm",
+        F.expr("(tok_chars * 1000000) div n_tok").alias("mean_word_len_micro"),
+    )
+    quality_ok = (
+        (F.col("n_tokens") >= F.lit(MIN_TOKENS))
+        & (F.col("distinct_ppm") >= F.lit(int(MIN_DISTINCT_RATIO * 1_000_000)))
+        & (F.col("top_token_ppm") <= F.lit(int(MAX_TOP_TOKEN_FRAC * 1_000_000)))
+        & (
+            F.coalesce(F.col("dup_bigram_ppm"), F.lit(0))
+            <= F.lit(int(MAX_DUP_BIGRAM_FRAC * 1_000_000))
+        )
+        & F.col("mean_word_len_micro").between(
+            int(MEAN_WORD_LEN_RANGE[0] * 1_000_000),
+            int(MEAN_WORD_LEN_RANGE[1] * 1_000_000),
+        )
+    )
+    return out.withColumn("quality_ok", quality_ok)
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

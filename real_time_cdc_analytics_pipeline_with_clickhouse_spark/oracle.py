@@ -1035,22 +1035,22 @@ SELECT doc_id, shard, n_tokens, pack_id, off_tokens FROM (
 # ---------------------------------------------------------------------------
 
 ORACLE["quality_signals"] = q("""
-SELECT m.doc_id, m.lang, m.n_tokens, m.distinct_ratio, m.top_token_frac,
-       m.dup_bigram_frac, m.mean_word_len,
+SELECT m.doc_id, m.lang, m.n_tokens, m.distinct_ppm, m.top_token_ppm,
+       m.dup_bigram_ppm, m.mean_word_len_micro,
        (m.n_tokens >= 20
-        AND m.distinct_ratio >= 0.4
-        AND m.top_token_frac <= 0.12
-        AND coalesce(m.dup_bigram_frac, 0.0) <= 0.06
-        AND m.mean_word_len BETWEEN 3.0 AND 10.0) AS quality_ok
+        AND m.distinct_ppm >= 400000
+        AND m.top_token_ppm <= 120000
+        AND coalesce(m.dup_bigram_ppm, 0) <= 60000
+        AND m.mean_word_len_micro BETWEEN 3000000 AND 10000000) AS quality_ok
 FROM (
   SELECT b.doc_id, b.lang,
-         coalesce(a.n_tokens, 0) AS n_tokens,
-         round(CAST(a.n_distinct AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS distinct_ratio,
-         round(CAST(a.max_cnt AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS top_token_frac,
+         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST((a.n_distinct * 1000000) // a.n_tokens AS BIGINT) AS distinct_ppm,
+         CAST((a.max_cnt * 1000000) // a.n_tokens AS BIGINT) AS top_token_ppm,
          CASE WHEN len(b.bg) > 0
-              THEN round(CAST(len(b.bg) - len(list_distinct(b.bg)) AS DOUBLE)
-                         / CAST(len(b.bg) AS DOUBLE), 6) END AS dup_bigram_frac,
-         round(CAST(a.tok_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS mean_word_len
+              THEN CAST(((len(b.bg) - len(list_distinct(b.bg))) * 1000000)
+                        // len(b.bg) AS BIGINT) END AS dup_bigram_ppm,
+         CAST((a.tok_chars * 1000000) // a.n_tokens AS BIGINT) AS mean_word_len_micro
   FROM (
     SELECT doc_id, lang,
       CASE WHEN len(toks) >= 2
