@@ -16,6 +16,7 @@ ReplacingMergeTree contract (clickhouse-init.sql:21-22), and replay
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -161,25 +162,99 @@ def merge_upsert_parquet(batch: DataFrame, target_dir: str, key: str, version: s
         batch.unpersist()
 
 
+_DIM_POINTER = "_CURRENT"
+
+
+def _dim_pointer_path(dim_dir: str) -> str:
+    return os.path.join(dim_dir, _DIM_POINTER)
+
+
+def _dim_current_version(dim_dir: str) -> str | None:
+    p = _dim_pointer_path(dim_dir)
+    if os.path.isfile(p):
+        with open(p) as fh:
+            v = fh.read().strip()
+        return v or None
+    return None
+
+
+def read_dim(spark: SparkSession, dim_dir: str) -> DataFrame | None:
+    """Resolve the current dimension snapshot.
+
+    Versioned layout: ``dim_dir/_CURRENT`` (a pointer file) names an
+    immutable ``v-NNNNNNNNNN`` parquet subdirectory.  A reader resolves
+    the pointer once and then lists a directory that is never mutated —
+    no torn listings, ever.  Falls back to reading ``dim_dir`` itself
+    as plain parquet (the seed layout tests and callers may start
+    from); returns ``None`` when no dim exists yet.
+    """
+    ver = _dim_current_version(dim_dir)
+    if ver is not None:
+        return spark.read.parquet(os.path.join(dim_dir, ver))
+    if os.path.isdir(dim_dir) and any(f.endswith(".parquet") for f in os.listdir(dim_dir)):
+        return spark.read.parquet(dim_dir)
+    return None
+
+
+def _publish_dim_version(df: DataFrame, dim_dir: str, keep: int = 2) -> None:
+    """Write ``df`` as a NEW immutable version dir, then atomically swap
+    the pointer (`os.replace` of a sidecar temp file — atomic on POSIX).
+
+    Old versions beyond ``keep`` are pruned; keeping the previous one
+    lets a reader that resolved the pointer just before the swap finish
+    its scan against an intact directory.  (With Delta/Iceberg this is
+    the transaction-log commit; same idea, file-system-native.)"""
+    os.makedirs(dim_dir, exist_ok=True)
+    existing = sorted(f for f in os.listdir(dim_dir) if f.startswith("v-"))
+    nxt = int(existing[-1][2:]) + 1 if existing else 0
+    ver = f"v-{nxt:010d}"
+    # mode 'error': a version dir is written exactly once, never reused
+    df.write.mode("error").parquet(os.path.join(dim_dir, ver))
+    tmp = _dim_pointer_path(dim_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(ver)
+    os.replace(tmp, _dim_pointer_path(dim_dir))
+    for old in existing[: max(0, len(existing) - (keep - 1))]:
+        shutil.rmtree(os.path.join(dim_dir, old), ignore_errors=True)
+
+
 def maintain_dim_table(spark: SparkSession, content_json_stream: DataFrame, dim_dir: str, checkpoint: str):
     """T4/J2 — keep a parquet dimension table current from content CDC.
 
     Each micro-batch merges upserts/deletes latest-wins into ``dim_dir``
     (the Spark analog of Flink broadcast-state mutation; updates apply
-    at micro-batch granularity, SURVEY.md §7.3)."""
+    at micro-batch granularity, SURVEY.md §7.3).
+
+    Scale + safety shape:
+
+    - *Key-scoped compaction*: only rows whose key appears in the batch
+      go through the latest-wins aggregate (broadcast semi/anti join on
+      the batch's bounded key set); the untouched remainder of the dim
+      passes through map-only — no full-dimension shuffle per batch.
+    - *Atomic publish*: each batch writes a fresh immutable version dir
+      and atomically swaps the ``_CURRENT`` pointer, so a concurrent
+      enrichment batch (``start_enriched_warehouse_pipeline`` re-reads
+      the dim every micro-batch) can never observe a half-written
+      directory — the race a plain in-place overwrite has."""
     changes = unwrap_content(content_json_stream)
 
     def apply_batch(batch: DataFrame, _epoch: int) -> None:
         sp = batch.sparkSession
-        if os.path.isdir(dim_dir) and any(f.endswith(".parquet") for f in os.listdir(dim_dir)):
-            current = sp.read.parquet(dim_dir).withColumn("is_delete", F.lit(False))
-            merged = current.select(*batch.columns).unionByName(batch)
+        current = read_dim(sp, dim_dir)
+        if current is None:
+            new_dim = compact_dim_latest(batch)
         else:
-            merged = batch
-        compacted = compact_dim_latest(merged)
-        staging = dim_dir.rstrip("/") + "_staging"
-        compacted.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(dim_dir)
+            keys = batch.select("id").distinct()
+            untouched = current.join(F.broadcast(keys), "id", "left_anti")
+            touched = (
+                current.join(F.broadcast(keys), "id", "semi")
+                .withColumn("is_delete", F.lit(False))
+                .select(*batch.columns)
+            )
+            new_dim = untouched.unionByName(
+                compact_dim_latest(touched.unionByName(batch)).select(*untouched.columns)
+            )
+        _publish_dim_version(new_dim, dim_dir)
 
     return (
         changes.writeStream.outputMode("append")
@@ -200,7 +275,7 @@ def enriched_event_stream(spark: SparkSession, engagement_json_stream: DataFrame
     dim inside ``foreachBatch`` — the micro-batch-granular analog of
     Flink broadcast-state updates."""
     events = unwrap_engagement(engagement_json_stream).withWatermark("event_ts", WATERMARK_DELAY)
-    dim = spark.read.parquet(dim_dir).select(
+    dim = read_dim(spark, dim_dir).select(
         F.col("id").alias("content_id"), "content_type", "length_seconds"
     )
     return enriched_columns(events.join(F.broadcast(dim), "content_id", "left"))
@@ -233,7 +308,7 @@ def start_enriched_warehouse_pipeline(
     def sink(batch: DataFrame, _epoch: int) -> None:
         sp_ = batch.sparkSession
         sp_.catalog.refreshByPath(dim_dir)
-        dim = sp_.read.parquet(dim_dir).select(
+        dim = read_dim(sp_, dim_dir).select(
             F.col("id").alias("content_id"), "content_type", "length_seconds"
         )
         enriched = enriched_columns(batch.join(F.broadcast(dim), "content_id", "left"))

@@ -33,6 +33,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive parquet TIMESTAMP(MICROS) columns (isAdjustedToUTC=false) read
+    # as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ; normalize to
+    # TimestampType so chrono functions (unix_micros, date_trunc, window)
+    # apply uniformly.  The session TZ is pinned UTC (session.py), so the
+    # cast preserves the wall-clock value — bit-identical to DuckDB's
+    # naive read of the same column.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
