@@ -179,13 +179,22 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band
     )
 
 
-def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
+SIMHASH_BITS = 60  # portable_hash64 is a 60-bit hash (15 hex chars);
+# bits above 59 of h are identically 0, so a wider fingerprint would
+# only add dead always-unset bits.  60 = 4 bands × 15 bits, and every
+# fingerprint stays a positive BIGINT on both Spark and DuckDB (no
+# sign-bit / 1<<63 overflow games on either engine).
+SIMHASH_BANDS = 4
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: bit b set iff the hash-bit-b majority over
     distinct tokens is positive.  Pure expression work — one groupBy.
 
-    32 bits: a 16-bit space saturates around ~5k docs (birthday-bound
-    collisions make every doc pair with something); production would
-    band a 64/128-bit fingerprint for hamming>0 search."""
+    60-bit width (the full entropy of portable_hash64): birthday-bound
+    random collisions need ~2^30 docs, vs ~5k docs for the 32-bit
+    variant this replaces — see test_extensions'
+    collision-rate property test."""
     par = documents.sparkSession.sparkContext.defaultParallelism
     toks = documents.repartition(par).select(
         "doc_id", F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok")
@@ -204,7 +213,7 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_dup_pairs(documents: DataFrame, bits: int = 32) -> DataFrame:
+def simhash_dup_pairs(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Docs sharing an identical SimHash fingerprint (hamming-0 LSH
     bucket; widen by banding the fingerprint for hamming>0)."""
     fp = simhash_fingerprints(documents, bits)
@@ -214,43 +223,68 @@ def simhash_dup_pairs(documents: DataFrame, bits: int = 32) -> DataFrame:
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash").alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 1) -> DataFrame:
-    """Near-dup pairs at hamming distance ≤ ``max_hamming`` (default 1)
-    by bit-flip multiprobing: each fingerprint emits itself plus its
-    ``bits`` single-bit flips, candidates come from an equi-join of
-    probes against exact fingerprints — still sub-quadratic (probe
-    table = 33× the tiny fingerprint table, never the corpus²), the
-    standard radius-1 widening of the hamming-0 bucket join.  True
-    hamming distance is verified on the candidates with ``bit_count``.
+def simhash_near_pairs(
+    documents: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = SIMHASH_BANDS - 1,
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ ``max_hamming`` via banded
+    hamming search: the fingerprint splits into ``n_bands`` equal-width
+    bands; by pigeonhole, two fingerprints within hamming
+    ``n_bands - 1`` must agree exactly on at least one band, so an
+    equi-join on (band_id, band_value) generates a COMPLETE candidate
+    set for that radius (unlike the radius-1 bit-flip multiprobe this
+    replaces, whose probe table also grew linearly in ``bits``).
+    True distance is then verified with ``bit_count`` on the pair.
+
+    Scale shape: one explode (n_bands rows per doc — rows over the tiny
+    fingerprint table, never the corpus), one equi-join on the band
+    key, no broadcast, no cartesian.
     """
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    if max_hamming >= n_bands:
+        # pigeonhole only covers hamming <= n_bands - 1; refuse rather
+        # than silently return an incomplete pair set
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands (have {n_bands})"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
     fp = simhash_fingerprints(documents, bits)
-    probes = fp.select(
+    bands = fp.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
-                F.col("simhash"),
-                *[F.col("simhash").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
-        ).alias("probe"),
-    )
-    exact = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("probe"))
-    cand = (
-        probes.join(exact, "probe")
-        .where(F.col("doc_id") < F.col("doc_b"))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band_id").alias("band_id"), F.col("bk.band_val").alias("band_val"))
+    a, b_ = bands.alias("a"), bands.alias("b")
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

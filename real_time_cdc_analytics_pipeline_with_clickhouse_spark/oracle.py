@@ -574,7 +574,7 @@ JOIN (
 """)
 
 
-def _simhash_sql(tok_cte: str, bits: int = 32) -> str:
+def _simhash_sql(tok_cte: str, bits: int = 60) -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(bits)
@@ -1196,25 +1196,23 @@ CROSS JOIN (
 GROUP BY 1
 """)
 
-# hamming<=1 SimHash pairs via bit-flip multiprobe (dedup.simhash_near_pairs twin)
+# hamming<=3 SimHash pairs via 4×15-bit banded search
+# (dedup.simhash_near_pairs twin: agree on ≥1 band → candidate, verify
+# true hamming with bit_count)
 ORACLE["simhash_near_pairs"] = q(f"""
-SELECT doc_a, doc_b, hamming FROM (
-  SELECT DISTINCT c.doc_a, c.doc_b,
-         CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
-  FROM (
-    SELECT DISTINCT p.doc_id AS doc_a, e.doc_id AS doc_b
-    FROM (
-      SELECT doc_id,
-             CASE WHEN b = -1 THEN simhash
-                  ELSE xor(simhash, (CAST(1 AS BIGINT) << b)) END AS probe
-      FROM ({_simhash_sql("doc_toks_dup")}),
-           (SELECT unnest(generate_series(-1, 31)) AS b)
-    ) p
-    JOIN ({_simhash_sql("doc_toks_dup")}) e ON p.probe = e.simhash AND p.doc_id < e.doc_id
-  ) c
-  JOIN ({_simhash_sql("doc_toks_dup")}) fa ON fa.doc_id = c.doc_a
-  JOIN ({_simhash_sql("doc_toks_dup")}) fb ON fb.doc_id = c.doc_b
-) WHERE hamming <= 1
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM (
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * 15)) & 32767 AS band_val
+  FROM ({_simhash_sql("doc_toks_dup")}),
+       (SELECT unnest(generate_series(0, 3)) AS band_id)
+) a
+JOIN (
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * 15)) & 32767 AS band_val
+  FROM ({_simhash_sql("doc_toks_dup")}),
+       (SELECT unnest(generate_series(0, 3)) AS band_id)
+) b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """)
 
 # hopping-window agg twin (10 min windows, 5 min hop): every event is in

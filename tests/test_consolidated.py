@@ -323,7 +323,7 @@ def test_unigram_logprob(spark, sf_dir, ducks):
 
 
 def test_simhash_near_pairs(spark, sf_dir, ducks):
-    """Radius-1 SimHash multiprobe (bit-flip candidates, verified
+    """Banded SimHash hamming≤3 search (4×15-bit bands, verified
     hamming), DuckDB-twinned; must be a superset of the hamming-0
     pairs."""
     docs = entrymod._docs_dup(spark, sf_dir)
