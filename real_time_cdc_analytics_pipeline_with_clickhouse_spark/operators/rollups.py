@@ -90,11 +90,18 @@ def dedup_latest_event_version(df: DataFrame, key: str = "event_id", version: st
     and no per-key sort.  Version ties are arbitrary in both
     formulations; re-deliveries carry identical payloads, so either
     pick is the same row.
+
+    The version is wrapped in a struct (like ``latest_event`` /
+    ``compact_dim_latest``): ``max_by`` ignores rows whose ordering
+    value is NULL, so a key whose every row has a NULL version (the
+    lenient timestamp parser emits NULLs by design) would otherwise
+    yield an all-NULL payload; a struct-wrapped NULL is itself
+    non-NULL, so such groups still pick a concrete row.
     """
     others = [c for c in df.columns if c != key]
     return (
         df.groupBy(key)
-        .agg(F.max_by(F.struct(*others), F.col(version)).alias("_r"))
+        .agg(F.max_by(F.struct(*others), F.struct(version)).alias("_r"))
         .select(key, "_r.*")
     )
 

@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import rollups
+from .warehouse import _stage_swap
 
 TABLES = ["user_leaderboard", "latest_event", "event_counters", "trending"]
 
@@ -105,19 +106,7 @@ def merge_leaderboard_increment(spark: SparkSession, base_dir: str, new_enriched
             .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
         )
         ranked = _rank_state(merged.drop("user_bucket"))
-        staging = path.rstrip("/") + "_staging"
-        ranked.write.mode("overwrite").partitionBy("user_bucket").parquet(staging)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                spark.read.parquet(staging)
-                .write.mode("overwrite")
-                .partitionBy("user_bucket")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _stage_swap(ranked, path, partition_by="user_bucket")
     finally:
         delta.unpersist()
 

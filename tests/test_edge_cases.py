@@ -118,3 +118,30 @@ def test_pii_redact_leaves_no_pattern_behind(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert (got[0]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (2, 2, 1)
     assert got[3]["has_pii"] is False and got[4]["has_pii"] is False
+
+
+def test_dedup_latest_null_version_group_keeps_concrete_row(spark):
+    """A key whose every row has a NULL version (the lenient timestamp
+    parser emits NULLs by design) must still dedup to one CONCRETE row
+    — bare-column max_by would ignore all of them and emit an all-NULL
+    payload (round-2 ADVICE)."""
+    from datetime import datetime
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import rollups
+
+    t1, t2 = datetime(2024, 1, 1, 10, 0, 0), datetime(2024, 1, 1, 11, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("e1", None, "payload-a"),
+            ("e1", None, "payload-b"),
+            ("e2", t1, "old"),
+            ("e2", t2, "new"),
+            ("e3", None, "null-loses"),
+            ("e3", t1, "concrete-wins"),
+        ],
+        "event_id string, event_ts timestamp, payload string",
+    )
+    got = {r["event_id"]: r for r in rollups.dedup_latest_event_version(df).collect()}
+    assert got["e1"]["payload"] in ("payload-a", "payload-b")  # concrete, not NULL
+    assert got["e2"]["payload"] == "new"
+    assert got["e3"]["payload"] == "concrete-wins"  # NULL sorts below any value
