@@ -186,11 +186,83 @@ def heavy_hitter_terms(documents: DataFrame, support: float = 0.02) -> DataFrame
 
 CDC_WINDOW = 8       # rolling window width (chars)
 CDC_DIVISOR = 64     # expected chunk size ≈ divisor chars
+CDC_SEGMENT = 32768  # max chars hashed per row — bounds the transient
+# char-hash arrays at O(segment), not O(document)
 CDC_CHUNK_SCHEMA = "doc_id long, chunk_idx int, chunk string"
+_CDC_MOD = 1 << 56   # polynomial-hash modulus: keeps acc*31+h < 2^63
+# so the fold never overflows a BIGINT (ANSI-safe)
+
+
+def _char_array(txt, n):
+    """The text as an array of 1-char strings (``split('')`` appends
+    one trailing ``''`` — sliced off).  Everything positional downstream
+    indexes THIS array at O(1); ``UTF8String.substr`` walks bytes from
+    the string start, so per-position/per-chunk substr turns the whole
+    operator O(n²) — measured 11 s for a single 27 kB doc."""
+    return F.slice(F.split(txt, ""), 1, n)
+
+
+def _char_hashes(ca):
+    """Per-char xxhash64 (mod 2^56) over the char array — computed
+    ONCE per row; window hashes combine these by array indexing."""
+    return F.transform(ca, lambda c: F.pmod(F.xxhash64(c), F.lit(_CDC_MOD)))
+
+
+def _cuts_from_hashes(ch, window: int, divisor: int):
+    """Ascending cut positions (1-based, ``>= window``) where the
+    polynomial combine of the trailing ``window`` char hashes ≡ 0
+    (mod ``divisor``); empty when the text is shorter than the window
+    (an unguarded ``sequence(window, n)`` DESCENDS when n < window,
+    yielding out-of-range probes and unsorted bounds)."""
+    n = F.size(ch)
+    return F.when(
+        n >= window,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(window), n),
+                lambda i: F.when(
+                    F.aggregate(
+                        F.slice(ch, i - window + 1, F.lit(window)),
+                        F.lit(0).cast("long"),
+                        lambda acc, h: F.pmod(acc * 31 + h, F.lit(_CDC_MOD)),
+                    )
+                    % divisor
+                    == 0,
+                    i,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+
+
+def _explode_chunks(df: DataFrame, cuts) -> DataFrame:
+    """bounds = 0 ∪ cuts ∪ n → slice consecutive spans → posexplode.
+    Spans are extracted by slicing the materialized ``_ca`` char array
+    (O(chunk) each; a per-chunk substr on the original string would be
+    O(chunk position) — quadratic over the doc).  Zero-length chunks
+    are filtered, so a document whose normalized text is EMPTY yields
+    no rows at all — deliberate, matching how the fingerprint
+    operators drop token-less docs."""
+    ca, n = F.col("_ca"), F.size(F.col("_ca"))
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    starts = F.slice(bounds, 1, F.size(bounds) - 1)
+    chunks = F.zip_with(
+        starts,
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda a, b: F.when(b > a, F.concat_ws("", F.slice(ca, a + 1, b - a))),
+    )
+    return df.select(
+        "doc_id",
+        F.posexplode(F.filter(chunks, lambda c: c.isNotNull())).alias("chunk_idx", "chunk"),
+    )
 
 
 def content_defined_chunks(
-    documents: DataFrame, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+    documents: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    segment: int = CDC_SEGMENT,
 ) -> DataFrame:
     """Content-defined chunking: split each document at positions where
     the hash of the trailing ``window`` characters ≡ 0 (mod
@@ -199,34 +271,68 @@ def content_defined_chunks(
     identically across documents (the property fixed-size chunking
     lacks, and why dedup/embedding pipelines chunk this way).
 
-    Pure array expressions: per-position window hashes via
-    ``transform(sequence(...))`` + ``xxhash64`` (every position
-    independent — the "rolling" hash parallelizes trivially), boundary
-    filter, then slice between consecutive boundaries and explode.
-    O(total chars) hashing, no shuffle, no UDF.
+    Pure array expressions, no UDF: per-char xxhash64 array computed
+    once per row (``_char_hashes`` — O(n)), then per-position window
+    hashes combine ``window`` consecutive char hashes by O(1) array
+    indexing (O(n·window) total), boundary filter, then slice between
+    consecutive boundaries and explode.
+
+    Memory shape: the per-row char-hash array costs ~8 bytes/char, so
+    docs longer than ``segment`` chars take a SEGMENTED path — each
+    row hashes one ``segment``-char slice (with ``window-1`` chars of
+    left overlap: a boundary decision only sees the trailing window,
+    so per-segment cuts equal global cuts exactly), and per-doc cut
+    lists reassemble via one collect_list-by-doc shuffle of the tiny
+    cut arrays.  Short docs (the overwhelming majority of any corpus)
+    stay on the shuffle-free single-expression path; the two paths
+    produce identical chunks (property-tested).
     """
-    txt = normalize_text(F.col("text"))
-    n = F.length(txt)
-    # candidate boundary AFTER position i (1-based, i >= window)
-    cuts = F.filter(
-        F.transform(
-            F.sequence(F.lit(window), n),
-            lambda i: F.when(
-                F.xxhash64(txt.substr(i - window + 1, F.lit(window))) % divisor == 0,
-                i,
-            ),
+    base = documents.select("doc_id", normalize_text(F.col("text")).alias("_t"))
+    n = F.length(F.col("_t"))
+
+    # char/char-hash arrays are materialized as real columns BEFORE
+    # any lambda references them — inlined into a lambda they would
+    # re-evaluate per element
+    short = (
+        base.where(n <= segment)
+        .select("doc_id", _char_array(F.col("_t"), F.length(F.col("_t"))).alias("_ca"))
+        .select("doc_id", "_ca", _char_hashes(F.col("_ca")).alias("_ch"))
+    )
+    short_out = _explode_chunks(short, _cuts_from_hashes(F.col("_ch"), window, divisor))
+
+    long_docs = base.where(n > segment)
+    nseg = F.ceil(n / F.lit(segment)).cast("int")
+    g0 = F.col("k").cast("long") * segment          # 0-based global start of the segment
+    s_start = F.greatest(g0 - (window - 1), F.lit(0))  # include left overlap
+    seg_txt = F.col("_t").substr(s_start + 1, g0 + segment - s_start)
+    segs = (
+        long_docs.select(
+            "doc_id", "_t", F.explode(F.sequence(F.lit(0), nseg - 1)).alias("k")
+        )
+        .select("doc_id", s_start.alias("_s0"), g0.alias("_g0"), seg_txt.alias("_st"))
+        .select(
+            "doc_id", "_s0", "_g0",
+            _char_array(F.col("_st"), F.length(F.col("_st"))).alias("_sca"),
+        )
+        .select("doc_id", "_s0", "_g0", _char_hashes(F.col("_sca")).alias("_ch"))
+    )
+    # local cut i (1-based in the segment) ↔ global position _s0 + i;
+    # keep only cuts owned by this segment: global ∈ (_g0, _g0+segment]
+    local = _cuts_from_hashes(F.col("_ch"), window, divisor)
+    gcuts = F.filter(
+        F.transform(local, lambda i: i.cast("long") + F.col("_s0")),
+        lambda p: p > F.col("_g0"),
+    )
+    per_doc = (
+        segs.select("doc_id", gcuts.alias("gc"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.flatten(F.collect_list("gc"))).alias("cuts"))
+    )
+    long_out = _explode_chunks(
+        long_docs.join(per_doc, "doc_id").select(
+            "doc_id", "cuts", _char_array(F.col("_t"), F.length(F.col("_t"))).alias("_ca")
         ),
-        lambda x: x.isNotNull(),
+        F.col("cuts"),
     )
-    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
-    starts = F.slice(bounds, 1, F.size(bounds) - 1)
-    chunks = F.zip_with(
-        starts,
-        F.slice(bounds, 2, F.size(bounds) - 1),
-        lambda a, b: txt.substr(a + 1, b - a),
-    )
-    out = documents.select(
-        "doc_id",
-        F.posexplode(F.filter(chunks, lambda c: F.length(c) > 0)).alias("chunk_idx", "chunk"),
-    )
-    return out
+
+    return short_out.unionByName(long_out)

@@ -220,3 +220,62 @@ def test_content_defined_chunks_reassemble_and_stability(spark, sf_dir):
     # shared chunks despite the prefix edit: boundaries resynchronize
     overlap = len(a & b) / max(1, len(a))
     assert overlap > 0.5, f"content-defined boundaries did not resync: {overlap:.2f}"
+
+
+def test_content_defined_chunks_segmented_path_matches_and_bounds_memory(spark):
+    """Round-2 verdict #6: (a) the segmented long-doc path must produce
+    byte-identical chunks to the single-expression path (overlap of
+    window-1 chars makes boundary decisions segment-local); (b) a >1 MB
+    document flows through it with the transient hash arrays bounded at
+    O(segment) — this very test OOM'd the executor with the old
+    O(document) sequence at default driver memory; (c) short docs below
+    the hash window and empty docs behave explicitly."""
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    # deterministic pseudo-random ~40-char-word text, no Date/rand needed
+    docs = spark.range(4).selectExpr(
+        "id AS doc_id",
+        """concat_ws(' ', transform(sequence(1, 2000 + cast(id AS int) * 500),
+             j -> substr(md5(concat(id, ':', j)), 1, 1 + pmod(j, 12)))) AS text""",
+    )
+    base = {
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in corpus.content_defined_chunks(docs).collect()
+    }
+    segmented = {
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in corpus.content_defined_chunks(docs, segment=512).collect()
+    }
+    assert base == segmented
+
+    # (b) one ~1.2 MB document through the segmented path: reassembles
+    big = spark.sql(
+        """SELECT 99 AS doc_id,
+                  concat_ws(' ', transform(sequence(1, 200000),
+                    j -> substr(md5(concat('big:', j)), 1, 1 + pmod(j, 8)))) AS text"""
+    )
+    assert big.selectExpr("length(text) AS n").collect()[0]["n"] > 1_000_000
+    out = corpus.content_defined_chunks(big)
+    glued = (
+        out.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))).getField("chunk")
+            ).alias("glued"),
+            F.count("*").alias("n_chunks"),
+        )
+        .collect()[0]
+    )
+    norm = big.selectExpr("trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS t").collect()[0]["t"]
+    assert glued["glued"] == norm and glued["n_chunks"] > 1000
+
+    # (c) sub-window and empty docs: whole doc as one chunk / no rows
+    tiny = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "   "), (4, "exactly8")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["chunk_idx"], r["chunk"]) for r in corpus.content_defined_chunks(tiny).collect()}
+    assert got[1] == (0, "abc") and got[4][1] == "exactly8"
+    assert 2 not in got and 3 not in got  # empty-normalized docs yield no rows
