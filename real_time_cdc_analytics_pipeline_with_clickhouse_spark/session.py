@@ -33,6 +33,23 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+# Disk-backed streaming state: at 100× key cardinality the default
+# HDFS-backed store holds every key on the executor heap; RocksDB
+# spills to local SSD and checkpoints changelogs.  Applied only when
+# the build actually ships the provider (classload-guarded) so the
+# engine still runs on a RocksDB-less Spark.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _rocksdb_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(ROCKSDB_PROVIDER)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an existing session (e.g. the driver's)."""
@@ -41,6 +58,11 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build; defaults are acceptable
+    if _rocksdb_available(spark):
+        try:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        except Exception:
+            pass
     return spark
 
 

@@ -69,3 +69,19 @@ def test_running_scores_accumulate_across_batches(spark, sf_dir, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+
+
+def test_rocksdb_state_store_pinned_when_available(spark):
+    """Round-2 verdict #5: streaming state must be disk-backed where the
+    build ships RocksDB (this container does); skip-guards on builds
+    without it."""
+    import pytest as _pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark import session as S
+
+    if not S._rocksdb_available(spark):
+        _pytest.skip("build lacks RocksDBStateStoreProvider")
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == S.ROCKSDB_PROVIDER
+    )
