@@ -180,7 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_incremental_merge"] = lambda spark, sf: rollups.incremental_rollup_merge(
         _enriched(spark, sf)
     ).select(_us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score")
-    q["sessionize"] = lambda spark, sf: rollups.sessionize(load_table(spark, sf, "events"))
+    # sessionize stays oracle-checked in tests/test_consolidated.py; its
+    # gate slot carries the composed corpus-prep flow (round-2 verdict
+    # #4: the flagship LLM composition deserves a driver hash row more
+    # than a second session-window idiom).
+    q["corpus_prep"] = lambda spark, sf: corpus.prepare_training_corpus(_docs_dup(spark, sf))
 
     def streaming_replay_rollup(spark: SparkSession, sf: str) -> DataFrame:
         """The CDC feed replayed through the *streaming* path (file

@@ -141,13 +141,19 @@ def prepare_training_corpus(
     only the quality survivors (filter FIRST — junk docs never pay
     shingle/minhash cost); the split is a free map-side column.  Each
     stage is individually oracle-checked (quality_signals, pii_redact,
-    fuzzy_dedup_keep, hash_split); this composition is invariant-tested
-    (tests/test_corpus.py).
+    fuzzy_dedup_keep, hash_split); the composition itself is the
+    ``corpus_prep`` driver-gate entry (full DuckDB twin in oracle.py)
+    plus invariant tests (tests/test_corpus.py).
+
+    The quality gate uses the ppm (integer micro-unit) form so the
+    keep/drop flag is bit-identical to the DuckDB twin — the 6dp
+    double form can disagree with integer floor division exactly at a
+    threshold boundary.
     """
     from .dedup import fuzzy_dedup_keep, hash_split
-    from .quality import pii_redact, quality_signals
+    from .quality import pii_redact, quality_signals_ppm
 
-    keep_quality = quality_signals(documents).where(F.col("quality_ok")).select(
+    keep_quality = quality_signals_ppm(documents).where(F.col("quality_ok")).select(
         "doc_id", F.col("n_tokens")
     )
     gated = documents.join(keep_quality, "doc_id")

@@ -1034,7 +1034,11 @@ SELECT doc_id, shard, n_tokens, pack_id, off_tokens FROM (
 # redaction (operators/quality.py twins).
 # ---------------------------------------------------------------------------
 
-ORACLE["quality_signals"] = q("""
+def _quality_ppm_sql(tok_cte: str) -> str:
+    """quality_signals_ppm twin over any CTE exposing
+    (doc_id, lang, toks) — shared by the standalone gate entry and the
+    composed corpus_prep twin."""
+    return f"""
 SELECT m.doc_id, m.lang, m.n_tokens, m.distinct_ppm, m.top_token_ppm,
        m.dup_bigram_ppm, m.mean_word_len_micro,
        (m.n_tokens >= 20
@@ -1056,18 +1060,95 @@ FROM (
       CASE WHEN len(toks) >= 2
            THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
            ELSE CAST([] AS VARCHAR[]) END AS bg
-    FROM doc_toks
+    FROM {tok_cte}
   ) b
   LEFT JOIN (
     SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
            max(cnt) AS max_cnt, sum(cnt * len(term)) AS tok_chars
     FROM (
       SELECT doc_id, t AS term, count(*) AS cnt
-      FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+      FROM (SELECT doc_id, unnest(toks) AS t FROM {tok_cte}) WHERE t <> ''
       GROUP BY 1, 2
     ) GROUP BY 1
   ) a ON a.doc_id = b.doc_id
-) m
+) m"""
+
+
+ORACLE["quality_signals"] = q(_quality_ppm_sql("doc_toks"))
+
+# The composed corpus-prep flow (corpus.prepare_training_corpus twin):
+# quality gate → fuzzy MinHash-LSH dedup among the survivors → PII
+# redaction digest → content-hash split — each stage the same SQL as
+# its standalone twin, composed over documents_dup.  Fuzzy dedup's
+# signatures and pairwise Jaccard are per-doc/per-pair quantities, so
+# running the machinery on the full corpus and requiring BOTH pair
+# endpoints quality-gated equals running it on the gated subset.
+ORACLE["corpus_prep"] = q(f"""
+SELECT doc_id, lang, split, n_tokens, redacted_md5 FROM (
+  WITH dtl AS (
+    SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM doc_norm_dup
+  ),
+  qual AS ({_quality_ppm_sql("dtl")}),
+  gated AS (SELECT doc_id, lang, n_tokens FROM qual WHERE quality_ok),
+  gsh AS (
+    SELECT s.doc_id, s.shingle FROM shingle_x_dup s
+    JOIN gated g ON g.doc_id = s.doc_id
+  ),
+  sig AS (
+    SELECT doc_id,
+         {_mh_cols}
+    FROM gsh GROUP BY doc_id
+  ),
+  bands AS (
+  {_band_selects}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+  ),
+  jac AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN gsh ea ON ea.doc_id = c.doc_a
+    JOIN gsh eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+    GROUP BY 1, 2
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n FROM gsh GROUP BY 1),
+  drops AS (
+    SELECT DISTINCT j.doc_b FROM jac j
+    JOIN sizes sa ON sa.doc_id = j.doc_a
+    JOIN sizes sb ON sb.doc_id = j.doc_b
+    WHERE CAST(j.n_common AS DOUBLE)
+          / CAST(sa.n + sb.n - j.n_common AS DOUBLE) >= 0.5
+  ),
+  red AS (
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\b555-[0-9]{{4}}\\b', '<PHONE>', 'g'),
+                 '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g')) AS redacted_md5
+    FROM documents_dup
+  ),
+  sp AS (
+    SELECT doc_id,
+           CASE WHEN bucket < 5 THEN 'test'
+                WHEN bucket < 10 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split:' || norm), 1, 15)) AS BIGINT) % 100 AS bucket
+      FROM doc_norm_dup
+    )
+  )
+  SELECT g.doc_id, g.lang, sp.split, g.n_tokens, red.redacted_md5
+  FROM gated g
+  JOIN red ON red.doc_id = g.doc_id
+  JOIN sp ON sp.doc_id = g.doc_id
+  WHERE g.doc_id NOT IN (SELECT doc_b FROM drops)
+)
 """)
 
 ORACLE["pii_redact"] = q("""

@@ -358,3 +358,11 @@ def test_decontaminate(spark, sf_dir, ducks):
     _check(sdf, ORACLE["decontaminate"], ducks)
     self_flags = sdf.where((F.col("doc_id") % 25 == 0) & ~F.col("contaminated")).count()
     assert self_flags == 0, "benchmark docs must be flagged contaminated"
+
+
+def test_sessionize(spark, sf_dir, ducks):
+    """30-min-gap sessionization (folded r3: its driver-gate slot now
+    carries the composed corpus_prep flow; the window idiom stays
+    DuckDB-twinned here)."""
+    sdf = rollups.sessionize(load_table(spark, sf_dir, "events"))
+    _check(sdf, ORACLE["sessionize"], ducks)
