@@ -57,13 +57,23 @@ def _us(col: str = "event_ts") -> F.Column:
 # ---------------------------------------------------------------------------
 
 
-def _engagement(spark: SparkSession, sf_dir: str, dup: bool = False) -> DataFrame:
+# rollup-shaped consumers never read user_id/device/raw_payload — the
+# feed serializes only what the query consumes (id must stay: unwrap
+# drops id-less records).  raw_payload (the props JSON blob) dominates
+# envelope bytes, so this cuts most of the to_json→from_json cost.
+_ROLLUP_FIELDS = ("id", "content_id", "event_type", "duration_ms", "event_ts")
+
+
+def _engagement(
+    spark: SparkSession, sf_dir: str, dup: bool = False, fields: tuple[str, ...] | None = None
+) -> DataFrame:
     """CDC feed → normalized engagement events (P1-P5)."""
     events = load_table(spark, sf_dir, "events")
+    fields = fields or cdc_feed.ENGAGEMENT_FIELDS
     feed = (
-        cdc_feed.duplicated_engagement_cdc_json(events)
+        cdc_feed.duplicated_engagement_cdc_json(events, fields)
         if dup
-        else cdc_feed.engagement_cdc_json(events)
+        else cdc_feed.engagement_cdc_json(events, fields)
     )
     return cdc.unwrap_engagement(feed)
 
@@ -73,8 +83,10 @@ def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich.compact_dim_latest(cdc.unwrap_content(cdc_feed.content_cdc_json(part)))
 
 
-def _enriched(spark: SparkSession, sf_dir: str, dup: bool = False) -> DataFrame:
-    return enrich.enrich_events(_engagement(spark, sf_dir, dup), _dim(spark, sf_dir))
+def _enriched(
+    spark: SparkSession, sf_dir: str, dup: bool = False, fields: tuple[str, ...] | None = None
+) -> DataFrame:
+    return enrich.enrich_events(_engagement(spark, sf_dir, dup, fields), _dim(spark, sf_dir))
 
 
 def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,16 +130,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _us().alias("event_ts_us"), "content_type", "length_seconds",
         "engagement_seconds", "engagement_pct", "engagement_score",
     )
-    q["hourly_rollup"] = lambda spark, sf: rollups.hourly_rollup(_enriched(spark, sf)).select(
+    q["hourly_rollup"] = lambda spark, sf: rollups.hourly_rollup(
+        _enriched(spark, sf, fields=_ROLLUP_FIELDS)
+    ).select(
         _us("hour_ts").alias("hour_ts_us"), "content_type", "event_type", "cnt", "total_score"
     )
     q["dedup_latest"] = lambda spark, sf: rollups.dedup_latest_event_version(
-        _enriched(spark, sf, dup=True)
+        _enriched(spark, sf, dup=True, fields=_ROLLUP_FIELDS)
     ).select("event_id", _us().alias("event_ts_us"), "duration_ms", "engagement_score")
     q["user_leaderboard"] = lambda spark, sf: rollups.user_leaderboard(_enriched(spark, sf))
     # minute_topk folded into pytest (tests/test_consolidated.py) — same
     # agg+rank path as trending_recent, which stays driver-checked
-    q["trending_recent"] = lambda spark, sf: rollups.trending_recent(_enriched(spark, sf))
+    q["trending_recent"] = lambda spark, sf: rollups.trending_recent(
+        _enriched(spark, sf, fields=_ROLLUP_FIELDS)
+    )
     q["event_counters"] = lambda spark, sf: rollups.event_counters(_enriched(spark, sf))
     q["latest_event"] = lambda spark, sf: rollups.latest_event(_enriched(spark, sf)).select(
         "user_id", "content_id", "event_id", _us().alias("event_ts_us"), "engagement_score"

@@ -57,10 +57,12 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
 
-    # two iterations, min per query: first run pays JIT/codegen warmup,
-    # min is the steady-state figure a long-running cluster job sees
+    # three iterations, min per query: the first run pays JIT/codegen
+    # warmup and min-of-3 rides out virtualized-host noise (steal time
+    # was observed to inflate min-of-2 by ~30%); min is the
+    # steady-state figure a long-running cluster job sees
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in BENCH_QUERIES:
             # timer covers plan construction too: operators with eager
             # stages (e.g. dedup_clusters' label-propagation rounds) do
@@ -99,9 +101,11 @@ def main() -> None:
     slice10 = RU.hourly_rollup(
         enrich.enrich_events(cdc.unwrap_engagement(cdc_feed.engagement_cdc_json(blown)), dim)
     )
-    t0 = time.time()
-    slice10.write.mode("overwrite").format("noop").save()
-    t10 = time.time() - t0
+    t10 = None
+    for _ in range(2):  # min-of-2: same host-noise guard as the query loop
+        t0 = time.time()
+        slice10.write.mode("overwrite").format("noop").save()
+        t10 = min(t10 or 1e9, time.time() - t0)
     timings["_cdc_events_per_sec_10x"] = round(n_events * 10 / t10, 1)
     print(
         json.dumps(

@@ -85,10 +85,13 @@ def engagement_records(events: DataFrame) -> DataFrame:
     )
 
 
-def _engagement_envelope_json(rec: DataFrame) -> Column:
-    record = F.struct(
-        "id", "user_id", "content_id", "event_type", "device", "duration_ms", "event_ts", "raw_payload"
-    )
+ENGAGEMENT_FIELDS = (
+    "id", "user_id", "content_id", "event_type", "device", "duration_ms", "event_ts", "raw_payload"
+)
+
+
+def _engagement_envelope_json(rec: DataFrame, fields: tuple[str, ...] = ENGAGEMENT_FIELDS) -> Column:
+    record = F.struct(*fields)
     source = F.struct(
         F.col("_source_ts_ms").alias("ts_ms"),
         F.lit("engagement_db").alias("db"),
@@ -103,19 +106,30 @@ def _engagement_envelope_json(rec: DataFrame) -> Column:
     )
 
 
-def engagement_cdc_json(events: DataFrame) -> DataFrame:
+def engagement_cdc_json(
+    events: DataFrame, fields: tuple[str, ...] = ENGAGEMENT_FIELDS
+) -> DataFrame:
     """The engagement CDC feed: one JSON string per event (col ``value``).
 
     Repartitioned to the session's parallelism — the analog of the
     reference topic's 16 Kafka partitions (a single-file parquet input
     would otherwise serialize the whole parse chain onto one task).
+
+    ``fields`` restricts the serialized record keys (``id`` must stay —
+    unwrap drops id-less rows): a consumer that never reads
+    ``raw_payload``/``user_id``/``device`` shouldn't pay to serialize
+    and re-parse them; ``unwrap_engagement``'s full schema surfaces the
+    omitted keys as NULLs.  This mirrors a production CDC topic carrying
+    a trimmed projection rather than the full row image.
     """
     par = events.sparkSession.sparkContext.defaultParallelism
     rec = engagement_records(events.repartition(par))
-    return rec.select(_engagement_envelope_json(rec).alias("value"))
+    return rec.select(_engagement_envelope_json(rec, fields).alias("value"))
 
 
-def duplicated_engagement_cdc_json(events: DataFrame) -> DataFrame:
+def duplicated_engagement_cdc_json(
+    events: DataFrame, fields: tuple[str, ...] = ENGAGEMENT_FIELDS
+) -> DataFrame:
     """FIXTURES.md B4: at-least-once delivery — ``event_id % 13 == 0``
     rows arrive twice; the replayed copy is 1h later with +1000ms
     duration.  Drives the A2 last-write-wins dedup check."""
@@ -127,7 +141,10 @@ def duplicated_engagement_cdc_json(events: DataFrame) -> DataFrame:
         (F.col("value") + 1.0).alias("value"),
         "props",
     )
-    return engagement_cdc_json(events.select("event_id", "ts", "user_id", "event_type", "value", "props").unionAll(dupes))
+    return engagement_cdc_json(
+        events.select("event_id", "ts", "user_id", "event_type", "value", "props").unionAll(dupes),
+        fields,
+    )
 
 
 def content_versions(part: DataFrame) -> DataFrame:
