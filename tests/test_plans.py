@@ -61,3 +61,26 @@ def test_partial_aggregation_in_rollup(spark, sf_dir):
     the exchange) — the property that bounds shuffle volume at scale."""
     plan = plan_string(QUERIES["hourly_rollup"](spark, sf_dir))
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_rollup_feed_serializes_only_consumed_fields(spark, sf_dir):
+    """Guard the slim-feed optimization (round-3): the rollup-path CDC
+    queries must not serialize user_id/device/raw_payload into their
+    synthetic envelope — to_json of those fields was most of the
+    parse cost.  The full-fidelity feed (cdc_unwrap etc.) still
+    carries them."""
+    import re
+
+    def scan_cols(plan):
+        cols = set()
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            cols |= {f.split(":")[0] for f in m.group(1).split(",") if f}
+        return cols
+
+    # the feed never serializes props→raw_payload, so column pruning
+    # must drop props from the events scan entirely (unwrap's full
+    # from_json SCHEMA still names raw_payload — it parses to NULL)
+    slim = scan_cols(plan_string(QUERIES["hourly_rollup"](spark, sf_dir)))
+    assert "props" not in slim and "ts" in slim, slim
+    full = scan_cols(plan_string(QUERIES["cdc_unwrap"](spark, sf_dir)))
+    assert "props" in full, full
