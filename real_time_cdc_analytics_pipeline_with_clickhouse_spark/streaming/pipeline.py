@@ -239,6 +239,8 @@ def maintain_dim_table(spark: SparkSession, content_json_stream: DataFrame, dim_
     changes = unwrap_content(content_json_stream)
 
     def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():  # no CDC rows → don't churn a new version
+            return
         sp = batch.sparkSession
         current = read_dim(sp, dim_dir)
         if current is None:
