@@ -122,6 +122,10 @@ def engagement_cdc_json(
     omitted keys as NULLs.  This mirrors a production CDC topic carrying
     a trimmed projection rather than the full row image.
     """
+    if "id" not in fields:
+        # unwrap drops id-less records — an id-less feed silently
+        # yields zero rows downstream; fail loudly instead
+        raise ValueError("engagement feed fields must include 'id'")
     par = events.sparkSession.sparkContext.defaultParallelism
     rec = engagement_records(events.repartition(par))
     return rec.select(_engagement_envelope_json(rec, fields).alias("value"))

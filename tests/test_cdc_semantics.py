@@ -114,3 +114,16 @@ def test_schema_drift_extra_fields_ignored(spark):
     assert rows[41]["duration_ms"] == 1500 and rows[41]["source_ts_ms"] == 1704067205000
     assert rows[41]["event_type"] == "view"
     assert rows[42]["event_type"] == "click" and rows[42]["duration_ms"] is None
+
+
+def test_slim_feed_requires_id_field(spark, sf_dir):
+    """A projected feed without 'id' would be silently dropped whole by
+    unwrap (id-less records are discarded); the builder refuses it."""
+    import pytest as _pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    with _pytest.raises(ValueError, match="id"):
+        cdc_feed.engagement_cdc_json(ev, fields=("event_type", "event_ts"))
