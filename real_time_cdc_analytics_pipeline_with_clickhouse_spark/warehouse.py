@@ -46,7 +46,13 @@ def month_slice(spark: SparkSession, path: str, yyyymm: str) -> DataFrame:
     return read_warehouse(spark, path).where(F.col(MONTH_COL) == yyyymm)
 
 
-def _stage_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+def _stage_swap(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    sort_within: list[str] | None = None,
+    final_drop: list[str] | None = None,
+) -> None:
     """Rewrite ``path`` from ``df`` safely while ``df`` may be reading
     it: materialize to a staging dir, then overwrite the target from
     the staging copy.
@@ -56,10 +62,24 @@ def _stage_swap(df: DataFrame, path: str, partition_by: str | None = None) -> No
     (staged task files moved into place), never delete-everything-then-
     rewrite — a crash mid-swap loses at most the partitions whose
     commit was in flight, and the staging copy still holds the full
-    intended state."""
+    intended state.
+
+    ``sort_within``: physical row order to impose (must LEAD with the
+    partition column — the dynamic-partition writer requires a sort on
+    the partition key and would otherwise insert its own, NON-stable,
+    sort that scrambles any clustering the caller arranged).  Applied
+    on both writes so the order survives the staging round-trip;
+    ``final_drop`` removes helper columns (e.g. a clustering key)
+    after the final sort, which preserves row order."""
     spark = df.sparkSession
     staging = path.rstrip("/") + "_staging"
-    w = df.write.mode("overwrite")
+
+    def _ordered(d: DataFrame) -> DataFrame:
+        if sort_within:
+            d = d.repartition(F.col(partition_by)).sortWithinPartitions(*sort_within)
+        return d
+
+    w = _ordered(df).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(staging)
@@ -67,7 +87,10 @@ def _stage_swap(df: DataFrame, path: str, partition_by: str | None = None) -> No
     if partition_by:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        r = spark.read.parquet(staging).write.mode("overwrite")
+        final = _ordered(spark.read.parquet(staging))
+        if final_drop:
+            final = final.drop(*final_drop)
+        r = final.write.mode("overwrite")
         if partition_by:
             r = r.partitionBy(partition_by)
         r.parquet(path)
@@ -75,20 +98,77 @@ def _stage_swap(df: DataFrame, path: str, partition_by: str | None = None) -> No
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def compact_warehouse(spark: SparkSession, path: str) -> None:
+def zorder_key(*cols, bits: int = 16):
+    """Z-order (Morton) clustering key: interleaves the low ``bits``
+    bits of each column — bit b of column i lands at position
+    b*ncols + i.  Rows close in EVERY dimension get close keys, so
+    sorting by the key co-locates them in the same parquet row groups
+    and each file's min/max stats become tight in all dimensions at
+    once — multi-column data skipping from a single sort, the Spark
+    expression analog of Delta/ClickHouse ZORDER/ORDER BY tuples.
+
+    Inputs must already be non-negative ints < 2**bits (use
+    ``minmax_scale``); pure bit arithmetic, codegen-friendly, no UDF.
+    ncols*bits must fit a signed long (≤ 62).
+    """
+    if len(cols) * bits > 62:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed long")
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c) if isinstance(c, str) else c, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit.cast("long"), b * len(cols) + i))
+    return out
+
+
+def minmax_scale(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+    """Append ``_z_<col>`` columns scaled to [0, 2**bits) by the
+    column's global min/max — one tiny agg broadcast-joined back
+    (the stats row is 1 row; the fact side never shuffles)."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    )
+    out = df.join(F.broadcast(stats))
+    top = (1 << bits) - 1
+    for c in cols:
+        span = F.col(f"_mx_{c}") - F.col(f"_mn_{c}")
+        scaled = F.when(
+            span > 0,
+            F.floor((F.col(c).cast("double") - F.col(f"_mn_{c}")) / span * top),
+        ).otherwise(F.lit(0))
+        out = out.withColumn(f"_z_{c}", F.least(scaled, F.lit(top)).cast("long"))
+    return out.drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+
+
+def compact_warehouse(
+    spark: SparkSession, path: str, zorder_by: list[str] | None = None
+) -> None:
     """Small-file compaction — the MergeTree background-merge analog.
 
     Streaming micro-batch appends leave many small files per month;
     rewriting each month partition as few key-sorted files restores
     scan efficiency and row-group stats (run periodically, like
     ClickHouse merges — the table's logical content is unchanged).
+
+    ``zorder_by``: cluster each month by the Morton interleave of the
+    given columns instead of the flat event_id sort — multi-column
+    data skipping (e.g. ``["user_id", "content_id"]`` serves both
+    per-user and per-content point reads from the same layout).
     """
-    df = (
-        read_warehouse(spark, path)
-        .repartition(F.col(MONTH_COL))
-        .sortWithinPartitions("event_id")
-    )
-    _stage_swap(df, path, partition_by=MONTH_COL)
+    df = read_warehouse(spark, path)
+    if zorder_by:
+        helpers = [f"_z_{c}" for c in zorder_by]
+        df = minmax_scale(df, zorder_by).withColumn("_zkey", zorder_key(*helpers))
+        _stage_swap(
+            df,
+            path,
+            partition_by=MONTH_COL,
+            sort_within=[MONTH_COL, "_zkey"],
+            final_drop=["_zkey", *helpers],
+        )
+    else:
+        _stage_swap(df, path, partition_by=MONTH_COL, sort_within=[MONTH_COL, "event_id"])
 
 
 # --- incremental hourly-rollup maintenance (the MV insert-trigger analog) ---
