@@ -419,3 +419,29 @@ def start_outbox_sink(enriched: DataFrame, out_dir: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def dedup_documents_stream(doc_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup of a DOCUMENT ingest feed — the LLM-corpus
+    twin of ``dedup_within_watermark_stream``: first arrival per
+    normalized-content digest wins, later byte-copies are dropped
+    in-stream, before they cost storage or downstream shingle/minhash
+    work.
+
+    Input: (doc_id long, text string, ingest_ts timestamp).  The key
+    is the content digest (``md5(normalize_text(text))``, identical to
+    batch ``exact_dedup_groups``), NOT the doc_id — re-crawled copies
+    arrive under fresh ids.  State shape at 100 TB: one digest per
+    in-window distinct document, expired once the watermark passes
+    (bounded by ingest rate × ``watermark``, not corpus history), and
+    disk-backed under the RocksDB state store the session pins.
+    Cross-window duplicates are the storage layer's job (the same
+    split of duties as T8's stream guard + MERGE sink).
+    """
+    from ..functions.text import normalize_text
+
+    return (
+        doc_stream.withColumn("text_md5", F.md5(normalize_text(F.col("text"))))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )

@@ -518,3 +518,49 @@ def test_dim_maintenance_versions_are_immutable_and_atomic(spark, sf_dir, tmp_pa
         cdc.unwrap_content(spark.createDataFrame(feed))
     ).select("id", "content_type", "length_seconds")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_document_dedup_keeps_one_per_digest(spark, sf_dir, tmp_path):
+    """LLM-corpus ingest dedup (streaming twin of exact_dedup_groups):
+    exactly one survivor per normalized-content digest, digest set
+    identical to the batch view, duplicates dropped in-stream."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.text import (
+        normalize_text,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dedup
+
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents").limit(400))
+    src = docs.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 60).alias("ingest_ts"),
+    )
+    feed_dir = str(tmp_path / "docfeed")
+    src.write.mode("overwrite").parquet(feed_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string, ingest_ts timestamp").parquet(
+        feed_dir
+    )
+    q = (
+        sp.dedup_documents_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("docdedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_docdedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = spark.sql("SELECT doc_id, text_md5 FROM docdedup").collect()
+    want_digests = {
+        r["d"] for r in docs.select(F.md5(normalize_text(F.col("text"))).alias("d")).collect()
+    }
+    assert {r["text_md5"] for r in kept} == want_digests
+    assert len(kept) == len(want_digests)  # exactly one survivor each
+    # survivors are real input docs carrying their own digest
+    src_digest = {
+        r["doc_id"]: r["d"]
+        for r in docs.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("d")).collect()
+    }
+    assert all(src_digest[r["doc_id"]] == r["text_md5"] for r in kept)
