@@ -519,8 +519,11 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits
     """Embedding-cosine near-dup pairs, bucketed by sign-LSH.
 
     Only pairs inside the same hyperoctant are scored — at 100 TB the
-    bucket key is the shuffle key and each bucket is small; recall can
-    be raised with multi-probe (flip one bit) without changing shape.
+    bucket key is the shuffle key and each bucket is small.  A
+    high-cosine pair straddling one sign boundary (a near-zero
+    coordinate flips sign between the two vectors) lands in different
+    octants and is missed; ``multiprobe_embedding_near_dup_pairs``
+    recovers those.
     """
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     e = embeddings.repartition(par).select(
@@ -539,6 +542,53 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits
         ).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def multiprobe_embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, bits: int = 8
+) -> DataFrame:
+    """Sign-LSH near-dup with radius-1 multi-probe: each vector also
+    probes the ``bits`` buckets one sign-flip away, so a pair split by
+    a single near-zero coordinate still meets in a bucket (the
+    classic recall fix for sign-LSH; radius 1 suffices because a
+    ≥0.9-cosine pair rarely disagrees on two of the first ``bits``
+    signs at once — and those would need radius 2 in ANY 1-table
+    scheme).
+
+    Shape: STRICT superset of ``embedding_near_dup_pairs`` at the same
+    threshold (property-tested), still an equi-join on the bucket key —
+    the probe side is (bits+1)× the vector count, never vectors², and
+    each candidate is cosine-verified exactly.
+    """
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = embeddings.repartition(par).select(
+        "vec_id", "embedding",
+        sign_lsh_bucket(F.col("embedding"), bits).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    probes = e.select(
+        "vec_id", "embedding", "nrm",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+            )
+        ).alias("bucket"),
+    )
+    a, b = probes.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+    return pairs
 
 
 def decontaminate(

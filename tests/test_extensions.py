@@ -245,3 +245,41 @@ def test_hash_split_no_content_leakage(spark, sf_dir):
     assert dup_ids, "fixture should contain constructed duplicates"
     mismatched = [i for i in dup_ids if split[i] != split[i - 100000]]
     assert not mismatched, f"duplicates split differently: {mismatched[:5]}"
+
+
+def test_multiprobe_embedding_near_dup_superset_and_boundary_recall(spark, sf_dir):
+    """Radius-1 sign-LSH multiprobe must (a) return a strict superset
+    of the single-octant pairs at the same threshold and (b) recover
+    constructed near-dup twins that straddle one sign boundary (a
+    near-zero first coordinate negated — cosine ~1, different octant),
+    which the plain bucket join provably misses."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    straddle = emb.where(
+        (F.element_at("embedding", 1) >= 0) & (F.element_at("embedding", 1) < 0.05)
+    )
+    assert straddle.count() > 0, "fixture needs near-zero first coords"
+    twins = straddle.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(-0.001 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(twins)
+
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.multiprobe_embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert single <= multi
+    twin_pairs = {
+        (r["vec_id"], r["vec_id"] + 500000) for r in straddle.select("vec_id").collect()
+    }
+    # the boundary-straddling twins are invisible to the plain octant
+    # join but recovered by the 1-bit probe
+    assert twin_pairs & multi == twin_pairs
+    assert not (twin_pairs & single)
