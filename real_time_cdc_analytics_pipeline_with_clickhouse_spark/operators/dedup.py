@@ -485,9 +485,95 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    # silently returning a half-propagated labeling would mislabel
+    # every component deeper than max_iter — fail loudly instead
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); use connected_components_star "
+        "for long-path graphs (O(log n) rounds)"
+    )
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of graph DIAMETER, where min-label
+    propagation needs diameter rounds (a 300-node path: 9 rounds vs
+    299).
+
+    Each half-round is one groupBy-min + one equi-join over the edge
+    list — the same shuffle primitive as the propagation variant, no
+    broadcast, no driver-side graph; ``localCheckpoint`` truncates
+    lineage and the convergence probe is one scalar action per round.
+
+    - large-star: every node's strictly-LARGER neighbors re-point to
+      the minimum of its closed neighborhood (min(N(u) ∪ {u}));
+    - small-star: its smaller-or-equal neighbors (and itself) re-point
+      to that minimum.
+
+    Both operations preserve connectivity; at the fixpoint every edge
+    is (node → component-min).  Returns (doc_id, label) for every
+    node appearing in ≥1 pair, label = the component's minimum id —
+    the same contract as ``connected_components``.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def canonical_sig(e: DataFrame):
+        c = e.select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")).distinct()
+        # bit_xor: order-independent and cannot overflow (ANSI-safe,
+        # unlike sum over 64-bit hashes); edges are distinct so xor
+        # cancellation needs a hash collision
+        row = c.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(a, b))").alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        mins = mins.select("src", F.least("_mn", F.col("src")).alias("m"))
+        return (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = e.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+        re_pt = (
+            d.join(mins, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        self_pt = mins.select("src", F.col("m").alias("dst"))
+        return re_pt.unionByName(self_pt).distinct()
+
+    sig = canonical_sig(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        new_sig = canonical_sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
+    # fixpoint edges are (node → root); roots label themselves
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    lbl = edges.groupBy("src").agg(F.min("dst").alias("label")).withColumnRenamed("src", "doc_id")
+    return nodes.join(lbl, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
 
 
 def dedup_clusters(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:

@@ -279,3 +279,27 @@ def test_content_defined_chunks_segmented_path_matches_and_bounds_memory(spark):
     got = {r["doc_id"]: (r["chunk_idx"], r["chunk"]) for r in corpus.content_defined_chunks(tiny).collect()}
     assert got[1] == (0, "abc") and got[4][1] == "exactly8"
     assert 2 not in got and 3 not in got  # empty-normalized docs yield no rows
+
+
+def test_star_cc_equals_propagation_and_handles_long_paths(spark, sf_dir):
+    """Large-star/small-star CC must (a) produce the identical labeling
+    as min-label propagation on the real LSH dup graph, (b) converge in
+    O(log n) rounds on a 300-node path — where propagation needs
+    diameter rounds and now raises instead of silently returning a
+    half-propagated (wrong) labeling."""
+    import pytest as _pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dedup
+
+    docs = dedup.with_exact_duplicates(load_table(spark, sf_dir, "documents").limit(400))
+    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint()
+    a = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    b = sorted(map(tuple, dedup.connected_components_star(pairs).collect()))
+    assert a == b
+
+    path = spark.range(299).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    labels = {r["doc_id"]: r["label"] for r in dedup.connected_components_star(path).collect()}
+    assert len(labels) == 300 and set(labels.values()) == {0}
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(path, max_iter=10)
