@@ -303,3 +303,44 @@ def test_star_cc_equals_propagation_and_handles_long_paths(spark, sf_dir):
 
     with _pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(path, max_iter=10)
+
+
+def test_content_defined_chunks_multibyte_unicode(spark):
+    """The char-array chunking path must treat multibyte characters
+    (CJK, emoji, combining marks) as single units: chunks reassemble
+    to the normalized text and both paths agree — the failure mode
+    being guarded is byte-offset arithmetic leaking into what must be
+    CHARACTER indexing."""
+    texts = [
+        "数据 处理 引擎 在 大规模 语料 上 运行 " * 40,
+        "mixté unicode ñ données 🙂 emoji 🚀 test höher straße " * 30,
+        "ascii and 中文 mixed zusammen με ελληνικά and עברית " * 35,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = corpus.content_defined_chunks(docs)
+    glued = {
+        r["doc_id"]: r["glued"]
+        for r in out.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))).getField("chunk")
+            ).alias("glued")
+        )
+        .collect()
+    }
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.text import (
+        normalize_text,
+    )
+
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()
+        if r["n"]  # normalize_text is [a-z0-9]-alphabet: a pure-CJK doc
+        # normalizes to '' and correctly yields no chunk rows
+    }
+    assert glued == norm
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, corpus.content_defined_chunks(docs, segment=256).collect()))
+    assert a == b
