@@ -143,3 +143,81 @@ def get_trending(spark: SparkSession, base_dir: str, k: int = 5) -> DataFrame:
         .where(F.col("rnk") <= k)
         .orderBy("minute_bucket", "rnk")
     )
+
+
+def merge_trending_increment(spark: SparkSession, base_dir: str, new_enriched: DataFrame) -> None:
+    """Fold a micro-batch into the stored per-minute trending partials
+    incrementally — the leaderboard's partition-scoped MERGE pattern
+    applied to TIME partitions:
+
+    1. decimal score deltas per (minute_bucket, content_id) from the
+       batch only;
+    2. the touched minute buckets (bounded by the watermark — a
+       handful per batch, collected as a short list) prune the read;
+    3. merge = additive decimal sum over just those buckets;
+    4. dynamic partition overwrite commits only them.
+
+    The stored table is ``trending_state`` partitioned by
+    minute_bucket: partial DECIMAL sums, rank-free (ranking is a
+    per-bucket read-time window over ≤ content-cardinality rows —
+    cheap, and storing it would force re-ranking untouched buckets
+    whenever k changes).  Decimal addition is order-independent, so
+    any batch split lands bit-identical to a full recompute (tested).
+    """
+    delta = new_enriched.groupBy(
+        F.date_format("event_ts", "yyyyMMddHHmm").alias("minute_bucket"),
+        "content_id",
+    ).agg(
+        F.sum(F.col("engagement_score").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("score_dec")
+    )
+    delta.persist()
+    try:
+        buckets = [r[0] for r in delta.select("minute_bucket").distinct().collect()]
+        if not buckets:
+            return
+        path = f"{base_dir}/trending_state"
+        import os
+
+        if os.path.isdir(path) and any(
+            f.startswith("minute_bucket=") for f in os.listdir(path)
+        ):
+            current = (
+                spark.read.parquet(path)
+                .withColumn("minute_bucket", F.col("minute_bucket").cast("string"))
+                .where(F.col("minute_bucket").isin(buckets))
+                .select("minute_bucket", "content_id", "score_dec")
+            )
+            merged = (
+                current.unionByName(delta)
+                .groupBy("minute_bucket", "content_id")
+                .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
+            )
+        else:
+            merged = delta
+        _stage_swap(merged, path, partition_by="minute_bucket")
+    finally:
+        delta.unpersist()
+
+
+def get_minute_topk(spark: SparkSession, base_dir: str, minute_bucket: str, k: int = 5) -> DataFrame:
+    """ZREVRANGE top_content:bucket:{minute} — rank one bucket's
+    partials at read time; the bucket predicate prunes the scan to a
+    single partition directory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("minute_bucket").orderBy(
+        F.col("total_score").desc(), F.col("content_id")
+    )
+    return (
+        spark.read.parquet(f"{base_dir}/trending_state")
+        .where(F.col("minute_bucket") == minute_bucket)
+        .select(
+            F.col("minute_bucket").cast("string").alias("minute_bucket"),
+            "content_id",
+            F.col("score_dec").cast("double").alias("total_score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -89,3 +89,37 @@ def test_incremental_leaderboard_equals_full_recompute(spark, sf_dir, tmp_path):
         if d not in touched:
             assert sorted(os.listdir(f"{lb_dir}/{d}")) == files, f"{d} was rewritten"
     enriched.unpersist()
+
+
+def test_incremental_trending_equals_full_recompute_and_prunes(spark, sf_dir, tmp_path):
+    """merge_trending_increment over three arbitrary batch splits must
+    land bit-identical to minute_topk over the full stream (decimal
+    partials are order-independent), and the per-minute lookup must
+    prune to a single bucket partition."""
+    enriched = entrymod._enriched(spark, sf_dir).cache()
+    base = str(tmp_path / "servingt")
+    splits = [
+        enriched.where(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    for b in (splits[1], splits[0], splits[2]):  # out of order on purpose
+        serving.merge_trending_increment(spark, base, b)
+
+    full = rollups.minute_topk(enriched, k=5)
+    some_bucket = full.select(F.max("minute_bucket")).first()[0]
+    want = sorted(
+        map(
+            tuple,
+            full.where(F.col("minute_bucket") == some_bucket)
+            .select("minute_bucket", "content_id", "total_score", "rnk")
+            .collect(),
+        )
+    )
+    got_df = serving.get_minute_topk(spark, base, some_bucket, k=5)
+    got = sorted(
+        map(tuple, got_df.select("minute_bucket", "content_id", "total_score", "rnk").collect())
+    )
+    assert got == want
+
+    plan = plan_string(got_df)
+    assert "PartitionFilters" in plan and "minute_bucket" in plan
+    enriched.unpersist()
