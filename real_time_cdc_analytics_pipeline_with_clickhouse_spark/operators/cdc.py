@@ -35,12 +35,16 @@ def parse_event_ts(c: Column) -> Column:
 
     Dispatches on string LENGTH first — the four wire formats render
     at distinct fixed widths (offset +HH:MM → 25, micros → 26,
-    millis → 23, seconds → 19), so one parse attempt replaces up to
-    four (a blind coalesce chain pays up to three internal parse
-    failures per row; measured ~17% off the parse expression).
-    Equivalent to the plain chain: for a matched length only the
-    dispatched pattern can succeed, and any other length (e.g. a 'Z'
-    offset → 20 chars) falls back to the full four-way chain.
+    millis → 23, seconds → 19), so one parse attempt handles the
+    common case (a blind coalesce chain pays up to three internal
+    parse failures per row; measured ~17% off the parse expression).
+    The full four-way chain remains the final fallback for EVERY row,
+    so any string the dispatched pattern fails on (e.g. a 25-char
+    micros form with 5 fractional digits — 'SSSSSS' accepts 1-6
+    digits, so widths are not a partition of the accepted language)
+    still parses exactly as the plain chain would.  Fast path cost is
+    unchanged: coalesce evaluates lazily, so a dispatch hit never
+    reaches the fallback.
     """
     chain = F.coalesce(
         F.try_to_timestamp(c, F.lit(ISO_OFFSET)),
@@ -54,7 +58,7 @@ def parse_event_ts(c: Column) -> Column:
         F.when(n == 26, F.try_to_timestamp(c, F.lit(ISO_MICROS))),
         F.when(n == 23, F.try_to_timestamp(c, F.lit(ISO_MILLIS))),
         F.when(n == 19, F.try_to_timestamp(c, F.lit(ISO_SECONDS))),
-        F.when(~n.isin(19, 23, 25, 26), chain),
+        chain,
     )
 
 

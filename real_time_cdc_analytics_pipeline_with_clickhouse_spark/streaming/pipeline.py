@@ -196,6 +196,21 @@ def read_dim(spark: SparkSession, dim_dir: str) -> DataFrame | None:
     return None
 
 
+def require_dim(spark: SparkSession, dim_dir: str) -> DataFrame:
+    """``read_dim`` for call sites that cannot proceed without a
+    dimension: raises a descriptive error instead of returning ``None``
+    (which would otherwise surface as an opaque ``AttributeError`` on
+    the first ``.select``)."""
+    dim = read_dim(spark, dim_dir)
+    if dim is None:
+        raise FileNotFoundError(
+            f"dimension table not yet published at {dim_dir!r}: no _CURRENT "
+            "pointer and no parquet files — run maintain_dim_table (or seed "
+            "the directory) before starting an enrichment stream"
+        )
+    return dim
+
+
 def _publish_dim_version(df: DataFrame, dim_dir: str, keep: int = 2) -> None:
     """Write ``df`` as a NEW immutable version dir, then atomically swap
     the pointer (`os.replace` of a sidecar temp file — atomic on POSIX).
@@ -277,7 +292,7 @@ def enriched_event_stream(spark: SparkSession, engagement_json_stream: DataFrame
     dim inside ``foreachBatch`` — the micro-batch-granular analog of
     Flink broadcast-state updates."""
     events = unwrap_engagement(engagement_json_stream).withWatermark("event_ts", WATERMARK_DELAY)
-    dim = read_dim(spark, dim_dir).select(
+    dim = require_dim(spark, dim_dir).select(
         F.col("id").alias("content_id"), "content_type", "length_seconds"
     )
     return enriched_columns(events.join(F.broadcast(dim), "content_id", "left"))
@@ -310,7 +325,7 @@ def start_enriched_warehouse_pipeline(
     def sink(batch: DataFrame, _epoch: int) -> None:
         sp_ = batch.sparkSession
         sp_.catalog.refreshByPath(dim_dir)
-        dim = read_dim(sp_, dim_dir).select(
+        dim = require_dim(sp_, dim_dir).select(
             F.col("id").alias("content_id"), "content_type", "length_seconds"
         )
         enriched = enriched_columns(batch.join(F.broadcast(dim), "content_id", "left"))

@@ -51,6 +51,21 @@ def test_unknown_timestamp_format_yields_null():
     assert all(r["t"] is None for r in out.collect())
 
 
+def test_nonstandard_width_still_parses_via_fallback(spark):
+    """P3 leniency: widths the dispatcher doesn't own (or owns with a
+    different pattern) still parse through the full-chain fallback —
+    e.g. a 25-char micros-style string with 5 fractional digits, or a
+    20-char 'Z'-offset form."""
+    rows = [
+        ("2026-01-01T00:00:00.12345",),    # 25 chars, 5-digit micros
+        ("2026-01-01T00:00:00.1234",),     # 24 chars, 4-digit micros
+        ("2026-01-01T00:00:00.1",),        # 21 chars, 1-digit fraction
+    ]
+    df = spark.createDataFrame(rows, ["s"])
+    out = df.select(cdc.parse_event_ts(F.col("s")).alias("t")).collect()
+    assert all(r["t"] is not None for r in out), out
+
+
 def test_delete_routing_uses_before_image(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     changes = cdc.unwrap_content(cdc_feed.content_cdc_json(part))

@@ -21,6 +21,18 @@ def _write_feed_files(df, out_dir: str, n_files: int = 3) -> None:
     df.repartition(n_files).write.mode("overwrite").text(out_dir)
 
 
+def test_require_dim_raises_descriptive_error_when_missing(spark, tmp_path):
+    """A missing dimension surfaces as a named FileNotFoundError, not an
+    AttributeError on ``None.select`` (ADVICE r3)."""
+    missing = str(tmp_path / "no_dim_here")
+    with pytest.raises(FileNotFoundError, match="not yet published"):
+        sp.require_dim(spark, missing)
+    with pytest.raises(FileNotFoundError, match="not yet published"):
+        sp.enriched_event_stream(
+            spark, sp.read_json_lines_stream(spark, str(tmp_path)), missing
+        )
+
+
 def test_dim_maintenance_stream_equals_batch_compaction(spark, sf_dir, tmp_path):
     """Replaying the content CDC feed through the streaming dim
     maintainer must land in the same state as batch latest-wins
