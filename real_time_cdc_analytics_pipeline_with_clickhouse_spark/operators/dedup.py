@@ -593,24 +593,107 @@ def dedup_clusters(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: i
     )
 
 
-def sign_lsh_bucket(vec, bits: int = 8):
-    """Hyperoctant bucket id from the signs of the first ``bits`` dims."""
-    out = F.lit(0)
-    for i in range(bits):
-        out = out + F.when(F.element_at(vec, i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+LSH_SEED = "signlsh-v1"
+LSH_DIM = 64  # embeddings.parquet wire dim (TESTDATA.md)
+
+
+def rademacher_planes(bits: int, dim: int = LSH_DIM, seed: str = LSH_SEED) -> list[list[int]]:
+    """``bits`` random ±1 hyperplanes, derived from md5 of (seed, i, j).
+
+    Pure Python, computed once at PLAN-BUILD time — the rows embed as
+    literal constants into both the Spark expression and the DuckDB
+    oracle SQL, so the two engines share identical planes with zero
+    runtime hashing.  Plane ``i`` depends only on ``(seed, i, j)``:
+    a ``bits=6`` table is exactly the first 6 rows of a ``bits=8``
+    table, so widening the bucket space only splits buckets, never
+    reshuffles them.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] & 1 else -1
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def lsh_bits_for(n_rows: int, target_bucket: int = 4096, lo: int = 4, hi: int = 24) -> int:
+    """Bucket-count sizing: enough hyperplanes that the MEAN bucket holds
+    ~``target_bucket`` vectors (``ceil(log2(n / target))``, clamped).
+    In-bucket pairing is quadratic in occupancy, so at 10⁹ vectors the
+    old fixed 8-bit ceiling (256 buckets → ~4M/bucket → ~10¹³ pairs per
+    bucket) is the scale-killer; 18 bits puts the mean bucket back at
+    ~4k → ~8M pairs, executor-sized."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def quantize_micro(vec):
+    """Embedding → exact integer micro-units (``round(x·10⁶)`` as long).
+
+    The LSH sign decision runs on these integers so it is bit-identical
+    across engines: every |term| ≤ ~10⁷ and a 64-dim sum ≤ ~10⁹, exact
+    in int64 (Spark) AND in float64 (DuckDB's ``list_dot_product``) —
+    no summation-order or last-ulp hazard at the ``dot ≈ 0`` boundary.
+    """
+    return F.transform(vec, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+
+def sign_lsh_bucket(vec, bits: int = 8, dim: int = LSH_DIM, seed: str = LSH_SEED):
+    """Random-hyperplane (SRP/SimHash-for-vectors) bucket id.
+
+    Bit ``i`` is the sign of the vector's projection onto the ``i``-th
+    seeded Rademacher hyperplane — every dimension participates in
+    every bit.  The previous scheme (signs of the FIRST ``bits``
+    coordinates) collapsed under correlated real-world embeddings:
+    early dims share sign across the corpus, so occupancy piled into a
+    handful of the 2^bits buckets (see
+    ``test_extensions.test_hyperplane_buckets_beat_coordinate_signs``).
+    Mixed ±1 projections are invariant to which coordinates carry the
+    signal, so occupancy tracks the 2^bits mean even when individual
+    coordinates are heavily biased.  Size ``bits`` with
+    ``lsh_bits_for(n)`` at scale; collision probability per bit is
+    1 − θ/π (random-projection LSH, Charikar'02), so nearby vectors
+    still share buckets at any ``bits``.
+
+    ``dim`` must match the embedding width (rows narrower than ``dim``
+    degrade to bucket-bit 0 via null propagation — they never error).
+    """
+    planes = rademacher_planes(bits, dim, seed)
+    qx = quantize_micro(vec)
+    out = F.lit(0).cast("long")
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(v).cast("long") for v in row])
+        proj = F.aggregate(
+            F.zip_with(qx, plane, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return out.cast("long")
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup pairs, bucketed by sign-LSH.
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, bits: int | None = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed by random-hyperplane LSH.
 
-    Only pairs inside the same hyperoctant are scored — at 100 TB the
-    bucket key is the shuffle key and each bucket is small.  A
-    high-cosine pair straddling one sign boundary (a near-zero
-    coordinate flips sign between the two vectors) lands in different
-    octants and is missed; ``multiprobe_embedding_near_dup_pairs``
-    recovers those.
+    Only pairs inside the same hyperplane-sign bucket are scored — at
+    100 TB the bucket key is the shuffle key and each bucket is small.
+    Pass ``bits=None`` to size the bucket space from the corpus count
+    (``lsh_bits_for``) so mean occupancy stays executor-bounded as the
+    corpus grows (one extra count job).  A high-cosine pair straddling
+    one hyperplane (near-zero projection flips sign between the two
+    vectors) lands in different buckets and is missed;
+    ``multiprobe_embedding_near_dup_pairs`` recovers those.
     """
+    if bits is None:
+        bits = lsh_bits_for(embeddings.count())
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     e = embeddings.repartition(par).select(
         "vec_id", "embedding",
@@ -631,21 +714,22 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9, bits
 
 
 def multiprobe_embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, bits: int = 8
+    embeddings: DataFrame, threshold: float = 0.9, bits: int | None = 8
 ) -> DataFrame:
     """Sign-LSH near-dup with radius-1 multi-probe: each vector also
     probes the ``bits`` buckets one sign-flip away, so a pair split by
-    a single near-zero coordinate still meets in a bucket (the
-    classic recall fix for sign-LSH; radius 1 suffices because a
-    ≥0.9-cosine pair rarely disagrees on two of the first ``bits``
-    signs at once — and those would need radius 2 in ANY 1-table
-    scheme).
+    a single near-zero hyperplane projection still meets in a bucket
+    (the classic recall fix for sign-LSH; radius 1 suffices because a
+    ≥0.9-cosine pair rarely crosses two of the ``bits`` hyperplanes
+    at once — and those would need radius 2 in ANY 1-table scheme).
 
     Shape: STRICT superset of ``embedding_near_dup_pairs`` at the same
     threshold (property-tested), still an equi-join on the bucket key —
     the probe side is (bits+1)× the vector count, never vectors², and
     each candidate is cosine-verified exactly.
     """
+    if bits is None:
+        bits = lsh_bits_for(embeddings.count())
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     e = embeddings.repartition(par).select(
         "vec_id", "embedding",

@@ -5,9 +5,10 @@
   side never shuffles — at 100 TB this is a map-side scan + per-query
   top-k heap (Spark's TakeOrderedAndProject analog per key).
 - ``ivf_topk`` — IVF-style approximate variant: corpus pre-bucketed by
-  sign-LSH (hyperoctants as deterministic "centroids"); a query probes
-  only its own bucket.  Same answer shape, a fraction of the scoring
-  work; recall tunable by multi-probing neighbor buckets.
+  random-hyperplane sign-LSH (seeded Rademacher projections as
+  deterministic "centroids"); a query probes only its own bucket.
+  Same answer shape, a fraction of the scoring work; recall tunable by
+  multi-probing neighbor buckets.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.vector import dot, norm
-from .dedup import sign_lsh_bucket
+from .dedup import lsh_bits_for, sign_lsh_bucket
 
 
 def default_queries(embeddings: DataFrame, every: int = 100) -> DataFrame:
@@ -36,20 +37,24 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = embeddings.repartition(par).withColumn("nrm", norm(F.col("embedding")))
     q = queries.withColumn("qnrm", norm(F.col("query_vec")))
+    raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = corpus.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
-        ).alias("cos_sim"),
+        # rank on 6dp (deterministic cross-engine ordering), but the
+        # OUTPUT value is rounded ONCE from the raw cosine — a second
+        # round of an already-rounded value ties exactly at x.xxxx50
+        # and tie-resolution on binary doubles is engine-specific
+        F.round(raw, 6).alias("cos6"),
+        F.round(raw, 4).alias("cos4"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rnk", F.col("cos4").alias("cos_sim"))
     )
 
 
@@ -91,8 +96,16 @@ def quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> Dat
     )
 
 
-def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, bits: int = 6) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-LSH bucket."""
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, bits: int | None = 6
+) -> DataFrame:
+    """Approximate top-k: probe only the query's random-hyperplane
+    bucket.  ``bits=None`` sizes the bucket space from the corpus count
+    (``lsh_bits_for``), keeping per-bucket scoring work bounded as the
+    corpus grows; ``ivf_kmeans_topk`` is the learned-centroid variant
+    with explicit ``n_probe`` recall control."""
+    if bits is None:
+        bits = lsh_bits_for(embeddings.count())
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = embeddings.repartition(par).select(
         "vec_id", "embedding",
@@ -104,20 +117,21 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, bits: int = 
         sign_lsh_bucket(F.col("query_vec"), bits).alias("bucket"),
         norm(F.col("query_vec")).alias("qnrm"),
     )
+    raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = corpus.join(F.broadcast(q), "bucket").where(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
-        ).alias("cos_sim"),
+        # rank on 6dp, output a single round from raw (see brute_force_topk)
+        F.round(raw, 6).alias("cos6"),
+        F.round(raw, 4).alias("cos4"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rnk", F.col("cos4").alias("cos_sim"))
     )
 
 
@@ -198,20 +212,21 @@ def ivf_kmeans_topk(
         .where(F.col("cell_rnk") <= n_probe)
         .select("query_id", "query_vec", "centroid_id", norm(F.col("query_vec")).alias("qnrm"))
     )
+    raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = corpus.join(F.broadcast(probes), "centroid_id").where(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
-        ).alias("cos_sim"),
+        # rank on 6dp, output a single round from raw (see brute_force_topk)
+        F.round(raw, 6).alias("cos6"),
+        F.round(raw, 4).alias("cos4"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rnk", F.col("cos4").alias("cos_sim"))
     )
 
 

@@ -175,8 +175,21 @@ def _h(expr: str, seed: str) -> str:
 
 
 def _sign_bucket(vec: str, bits: int) -> str:
+    """DuckDB twin of ``operators.dedup.sign_lsh_bucket`` — the SAME
+    seeded Rademacher planes (imported, not re-derived) against the
+    SAME micro-unit integer quantization.  All products/sums are
+    integer-valued and ≤ ~10⁹, exact in float64, so
+    ``list_dot_product`` reproduces Spark's int64 fold bit-for-bit."""
+    from .operators.dedup import rademacher_planes
+
+    qx = f"list_transform(CAST({vec} AS DOUBLE[]), x -> round(x * 1000000))"
     terms = " + ".join(
-        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(bits)
+        "(CASE WHEN list_dot_product({qx}, {plane}) >= 0 THEN {w} ELSE 0 END)".format(
+            qx=qx,
+            plane="[" + ", ".join(f"{v}.0" for v in row) + "]",
+            w=2**i,
+        )
+        for i, row in enumerate(rademacher_planes(bits))
     )
     return f"CAST({terms} AS BIGINT)"
 
@@ -610,15 +623,18 @@ SELECT vec_a, vec_b, cos_sim FROM (
 ) WHERE cos_sim >= 0.9
 """)
 
+# rank on 6dp, output a SINGLE round of the raw cosine to 4dp: a second
+# round of an already-rounded value ties exactly at x.xxxx50
 ORACLE["ann_bruteforce_topk"] = q(f"""
-SELECT query_id, neighbor_id, rnk, round(cos6, 4) AS cos_sim
+SELECT query_id, neighbor_id, rnk, cos4 AS cos_sim
 FROM (
-  SELECT query_id, neighbor_id, cos6,
+  SELECT query_id, neighbor_id, cos4,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos6 DESC, neighbor_id) AS rnk
   FROM (
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           round({_cosine("q.embedding", "e.embedding")}, 6) AS cos6
+           round({_cosine("q.embedding", "e.embedding")}, 6) AS cos6,
+           round({_cosine("q.embedding", "e.embedding")}, 4) AS cos4
     FROM embeddings e
     CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
     WHERE e.vec_id <> q.vec_id
@@ -627,14 +643,15 @@ FROM (
 """)
 
 ORACLE["ann_ivf_topk"] = q(f"""
-SELECT query_id, neighbor_id, rnk, round(cos6, 4) AS cos_sim
+SELECT query_id, neighbor_id, rnk, cos4 AS cos_sim
 FROM (
-  SELECT query_id, neighbor_id, cos6,
+  SELECT query_id, neighbor_id, cos4,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos6 DESC, neighbor_id) AS rnk
   FROM (
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           round({_cosine("q.embedding", "e.embedding")}, 6) AS cos6
+           round({_cosine("q.embedding", "e.embedding")}, 6) AS cos6,
+           round({_cosine("q.embedding", "e.embedding")}, 4) AS cos4
     FROM (SELECT vec_id, embedding, {_sign_bucket("embedding", 6)} AS bucket FROM embeddings) e
     JOIN (SELECT vec_id, embedding, {_sign_bucket("embedding", 6)} AS bucket
           FROM embeddings WHERE vec_id % 100 = 0) q

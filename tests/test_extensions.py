@@ -247,25 +247,53 @@ def test_hash_split_no_content_leakage(spark, sf_dir):
     assert not mismatched, f"duplicates split differently: {mismatched[:5]}"
 
 
+def _lsh_signature(vec, planes):
+    """Integer-projection sign pattern exactly as sign_lsh_bucket
+    computes it: round(x·10⁶) dotted with each ±1 plane."""
+    import numpy as np
+
+    qx = np.round(np.asarray(vec, dtype=np.float64) * 1_000_000)
+    return tuple(1 if float(np.dot(qx, p)) >= 0 else 0 for p in planes)
+
+
 def test_multiprobe_embedding_near_dup_superset_and_boundary_recall(spark, sf_dir):
     """Radius-1 sign-LSH multiprobe must (a) return a strict superset
-    of the single-octant pairs at the same threshold and (b) recover
-    constructed near-dup twins that straddle one sign boundary (a
-    near-zero first coordinate negated — cosine ~1, different octant),
-    which the plain bucket join provably misses."""
-    emb = load_table(spark, sf_dir, "embeddings").limit(300)
-    straddle = emb.where(
-        (F.element_at("embedding", 1) >= 0) & (F.element_at("embedding", 1) < 0.05)
+    of the single-bucket pairs at the same threshold and (b) recover
+    constructed near-dup twins that straddle exactly ONE hyperplane
+    (cosine ~1, hamming-1 bucket ids — verified numerically with the
+    same integer projections the operator uses), which the plain
+    bucket join provably misses."""
+    import numpy as np
+
+    bits = 8
+    planes = [np.asarray(p, dtype=np.float64) for p in dedup.rademacher_planes(bits)]
+    base_rows = load_table(spark, sf_dir, "embeddings").limit(300).collect()
+
+    twins, twin_ids = [], []
+    for r in base_rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sig = _lsh_signature(v, planes)
+        # flip the plane with the smallest |projection|: reflect v just
+        # past that hyperplane and verify the move leaves every other
+        # sign (and cosine ~1) intact
+        qx = np.round(v * 1_000_000)
+        projs = [float(np.dot(qx, p)) for p in planes]
+        j = int(np.argmin(np.abs(projs)))
+        tw = v - (2.2 * projs[j] / (1_000_000 * len(v))) * planes[j]
+        tsig = _lsh_signature(tw, planes)
+        cos = float(np.dot(v, tw) / (np.linalg.norm(v) * np.linalg.norm(tw)))
+        if sum(a != b for a, b in zip(sig, tsig)) == 1 and cos >= 0.95:
+            twins.append((int(r["vec_id"]) + 500000, [float(x) for x in tw], int(r["label"])))
+            twin_ids.append(int(r["vec_id"]))
+    assert len(twins) >= 5, "construction should yield hamming-1 twins"
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
     )
-    assert straddle.count() > 0, "fixture needs near-zero first coords"
-    twins = straddle.select(
-        (F.col("vec_id") + 500000).alias("vec_id"),
-        F.expr(
-            "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(-0.001 AS FLOAT) ELSE x END)"
-        ).alias("embedding"),
-        "label",
+    twin_df = spark.createDataFrame(
+        twins, "vec_id long, embedding array<double>, label int"
     )
-    corpus = emb.unionByName(twins)
+    corpus = emb.unionByName(twin_df)
 
     single = {
         (r["vec_a"], r["vec_b"])
@@ -276,10 +304,61 @@ def test_multiprobe_embedding_near_dup_superset_and_boundary_recall(spark, sf_di
         for r in dedup.multiprobe_embedding_near_dup_pairs(corpus, threshold=0.9).collect()
     }
     assert single <= multi
-    twin_pairs = {
-        (r["vec_id"], r["vec_id"] + 500000) for r in straddle.select("vec_id").collect()
-    }
-    # the boundary-straddling twins are invisible to the plain octant
-    # join but recovered by the 1-bit probe
+    twin_pairs = {(i, i + 500000) for i in twin_ids}
+    # hamming-1 twins are invisible to the plain bucket join but
+    # recovered by the 1-bit probe
     assert twin_pairs & multi == twin_pairs
     assert not (twin_pairs & single)
+
+
+def test_hyperplane_buckets_beat_coordinate_signs(spark):
+    """The r3 verdict's 100 TB flag: coordinate-sign buckets collapse
+    when early dims are sign-biased (real embedding dims are
+    correlated).  On a corpus whose first 8 coordinates are all
+    positive, the old scheme lands EVERY row in one bucket (occupancy
+    n → quadratic in-bucket pairing); seeded random-hyperplane buckets
+    mix all 64 dims and keep max occupancy near the 2^bits mean."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n, dim, bits = 4000, 64, 8
+    mat = rng.standard_normal((n, dim))
+    mat[:, :8] = np.abs(mat[:, :8])  # correlated/biased early dims
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    # the pre-r4 scheme: signs of the first `bits` coordinates
+    coord_bucket = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    old_max = (
+        df.groupBy(coord_bucket.alias("b")).count().agg(F.max("count")).collect()[0][0]
+    )
+    new_max = (
+        df.groupBy(dedup.sign_lsh_bucket(F.col("embedding"), bits).alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert old_max == n  # total collapse: one bucket holds everything
+    # hyperplanes: max occupancy within a small factor of the mean n/2^bits
+    assert new_max <= 8 * n / 2**bits, (old_max, new_max)
+
+
+def test_lsh_planes_deterministic_and_prefix_stable():
+    """Planes are a pure function of (seed, i, j): identical across
+    calls, and a narrower table is a strict prefix of a wider one — so
+    raising `bits` only splits buckets, never reshuffles them — and the
+    auto-sizer grows with corpus count and respects its clamps."""
+    p8 = dedup.rademacher_planes(8)
+    assert p8 == dedup.rademacher_planes(8)
+    assert dedup.rademacher_planes(6) == p8[:6]
+    assert all(v in (-1, 1) for row in p8 for v in row)
+    # every plane mixes both signs (not degenerate)
+    assert all(len(set(row)) == 2 for row in p8)
+    assert dedup.lsh_bits_for(1000) == 4  # below target → lo clamp
+    assert dedup.lsh_bits_for(10**9, target_bucket=4096) == 18
+    assert dedup.lsh_bits_for(10**12) == 24  # hi clamp
