@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.scalar import portable_hash64
 from ..functions.text import normalize_text, tokens
@@ -283,15 +283,25 @@ def content_defined_chunks(
     indexing (O(n·window) total), boundary filter, then slice between
     consecutive boundaries and explode.
 
-    Memory shape: the per-row char-hash array costs ~8 bytes/char, so
-    docs longer than ``segment`` chars take a SEGMENTED path — each
-    row hashes one ``segment``-char slice (with ``window-1`` chars of
-    left overlap: a boundary decision only sees the trailing window,
-    so per-segment cuts equal global cuts exactly), and per-doc cut
-    lists reassemble via one collect_list-by-doc shuffle of the tiny
-    cut arrays.  Short docs (the overwhelming majority of any corpus)
-    stay on the shuffle-free single-expression path; the two paths
-    produce identical chunks (property-tested).
+    Memory shape: the per-row char/char-hash arrays cost well over
+    8 bytes/char, so docs longer than ``segment`` chars take a
+    SEGMENTED path in which NO expression ever materializes an
+    O(document) — or O(total-chunks) — array: each row hashes one
+    ``segment``-char slice (with ``window-1`` chars of left overlap: a
+    boundary decision only sees the trailing window, so per-segment
+    cuts equal global cuts exactly), and CHUNK EXTRACTION is also
+    segment-local: a segment's piece boundaries are its own cuts, each
+    piece slices out of the segment's O(segment) char array, the
+    piece's global chunk index is a prefix sum of cut counts over the
+    doc's preceding segments (one window function over slim per-segment
+    rows), and a (doc, chunk)-keyed groupBy concatenates the ≥1 pieces
+    of each chunk in segment order (a chunk spanning k segments
+    assembles from its k owning pieces; the common ≪segment chunk is a
+    single piece).  Peak per-row transient memory is O(segment)
+    everywhere; only the output chunk strings themselves scale with
+    chunk length.  Short docs (the overwhelming majority of any
+    corpus) stay on the shuffle-free single-expression path; the two
+    paths produce identical chunks (property-tested).
     """
     base = documents.select("doc_id", normalize_text(F.col("text")).alias("_t"))
     n = F.length(F.col("_t"))
@@ -311,16 +321,23 @@ def content_defined_chunks(
     g0 = F.col("k").cast("long") * segment          # 0-based global start of the segment
     s_start = F.greatest(g0 - (window - 1), F.lit(0))  # include left overlap
     seg_txt = F.col("_t").substr(s_start + 1, g0 + segment - s_start)
-    segs = (
-        long_docs.select(
-            "doc_id", "_t", F.explode(F.sequence(F.lit(0), nseg - 1)).alias("k")
-        )
-        .select("doc_id", s_start.alias("_s0"), g0.alias("_g0"), seg_txt.alias("_st"))
-        .select(
-            "doc_id", "_s0", "_g0",
-            _char_array(F.col("_st"), F.length(F.col("_st"))).alias("_sca"),
-        )
-        .select("doc_id", "_s0", "_g0", _char_hashes(F.col("_sca")).alias("_ch"))
+    segs = long_docs.select(
+        "doc_id", "_t", F.explode(F.sequence(F.lit(0), nseg - 1)).alias("k")
+    ).select(
+        "doc_id",
+        F.length("_t").cast("long").alias("_n"),
+        s_start.alias("_s0"),
+        g0.alias("_g0"),
+        seg_txt.alias("_st"),
+    )
+    # char/char-hash/cut arrays are materialized as REAL columns before
+    # any lambda references them (inlined they re-evaluate per element —
+    # the quadratic trap _char_array documents); all are O(segment)
+    hashed = segs.select(
+        "doc_id", "_n", "_s0", "_g0", "_st",
+        _char_array(F.col("_st"), F.length(F.col("_st"))).alias("_sca"),
+    ).select(
+        "doc_id", "_n", "_s0", "_g0", "_st", _char_hashes(F.col("_sca")).alias("_ch")
     )
     # local cut i (1-based in the segment) ↔ global position _s0 + i;
     # keep only cuts owned by this segment: global ∈ (_g0, _g0+segment]
@@ -329,16 +346,77 @@ def content_defined_chunks(
         F.transform(local, lambda i: i.cast("long") + F.col("_s0")),
         lambda p: p > F.col("_g0"),
     )
-    per_doc = (
-        segs.select("doc_id", gcuts.alias("gc"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.flatten(F.collect_list("gc"))).alias("cuts"))
+
+    # --- segment-local chunk extraction -----------------------------
+    # A segment's piece boundaries are its OWN cuts (plus its owned
+    # range ends): piece p of this segment belongs to global chunk
+    # (cuts-in-preceding-segments + p) — a prefix sum over segments,
+    # not a per-doc cut assembly — so NO expression anywhere holds an
+    # O(document) or O(total-chunks) array.  The window shuffle carries
+    # the compact segment STRING + its small cut array (the ~16 B/char
+    # char array is re-materialized map-side after); pieces then slice
+    # out of that O(segment) char array and a (doc, chunk)-keyed
+    # groupBy concatenates the ≥1 pieces of each chunk in segment order.
+    wseg = Window.partitionBy("doc_id").orderBy("_g0")
+    cut_counts = hashed.select(
+        "doc_id", "_s0", "_g0", "_st", gcuts.alias("_gc"),
+        F.least(F.col("_g0") + segment, F.col("_n")).alias("_ge"),
+    ).select(
+        "doc_id", "_s0", "_g0", "_st", "_gc", "_ge",
+        F.coalesce(
+            F.sum(F.size("_gc")).over(wseg.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_prefix"),
     )
-    long_out = _explode_chunks(
-        long_docs.join(per_doc, "doc_id").select(
-            "doc_id", "cuts", _char_array(F.col("_t"), F.length(F.col("_t"))).alias("_ca")
+    # piece boundaries: g0 ∪ own cuts ∪ gend (ascending, all within the
+    # segment's owned range) — materialized before the lambda probes it
+    seg2 = cut_counts.select(
+        "doc_id", "_s0", "_g0", "_prefix",
+        F.concat(F.array(F.col("_g0")), F.col("_gc"), F.array(F.col("_ge"))).alias("_pb"),
+        _char_array(F.col("_st"), F.length(F.col("_st"))).alias("_sca"),
+    )
+
+    def _piece(p):
+        lo = F.element_at(F.col("_pb"), (p + 1).cast("int"))
+        hi = F.element_at(F.col("_pb"), (p + 2).cast("int"))
+        return F.when(
+            hi > lo,  # only the trailing piece can be empty (cut == gend)
+            F.struct(
+                (F.col("_prefix") + p).cast("int").alias("cidx"),
+                F.concat_ws(
+                    "",
+                    F.slice(
+                        F.col("_sca"),
+                        (lo - F.col("_s0") + 1).cast("int"),
+                        (hi - lo).cast("int"),
+                    ),
+                ).alias("piece"),
+            ),
+        )
+
+    pieces = F.filter(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.size(F.col("_pb")).cast("long") - 2), _piece
         ),
-        F.col("cuts"),
+        lambda s: s.isNotNull(),
+    )
+    prows = seg2.select("doc_id", "_g0", F.explode(pieces).alias("p"))
+    # a chunk's pieces concatenate in segment (_g0) order; _g0 is
+    # unique per (doc, segment), so the struct sort is total
+    long_out = (
+        prows.groupBy("doc_id", F.col("p.cidx").alias("cidx"))
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_g0").alias("g"), F.col("p.piece").alias("s")))
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("chunk")
+        )
+        .select("doc_id", F.col("cidx").alias("chunk_idx"), "chunk")
     )
 
     return short_out.unionByName(long_out)

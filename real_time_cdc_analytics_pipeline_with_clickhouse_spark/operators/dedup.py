@@ -447,7 +447,9 @@ def fuzzy_dedup_keep(
     return documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, fallback_to_star: bool = True
+) -> DataFrame:
     """Connected components of an undirected pair graph by min-label
     propagation: every node starts labeled with itself; each round a
     node takes the min of its own and its neighbors' labels; at the
@@ -461,9 +463,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     IS the fixpoint — which costs one scalar action per round (the
     only driver materialization).  Rounds needed = graph diameter;
     dedup-cluster graphs are shallow (near-cliques of copies), so
-    this converges in 2-3 rounds.  For adversarially long path graphs
-    switch to large-star/small-star (O(log n) rounds, same join
-    primitive).
+    this converges in 2-3 rounds.  A graph deeper than ``max_iter``
+    AUTO-SWITCHES to large-star/small-star
+    (``connected_components_star``, O(log n) rounds, same join
+    primitive) instead of failing — callers never hit a diameter
+    error in production; pass ``fallback_to_star=False`` to get the
+    loud RuntimeError instead (e.g. when the caller wants proof the
+    graph is shallow).
 
     ``pairs``: (doc_a, doc_b) candidate edges, one direction.
     Returns (doc_id, label) for every node appearing in ≥1 pair.
@@ -487,8 +493,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
-    # silently returning a half-propagated labeling would mislabel
-    # every component deeper than max_iter — fail loudly instead
+    # graph diameter exceeds max_iter: a half-propagated labeling would
+    # mislabel every deep component, so either hand off to the O(log n)
+    # star variant (default) or fail loudly — never return silently
+    if fallback_to_star:
+        return connected_components_star(pairs)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds max_iter); use connected_components_star "

@@ -301,8 +301,15 @@ def test_star_cc_equals_propagation_and_handles_long_paths(spark, sf_dir):
     labels = {r["doc_id"]: r["label"] for r in dedup.connected_components_star(path).collect()}
     assert len(labels) == 300 and set(labels.values()) == {0}
 
+    # deep graph + fallback disabled → loud failure, never a silent
+    # half-propagated labeling
     with _pytest.raises(RuntimeError, match="converge"):
-        dedup.connected_components(path, max_iter=10)
+        dedup.connected_components(path, max_iter=10, fallback_to_star=False)
+
+    # default: the same deep graph auto-switches to the star variant
+    # and still produces the correct labeling
+    auto = {r["doc_id"]: r["label"] for r in dedup.connected_components(path, max_iter=10).collect()}
+    assert len(auto) == 300 and set(auto.values()) == {0}
 
 
 def test_content_defined_chunks_multibyte_unicode(spark):
