@@ -8,11 +8,17 @@ filter-pushed point reads over materialized serving tables — each
 getter's predicate reaches the parquet scan, so a lookup touches one
 partition directory (leaderboards) or a few row groups, not the table.
 
-``materialize_serving_tables`` is what a ``foreachBatch`` serving sink
-runs per micro-batch (full refresh here; with Delta, MERGE-updates).
+All four tables are maintained INCREMENTALLY (partition-scoped decimal
+/ latest-wins / additive merges — ``apply_serving_increment`` is what
+``start_serving_sink`` runs per micro-batch); a full refresh is the
+same increment applied once to a cleared base, so there is exactly one
+maintenance code path.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -20,23 +26,39 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import rollups
 from .warehouse import _stage_swap
 
-TABLES = ["user_leaderboard", "latest_event", "event_counters", "trending"]
+TABLES = ["user_leaderboard", "latest_event", "event_counters", "trending_state"]
 
 
 def materialize_serving_tables(enriched: DataFrame, base_dir: str) -> None:
-    """Write the four serving tables.  The leaderboard is partitioned
-    by a user bucket (1024 buckets): per-user reads prune to one
+    """Full refresh of the serving tables = clear state, then fold the
+    whole frame in through the SAME incremental merge path a streaming
+    ``foreachBatch`` uses (r3 verdict: the convenience entry point must
+    not be a second, O(history)-per-batch, code path).  The increments
+    applied to an empty base ARE a full recompute: decimal partials,
+    latest-wins, and additive counters are all order-independent.
+
+    Layout: the leaderboard and latest-event tables are partitioned by
+    a user bucket (1024 buckets): per-user reads prune to one
     directory — the layout analog of Redis key sharding — without
-    creating millions of tiny single-user partitions."""
-    (
-        _leaderboard_state(enriched)
-        .write.mode("overwrite")
-        .partitionBy("user_bucket")
-        .parquet(f"{base_dir}/user_leaderboard")
-    )
-    rollups.latest_event(enriched).write.mode("overwrite").parquet(f"{base_dir}/latest_event")
-    rollups.event_counters(enriched).write.mode("overwrite").parquet(f"{base_dir}/event_counters")
-    rollups.trending_recent(enriched).write.mode("overwrite").parquet(f"{base_dir}/trending")
+    creating millions of tiny single-user partitions; trending state
+    is partitioned by minute bucket."""
+    for t in TABLES:
+        shutil.rmtree(os.path.join(base_dir, t), ignore_errors=True)
+    apply_serving_increment(enriched.sparkSession, base_dir, enriched)
+
+
+def apply_serving_increment(spark: SparkSession, base_dir: str, batch: DataFrame) -> None:
+    """Fold one micro-batch of enriched events into all four serving
+    tables (K2).  Each merge is partition-scoped: only the buckets the
+    batch touches are read or rewritten."""
+    batch.persist()
+    try:
+        merge_leaderboard_increment(spark, base_dir, batch)
+        merge_trending_increment(spark, base_dir, batch)
+        merge_latest_event_increment(spark, base_dir, batch)
+        merge_event_counters_increment(spark, base_dir, batch)
+    finally:
+        batch.unpersist()
 
 
 N_BUCKETS = 1024
@@ -95,20 +117,80 @@ def merge_leaderboard_increment(spark: SparkSession, base_dir: str, new_enriched
         if not buckets:
             return
         path = f"{base_dir}/user_leaderboard"
-        current = (
-            spark.read.parquet(path)
-            .where(F.col("user_bucket").isin(buckets))
-            .select("user_id", "content_id", "score_dec", "user_bucket")
-        )
-        merged = (
-            current.unionByName(delta)
-            .groupBy("user_id", "content_id", "user_bucket")
-            .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
-        )
+        if _partitioned_table_exists(path, "user_bucket"):
+            current = (
+                spark.read.parquet(path)
+                .where(F.col("user_bucket").isin(buckets))
+                .select("user_id", "content_id", "score_dec", "user_bucket")
+            )
+            merged = (
+                current.unionByName(delta)
+                .groupBy("user_id", "content_id", "user_bucket")
+                .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
+            )
+        else:  # first batch bootstraps the table
+            merged = delta
         ranked = _rank_state(merged.drop("user_bucket"))
         _stage_swap(ranked, path, partition_by="user_bucket")
     finally:
         delta.unpersist()
+
+
+def _partitioned_table_exists(path: str, partition_col: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.startswith(partition_col + "=") for f in os.listdir(path)
+    )
+
+
+def merge_latest_event_increment(spark: SparkSession, base_dir: str, new_enriched: DataFrame) -> None:
+    """Fold a micro-batch into the stored latest-event table (the Redis
+    ``SETEX engagement:{user}:{content}`` analog) — latest-wins per
+    (user, content) via ``max_by`` on (event_ts, event_id), bucket-
+    partition-scoped like the leaderboard.  Latest-wins is idempotent
+    under replay: a re-delivered event loses the tiebreak against the
+    stored copy of itself."""
+    delta = rollups.latest_event(new_enriched).withColumn(
+        "user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS))
+    )
+    delta.persist()
+    try:
+        buckets = [r[0] for r in delta.select("user_bucket").distinct().collect()]
+        if not buckets:
+            return
+        path = f"{base_dir}/latest_event"
+        if _partitioned_table_exists(path, "user_bucket"):
+            current = (
+                spark.read.parquet(path)
+                .where(F.col("user_bucket").isin(buckets))
+                .drop("user_bucket")
+            )
+            merged = rollups.latest_event(
+                current.unionByName(delta.drop("user_bucket"), allowMissingColumns=False)
+            ).withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
+        else:
+            merged = delta
+        _stage_swap(merged, path, partition_by="user_bucket")
+    finally:
+        delta.unpersist()
+
+
+def merge_event_counters_increment(spark: SparkSession, base_dir: str, new_enriched: DataFrame) -> None:
+    """Fold a micro-batch into the global per-event-type counters (the
+    Redis ``INCR event_counters:{type}`` analog) — an additive merge of
+    a ≤|event-type-domain|-row table, the one serving table small
+    enough that partition scoping would be overhead."""
+    delta = rollups.event_counters(new_enriched)
+    path = f"{base_dir}/event_counters"
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        merged = (
+            spark.read.parquet(path)
+            .unionByName(delta)
+            .groupBy("event_type")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = delta
+    _stage_swap(merged, path)
 
 
 def get_user_leaderboard(spark: SparkSession, base_dir: str, user_id: int, k: int = 10) -> DataFrame:
@@ -123,9 +205,14 @@ def get_user_leaderboard(spark: SparkSession, base_dir: str, user_id: int, k: in
 
 
 def get_latest_event(spark: SparkSession, base_dir: str, user_id: int, content_id: int) -> DataFrame:
-    """GET engagement:{user}:{content} — the last enriched event."""
-    return spark.read.parquet(f"{base_dir}/latest_event").where(
-        (F.col("user_id") == user_id) & (F.col("content_id") == content_id)
+    """GET engagement:{user}:{content} — the last enriched event.
+    The bucket predicate prunes to one partition directory; the key
+    predicates push into the row-group scan."""
+    return (
+        spark.read.parquet(f"{base_dir}/latest_event")
+        .where(F.col("user_bucket") == user_id % N_BUCKETS)
+        .where((F.col("user_id") == user_id) & (F.col("content_id") == content_id))
+        .drop("user_bucket")
     )
 
 
@@ -136,10 +223,33 @@ def get_event_counter(spark: SparkSession, base_dir: str, event_type: str) -> Da
     )
 
 
-def get_trending(spark: SparkSession, base_dir: str, k: int = 5) -> DataFrame:
-    """ZREVRANGE top_content:bucket:{latest minutes} — trending view."""
+def get_trending(spark: SparkSession, base_dir: str, k: int = 5, minutes: int = 15) -> DataFrame:
+    """ZREVRANGE top_content:bucket:{latest minutes} — trending view.
+
+    Ranks the stored per-minute decimal partials at read time (the
+    reference also ranks lazily, via ZREVRANGE): anchor = the latest
+    stored minute bucket, retention = the trailing ``minutes`` buckets,
+    top-``k`` per bucket.  Identical rows to
+    ``rollups.trending_recent`` over the full history — decimal
+    partials are order-independent, so however the increments arrived,
+    the read-time ranking sees the same sums."""
+    from pyspark.sql import Window
+
+    state = spark.read.parquet(f"{base_dir}/trending_state").select(
+        F.col("minute_bucket").cast("string").alias("minute_bucket"),
+        "content_id",
+        F.col("score_dec").cast("double").alias("total_score"),
+    )
+    mx = state.agg(F.max("minute_bucket").alias("_mx"))
+    recent = state.join(F.broadcast(mx)).where(
+        F.to_timestamp("minute_bucket", "yyyyMMddHHmm")
+        >= F.to_timestamp("_mx", "yyyyMMddHHmm") - F.expr(f"INTERVAL {minutes} MINUTES")
+    ).drop("_mx")
+    w = Window.partitionBy("minute_bucket").orderBy(
+        F.col("total_score").desc(), F.col("content_id")
+    )
     return (
-        spark.read.parquet(f"{base_dir}/trending")
+        recent.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .orderBy("minute_bucket", "rnk")
     )
@@ -178,11 +288,7 @@ def merge_trending_increment(spark: SparkSession, base_dir: str, new_enriched: D
         if not buckets:
             return
         path = f"{base_dir}/trending_state"
-        import os
-
-        if os.path.isdir(path) and any(
-            f.startswith("minute_bucket=") for f in os.listdir(path)
-        ):
+        if _partitioned_table_exists(path, "minute_bucket"):
             current = (
                 spark.read.parquet(path)
                 .withColumn("minute_bucket", F.col("minute_bucket").cast("string"))

@@ -416,6 +416,61 @@ def start_warehouse_sink(enriched: DataFrame, table_dir: str, checkpoint: str):
     )
 
 
+def _epoch_already_applied(base_dir: str, epoch: int) -> bool:
+    """Epoch-marker idempotence guard for additive foreachBatch sinks.
+
+    Structured Streaming re-delivers the in-flight micro-batch after a
+    restart (foreachBatch is at-least-once); re-applying an ADDITIVE
+    merge would double-count.  Epoch ids are strictly increasing per
+    checkpoint, so a marker holding the last applied epoch closes the
+    common restart path.  Returns True (skip) when ``epoch`` was
+    already applied; the caller must invoke ``_record_epoch`` after a
+    successful apply.  Residual window: a crash between the data
+    commit and the marker replace re-applies that one batch — closing
+    it fully needs the marker inside the same transaction as the data
+    (the Delta/Iceberg commit, txnAppId/txnVersion)."""
+    marker = os.path.join(base_dir, "_LAST_EPOCH")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            return epoch <= int(fh.read().strip() or -1)
+    return False
+
+
+def _record_epoch(base_dir: str, epoch: int) -> None:
+    marker = os.path.join(base_dir, "_LAST_EPOCH")
+    os.makedirs(base_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(epoch))
+    os.replace(tmp, marker)
+
+
+def start_serving_sink(enriched: DataFrame, base_dir: str, checkpoint: str):
+    """K2 — the Redis serving layer as an incrementally maintained
+    foreachBatch sink: each micro-batch folds into all four serving
+    tables via the partition-scoped merges
+    (``serving.apply_serving_increment`` — decimal leaderboard +
+    trending partials, latest-wins latest-event, additive counters),
+    NOT a full refresh — per-batch cost is O(batch ∪ touched
+    partitions), not O(history).  An epoch marker makes the additive
+    merges idempotent across the restart re-delivery foreachBatch is
+    subject to."""
+    from ..serving import apply_serving_increment
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if _epoch_already_applied(base_dir, epoch):
+            return
+        apply_serving_increment(batch.sparkSession, base_dir, batch)
+        _record_epoch(base_dir, epoch)
+
+    return (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_outbox_sink(enriched: DataFrame, out_dir: str, checkpoint: str):
     """K3 — JSON outbox (file sink here; Kafka sink in prod: same
     ``to_json(struct(...))`` projection, ESJ:366-381)."""

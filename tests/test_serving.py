@@ -91,6 +91,67 @@ def test_incremental_leaderboard_equals_full_recompute(spark, sf_dir, tmp_path):
     enriched.unpersist()
 
 
+def test_streaming_serving_sink_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """r3 verdict #3: the streaming serving sink must maintain all four
+    tables incrementally, and after a multi-batch replay with
+    out-of-(event-time)-order batches the tables must equal a batch
+    recompute over the same rows — decimal/latest-wins/additive merges
+    are order-independent."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    enriched = entrymod._enriched(spark, sf_dir).persist()
+    feed = str(tmp_path / "enriched_feed")
+    os.makedirs(feed)
+    # three event-id splits written as separate files, NOT in event-time
+    # order: the file stream delivers them as separate micro-batches
+    for fname, i in (("b.parquet", 1), ("a.parquet", 0), ("c.parquet", 2)):
+        enriched.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/{fname}")
+
+    base_stream = str(tmp_path / "serving_stream")
+    stream = (
+        spark.readStream.schema(enriched.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    q = sp.start_serving_sink(stream, base_stream, str(tmp_path / "ck_serve"))
+    q.processAllAvailable()
+    q.stop()
+
+    base_batch = str(tmp_path / "serving_batch")
+    serving.materialize_serving_tables(enriched, base_batch)
+
+    def rows(base, table, cols):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{base}/{table}").select(*cols).collect())
+        )
+
+    assert rows(base_stream, "user_leaderboard", ["user_id", "content_id", "total_score", "rnk"]) \
+        == rows(base_batch, "user_leaderboard", ["user_id", "content_id", "total_score", "rnk"])
+    assert rows(base_stream, "latest_event", ["user_id", "content_id", "event_id"]) \
+        == rows(base_batch, "latest_event", ["user_id", "content_id", "event_id"])
+    assert rows(base_stream, "event_counters", ["event_type", "cnt"]) \
+        == rows(base_batch, "event_counters", ["event_type", "cnt"])
+    tcols = ["minute_bucket", "content_id", "total_score"]
+    tstream = sorted(map(tuple, serving.get_trending(spark, base_stream).select(*tcols).collect()))
+    tbatch = sorted(map(tuple, serving.get_trending(spark, base_batch).select(*tcols).collect()))
+    assert tstream == tbatch and len(tstream) > 0
+    # and the read-time trending view matches the batch operator
+    want_tr = sorted(
+        map(tuple, rollups.trending_recent(enriched).select(*tcols).collect())
+    )
+    assert tstream == want_tr
+
+    # epoch guard: a re-delivered epoch is a no-op (restart idempotence)
+    assert sp._epoch_already_applied(base_stream, 0)
+    assert sp._epoch_already_applied(base_stream, 2)
+    assert not sp._epoch_already_applied(base_stream, 3)
+    enriched.unpersist()
+
+
 def test_incremental_trending_equals_full_recompute_and_prunes(spark, sf_dir, tmp_path):
     """merge_trending_increment over three arbitrary batch splits must
     land bit-identical to minute_topk over the full stream (decimal
