@@ -2,15 +2,18 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed
 metadata (schemas.MULTIMODAL_ASSET).  The Spark-side plumbing — schema,
-partition-friendly derivation, Arrow-batched ``mapInPandas`` feature
-extraction — is real and tested; the actual media decode is stubbed
-(no image/audio libs in this container) behind ``decode_media``.
+partition-friendly derivation, Arrow-batched ``mapInPandas``
+decode/resize/frame-sample — is real and tested; ``decode_media``
+prefers real codecs (Pillow / soundfile) when importable and otherwise
+decodes through a tiny deterministic fallback codec, so the downstream
+operators always work on true pixel/sample arrays.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -38,14 +41,76 @@ def assets_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, modality: str):
-    """Decode an asset into pixels/samples/frames.
+FRAME_H = FRAME_W = 8  # fallback-codec frame raster
 
-    STUB: real decoding needs PIL/librosa/av, which are not in this
-    container.  The Spark-side contract (binary in, array features out
-    via mapInPandas) is what the engine owns.
+
+def _tile_bytes(raw: bytes, n: int) -> "np.ndarray":
+    """Cycle ``raw`` to exactly ``n`` uint8 values (empty → zeros)."""
+    buf = np.frombuffer(raw, dtype=np.uint8) if raw else np.zeros(1, dtype=np.uint8)
+    reps = -(-n // buf.size)
+    return np.tile(buf, reps)[:n]
+
+
+def decode_media(
+    payload: bytes,
+    modality: str,
+    *,
+    width: int | None = None,
+    height: int | None = None,
+    sample_rate: int | None = None,
+    n_frames: int | None = None,
+):
+    """Decode an asset into numpy pixel/sample/frame arrays.
+
+    Real codecs are preferred when importable — Pillow for images,
+    soundfile for audio (neither ships in this container; the import
+    guard keeps both paths live).  Otherwise the DETERMINISTIC
+    FALLBACK CODEC decodes the synthetic payloads:
+
+    - image  → (height, width) uint8 grayscale: payload bytes cycled
+      to width·height and reshaped (dims from the typed metadata);
+    - audio  → int16 little-endian samples straight off the bytes
+      (odd trailing byte zero-padded);
+    - video  → (n_frames, 8, 8) uint8: frame *i* is the base 8×8 tile
+      of the payload plus *i* (mod 256), so every frame is distinct
+      and any frame is reconstructable independently.
+
+    Either way downstream operators (``resize_images``,
+    ``sample_frames``) receive true arrays and transform real content;
+    ``sample_rate`` rides along as metadata for the audio path.
     """
-    raise NotImplementedError("media decode requires image/audio libs not present here")
+    raw = bytes(payload)
+    if modality == "image":
+        try:
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(raw)))
+        except ImportError:
+            pass
+        if not width or not height:
+            raise ValueError("fallback image decode needs width/height metadata")
+        return _tile_bytes(raw, int(width) * int(height)).reshape(int(height), int(width))
+    if modality == "audio":
+        try:
+            import io
+
+            import soundfile as sf
+
+            return sf.read(io.BytesIO(raw), dtype="int16")[0]
+        except ImportError:
+            pass
+        if len(raw) % 2:
+            raw += b"\x00"
+        return np.frombuffer(raw, dtype="<i2")
+    if modality == "video":
+        if n_frames is None:
+            raise ValueError("video decode needs n_frames metadata")
+        base = _tile_bytes(raw, FRAME_H * FRAME_W).reshape(FRAME_H, FRAME_W).astype(np.uint16)
+        idx = np.arange(int(n_frames), dtype=np.uint16).reshape(-1, 1, 1)
+        return ((base + idx) % 256).astype(np.uint8)
+    raise ValueError(f"unknown modality {modality!r}")
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -82,12 +147,15 @@ RESIZE_SCHEMA = (
 
 
 def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize plumbing for image assets: aspect-preserving target dims +
-    a deterministic digest standing in for the resized pixel buffer.
+    """Aspect-preserving resize of image assets: decode → nearest-
+    neighbor downscale on the real pixel array → digest of the resized
+    buffer.
 
     The dimension math is vectorized pandas (integer, deterministic);
-    the pixel transform itself would live where the md5 is computed —
-    ``decode_media`` documents the stub.  One Arrow batch in, one out;
+    the pixel transform is numpy index-gather on the decoded array
+    (``decode_media`` — real codec when importable, deterministic
+    fallback otherwise), so the digest commits to actual resized
+    CONTENT, not just the target dims.  One Arrow batch in, one out;
     non-image rows are filtered before the UDF so the Python stage only
     ever sees the rows it must touch.
     """
@@ -105,10 +173,13 @@ def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
             small = scale_num <= max_side
             out_w = out_w.where(~small, w)
             out_h = out_h.where(~small, h)
-            digest = [
-                hashlib.md5(bytes(p) + f":{ow}x{oh}".encode()).hexdigest()
-                for p, ow, oh in zip(pdf["payload"], out_w, out_h)
-            ]
+            digest = []
+            for p, w_, h_, ow, oh in zip(pdf["payload"], w, h, out_w, out_h):
+                px = decode_media(p, "image", width=int(w_), height=int(h_))
+                ys = (np.arange(int(oh)) * int(h_)) // int(oh)
+                xs = (np.arange(int(ow)) * int(w_)) // int(ow)
+                resized = px[np.ix_(ys, xs)]  # first two axes; channels ride along
+                digest.append(hashlib.md5(resized.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -133,11 +204,12 @@ def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
     frame — the row-expanding ``mapInPandas`` shape a real decoder
     uses (iterate frames, emit every Nth).
 
-    Frame payloads are deterministic digests of (payload, frame_idx)
-    standing in for decoded frames (``decode_media`` stub applies).
-    Expansion happens inside the Arrow batch, so a 10k-frame video
-    never materializes per-frame rows on the driver, and partitions
-    stay balanced by input asset.
+    Each emitted digest commits to the DECODED frame's pixel bytes
+    (``decode_media`` — every fallback-codec frame is distinct, so a
+    wrong frame index cannot produce a matching digest).  Expansion
+    happens inside the Arrow batch, so a 10k-frame video never
+    materializes per-frame rows on the driver, and partitions stay
+    balanced by input asset.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -148,13 +220,12 @@ def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
             for aid, payload, n_frames in zip(
                 pdf["asset_id"], pdf["payload"], pdf["n_frames"]
             ):
+                frames = decode_media(payload, "video", n_frames=int(n_frames))
                 for i in range(0, int(n_frames), every_n):
                     out_ids.append(aid)
                     out_idx.append(i)
                     out_ts.append(i * 1000 // FRAME_RATE)
-                    out_md5.append(
-                        hashlib.md5(bytes(payload) + f":frame{i}".encode()).hexdigest()
-                    )
+                    out_md5.append(hashlib.md5(frames[i].tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
                     "asset_id": out_ids,

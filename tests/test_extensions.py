@@ -91,9 +91,32 @@ def test_ivf_subset_of_bruteforce_candidates(spark, sf_dir):
         assert pair in bf and abs(bf[pair] - cs) < 1e-9
 
 
-def test_multimodal_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x89PNG", "image")
+def test_multimodal_decode_fallback_codec_is_deterministic():
+    """The fallback codec must produce real, fully determined arrays:
+    image = payload cycled over the metadata dims; audio = int16 LE
+    samples; video = per-frame distinct 8x8 rasters reconstructable
+    from (payload, frame_idx) alone."""
+    import numpy as np
+
+    px = multimodal.decode_media(b"\x01\x02\x03", "image", width=4, height=2)
+    assert px.shape == (2, 4) and px.dtype == np.uint8
+    assert px.tolist() == [[1, 2, 3, 1], [2, 3, 1, 2]]
+
+    au = multimodal.decode_media(b"\x00\x01\xff", "audio")  # odd len → pad
+    assert au.dtype == np.int16 and au.tolist() == [256, 255]
+
+    vid = multimodal.decode_media(b"\xfe", "video", n_frames=3)
+    assert vid.shape == (3, multimodal.FRAME_H, multimodal.FRAME_W)
+    assert vid[0].min() == vid[0].max() == 254
+    assert vid[1].min() == vid[1].max() == 255
+    assert vid[2].min() == vid[2].max() == 0  # +2 wraps mod 256
+    # frames are pairwise distinct — a digest pins the frame index
+    assert len({f.tobytes() for f in vid}) == 3
+
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"x", "hologram")
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"x", "image")  # no dims metadata
 
 
 def test_multimodal_feature_extraction_matches_local_hash(spark, sf_dir):
@@ -186,9 +209,17 @@ def test_resize_images_dims_and_digest(spark, sf_dir):
                 s["height"] * 256 // long_side,
             )
             assert max(r["out_width"], r["out_height"]) == 256
-        want = hashlib.md5(
-            bytes(s["payload"]) + f":{r['out_width']}x{r['out_height']}".encode()
-        ).hexdigest()
+        # digest must commit to the actual resized pixels: recompute
+        # decode + nearest-neighbor gather independently
+        import numpy as np
+
+        raw = bytes(s["payload"])
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        n = s["width"] * s["height"]
+        px = np.tile(buf, -(-n // buf.size))[:n].reshape(s["height"], s["width"])
+        ys = (np.arange(r["out_height"]) * s["height"]) // r["out_height"]
+        xs = (np.arange(r["out_width"]) * s["width"]) // r["out_width"]
+        want = hashlib.md5(px[np.ix_(ys, xs)].tobytes()).hexdigest()
         assert r["resized_md5"] == want
 
 
@@ -209,9 +240,18 @@ def test_sample_frames_expansion(spark, sf_dir):
     some = frames[0]
     src = vids[some["asset_id"]]
     assert some["ts_ms"] == some["frame_idx"] * 1000 // multimodal.FRAME_RATE
-    assert some["frame_md5"] == hashlib.md5(
-        bytes(src["payload"]) + f":frame{some['frame_idx']}".encode()
-    ).hexdigest()
+    # digest commits to the decoded frame's pixels: recompute frame i
+    # independently from (payload, frame_idx) via the codec definition
+    import numpy as np
+
+    raw = bytes(src["payload"])
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    n = multimodal.FRAME_H * multimodal.FRAME_W
+    base = np.tile(buf, -(-n // buf.size))[:n].reshape(
+        multimodal.FRAME_H, multimodal.FRAME_W
+    ).astype(np.uint16)
+    frame_i = ((base + some["frame_idx"]) % 256).astype(np.uint8)
+    assert some["frame_md5"] == hashlib.md5(frame_i.tobytes()).hexdigest()
 
 
 def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
