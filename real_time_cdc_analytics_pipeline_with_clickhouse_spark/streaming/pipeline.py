@@ -21,6 +21,13 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..lakehouse import (
+    delta_available,
+    is_delta_table,
+    merge_upsert,
+    publish_dim_delta,
+    read_dim_delta,
+)
 from ..operators.cdc import enriched_columns, unwrap_content, unwrap_engagement
 from ..operators.enrich import compact_dim_latest
 from ..operators.rollups import dedup_latest_event_version
@@ -184,10 +191,14 @@ def read_dim(spark: SparkSession, dim_dir: str) -> DataFrame | None:
     Versioned layout: ``dim_dir/_CURRENT`` (a pointer file) names an
     immutable ``v-NNNNNNNNNN`` parquet subdirectory.  A reader resolves
     the pointer once and then lists a directory that is never mutated —
-    no torn listings, ever.  Falls back to reading ``dim_dir`` itself
-    as plain parquet (the seed layout tests and callers may start
-    from); returns ``None`` when no dim exists yet.
+    no torn listings, ever.  A Delta-format dim (published by the
+    native path) is read through its transaction log instead.  Falls
+    back to reading ``dim_dir`` itself as plain parquet (the seed
+    layout tests and callers may start from); returns ``None`` when no
+    dim exists yet.
     """
+    if is_delta_table(dim_dir):
+        return read_dim_delta(spark, dim_dir)
     ver = _dim_current_version(dim_dir)
     if ver is not None:
         return spark.read.parquet(os.path.join(dim_dir, ver))
@@ -217,8 +228,13 @@ def _publish_dim_version(df: DataFrame, dim_dir: str, keep: int = 2) -> None:
 
     Old versions beyond ``keep`` are pruned; keeping the previous one
     lets a reader that resolved the pointer just before the swap finish
-    its scan against an intact directory.  (With Delta/Iceberg this is
-    the transaction-log commit; same idea, file-system-native.)"""
+    its scan against an intact directory.  When Delta is on the
+    classpath the publish is instead ONE transactional overwrite
+    through the Delta log — the native form of the same contract
+    (snapshot isolation for in-flight readers, atomic cutover)."""
+    if is_delta_table(dim_dir) or delta_available(df.sparkSession):
+        publish_dim_delta(df, dim_dir)
+        return
     os.makedirs(dim_dir, exist_ok=True)
     existing = sorted(f for f in os.listdir(dim_dir) if f.startswith("v-"))
     nxt = int(existing[-1][2:]) + 1 if existing else 0
@@ -329,7 +345,7 @@ def start_enriched_warehouse_pipeline(
             F.col("id").alias("content_id"), "content_type", "length_seconds"
         )
         enriched = enriched_columns(batch.join(F.broadcast(dim), "content_id", "left"))
-        merge_upsert_parquet(
+        merge_upsert(
             enriched.select(*WAREHOUSE_COLUMNS), table_dir, key="event_id", version="event_ts"
         )
 
@@ -401,10 +417,12 @@ def streaming_minute_topk_source(enriched: DataFrame) -> DataFrame:
 
 
 def start_warehouse_sink(enriched: DataFrame, table_dir: str, checkpoint: str):
-    """K1+A2 — foreachBatch MERGE upsert into the warehouse table."""
+    """K1+A2 — foreachBatch MERGE upsert into the warehouse table
+    (Delta ``MERGE INTO`` when available, parquet emulation otherwise —
+    lakehouse.merge_upsert dispatches)."""
 
     def sink(batch: DataFrame, _epoch: int) -> None:
-        merge_upsert_parquet(
+        merge_upsert(
             batch.select(*WAREHOUSE_COLUMNS), table_dir, key="event_id", version="event_ts"
         )
 
