@@ -107,6 +107,57 @@ def main() -> None:
         slice10.write.mode("overwrite").format("noop").save()
         t10 = min(t10 or 1e9, time.time() - t0)
     timings["_cdc_events_per_sec_10x"] = round(n_events * 10 / t10, 1)
+
+    # --- query-level 10× scale probe (sf1-equivalent volume) -------------
+    # The sf0.1 figures can hide plan regressions that only bite at
+    # volume (LSH bucket skew, shuffle spill, quadratic candidate
+    # growth), so the 5 most expensive queries also run against a 10×
+    # materialized copy of their input tables: events replicated with
+    # unique event_ids, documents replicated with unique doc_ids (clone
+    # clusters are a *realistic* adversarial dedup workload — web-crawl
+    # corpora carry exact-duplicate clusters far larger than 10).  The
+    # blown tables are written once as parquet (so scans, pushdown and
+    # partition sizing behave like a real warehouse read, not an
+    # in-memory union) and the untouched dims are symlinked.
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") == "1":
+        import shutil
+        import tempfile
+
+        scale_dir = tempfile.mkdtemp(prefix="graft_scale10x_")
+        try:
+            blown.write.mode("overwrite").parquet(f"{scale_dir}/events.parquet")
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            (
+                docs.crossJoin(spark.range(10).select(F.col("id").alias("_rep")))
+                .select(
+                    (F.col("doc_id") * 10 + F.col("_rep")).alias("doc_id"),
+                    "text", "lang", "source", "n_chars",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{scale_dir}/documents.parquet")
+            )
+            for t in (
+                "region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "embeddings",
+            ):
+                os.symlink(f"{sf_dir}/{t}.parquet", f"{scale_dir}/{t}.parquet")
+            probe = [
+                "hourly_rollup", "dedup_latest", "trending_recent",
+                "dedup_clusters", "dedup_ngram_jaccard",
+            ]
+            for name in probe:
+                best = None
+                for _ in range(2):  # min-of-2, same host-noise guard
+                    t0 = time.time()
+                    queries[name](spark, scale_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                timings[f"_scale10x_{name}"] = round(best, 3)
+        finally:
+            shutil.rmtree(scale_dir, ignore_errors=True)
+
     print(
         json.dumps(
             {
