@@ -109,12 +109,12 @@ def ivf_topk(
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = embeddings.repartition(par).select(
         "vec_id", "embedding",
-        sign_lsh_bucket(F.col("embedding"), bits).alias("bucket"),
+        sign_lsh_bucket("embedding", bits).alias("bucket"),
         norm(F.col("embedding")).alias("nrm"),
     )
     q = queries.select(
         "query_id", "query_vec",
-        sign_lsh_bucket(F.col("query_vec"), bits).alias("bucket"),
+        sign_lsh_bucket("query_vec", bits).alias("bucket"),
         norm(F.col("query_vec")).alias("qnrm"),
     )
     raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
