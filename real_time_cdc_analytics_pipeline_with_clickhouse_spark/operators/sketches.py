@@ -91,6 +91,11 @@ def merge_uniques_increment(
     AggregatingMergeTree insert-trigger run at write time.  Sketch
     union is commutative/associative, so any increment order yields
     the same estimates as a full recompute (tested)."""
+    import os
+
+    if not os.path.isdir(path):  # bootstrap: first batch creates the table
+        write_uniques_state(new_enriched, path, lgk)
+        return
     current = spark.read.parquet(path)
     merged = merge_uniques_to(
         current.unionByName(hourly_uniques_state(new_enriched, lgk)), _UNIQ_KEY

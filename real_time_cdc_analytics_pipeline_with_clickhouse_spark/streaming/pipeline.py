@@ -489,6 +489,31 @@ def start_serving_sink(enriched: DataFrame, base_dir: str, checkpoint: str):
     )
 
 
+def start_uniques_sink(enriched: DataFrame, state_dir: str, checkpoint: str):
+    """Streaming maintenance of the mergeable distinct-count rollup
+    (operators/sketches.py — the AggregatingMergeTree uniqState MV,
+    maintained on insert exactly like ClickHouse's MV trigger): each
+    micro-batch's HLL sketches union into the stored per-(hour,
+    event_type) state table.  Sketch union is idempotent for
+    re-delivered VALUES (set semantics), but the companion additive
+    ``cnt`` is not, so the same epoch marker as the serving sink
+    guards restart re-delivery."""
+    from ..operators.sketches import merge_uniques_increment
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if _epoch_already_applied(state_dir + "_meta", epoch):
+            return
+        merge_uniques_increment(batch.sparkSession, state_dir, batch)
+        _record_epoch(state_dir + "_meta", epoch)
+
+    return (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_outbox_sink(enriched: DataFrame, out_dir: str, checkpoint: str):
     """K3 — JSON outbox (file sink here; Kafka sink in prod: same
     ``to_json(struct(...))`` projection, ESJ:366-381)."""

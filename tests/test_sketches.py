@@ -73,6 +73,44 @@ def test_hll_increment_equals_recompute(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_streaming_uniques_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Multi-batch replay (batches out of event-time order) through
+    start_uniques_sink lands the same per-(hour, event_type) estimates
+    and exact counts as one batch recompute — sketch union is
+    order-independent."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    enr = _enriched(spark, sf_dir).persist()
+    feed = str(tmp_path / "enriched_feed")
+    os.makedirs(feed)
+    for fname, i in (("b.parquet", 1), ("a.parquet", 0), ("c.parquet", 2)):
+        enr.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/{fname}")
+    state_dir = str(tmp_path / "uniq_state")
+    stream = (
+        spark.readStream.schema(enr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    q = sp.start_uniques_sink(stream, state_dir, str(tmp_path / "ck_uniq"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in sketches.estimate_uniques(spark.read.parquet(state_dir)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sketches.estimate_uniques(sketches.hourly_uniques_state(enr)).collect()
+    )
+    assert got == want and got
+    enr.unpersist()
+
+
 def test_histogram_merge_exact(spark, sf_dir):
     enr = _enriched(spark, sf_dir)
     halves = [
