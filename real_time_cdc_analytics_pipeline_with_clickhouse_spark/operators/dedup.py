@@ -447,6 +447,40 @@ def fuzzy_dedup_keep(
     return documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
+def _iteration_shuffle(spark, n_rows: int, rows_per_partition: int = 2_000_000):
+    """Context manager sizing ``spark.sql.shuffle.partitions`` for an
+    iterative loop from the ACTUAL working-set row count, restoring the
+    session value on exit.
+
+    The session-wide setting is sized for fact-table scans; a CC loop's
+    working set is the edge list, usually orders of magnitude smaller.
+    Without adaptive coalescing a (say) 200-partition cluster config
+    schedules ~200 near-empty tasks per round per stage on a 150-edge
+    graph — pure fixed cost; with AQE on (this engine's default) the
+    shuffle reads already coalesce, so this guard mainly pins the
+    ITERATION's partition count deterministically and protects AQE-off
+    sessions.  At 10⁹ edges the formula yields the count the data needs
+    (~2M longs ≈ 32 MB per task), capped at the session setting so a
+    cluster-sized config is never exceeded.  Conf changes are
+    session-global — concurrent queries on OTHER threads of the same
+    session would momentarily see the reduced value (the same trade
+    ``warehouse._stage_swap`` makes with partitionOverwriteMode)."""
+    import contextlib
+    import math
+
+    @contextlib.contextmanager
+    def cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        target = max(1, min(int(prev), math.ceil(n_rows / rows_per_partition)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return cm()
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 25, fallback_to_star: bool = True
 ) -> DataFrame:
@@ -478,21 +512,23 @@ def connected_components(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     und = und.localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
-        prop = und.withColumnRenamed("src", "doc_id").join(labels, "doc_id").select(
-            F.col("dst").alias("doc_id"), "label"
-        )
+    spark = pairs.sparkSession
+    with _iteration_shuffle(spark, und.count()):
         labels = (
-            labels.unionByName(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+            und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
         ).localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        for _ in range(max_iter):
+            prop = und.withColumnRenamed("src", "doc_id").join(labels, "doc_id").select(
+                F.col("dst").alias("doc_id"), "label"
+            )
+            labels = (
+                labels.unionByName(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+            ).localCheckpoint(eager=True)
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
     # graph diameter exceeds max_iter: a half-propagated labeling would
     # mislabel every deep component, so either hand off to the O(log n)
     # star variant (default) or fail loudly — never return silently
@@ -566,15 +602,17 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame
         self_pt = mins.select("src", F.col("m").alias("dst"))
         return re_pt.unionByName(self_pt).distinct()
 
-    sig = canonical_sig(edges)
-    for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        new_sig = canonical_sig(edges)
-        if new_sig == sig:
-            break
-        sig = new_sig
-    else:
-        raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
+    spark = pairs.sparkSession
+    with _iteration_shuffle(spark, edges.count()):
+        sig = canonical_sig(edges)
+        for _ in range(max_iter):
+            edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+            new_sig = canonical_sig(edges)
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
     # fixpoint edges are (node → root); roots label themselves
     nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
         pairs.select(F.col("doc_b").alias("doc_id"))
