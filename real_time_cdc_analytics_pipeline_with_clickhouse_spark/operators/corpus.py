@@ -420,3 +420,58 @@ def content_defined_chunks(
     )
 
     return short_out.unionByName(long_out)
+
+
+def repeated_passages(
+    documents: DataFrame,
+    min_docs: int = 2,
+    min_chunk_chars: int = 16,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    segment: int = CDC_SEGMENT,
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the distributed
+    analog of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate paragraphs, license headers and templated text that
+    recur across otherwise-distinct documents, which document-level
+    dedup (exact/MinHash/SimHash) cannot see.
+
+    Why content-defined chunking makes this work: CDC boundaries
+    follow CONTENT, so a passage shared by many documents chunks
+    identically wherever it appears — at any byte offset, in any
+    surrounding context (only the passage's first/last partial chunks
+    differ, since they blend with neighboring text).  A repeated
+    passage is therefore exactly a chunk digest with cross-document
+    support ≥ ``min_docs`` — no suffix array, no all-pairs substring
+    comparison.
+
+    Returns (doc_id, chunk_idx, passage_md5, chunk_chars, n_docs,
+    n_occurrences): one row per flagged occurrence, locating the
+    passage inside each document so a downstream rewrite can excise
+    it (the Lee-et-al. remove-repeated-substrings step).
+
+    Scale shape: the chunk table is ~corpus-sized; support counting is
+    ONE digest-keyed combinable shuffle, and flagged digests join back
+    by the same key (the exchange is reusable).  ``min_chunk_chars``
+    drops sub-window fragments whose collisions are noise, not shared
+    prose.
+    """
+    chunks = content_defined_chunks(documents, window, divisor, segment)
+    h = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk")).alias("passage_md5"),
+        F.length(F.col("chunk")).alias("chunk_chars"),
+    ).where(F.col("chunk_chars") >= min_chunk_chars)
+    support = (
+        h.groupBy("passage_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return h.join(support, "passage_md5").select(
+        "doc_id", "chunk_idx", "passage_md5", "chunk_chars", "n_docs", "n_occurrences"
+    )

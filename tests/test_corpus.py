@@ -351,3 +351,49 @@ def test_content_defined_chunks_multibyte_unicode(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, corpus.content_defined_chunks(docs, segment=256).collect()))
     assert a == b
+
+
+def test_repeated_passages_found_at_any_offset(spark, sf_dir):
+    """A ~600-char passage planted into four documents at DIFFERENT
+    offsets (different surrounding text) must surface as shared chunk
+    digests covering exactly those four docs; untouched controls must
+    not carry the passage digests."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(6).collect()
+    passage = (
+        " the quarterly compliance addendum must accompany every filing"
+        " and remains the property of the issuing office;"
+        " redistribution without the customary attribution notice is"
+        " not permitted under the standing terms." * 3
+    )
+    planted_ids = []
+    rows = []
+    for i, r in enumerate(docs):
+        base = (r["text"] or "")[:400]
+        if i < 4:
+            # different offsets: varying amounts of native text on each side
+            txt = base[: 50 * i] + passage + base[50 * i :]
+            planted_ids.append(r["doc_id"])
+        else:
+            txt = base
+        rows.append((r["doc_id"], txt, r["lang"], r["source"], len(txt)))
+    corpus_df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = corpus.repeated_passages(corpus_df, min_docs=3).collect()
+    assert got, "no repeated passages detected"
+    by_digest: dict[str, set] = {}
+    for r in got:
+        by_digest.setdefault(r["passage_md5"], set()).add(r["doc_id"])
+    full_cover = [d for d, s in by_digest.items() if s == set(planted_ids)]
+    assert full_cover, f"no digest covers exactly the planted docs: {by_digest}"
+    # controls never carry a flagged digest
+    control_ids = {r[0] for r in rows[4:]}
+    assert all(not (s & control_ids) for s in by_digest.values())
+
+
+def test_repeated_passages_scale_shape(spark, sf_dir):
+    """Plan shape: support counting + join back on the digest key only —
+    no cartesian products."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    plan = corpus.repeated_passages(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
