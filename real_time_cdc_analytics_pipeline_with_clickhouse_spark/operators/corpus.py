@@ -475,3 +475,72 @@ def repeated_passages(
     return h.join(support, "passage_md5").select(
         "doc_id", "chunk_idx", "passage_md5", "chunk_chars", "n_docs", "n_occurrences"
     )
+
+
+def remove_repeated_passages(
+    documents: DataFrame,
+    min_docs: int = 2,
+    min_chunk_chars: int = 16,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    segment: int = CDC_SEGMENT,
+) -> DataFrame:
+    """The excision half of the Lee-et-al. repeated-substring dedup:
+    rewrite each document with its cross-document repeated chunks
+    (``repeated_passages``) removed, keeping ONE canonical occurrence
+    corpus-wide — the occurrence with the smallest (doc_id, chunk_idx)
+    — so the passage's text survives in exactly one training document.
+
+    Rebuild is chunk-concatenation in chunk order: CDC chunks
+    partition the normalized text exactly (property-tested in the
+    chunking suite), so dropping flagged chunks and concatenating the
+    rest is a faithful rewrite of the remaining prose.  Returns
+    (doc_id, lang, source, text) with the rewritten (normalized) text.
+
+    Scale shape: chunking is map-heavy, flagged-digest support is one
+    combinable shuffle, the canonical-keeper choice is a ``min_by``
+    over the same digest key, and the rebuild is one (doc_id)-keyed
+    aggregation — every stage keyed, nothing broadcast except nothing.
+    """
+    chunks = content_defined_chunks(documents, window, divisor, segment)
+    h = chunks.withColumn("passage_md5", F.md5(F.col("chunk"))).withColumn(
+        "chunk_chars", F.length(F.col("chunk"))
+    )
+    eligible = h.where(F.col("chunk_chars") >= min_chunk_chars)
+    support = (
+        eligible.groupBy("passage_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min_by(
+                F.struct("doc_id", "chunk_idx"), F.struct("doc_id", "chunk_idx")
+            ).alias("keeper"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("passage_md5", "keeper")
+    )
+    kept = (
+        h.join(support, "passage_md5", "left")
+        .where(
+            F.col("keeper").isNull()  # not a repeated passage
+            | (
+                (F.col("doc_id") == F.col("keeper.doc_id"))
+                & (F.col("chunk_idx") == F.col("keeper.chunk_idx"))
+            )
+        )
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("chunk_idx").alias("i"), F.col("chunk").alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("text")
+    )
+    meta = documents.select("doc_id", "lang", "source")
+    return meta.join(rebuilt, "doc_id", "left").select(
+        "doc_id", "lang", "source", F.coalesce("text", F.lit("")).alias("text")
+    )

@@ -397,3 +397,59 @@ def test_repeated_passages_scale_shape(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     plan = corpus.repeated_passages(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_repeated_passages_keeps_one_occurrence(spark, sf_dir):
+    """After excision the planted passage's interior chunks survive in
+    at most one document, non-planted text is preserved in order, and
+    untouched documents round-trip (normalized) byte-for-byte."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(6).collect()
+    passage = (
+        " the quarterly compliance addendum must accompany every filing"
+        " and remains the property of the issuing office;"
+        " redistribution without the customary attribution notice is"
+        " not permitted under the standing terms." * 3
+    )
+    rows = []
+    planted_ids = []
+    for i, r in enumerate(docs):
+        base = (r["text"] or "")[:400]
+        if i < 4:
+            rows.append((r["doc_id"], base[: 50 * i] + passage + base[50 * i :], r["lang"], r["source"], 0))
+            planted_ids.append(r["doc_id"])
+        else:
+            rows.append((r["doc_id"], base, r["lang"], r["source"], 0))
+    corpus_df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["text"] for r in corpus.remove_repeated_passages(corpus_df, min_docs=3).collect()}
+    # a mid-passage probe phrase (interior chunks) survives in at most
+    # one rewritten doc
+    probe = "redistribution without the customary attribution notice"
+    carriers = [d for d in planted_ids if probe in out[d]]
+    assert len(carriers) <= 1, carriers
+    # untouched docs round-trip to their normalized text
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in corpus_df.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    for doc_id, _, _, _, _ in rows[4:]:
+        assert out[doc_id] == norm[doc_id]
+    # rewritten docs keep their native prose (a prefix of the base text)
+    for i, (doc_id, _, _, _, _) in enumerate(rows[:4]):
+        native = norm[doc_id].replace(
+            spark.createDataFrame([(passage,)], "p string")
+            .select(normalize_text(F.col("p")).alias("n"))
+            .first()["n"],
+            "",
+        )
+        # every rewritten doc retains at least the leading native chars
+        lead = native[:30]
+        if lead:
+            assert lead in out[doc_id], (doc_id, lead[:30], out[doc_id][:80])
