@@ -357,6 +357,81 @@ def start_enriched_warehouse_pipeline(
     )
 
 
+def attribute_events_to_updates(
+    events: DataFrame, updates: DataFrame, tolerance: str = "15 minutes"
+) -> DataFrame:
+    """Attribute engagement to the content UPDATE it follows: inner
+    interval join — event within ``[update_ts, update_ts + tolerance]``
+    of an update to the same content — answering "how did engagement
+    respond in the window after a metadata change".
+
+    Works identically on batch frames and on watermarked streams (the
+    declarative plan is the same; see
+    ``stream_stream_update_attribution``).  The join key is
+    ``content_id`` EQUALITY plus a time-range predicate, so the
+    physical plan is a key-partitioned shuffle join, never a
+    cartesian — the range only filters within key groups.
+    """
+    ev = events.select(
+        "event_id", "content_id", "event_type", "event_ts", "duration_ms"
+    )
+    up = updates.select(
+        F.col("content_id").alias("up_content_id"),
+        "update_ts",
+        F.col("content_type").alias("updated_content_type"),
+    )
+    cond = (
+        (ev["content_id"] == up["up_content_id"])
+        & (ev["event_ts"] >= up["update_ts"])
+        & (ev["event_ts"] <= up["update_ts"] + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return ev.join(up, cond, "inner").select(
+        "event_id", "content_id", "event_type", "event_ts",
+        "update_ts", "updated_content_type",
+    )
+
+
+def content_update_stream(content_json_stream: DataFrame) -> DataFrame:
+    """Content-change events as a stream of (content_id, update_ts,
+    content_type): upserts only (deletes carry no after-image to
+    attribute to), event time from the envelope's source ts."""
+    up = unwrap_content(content_json_stream)
+    return up.where(~F.col("is_delete")).select(
+        F.col("id").alias("content_id"),
+        F.timestamp_millis(F.col("source_ts_ms")).alias("update_ts"),
+        "content_type",
+    )
+
+
+def stream_stream_update_attribution(
+    engagement_json_stream: DataFrame,
+    content_json_stream: DataFrame,
+    tolerance: str = "15 minutes",
+    watermark: str = WATERMARK_DELAY,
+) -> DataFrame:
+    """T-family capability the stream-static enrichment cannot express:
+    a STREAM-STREAM interval join between the engagement stream and the
+    content-change stream (both live Kafka topics in the reference's
+    deployment).
+
+    Semantics: inner join, so matches emit as soon as both sides
+    arrive — no watermark wait (only outer-join NULL completion would
+    wait).  Both sides are watermarked and the join predicate bounds
+    event_ts to [update_ts, update_ts + tolerance]; Spark derives the
+    state-retention window from exactly these two pieces, so per-side
+    join state is bounded by arrival_rate × (watermark + tolerance),
+    NOT by stream history — the property that makes this run forever
+    at 100 TB/day.  Both inputs shuffle-partition on the equality key
+    (content_id): co-partitioned state, no broadcast, no cartesian.
+
+    Replay of both feeds lands exactly the batch
+    ``attribute_events_to_updates`` rows (tested).
+    """
+    ev = unwrap_engagement(engagement_json_stream).withWatermark("event_ts", watermark)
+    up = content_update_stream(content_json_stream).withWatermark("update_ts", watermark)
+    return attribute_events_to_updates(ev, up, tolerance)
+
+
 def streaming_hourly_rollup(enriched: DataFrame) -> DataFrame:
     """A1 as a streaming stateful agg (the SummingMergeTree MV analog:
     Spark keeps partial sums in the state store, emitting finalized

@@ -84,3 +84,21 @@ def test_rollup_feed_serializes_only_consumed_fields(spark, sf_dir):
     assert "props" not in slim and "ts" in slim, slim
     full = scan_cols(plan_string(QUERIES["cdc_unwrap"](spark, sf_dir)))
     assert "props" in full, full
+
+
+def test_interval_attribution_join_is_equi_keyed(spark, sf_dir):
+    """The stream-stream attribution join's batch plan must be an
+    equality join on content_id with the time range as a join-level
+    filter — never a cartesian/BNLJ (the range predicate alone would
+    degrade to one; the content_id key prevents it)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import cdc
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    ev = cdc.unwrap_engagement(
+        cdc_feed.engagement_cdc_json(load_table(spark, sf_dir, "events"))
+    )
+    up = sp.content_update_stream(cdc_feed.content_cdc_json(load_table(spark, sf_dir, "part")))
+    plan = plan_string(sp.attribute_events_to_updates(ev, up, "24 hours"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "content_id" in plan and ("HashJoin" in plan or "SortMergeJoin" in plan)

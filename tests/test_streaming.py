@@ -576,3 +576,43 @@ def test_streaming_document_dedup_keeps_one_per_digest(spark, sf_dir, tmp_path):
         for r in docs.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("d")).collect()
     }
     assert all(src_digest[r["doc_id"]] == r["text_md5"] for r in kept)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """T+ stream-stream: replaying BOTH feeds through the watermarked
+    interval join lands exactly the batch attribution rows, and the
+    result is non-trivial (the dim updates cluster at the feed epoch,
+    so a day-wide tolerance catches the epoch's engagement)."""
+    events = load_table(spark, sf_dir, "events").limit(600)
+    part = load_table(spark, sf_dir, "part")
+    ev_feed = cdc_feed.engagement_cdc_json(events).selectExpr("value")
+    ct_feed = cdc_feed.content_cdc_json(part).selectExpr("value")
+    ev_dir, ct_dir = str(tmp_path / "ev_feed"), str(tmp_path / "ct_feed")
+    _write_feed_files(ev_feed, ev_dir)
+    _write_feed_files(ct_feed, ct_dir)
+
+    joined = sp.stream_stream_update_attribution(
+        sp.read_json_lines_stream(spark, ev_dir),
+        sp.read_json_lines_stream(spark, ct_dir),
+        tolerance="24 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "attr_out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "attr_out"))
+    want = sp.attribute_events_to_updates(
+        cdc.unwrap_engagement(ev_feed),
+        sp.content_update_stream(ct_feed),
+        tolerance="24 hours",
+    )
+    assert want.count() > 0, "tolerance window matched nothing — test is vacuous"
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
