@@ -216,3 +216,90 @@ def test_writer_commit_is_replay_idempotent(tmp_path):
     msg = stage("part-c.jsonl", "z\n")
     w.abort([msg], batch_id=8)
     assert not os.listdir(os.path.join(out_dir, "_staging"))
+
+
+def test_connector_carries_full_topology(spark, tmp_path):
+    """Both CDC feeds consumed through the cdc_replay SOURCE, outbox
+    produced through the cdc_replay WRITER: the connector carries the
+    whole live topology (dim maintenance + per-micro-batch enrichment
+    into the MERGE warehouse + null-dropping outbox), equivalent to
+    the text-source twin in test_dim_update_midstream."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.cdc import (
+        enriched_columns,
+        unwrap_engagement,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    def _event(eid, content_id, ts):
+        return (
+            '{"payload": {"op": "c", "after": {"id": "%d", "user_id": "1", '
+            '"content_id": "%d", "event_type": "view", "device": "web", '
+            '"duration_ms": 2000, "event_ts": "%s"}, '
+            '"source": {"ts_ms": 1, "db": "d", "table": "t"}}}' % (eid, content_id, ts)
+        )
+
+    def _content(cid, ctype, secs, ts_ms):
+        return (
+            '{"payload": {"op": "c", "after": {"id": "%d", "slug": "s", "title": "t", '
+            '"content_type": "%s", "length_seconds": %d, "publish_ts": "2024-01-01T00:00:00"}, '
+            '"source": {"ts_ms": %d, "db": "d", "table": "c"}}}' % (cid, ctype, secs, ts_ms)
+        )
+
+    cfeed, efeed = str(tmp_path / "cfeed"), str(tmp_path / "efeed")
+    dim_dir, wh_dir, out_dir = (
+        str(tmp_path / "dim"), str(tmp_path / "wh"), str(tmp_path / "outbox")
+    )
+
+    _write_file(cfeed, "c-00000.jsonl", [_content(7, "podcast", 60, 1)])
+    qdim = sp.maintain_dim_table(
+        spark, ds.read_cdc_stream(spark, cfeed), dim_dir, str(tmp_path / "ck_dim")
+    )
+    qdim.processAllAvailable()
+
+    qwh = sp.start_enriched_warehouse_pipeline(
+        spark, ds.read_cdc_stream(spark, efeed), dim_dir, wh_dir, str(tmp_path / "ck_wh")
+    )
+    plain = enriched_columns(
+        unwrap_engagement(ds.read_cdc_stream(spark, efeed))
+        .withColumn("content_type", F.lit(None).cast("string"))
+        .withColumn("length_seconds", F.lit(None).cast("long"))
+    )
+    payload = plain.select(
+        F.to_json(
+            F.struct(
+                "event_id", "user_id", "content_id", "event_type", "device",
+                "duration_ms", "engagement_score", "content_type", "length_seconds",
+            )
+        ).alias("value")
+    )
+    qout = (
+        payload.writeStream.format("cdc_replay")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck_out"))
+        .start()
+    )
+
+    _write_file(efeed, "e-00000.jsonl", [_event(1, 7, "2024-01-01T10:00:00")])
+    qwh.processAllAvailable(); qout.processAllAvailable()
+    _write_file(cfeed, "c-00001.jsonl", [_content(7, "video", 600, 2)])
+    qdim.processAllAvailable()
+    _write_file(efeed, "e-00001.jsonl", [_event(2, 7, "2024-01-01T10:01:00")])
+    qwh.processAllAvailable(); qout.processAllAvailable()
+    qdim.stop(); qwh.stop(); qout.stop()
+
+    rows = {
+        r["event_id"]: (r["content_type"], r["length_seconds"])
+        for r in spark.read.parquet(wh_dir).collect()
+    }
+    assert rows == {1: ("podcast", 60), 2: ("video", 600)}  # per-batch dim visibility
+
+    got = []
+    for name in ds._list_feed_files(out_dir):
+        with open(os.path.join(out_dir, name), encoding="utf-8") as fh:
+            got.extend(json.loads(line) for line in fh if line.strip())
+    assert {d["event_id"] for d in got} == {1, 2}
+    assert all("content_type" not in d for d in got)  # null-dropping outbox
