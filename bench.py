@@ -136,14 +136,35 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(f"{scale_dir}/documents.parquet")
             )
+            embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            (
+                # replicas get unique ids and a small deterministic
+                # first-coordinate perturbation: near-identical clusters
+                # (the web-crawl near-dup adversary) without the
+                # degenerate 100%-identical case
+                embs.crossJoin(spark.range(10).select(F.col("id").alias("_rep")))
+                .select(
+                    (F.col("vec_id") * 10 + F.col("_rep")).alias("vec_id"),
+                    F.concat(
+                        F.array((F.element_at("embedding", 1) + F.col("_rep") / 1000.0).cast("float")),
+                        F.slice("embedding", 2, 10_000),
+                    ).alias("embedding"),
+                    "label",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{scale_dir}/embeddings.parquet")
+            )
             for t in (
                 "region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "embeddings",
+                "orders", "lineitem",
             ):
                 os.symlink(f"{sf_dir}/{t}.parquet", f"{scale_dir}/{t}.parquet")
             probe = [
                 "hourly_rollup", "dedup_latest", "trending_recent",
                 "dedup_clusters", "dedup_ngram_jaccard",
+                # the round-3 verdict's LSH-skew flag: prove the
+                # hyperplane buckets + clone clusters stay bounded
+                "embedding_near_dup", "ann_ivf_topk",
             ]
             for name in probe:
                 best = None
