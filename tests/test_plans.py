@@ -102,3 +102,30 @@ def test_interval_attribution_join_is_equi_keyed(spark, sf_dir):
     plan = plan_string(sp.attribute_events_to_updates(ev, up, "24 hours"))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "content_id" in plan and ("HashJoin" in plan or "SortMergeJoin" in plan)
+
+
+def test_hll_state_aggregates_partially(spark, sf_dir):
+    """The uniqState rollup must combine map-side (partial_hll_sketch_agg
+    below the exchange) — at 100 TB the shuffle carries one sketch per
+    (hour, event_type) per map task, never raw user_ids."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        cdc, enrich, sketches,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.sources import cdc_feed
+
+    ev = cdc.unwrap_engagement(cdc_feed.engagement_cdc_json(load_table(spark, sf_dir, "events")))
+    dim = enrich.compact_dim_latest(
+        cdc.unwrap_content(cdc_feed.content_cdc_json(load_table(spark, sf_dir, "part")))
+    )
+    plan = plan_string(sketches.hourly_uniques_state(enrich.enrich_events(ev, dim)))
+    assert "partial_hll_sketch_agg" in plan
+
+
+def test_repeated_passages_shuffles_on_digest_only(spark, sf_dir):
+    """Passage detection must stay an equi-join keyed on the chunk
+    digest: no cartesian/BNLJ anywhere in the plan."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    plan = plan_string(corpus.repeated_passages(load_table(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "passage_md5" in plan
