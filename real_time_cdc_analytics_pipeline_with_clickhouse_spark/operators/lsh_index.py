@@ -1,0 +1,175 @@
+"""Incremental MinHash-LSH dedup index — dedup a NEW batch against a
+100 TB corpus without re-LSHing the corpus.
+
+``fuzzy_dedup_keep`` (dedup.py) is the whole-corpus flow: every run
+re-shingles, re-hashes and re-joins everything.  Real training-data
+pipelines don't operate that way — the corpus is an accumulated
+artifact and arrivals are incremental (a new crawl slice, a new source
+dump).  The standard production answer (the RefinedWeb/SlimPajama-style
+MinHash pipelines, and the same pattern ClickHouse users run with a
+ReplacingMergeTree of signatures) is to PERSIST the LSH artifacts and
+join each new batch against them:
+
+- ``build_minhash_index`` writes the banded signature table
+  ``(doc_id, band_id, band_key)`` partitioned by ``band_id`` plus the
+  per-doc shingle table (for exact-Jaccard verification of
+  candidates) — together ~tokens-sized, the storage cost every
+  incremental-dedup deployment pays;
+- ``dedup_against_index`` LSH-joins ONLY the new batch's bands
+  against the index (cost ∝ batch, not corpus: the index side of the
+  equi-join is shuffle-partitioned on the same (band_id, band_key)
+  key and never rescanned in full per candidate), verifies candidates
+  with exact Jaccard, and drops a new doc iff it near-dups an indexed
+  doc or a smaller-id doc within its own batch;
+- ``update_minhash_index`` appends the batch's artifacts so the next
+  batch sees it.
+
+Equivalence contract (tested): when every indexed doc precedes the
+batch (ids below the batch's), ``dedup_against_index`` keeps exactly
+the batch rows ``fuzzy_dedup_keep`` would keep running on the full
+old∪new corpus — same shingles, same signature family, same
+verification threshold.  Indexed docs are immutable precedent: the
+incremental pass never retracts a doc that already made the corpus
+(the asymmetry every append-only pipeline has).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import BAND_SIZE, N_MINHASH, _doc_shingles, minhash_signatures
+
+
+def minhash_band_entries(
+    documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE
+) -> DataFrame:
+    """(doc_id, band_id, band_key) — one row per doc per LSH band."""
+    sig = minhash_signatures(documents, n, k)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", *[F.col(f"mh_{b * band + j}") for j in range(band)]).alias("band_key"),
+        )
+        for b in range(k // band)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*entries)).alias("bk")).select(
+        "doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def _shingle_rows(documents: DataFrame, n: int) -> DataFrame:
+    return _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
+
+
+def _write(df: DataFrame, path: str, mode: str, partition_by: str | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def build_minhash_index(
+    documents: DataFrame, index_dir: str, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE
+) -> None:
+    """Materialize the index from the current corpus (one full pass —
+    paid once, then every batch is incremental)."""
+    _write(minhash_band_entries(documents, n, k, band), f"{index_dir}/bands", "overwrite", "band_id")
+    _write(_shingle_rows(documents, n), f"{index_dir}/shingles", "overwrite")
+
+
+def update_minhash_index(
+    new_documents: DataFrame, index_dir: str, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE
+) -> None:
+    """Append a batch's artifacts (ALL its docs, kept or dropped — a
+    dropped doc still outranks later copies of itself, exactly as in
+    the batch flow where the higher id of a pair drops even when the
+    lower id was itself dropped)."""
+    _write(minhash_band_entries(new_documents, n, k, band), f"{index_dir}/bands", "append", "band_id")
+    _write(_shingle_rows(new_documents, n), f"{index_dir}/shingles", "append")
+
+
+def _verified(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs; shingle frames
+    may come from different places (index parquet vs freshly
+    computed).  Cost ∝ candidates — the shingle joins are equi-keyed
+    on (doc, shingle), never corpus×corpus."""
+    ea = sh_a.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = sh_b.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_a")).withColumnRenamed("doc_id", "doc_a")
+    nb = sh_b.groupBy("doc_id").agg(F.count("*").alias("n_b")).withColumnRenamed("doc_id", "doc_b")
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_documents: DataFrame,
+    index_dir: str,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Survivors of the new batch against corpus + batch (see module
+    docstring for the contract).  Does NOT update the index — call
+    ``update_minhash_index`` after persisting the survivors, so a
+    failed run retries cleanly (the same stage-then-publish discipline
+    as the warehouse sink)."""
+    if not os.path.isdir(f"{index_dir}/bands"):
+        raise FileNotFoundError(
+            f"no MinHash index at {index_dir} — run build_minhash_index first"
+        )
+    new_bands = minhash_band_entries(new_documents, n, k, band)
+    new_sh = _shingle_rows(new_documents, n)
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    idx_sh = spark.read.parquet(f"{index_dir}/shingles")
+
+    # batch × index candidates: indexed doc is always doc_a (precedent)
+    cross = (
+        idx_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    drops_cross = _verified(cross, idx_sh, new_sh, threshold).select(
+        F.col("doc_b").alias("doc_id")
+    )
+
+    # batch-internal candidates: smaller id wins, as in fuzzy_dedup_keep
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    drops_within = _verified(within, new_sh, new_sh, threshold).select(
+        F.col("doc_b").alias("doc_id")
+    )
+
+    drops = drops_cross.unionByName(drops_within).distinct()
+    return new_documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
