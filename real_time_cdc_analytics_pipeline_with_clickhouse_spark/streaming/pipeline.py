@@ -633,3 +633,62 @@ def dedup_documents_stream(doc_stream: DataFrame, watermark: str = "10 minutes")
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["text_md5"])
     )
+
+
+def start_corpus_ingest_sink(
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Live training-corpus ingestion with FUZZY dedup: per micro-batch,
+    new documents dedup against the persistent MinHash-LSH index
+    (``operators.lsh_index``) — survivors append to the corpus and the
+    batch folds into the index so the NEXT batch (and the next run)
+    sees it.
+
+    Composition of duties, each already tested alone:
+    - in-stream exact dedup (``dedup_documents_stream``) should run
+      upstream to drop byte-copies cheaply before shingling;
+    - this sink catches NEAR-dups across the entire accumulated
+      corpus — state the watermarked stream guard cannot hold, living
+      in the index parquet instead of the state store;
+    - batch order within a micro-batch follows doc_id (smaller wins),
+      batches follow wall order — exactly the incremental contract of
+      ``dedup_against_index``.
+
+    Scale shape per batch: cost ∝ batch size (bands + shingles of the
+    BATCH equi-join against the index; never a corpus rescan), one
+    append to each index table.  Bootstrap: an empty index dir is
+    initialized from the first batch.
+    """
+    from ..operators import dedup as dd
+    from ..operators import lsh_index
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        sp_ = batch.sparkSession
+        docs = batch.select(
+            "doc_id", "text",
+            F.lit("und").alias("lang") if "lang" not in batch.columns else F.col("lang"),
+            F.lit("stream").alias("source") if "source" not in batch.columns else F.col("source"),
+        )
+        if not os.path.isdir(f"{index_dir}/bands"):
+            # bootstrap: no corpus yet — within-batch fuzzy dedup only
+            kept_ids = dd.fuzzy_dedup_keep(docs, threshold=threshold)
+        else:
+            kept_ids = lsh_index.dedup_against_index(sp_, docs, index_dir, threshold=threshold)
+        kept = docs.join(
+            kept_ids.select("doc_id"), "doc_id", "left_semi"
+        )
+        kept.write.mode("append").parquet(corpus_dir)
+        lsh_index.update_minhash_index(docs, index_dir)
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )

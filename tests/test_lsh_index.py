@@ -65,3 +65,46 @@ def test_missing_index_raises(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").limit(10)
     with pytest.raises(FileNotFoundError, match="build_minhash_index"):
         lsh_index.dedup_against_index(spark, docs, str(tmp_path / "nope"))
+
+
+def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
+    """The foreachBatch ingest sink: batch 1 bootstraps the index,
+    batch 2's near-dups of batch-1 docs are dropped against it while
+    fresh docs land — corpus state equals the batch incremental flow."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    b1 = docs.where(F.col("doc_id") < 60)
+    dup_part = b1.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+    )
+    fresh = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+    b2 = dup_part.unionByName(fresh)
+
+    feed_dir = str(tmp_path / "docfeed")
+    corpus_dir, idx_dir = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{feed_dir}/f0.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed_dir}/*.parquet")
+    )
+    q = sp.start_corpus_ingest_sink(stream, corpus_dir, idx_dir, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{feed_dir}/f1.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus_dir).collect())
+
+    kept1 = dedup.fuzzy_dedup_keep(b1)
+    idx2 = str(tmp_path / "idx_twin")
+    lsh_index.build_minhash_index(b1, idx2)
+    kept2 = lsh_index.dedup_against_index(spark, b2, idx2)
+    want = sorted(
+        r["doc_id"] for r in kept1.unionByName(kept2).select("doc_id").collect()
+    )
+    assert got == want
+    dropped = {r["doc_id"] for r in dup_part.select("doc_id").collect()} - set(got)
+    assert len(dropped) > 0  # the cross-batch copies actually died
