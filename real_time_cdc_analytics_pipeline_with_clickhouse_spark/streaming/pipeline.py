@@ -207,6 +207,32 @@ def read_dim(spark: SparkSession, dim_dir: str) -> DataFrame | None:
     return None
 
 
+def list_dim_versions(dim_dir: str) -> list[str]:
+    """Retained immutable snapshot names, oldest→newest (the Delta
+    `DESCRIBE HISTORY` analog for the parquet layout).  Retention is
+    ``_publish_dim_version``'s ``keep`` — time travel reaches only
+    unpruned versions, the same bound Delta's VACUUM imposes."""
+    if not os.path.isdir(dim_dir):
+        return []
+    return sorted(f for f in os.listdir(dim_dir) if f.startswith("v-"))
+
+
+def read_dim_version(spark: SparkSession, dim_dir: str, version: str | int) -> DataFrame:
+    """Time-travel read of a specific retained dim snapshot — what the
+    dimension looked like N publishes ago, for audit/debug/replay of an
+    enrichment against the dim state a historical batch actually saw.
+    Accepts a ``v-NNNNNNNNNN`` name or the integer version number;
+    raises with the retained list if the version is pruned or unknown."""
+    name = version if isinstance(version, str) else f"v-{version:010d}"
+    have = list_dim_versions(dim_dir)
+    if name not in have:
+        raise FileNotFoundError(
+            f"dim version {name!r} not retained at {dim_dir!r} (have: {have}) — "
+            "raise _publish_dim_version's keep= to retain more history"
+        )
+    return spark.read.parquet(os.path.join(dim_dir, name))
+
+
 def require_dim(spark: SparkSession, dim_dir: str) -> DataFrame:
     """``read_dim`` for call sites that cannot proceed without a
     dimension: raises a descriptive error instead of returning ``None``

@@ -142,3 +142,28 @@ def test_slim_feed_requires_id_field(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with _pytest.raises(ValueError, match="id"):
         cdc_feed.engagement_cdc_json(ev, fields=("event_type", "event_ts"))
+
+
+def test_unknown_envelope_fields_are_ignored(spark):
+    """Forward compatibility: a producer adding NEW fields (in the
+    record, the payload, or the envelope root) must not break or
+    change the unwrap — from_json with a fixed schema skips unknown
+    keys, the Avro-reader-compatibility stance of the wire contract."""
+    base = (
+        '{"payload": {"op": "c", "after": {"id": "5", "user_id": "2", '
+        '"content_id": "9", "event_type": "view", "device": "web", '
+        '"duration_ms": 1500, "event_ts": "2024-01-01T10:00:00"}, '
+        '"source": {"ts_ms": 7, "db": "d", "table": "t"}}}'
+    )
+    widened = (
+        '{"schema_version": 9, "payload": {"op": "c", "txn": {"lsn": 123}, '
+        '"after": {"id": "5", "user_id": "2", "content_id": "9", '
+        '"event_type": "view", "device": "web", "duration_ms": 1500, '
+        '"event_ts": "2024-01-01T10:00:00", "experiment_tag": "b7", '
+        '"nested_new": {"a": 1}}, '
+        '"source": {"ts_ms": 7, "db": "d", "table": "t", "shard": 3}}}'
+    )
+    df = spark.createDataFrame([(base,), (widened,)], "value string")
+    rows = cdc.unwrap_engagement(df).collect()
+    assert len(rows) == 2
+    assert rows[0].asDict() == rows[1].asDict()  # identical unwrap

@@ -616,3 +616,24 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_dim_time_travel_reads_retained_versions(spark, tmp_path):
+    """T4+: each publish is an immutable snapshot; time travel reaches
+    any retained version and names the retained set when asked for a
+    pruned one."""
+    import pytest
+
+    dim_dir = str(tmp_path / "dim")
+    for ver, secs in enumerate([60, 120, 180, 240]):
+        df = spark.createDataFrame([(7, secs)], "id long, length_seconds long")
+        sp._publish_dim_version(df, dim_dir, keep=3)
+
+    vers = sp.list_dim_versions(dim_dir)
+    assert vers == ["v-0000000001", "v-0000000002", "v-0000000003"]  # keep=3 of 4
+    assert sp.read_dim_version(spark, dim_dir, 2).first()["length_seconds"] == 180
+    assert sp.read_dim_version(spark, dim_dir, "v-0000000003").first()["length_seconds"] == 240
+    # current pointer agrees with the newest version
+    assert sp.read_dim(spark, dim_dir).first()["length_seconds"] == 240
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        sp.read_dim_version(spark, dim_dir, 0)
