@@ -121,6 +121,81 @@ def pack_sequences(
     return docs.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
 
 
+def mix_corpus(
+    documents: DataFrame,
+    recipe: dict[str, int],
+    min_tokens: int = 5,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Data-mixture recipe: hit a TARGET TOKEN COUNT per source — the
+    "data recipe" step (cf. the mixture weights of the Pile/LLaMA-style
+    pretraining sets) that sits between curation and tokenization.
+
+    For each source with ``recipe[source] = target_tokens``:
+    rate = target / actual; rate < 1 down-samples (content-keyed
+    hash-Bernoulli, same determinism contract as
+    ``deterministic_sample``), rate > 1 UP-samples: every doc repeats
+    ``floor(rate)`` times and the fractional remainder is one more
+    hash-selected repeat (epoch repetition for small high-quality
+    sources).  Sources absent from the recipe are excluded — a recipe
+    is a whitelist.
+
+    Output: (doc_id, source, n_tokens, rep) with rep = 1..n_copies —
+    one row per training occurrence, so downstream packing/shuffling
+    treats repeats as independent documents.  E[tokens per source] =
+    target (quantized to 1/denom); exact across engines
+    (DuckDB-twinned in tests).
+
+    Scale shape: one combinable per-source token-sum agg whose result
+    (≤ #sources rows, a bounded driver collect) parameterizes a
+    map-only CASE + ``explode(sequence(...))`` — no shuffle of the
+    corpus itself, and repeats materialize at scan time, not storage.
+    """
+    base = (
+        documents.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            F.pmod(
+                portable_hash64(normalize_text(F.col("text")), seed="mix:"), F.lit(denom)
+            ).alias("u"),
+        )
+        .where(F.col("n_tokens") >= min_tokens)
+        .where(F.col("source").isin(list(recipe)))
+    )
+    totals = {
+        r["source"]: r["t"]
+        for r in base.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    whole = None
+    thr = None
+    for src, target in recipe.items():
+        t = totals.get(src)
+        if not t:
+            continue  # nothing survives the gates for this source
+        rate = target / t
+        w, frac = int(rate), rate - int(rate)
+        wc = F.when(F.col("source") == src, F.lit(w))
+        tc = F.when(F.col("source") == src, F.lit(int(round(frac * denom))))
+        whole = wc if whole is None else whole.when(F.col("source") == src, F.lit(w))
+        thr = tc if thr is None else thr.when(F.col("source") == src, F.lit(int(round(frac * denom))))
+    if whole is None:
+        return base.select("doc_id", "source", "n_tokens", F.lit(1).alias("rep")).limit(0)
+    n_copies = whole.otherwise(F.lit(0)) + F.when(
+        F.col("u") < thr.otherwise(F.lit(0)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        base.withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("rep"),
+        )
+    )
+
+
 def prepare_training_corpus(
     documents: DataFrame,
     jaccard_threshold: float = 0.5,

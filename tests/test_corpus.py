@@ -453,3 +453,53 @@ def test_remove_repeated_passages_keeps_one_occurrence(spark, sf_dir):
         lead = native[:30]
         if lead:
             assert lead in out[doc_id], (doc_id, lead[:30], out[doc_id][:80])
+
+
+def test_mix_corpus_matches_python_model_and_hits_targets(spark, sf_dir, ducks):
+    """Data-mixture recipe: DuckDB+Python model oracle reproduces the
+    Spark output exactly; upsampled sources repeat, downsampled ones
+    thin, achieved token mass ≈ target (1/denom quantization)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.corpus import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    recipe = {"src0": 3000, "src1": 700}  # ~2x up, ~0.5x down
+    got = sorted(
+        map(tuple, mix_corpus(docs, recipe).select("doc_id", "source", "n_tokens", "rep").collect())
+    )
+
+    base = ducks.execute(
+        """
+        SELECT doc_id, source,
+               CAST(len(string_split(norm,' ')) AS INT) AS n_tokens,
+               CAST(('0x' || substr(md5('mix:' || norm), 1, 15)) AS BIGINT) % 10000 AS u
+        FROM (SELECT doc_id, source,
+                     trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm
+              FROM documents)
+        WHERE len(string_split(norm,' ')) >= 5 AND source IN ('src0','src1')
+        """
+    ).fetchall()
+    totals = {}
+    for _d, s, n, _u in base:
+        totals[s] = totals.get(s, 0) + n
+    want = []
+    for d, s, n, u in base:
+        rate = recipe[s] / totals[s]
+        copies = int(rate) + (1 if u < round((rate - int(rate)) * 10000) else 0)
+        want.extend((d, s, n, rep) for rep in range(1, copies + 1))
+    assert got == sorted(want) and len(got) > 0
+
+    achieved = {}
+    for _d, s, n, _rep in got:
+        achieved[s] = achieved.get(s, 0) + n
+    assert achieved["src0"] > totals["src0"]  # upsampling happened
+    assert achieved["src1"] < totals["src1"]  # downsampling happened
+    for s, target in recipe.items():
+        assert abs(achieved[s] - target) / target < 0.35  # small-corpus variance
+    assert any(rep == 2 for _d, s, _n, rep in got if s == "src0")
+
+
+def test_mix_corpus_empty_recipe_sources(spark, sf_dir):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.corpus import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert mix_corpus(docs, {"no_such_source": 1000}).count() == 0
