@@ -108,7 +108,14 @@ class CDCReplayStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.max_files = int(options.get("maxfilespertrigger", 0)) or None
-        self._prev_end: int | None = None
+        # high-water mark of every offset this reader has SEEN — raised
+        # by our own latestOffset answers, by planned batches
+        # (partitions) and by commits.  latestOffset must never answer
+        # below it: a fresh reader after restart knows nothing, and a
+        # rate-limited answer below the checkpointed start would
+        # REGRESS the offset log and re-deliver files (caught by
+        # test_restart_with_rate_limit_never_duplicates).
+        self._floor = 0
 
     def initialOffset(self) -> dict:
         return {"n": 0, "last": ""}
@@ -126,18 +133,21 @@ class CDCReplayStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = _list_feed_files(self.path)
-        floor = self._prev_end if self._prev_end is not None else 0
         end = len(files)
         if self.max_files is not None:
-            end = min(end, max(floor, 0) + self.max_files)
-        end = max(end, floor)  # never move backwards
-        self._prev_end = end
+            end = min(end, self._floor + self.max_files)
+        end = max(end, self._floor)  # never move backwards
+        self._floor = end
         return {"n": end, "last": files[end - 1] if end else ""}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         files = _list_feed_files(self.path)
         self._check_monotonic(files, start)
         self._check_monotonic(files, end)
+        # a planned batch proves the checkpoint reached end — a fresh
+        # reader (restart) learns the true high-water mark here before
+        # its first rate-limited latestOffset answer
+        self._floor = max(self._floor, start["n"], end["n"])
         return [_FilePartition(self.path, n) for n in files[start["n"] : end["n"]]]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -149,7 +159,10 @@ class CDCReplayStreamReader(DataSourceStreamReader):
         # Kafka's retention.ms — a janitor MAY delete files below the
         # committed mark, which the sorted-listing check tolerates
         # only via full re-baseline, so default is keep-everything).
-        return None
+        # The committed end also raises the floor — on restart Spark
+        # replays the last commit to the fresh reader, seeding the
+        # rate-limit high-water mark before the first latestOffset.
+        self._floor = max(self._floor, end["n"])
 
 
 class _StagedFiles(WriterCommitMessage):

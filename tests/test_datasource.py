@@ -303,3 +303,36 @@ def test_connector_carries_full_topology(spark, tmp_path):
             got.extend(json.loads(line) for line in fh if line.strip())
     assert {d["event_id"] for d in got} == {1, 2}
     assert all("content_type" not in d for d in got)  # null-dropping outbox
+
+
+def test_restart_with_rate_limit_never_duplicates(spark, tmp_path):
+    """Regression: a fresh reader after restart starts with no
+    rate-limit high-water mark; if its first capped latestOffset
+    answered below the checkpointed start, the offset log would
+    REGRESS and re-deliver files.  The floor is seeded from the
+    replayed commit/planned batches, so a rate-limited restart resumes
+    exactly-once."""
+    feed_dir = str(tmp_path / "feed")
+    for i in range(4):
+        _write_file(feed_dir, f"b-{i:05d}.jsonl", [f"row{i}"])
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            ds.read_cdc_stream(spark, feed_dir, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    for i in range(4, 6):
+        _write_file(feed_dir, f"b-{i:05d}.jsonl", [f"row{i}"])
+    run()
+
+    vals = sorted(r["value"] for r in spark.read.parquet(out_dir).collect())
+    assert vals == [f"row{i}" for i in range(6)]
