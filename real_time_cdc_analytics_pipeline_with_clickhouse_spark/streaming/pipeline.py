@@ -692,8 +692,14 @@ def start_corpus_ingest_sink(
     from ..operators import dedup as dd
     from ..operators import lsh_index
 
-    def sink(batch: DataFrame, _epoch: int) -> None:
+    def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
+            return
+        # corpus append + index append are both additive: a replayed
+        # epoch would duplicate rows in BOTH — the same guard as the
+        # serving sink (see _epoch_already_applied for the residual
+        # crash window)
+        if _epoch_already_applied(corpus_dir, epoch):
             return
         sp_ = batch.sparkSession
         docs = batch.select(
@@ -711,6 +717,7 @@ def start_corpus_ingest_sink(
         )
         kept.write.mode("append").parquet(corpus_dir)
         lsh_index.update_minhash_index(docs, index_dir)
+        _record_epoch(corpus_dir, epoch)
 
     return (
         doc_stream.writeStream.outputMode("append")

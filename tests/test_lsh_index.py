@@ -108,3 +108,11 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
     assert got == want
     dropped = {r["doc_id"] for r in dup_part.select("doc_id").collect()} - set(got)
     assert len(dropped) > 0  # the cross-batch copies actually died
+
+    # additive-sink replay guard: both epochs are marked applied, so a
+    # re-delivered micro-batch (restart replay) appends nothing (the
+    # same marker protocol the serving sink proves end-to-end in
+    # test_serving.test_streaming_serving_sink_equals_batch_recompute)
+    assert sp._epoch_already_applied(corpus_dir, 0)
+    assert sp._epoch_already_applied(corpus_dir, 1)
+    assert not sp._epoch_already_applied(corpus_dir, 2)
