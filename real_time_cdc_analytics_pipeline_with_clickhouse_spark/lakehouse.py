@@ -95,14 +95,34 @@ def merge_upsert_delta(batch: DataFrame, target_dir: str, key: str, version: str
     )
 
 
+def _is_parquet_emulation_table(path: str) -> bool:
+    """An existing month-partitioned parquet target written by the
+    emulation (and NOT a Delta table)."""
+    return (
+        not is_delta_table(path)
+        and os.path.isdir(path)
+        and any(f.startswith(MONTH_COL + "=") for f in os.listdir(path))
+    )
+
+
 def merge_upsert(batch: DataFrame, target_dir: str, key: str, version: str) -> None:
     """The one MERGE entry point: Delta-native when the package is on
     the classpath (or the target already IS a Delta table), else the
     partition-scoped parquet emulation.  Both are latest-wins per key
-    within a month partition and idempotent under replay."""
+    within a month partition and idempotent under replay.
+
+    Format is STICKY per table: a target already maintained by the
+    parquet emulation keeps using it even after delta-spark appears on
+    the classpath — the Delta bootstrap is an ``overwrite``, so routing
+    an existing parquet table there would silently destroy its history
+    (migrate explicitly with ``CONVERT TO DELTA`` semantics instead)."""
     from .streaming.pipeline import merge_upsert_parquet
 
-    if is_delta_table(target_dir) or delta_available(batch.sparkSession):
+    if is_delta_table(target_dir):
+        merge_upsert_delta(batch, target_dir, key, version)
+    elif _is_parquet_emulation_table(target_dir):
+        merge_upsert_parquet(batch, target_dir, key, version)
+    elif delta_available(batch.sparkSession):
         merge_upsert_delta(batch, target_dir, key, version)
     else:
         merge_upsert_parquet(batch, target_dir, key, version)

@@ -258,7 +258,14 @@ def _publish_dim_version(df: DataFrame, dim_dir: str, keep: int = 2) -> None:
     classpath the publish is instead ONE transactional overwrite
     through the Delta log — the native form of the same contract
     (snapshot isolation for in-flight readers, atomic cutover)."""
-    if is_delta_table(dim_dir) or delta_available(df.sparkSession):
+    # format stickiness: a dim already maintained as versioned parquet
+    # keeps that layout even if delta-spark appears later (the Delta
+    # publish overwrites the directory — converting an existing
+    # pointer layout would orphan its versions mid-stream)
+    has_versions = os.path.isdir(dim_dir) and any(
+        f.startswith("v-") for f in os.listdir(dim_dir)
+    )
+    if is_delta_table(dim_dir) or (delta_available(df.sparkSession) and not has_versions):
         publish_dim_delta(df, dim_dir)
         return
     os.makedirs(dim_dir, exist_ok=True)

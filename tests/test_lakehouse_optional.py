@@ -114,3 +114,37 @@ def test_dim_publish_delta_roundtrip(spark, tmp_path, fmt):
     assert sp.read_dim(spark, dim_dir).collect()[0]["content_type"] == "podcast"
     sp._publish_dim_version(v2, dim_dir)
     assert sp.read_dim(spark, dim_dir).collect()[0]["content_type"] == "video"
+
+
+def test_merge_format_is_sticky_per_table(spark, tmp_path, monkeypatch):
+    """A target already maintained by the parquet emulation must KEEP
+    routing to the emulation even when delta-spark becomes available —
+    the Delta bootstrap is an overwrite, so re-routing an existing
+    parquet table would destroy its history."""
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark import lakehouse as lh
+
+    target = str(tmp_path / "wh")
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "event_id long, event_ts string"
+    ).withColumn("event_ts", F.to_timestamp("event_ts"))
+    lh.merge_upsert(b1, target, key="event_id", version="event_ts")
+    assert lh._is_parquet_emulation_table(target)
+
+    # delta "appears on the classpath"
+    monkeypatch.setattr(lh, "delta_available", lambda _s: True)
+
+    def boom(*_a, **_k):
+        raise AssertionError("existing parquet table was routed to Delta")
+
+    monkeypatch.setattr(lh, "merge_upsert_delta", boom)
+    b2 = spark.createDataFrame(
+        [(2, "2024-01-01 11:00:00")], "event_id long, event_ts string"
+    ).withColumn("event_ts", F.to_timestamp("event_ts"))
+    lh.merge_upsert(b2, target, key="event_id", version="event_ts")  # must not raise
+    assert lh.read_merged(spark, target).count() == 2
+
+    # a FRESH target under delta_available does route to Delta
+    with pytest.raises(AssertionError, match="routed to Delta"):
+        lh.merge_upsert(b2, str(tmp_path / "fresh"), key="event_id", version="event_ts")
