@@ -89,6 +89,13 @@ def decode_media(
             return np.asarray(Image.open(io.BytesIO(raw)))
         except ImportError:
             pass
+        except Exception:
+            # importable codec but undecodable bytes (e.g. synthetic
+            # payloads that aren't a real container format): fall back
+            # rather than poison the whole Arrow batch.  A production
+            # pipeline would instead route undecodable assets to a
+            # reject lane with the error recorded.
+            pass
         if not width or not height:
             raise ValueError("fallback image decode needs width/height metadata")
         return _tile_bytes(raw, int(width) * int(height)).reshape(int(height), int(width))
@@ -101,6 +108,8 @@ def decode_media(
             return sf.read(io.BytesIO(raw), dtype="int16")[0]
         except ImportError:
             pass
+        except Exception:
+            pass  # same undecodable-bytes fallback as the image path
         if len(raw) % 2:
             raw += b"\x00"
         return np.frombuffer(raw, dtype="<i2")
