@@ -1,0 +1,223 @@
+"""Behavioral / sequence analytics over engagement events.
+
+ClickHouse ships a family of parametric aggregate functions that the
+reference's serving warehouse (clickhouse-init.sql:1-38 declares the
+`analytics` database these queries run in) makes available to every
+consumer of `analytics.enriched_events`: ``windowFunnel``,
+``retention``, ``sequenceMatch`` and ``sequenceCount``.  They are the
+signature engagement-analytics surface of a ClickHouse deployment, so
+an engine claiming "a user of the reference could switch" needs them.
+This module re-expresses each one Spark-first:
+
+- ``funnel_levels``        — ``windowFunnel(window)(ts, c1..ck)``
+- ``funnel_conversion``    — the per-level user-count readout
+- ``retention_flags``      — ``retention(c1..ck)`` per user
+- ``retention_counts``     — the summed cohort readout
+- ``sequence_match_chain`` — ``sequenceMatch('(?1).*(?2)...')``
+- ``sequence_count_chain`` — ``sequenceCount`` (disjoint, greedy)
+
+Semantics (pinned, oracle-checked): a funnel chain is events
+``e1..ek`` with ``step(ei)=i``, NON-DECREASING timestamps, and
+``ts_k - ts_1 <= window``.  Ties are well-defined because a chain's
+step indices strictly increase, so any non-decreasing-ts witness is
+valid regardless of intra-tie ordering.
+
+Execution shape (100 TB stance): ONE shuffle — ``groupBy(user_id)``
+with a map-side-combinable ``collect_list`` of (ts, step) pairs over
+the step-filtered stream (the filter is pushed to the scan; non-step
+events never shuffle).  The per-user scan is then a single
+``aggregate`` (fold) over the sorted array, entirely JVM-side inside
+whole-stage codegen — no Python, no window-function re-sort, no
+self-joins (the naive k-way join is quadratic per user; the fold is
+linear).  Per-user state is O(k); per-row transient memory is the
+user's step-event array, the same bound ClickHouse's own
+windowFunnel/sequenceMatch states carry.  For pathological single
+users with millions of step events, pre-aggregate with a coarser
+filter or sessionize first — the fold itself never re-materializes
+more than the one array Spark already built.
+
+Funnel-level fold (exact, not heuristic): dp[i] holds the MAXIMUM
+chain-start timestamp over chains of length i whose last event has
+been processed.  Processing in (ts, step) order means any dp entry is
+usable by the current event (its chain ended at-or-before now), and
+max-start dominates: the window test ``ts - start <= w`` only ever
+gets easier as start grows.  Level = longest non-null dp prefix.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "funnel_levels",
+    "funnel_conversion",
+    "retention_flags",
+    "retention_counts",
+    "sequence_match_chain",
+    "sequence_count_chain",
+]
+
+
+def _step_expr(steps: Sequence[str]) -> Column:
+    """Map event_type -> 1-based step index (rows are pre-filtered to
+    the step set, so the chain always terminates)."""
+    expr = F.lit(None).cast("long")
+    for i in reversed(range(len(steps))):
+        expr = F.when(F.col("event_type") == steps[i], F.lit(i + 1).cast("long")).otherwise(expr)
+    return expr
+
+
+def _user_step_seqs(engagement: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """(user_id, seq) where seq = sorted array<struct<ts,s>> of the
+    user's step events; the isin filter prunes at the scan so only
+    funnel-relevant rows ever shuffle."""
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct event types, got {list(steps)}")
+    evs = engagement.where(
+        F.col("event_type").isin(list(steps)) & F.col("event_ts").isNotNull()
+    )
+    return evs.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("event_ts").alias("ts"),
+                    _step_expr(steps).alias("s"),
+                )
+            )
+        ).alias("seq")
+    )
+
+
+def _funnel_dp(seq: Column, k: int, window_us: Optional[int]) -> Column:
+    """The windowFunnel fold: dp[i-1] = max chain-start ts over chains
+    reaching level i (see module docstring for the dominance proof)."""
+
+    def merge(acc: Column, x: Column) -> Column:
+        out = [F.when(x["s"] == 1, F.greatest(acc[0], x["ts"])).otherwise(acc[0])]
+        for i in range(2, k + 1):
+            prev, cur = acc[i - 2], acc[i - 1]
+            cond = (x["s"] == i) & prev.isNotNull()
+            if window_us is not None:
+                cond = cond & ((x["ts"] - prev) <= F.lit(window_us))
+            out.append(F.when(cond, F.greatest(cur, prev)).otherwise(cur))
+        return F.array(*out)
+
+    init = F.expr(f"array_repeat(CAST(NULL AS BIGINT), {k})")
+    return F.aggregate(seq, init, merge)
+
+
+def funnel_levels(
+    engagement: DataFrame,
+    steps: Sequence[str],
+    window_s: Optional[int] = 86400,
+) -> DataFrame:
+    """``windowFunnel`` analog: per user, the deepest funnel level
+    reached — the longest ``steps`` prefix completed by a
+    non-decreasing-ts event chain spanning at most ``window_s``
+    seconds (``None`` = unbounded, the pure sequence form).
+
+    Returns (user_id, funnel_level) for every user with at least one
+    step event; users whose events never include step 1 report 0.
+    """
+    k = len(steps)
+    window_us = None if window_s is None else int(window_s) * 1_000_000
+    dp = _funnel_dp(F.col("seq"), k, window_us)
+    return (
+        _user_step_seqs(engagement, steps)
+        .select(
+            "user_id",
+            F.size(F.filter(dp, lambda v: v.isNotNull())).cast("long").alias("funnel_level"),
+        )
+    )
+
+
+def funnel_conversion(
+    engagement: DataFrame,
+    steps: Sequence[str],
+    window_s: Optional[int] = 86400,
+) -> DataFrame:
+    """Per-level conversion readout: for each level 1..k, how many
+    users reached AT LEAST that level.  The second aggregate is over
+    one row per user — negligible next to the funnel shuffle."""
+    k = len(steps)
+    levels = funnel_levels(engagement, steps, window_s)
+    lv = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("level")
+    return (
+        levels.select(F.col("funnel_level"), lv)
+        .where(F.col("funnel_level") >= F.col("level"))
+        .groupBy("level")
+        .agg(F.count("*").cast("long").alias("users_reached"))
+    )
+
+
+def retention_flags(engagement: DataFrame, conds: Sequence[Column]) -> DataFrame:
+    """``retention(cond1..condk)`` analog: per user, ``r1`` = any event
+    satisfied ``conds[0]``; ``ri`` = r1 AND any event satisfied
+    ``conds[i-1]``.  One combinable groupBy — each flag is a
+    ``max(CASE)`` partial aggregate, so the shuffle carries k bits per
+    (partition, user)."""
+    hits = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"_h{i}")
+        for i, c in enumerate(conds, start=1)
+    ]
+    agg = engagement.groupBy("user_id").agg(*hits)
+    r1 = F.col("_h1") == 1
+    flags = [r1.alias("r1")] + [
+        (r1 & (F.col(f"_h{i}") == 1)).alias(f"r{i}") for i in range(2, len(conds) + 1)
+    ]
+    return agg.select("user_id", *flags)
+
+
+def retention_counts(flags: DataFrame) -> DataFrame:
+    """Cohort readout: one row, ``r{i}_users`` = users with flag i set
+    (the ClickHouse ``sum(r[i])`` idiom over the retention array)."""
+    k = sum(1 for c in flags.columns if c.startswith("r"))
+    return flags.agg(
+        *[
+            F.sum(F.when(F.col(f"r{i}"), 1).otherwise(0)).cast("long").alias(f"r{i}_users")
+            for i in range(1, k + 1)
+        ]
+    )
+
+
+def sequence_match_chain(engagement: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """``sequenceMatch('(?1).*(?2)...')`` analog for chain patterns:
+    per user, TRUE iff the steps occur in order (any gaps, no time
+    bound) — exactly ``funnel_levels`` with an unbounded window
+    reaching level k."""
+    k = len(steps)
+    dp = _funnel_dp(F.col("seq"), k, None)
+    return _user_step_seqs(engagement, steps).select(
+        "user_id",
+        dp[k - 1].isNotNull().alias("matched"),
+    )
+
+
+def sequence_count_chain(engagement: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """``sequenceCount`` analog: per user, the number of DISJOINT
+    in-order occurrences of the step chain, greedily matched in
+    (ts, step) scan order.  Greedy earliest-completion is maximal for
+    disjoint subsequence occurrences (exchange argument), so this is
+    the exact maximum, not a heuristic.
+
+    Fold state is [progress, count]: an event advances progress iff it
+    is the next needed step; completing step k books one occurrence
+    and resets."""
+    k = len(steps)
+
+    def merge(acc: Column, x: Column) -> Column:
+        advanced = F.when(x["s"] == acc[0] + 1, acc[0] + 1).otherwise(acc[0])
+        done = advanced == k
+        return F.array(
+            F.when(done, F.lit(0).cast("long")).otherwise(advanced),
+            acc[1] + F.when(done, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+
+    init = F.expr("array(CAST(0 AS BIGINT), CAST(0 AS BIGINT))")
+    fold = F.aggregate(F.col("seq"), init, merge)
+    return _user_step_seqs(engagement, steps).select(
+        "user_id", fold[1].alias("occurrences")
+    )

@@ -1,0 +1,242 @@
+"""Behavioral analytics (ClickHouse windowFunnel / retention /
+sequenceMatch / sequenceCount analogs) — DuckDB-differential plus
+pinned-semantics micro-cases.
+
+The DuckDB twins deliberately use a DIFFERENT algorithm (k-way EXISTS
+joins) than the Spark fold, so a shared-bug false pass would require
+two independent implementations of the chain semantics to agree by
+accident.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import behavioral
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.oracle import q
+from tests.oracle_utils import compare
+
+STEPS = ("view", "click", "purchase")
+WINDOW_S = 24 * 3600
+_W_US = WINDOW_S * 1_000_000
+
+# fe: the step-filtered event stream; the join-based level sets below
+# restate "non-decreasing-ts chain within the window" independently of
+# the Spark dp fold.
+_FUNNEL_CTES = f"""
+, fe AS (
+  SELECT user_id, event_type, epoch_us(event_ts) AS ts
+  FROM engagement
+  WHERE event_type IN ('view', 'click', 'purchase') AND event_ts IS NOT NULL
+),
+fl2 AS (
+  SELECT DISTINCT a.user_id FROM fe a JOIN fe b ON a.user_id = b.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND b.ts >= a.ts AND b.ts - a.ts <= {_W_US}
+),
+fl3 AS (
+  SELECT DISTINCT a.user_id
+  FROM fe a JOIN fe b ON a.user_id = b.user_id
+            JOIN fe c ON a.user_id = c.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND c.event_type = 'purchase'
+    AND b.ts >= a.ts AND c.ts >= b.ts AND c.ts - a.ts <= {_W_US}
+),
+funnel_oracle AS (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM fl3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM fl2) THEN 2
+              WHEN u.user_id IN (SELECT user_id FROM fe
+                                 WHERE event_type = 'view') THEN 1
+              ELSE 0 END AS funnel_level
+  FROM (SELECT DISTINCT user_id FROM fe) u
+)
+"""
+
+
+def _check(sdf, sql, ducks):
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ducks.sql(sql)
+    problems = compare(sdf.columns, srows, [d[0] for d in res.description], res.fetchall())
+    assert not problems, " | ".join(problems)
+    assert srows, "empty result"
+
+
+def test_funnel_levels_matches_exists_oracle(spark, sf_dir, ducks):
+    sdf = behavioral.funnel_levels(
+        entrymod._engagement(spark, sf_dir), STEPS, window_s=WINDOW_S
+    )
+    _check(sdf, q(_FUNNEL_CTES + "SELECT user_id, funnel_level FROM funnel_oracle"), ducks)
+
+
+def test_funnel_conversion_matches_oracle(spark, sf_dir, ducks):
+    sdf = behavioral.funnel_conversion(
+        entrymod._engagement(spark, sf_dir), STEPS, window_s=WINDOW_S
+    )
+    _check(
+        sdf,
+        q(_FUNNEL_CTES + """
+SELECT lv.level, count(*) AS users_reached
+FROM funnel_oracle f
+JOIN (SELECT unnest(generate_series(1, 3)) AS level) lv
+  ON f.funnel_level >= lv.level
+GROUP BY lv.level
+"""),
+        ducks,
+    )
+
+
+def test_sequence_match_matches_unbounded_exists(spark, sf_dir, ducks):
+    sdf = behavioral.sequence_match_chain(entrymod._engagement(spark, sf_dir), STEPS)
+    _check(
+        sdf,
+        q("""
+, fe AS (
+  SELECT user_id, event_type, epoch_us(event_ts) AS ts
+  FROM engagement
+  WHERE event_type IN ('view', 'click', 'purchase') AND event_ts IS NOT NULL
+)
+SELECT u.user_id,
+       EXISTS (
+         SELECT 1 FROM fe a JOIN fe b ON a.user_id = b.user_id
+                            JOIN fe c ON a.user_id = c.user_id
+         WHERE a.user_id = u.user_id
+           AND a.event_type = 'view' AND b.event_type = 'click'
+           AND c.event_type = 'purchase'
+           AND b.ts >= a.ts AND c.ts >= b.ts
+       ) AS matched
+FROM (SELECT DISTINCT user_id FROM fe) u
+"""),
+        ducks,
+    )
+
+
+def test_funnel_level_monotone_in_window(spark, sf_dir):
+    eng = entrymod._engagement(spark, sf_dir)
+    narrow = behavioral.funnel_levels(eng, STEPS, window_s=3600)
+    wide = behavioral.funnel_levels(eng, STEPS, window_s=WINDOW_S)
+    unbounded = behavioral.funnel_levels(eng, STEPS, window_s=None)
+    j = (
+        narrow.withColumnRenamed("funnel_level", "l1")
+        .join(wide.withColumnRenamed("funnel_level", "l24"), "user_id")
+        .join(unbounded.withColumnRenamed("funnel_level", "linf"), "user_id")
+    )
+    assert j.where((F.col("l1") > F.col("l24")) | (F.col("l24") > F.col("linf"))).count() == 0
+    # and the windows genuinely bind on this fixture
+    tot = j.agg(
+        F.sum("l1").alias("a"), F.sum("l24").alias("b"), F.sum("linf").alias("c")
+    ).first()
+    assert tot["a"] < tot["c"]
+
+
+def test_retention_matches_oracle(spark, sf_dir, ducks):
+    eng = entrymod._engagement(spark, sf_dir)
+    w1 = datetime.datetime(2024, 1, 8)
+    w2 = datetime.datetime(2024, 1, 15)
+    w3 = datetime.datetime(2024, 1, 22)
+    conds = [
+        F.col("event_ts") < F.lit(w1),
+        (F.col("event_ts") >= F.lit(w1)) & (F.col("event_ts") < F.lit(w2)),
+        (F.col("event_ts") >= F.lit(w2))
+        & (F.col("event_ts") < F.lit(w3))
+        & (F.col("event_type") == "purchase"),
+    ]
+    flags = behavioral.retention_flags(eng, conds)
+    _check(
+        flags,
+        q("""
+, rh AS (
+  SELECT user_id,
+         max(CASE WHEN event_ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN event_ts >= TIMESTAMP '2024-01-08'
+                   AND event_ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS h2,
+         max(CASE WHEN event_ts >= TIMESTAMP '2024-01-15'
+                   AND event_ts < TIMESTAMP '2024-01-22'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS h3
+  FROM engagement GROUP BY user_id
+)
+SELECT user_id, h1 = 1 AS r1, h1 = 1 AND h2 = 1 AS r2, h1 = 1 AND h3 = 1 AS r3
+FROM rh
+"""),
+        ducks,
+    )
+    counts = behavioral.retention_counts(flags).first()
+    # cohort monotonicity: r1 is a superset of every later flag
+    assert counts["r1_users"] >= counts["r2_users"]
+    assert counts["r1_users"] >= counts["r3_users"]
+    assert counts["r1_users"] > 0
+
+
+def test_sequence_count_matches_python_model(spark, sf_dir, ducks):
+    """Greedy disjoint-occurrence count vs an independent Python scan
+    over DuckDB-fetched per-user sequences."""
+    sdf = behavioral.sequence_count_chain(entrymod._engagement(spark, sf_dir), STEPS)
+    got = {r["user_id"]: r["occurrences"] for r in sdf.collect()}
+
+    rows = ducks.sql(q("""
+SELECT user_id, epoch_us(event_ts) AS ts,
+       CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END AS s
+FROM engagement
+WHERE event_type IN ('view', 'click', 'purchase') AND event_ts IS NOT NULL
+""")).fetchall()
+    per_user: dict[str, list[tuple[int, int]]] = {}
+    for user_id, ts, s in rows:
+        per_user.setdefault(user_id, []).append((ts, s))
+    want = {}
+    for user_id, seq in per_user.items():
+        prog = cnt = 0
+        for _, s in sorted(seq):
+            if s == prog + 1:
+                prog += 1
+                if prog == len(STEPS):
+                    cnt += 1
+                    prog = 0
+        want[user_id] = cnt
+    assert got == want
+    assert sum(want.values()) > 0
+
+
+def test_funnel_pinned_micro_semantics(spark):
+    """Hand-checked corner cases: tie timestamps count (non-decreasing
+    chain), the window binds on last-minus-first, and a later restart
+    can out-reach an earlier stalled chain."""
+    def ev(user, etype, second):
+        return (user, etype, datetime.datetime(2024, 1, 1, 0, 0, second))
+
+    rows = [
+        # u1: tie between view and click at s=5; purchase at s=6 -> level 3
+        ev("u1", "view", 5), ev("u1", "click", 5), ev("u1", "purchase", 6),
+        # u2: chain spans 20 s but window is 10 s -> level 2 (view@0,click@4)
+        ev("u2", "view", 0), ev("u2", "click", 4), ev("u2", "purchase", 20),
+        # u3: first view stalls; later view@30 restarts and completes
+        ev("u3", "view", 0), ev("u3", "click", 31), ev("u3", "view", 30),
+        ev("u3", "purchase", 33),
+        # u4: steps out of order only -> level 1 (view exists, no click after)
+        ev("u4", "click", 1), ev("u4", "purchase", 2), ev("u4", "view", 3),
+        # u5: never enters the funnel (no view) -> level 0
+        ev("u5", "purchase", 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, event_ts timestamp")
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in behavioral.funnel_levels(df, STEPS, window_s=10).collect()
+    }
+    assert got == {"u1": 3, "u2": 2, "u3": 3, "u4": 1, "u5": 0}
+
+    cnt = {
+        r["user_id"]: r["occurrences"]
+        for r in behavioral.sequence_count_chain(df, STEPS).collect()
+    }
+    assert cnt == {"u1": 1, "u2": 1, "u3": 1, "u4": 0, "u5": 0}
+
+
+def test_funnel_plan_is_single_shuffle(spark, sf_dir):
+    """The fold ships one groupBy(user_id) exchange and no join — the
+    naive k-way self-join shape would be quadratic per user."""
+    sdf = behavioral.funnel_levels(entrymod._engagement(spark, sf_dir), STEPS, WINDOW_S)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial+final agg pair, no extra
+    assert "Join" not in plan
