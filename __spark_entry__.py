@@ -31,6 +31,7 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.scalar imp
 )
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions import text as T
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+    behavioral,
     cdc,
     corpus,
     dedup,
@@ -376,8 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["correlated_subquery"] = lambda spark, sf: R.correlated_subquery_expensive_parts(
         load_table(spark, sf, "part")
     )
-    q["having_large_orders"] = lambda spark, sf: R.having_large_orders(
-        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    # ClickHouse windowFunnel analog (behavioral.py) — holds the gate
+    # slot that having_large_orders ceded (that HAVING demo stays
+    # DuckDB-twinned in tests/test_consolidated.py).
+    q["funnel_levels"] = lambda spark, sf: behavioral.funnel_levels(
+        _engagement(spark, sf), ("view", "click", "purchase"), window_s=86400
     )
 
     def scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:

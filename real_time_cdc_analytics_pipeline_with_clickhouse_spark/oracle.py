@@ -478,7 +478,9 @@ FROM (
 ) WHERE p_retailprice > brand_avg
 """)
 
-ORACLE["having_large_orders"] = q("""
+# kept for tests/test_consolidated.py — the HAVING demo ceded its gate
+# slot to funnel_levels but stays oracle-checked there.
+HAVING_LARGE_ORDERS_SQL = q("""
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        CAST(total_qty_dec AS DOUBLE) AS total_qty
 FROM orders
@@ -486,6 +488,38 @@ JOIN (
   SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_dec
   FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
 ) ON o_orderkey = l_orderkey
+""")
+
+# windowFunnel analog (operators/behavioral.py): chain semantics
+# restated with a DIFFERENT algorithm — k-way EXISTS joins instead of
+# the Spark dp fold — so agreement cross-checks the semantics, not a
+# shared implementation.  Window = 86400 s in epoch-us.
+ORACLE["funnel_levels"] = q(f"""
+, fe AS (
+  SELECT user_id, event_type, epoch_us(event_ts) AS ts
+  FROM engagement
+  WHERE event_type IN ('view', 'click', 'purchase') AND event_ts IS NOT NULL
+),
+fl2 AS (
+  SELECT DISTINCT a.user_id FROM fe a JOIN fe b ON a.user_id = b.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND b.ts >= a.ts AND b.ts - a.ts <= {86400 * 1_000_000}
+),
+fl3 AS (
+  SELECT DISTINCT a.user_id
+  FROM fe a JOIN fe b ON a.user_id = b.user_id
+            JOIN fe c ON a.user_id = c.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND c.event_type = 'purchase'
+    AND b.ts >= a.ts AND c.ts >= b.ts AND c.ts - a.ts <= {86400 * 1_000_000}
+)
+SELECT u.user_id,
+       CASE WHEN u.user_id IN (SELECT user_id FROM fl3) THEN 3
+            WHEN u.user_id IN (SELECT user_id FROM fl2) THEN 2
+            WHEN u.user_id IN (SELECT user_id FROM fe
+                               WHERE event_type = 'view') THEN 1
+            ELSE 0 END AS funnel_level
+FROM (SELECT DISTINCT user_id FROM fe) u
 """)
 
 ORACLE["scalar_funcs"] = q("""

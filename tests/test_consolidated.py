@@ -366,3 +366,18 @@ def test_sessionize(spark, sf_dir, ducks):
     DuckDB-twinned here)."""
     sdf = rollups.sessionize(load_table(spark, sf_dir, "events"))
     _check(sdf, ORACLE["sessionize"], ducks)
+
+
+def test_having_large_orders(spark, sf_dir, ducks):
+    """HAVING-filtered join (folded r4: its driver-gate slot now
+    carries the windowFunnel analog ``funnel_levels``; same twin SQL
+    it had in the registry)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import relational
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.oracle import (
+        HAVING_LARGE_ORDERS_SQL,
+    )
+
+    sdf = relational.having_large_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    _check(sdf, HAVING_LARGE_ORDERS_SQL, ducks)
