@@ -58,6 +58,9 @@ __all__ = [
     "retention_counts",
     "sequence_match_chain",
     "sequence_count_chain",
+    "funnel_segment_states",
+    "merge_funnel_states",
+    "funnel_levels_from_states",
 ]
 
 
@@ -220,4 +223,175 @@ def sequence_count_chain(engagement: DataFrame, steps: Sequence[str]) -> DataFra
     fold = F.aggregate(F.col("seq"), init, merge)
     return _user_step_seqs(engagement, steps).select(
         "user_id", fold[1].alias("occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable funnel states — the 100 TB / streaming path.
+#
+# ClickHouse's windowFunnel -State is the raw (ts, step) event list, so
+# merging two states re-buffers every event.  The summary below is
+# O(k^2) per (user, segment) REGARDLESS of event count, and composes
+# associatively across time-ordered segments, which buys:
+#   - partition-local funnels: scan each month/day partition once,
+#     keep (user, segment) summaries, fold — no cross-history rescan;
+#   - streaming maintenance: fold each micro-batch's summary into a
+#     running per-user state (event-time-ordered batches);
+#   - backfill: recompute one day, re-fold — O(days), not O(events).
+#
+# Summary of a time segment S (events sorted by (ts, step) inside S):
+#   dp[i]   = max start-ts over chains reaching level i ENTIRELY in S
+#             (window enforced), null if none — same dp as the direct
+#             fold;
+#   m[j][i] = min last-event-ts over chains of steps j+1..i in S
+#             (j < i, no window — the window binds against the start
+#             only at composition time), null if none.
+#
+# Composition A∘B (A strictly earlier in event time than B):
+#   dp'[i]   = max( dp_B[i], dp_A[i],
+#                   max_{j<i} { dp_A[j] : m_B[j][i] ≤ dp_A[j] + w } )
+#   m'[j][i] = min( m_A[j][i],
+#                   min_{j≤l<i} { m_B[l][i] : l = j or m_A[j][l] set } )
+# Correctness hinges on two facts: the window test only involves a
+# chain's START and LAST timestamps (the pinned semantics), and
+# max-start dominance is lossless because every later test
+# (start >= m - w) is monotone in start.  Cross-segment ordering is
+# automatic because segments partition event time.  Both rules are
+# associative (m is a min-plus matrix product; dp is the transfer
+# applied to it), so any fold shape — left fold, tree reduce — agrees
+# with the single-pass fold, proven segmented-≡-direct in tests.
+# ---------------------------------------------------------------------------
+
+
+def _pairs(k: int) -> list[tuple[int, int]]:
+    return [(j, i) for j in range(1, k) for i in range(j + 1, k + 1)]
+
+
+def _pair_idx(k: int) -> dict[tuple[int, int], int]:
+    return {p: n for n, p in enumerate(_pairs(k))}
+
+
+def _segment_fold(seq: Column, k: int, window_us: Optional[int]) -> Column:
+    """One pass over a segment's sorted events producing the
+    concatenated [dp(k) ++ m(k(k-1)/2)] summary array."""
+    idx = _pair_idx(k)
+    P = len(idx)
+
+    def merge(acc: Column, x: Column) -> Column:
+        out = [F.when(x["s"] == 1, F.greatest(acc[0], x["ts"])).otherwise(acc[0])]
+        for i in range(2, k + 1):
+            prev, cur = acc[i - 2], acc[i - 1]
+            cond = (x["s"] == i) & prev.isNotNull()
+            if window_us is not None:
+                cond = cond & ((x["ts"] - prev) <= F.lit(window_us))
+            out.append(F.when(cond, F.greatest(cur, prev)).otherwise(cur))
+        for (j, i), p in idx.items():
+            cur = acc[k + p]
+            if i == j + 1:
+                cond = x["s"] == i  # single-event chain
+            else:
+                cond = (x["s"] == i) & acc[k + idx[(j, i - 1)]].isNotNull()
+            out.append(F.when(cond, F.least(cur, x["ts"])).otherwise(cur))
+        return F.array(*out)
+
+    init = F.expr(f"array_repeat(CAST(NULL AS BIGINT), {k + P})")
+    return F.aggregate(seq, init, merge)
+
+
+def _compose_states(a: Column, b: Column, k: int, window_us: Optional[int]) -> Column:
+    """A∘B for the summary arrays (A earlier in event time)."""
+    idx = _pair_idx(k)
+    out = []
+    for i in range(1, k + 1):
+        cands = [b[i - 1], a[i - 1]]
+        for j in range(1, i):
+            mB = b[k + idx[(j, i)]]
+            ok = mB.isNotNull()
+            if window_us is not None:
+                ok = ok & (mB <= a[j - 1] + F.lit(window_us))
+            cands.append(F.when(ok, a[j - 1]))
+        out.append(F.greatest(*cands) if len(cands) > 1 else cands[0])
+    for (j, i), p in idx.items():
+        cands = [a[k + p], b[k + p]]  # l == j: pure-B chain, unconditional
+        for l in range(j + 1, i):
+            cands.append(F.when(a[k + idx[(j, l)]].isNotNull(), b[k + idx[(l, i)]]))
+        out.append(F.least(*cands) if len(cands) > 1 else cands[0])
+    return F.array(*out)
+
+
+def funnel_segment_states(
+    engagement: DataFrame,
+    steps: Sequence[str],
+    window_s: Optional[int] = 86400,
+    segment: Optional[Column] = None,
+) -> DataFrame:
+    """Per-(user, segment) mergeable funnel summary.  ``segment`` must
+    be a function of event time that partitions it into ranges (e.g.
+    ``date_trunc('day', event_ts)`` or a month partition key) — the
+    composition relies on every event of a later segment being no
+    earlier than every event of an earlier one.  Defaults to daily.
+
+    At scale this is the map side of the funnel: each time partition
+    is scanned once, independently, and emits O(k^2) longs per active
+    user — the shuffle carries summaries, never event lists."""
+    if segment is None:
+        segment = F.date_trunc("day", F.col("event_ts"))
+    k = len(steps)
+    window_us = None if window_s is None else int(window_s) * 1_000_000
+    evs = engagement.where(
+        F.col("event_type").isin(list(steps)) & F.col("event_ts").isNotNull()
+    )
+    # segment keys may be timestamps (date_trunc) or numeric partition
+    # ids (floor-divided epochs, month keys) — normalize to a long
+    seg_ty = evs.select(segment.alias("_seg")).schema[0].dataType.simpleString()
+    seg_key = F.unix_micros(segment) if seg_ty.startswith("timestamp") else segment.cast("long")
+    seqs = (
+        evs.groupBy(F.col("user_id"), seg_key.alias("segment_us"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("event_ts").alias("ts"),
+                        _step_expr(steps).alias("s"),
+                    )
+                )
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "segment_us",
+        _segment_fold(F.col("seq"), k, window_us).alias("state"),
+    )
+
+
+def merge_funnel_states(
+    states: DataFrame,
+    steps: Sequence[str],
+    window_s: Optional[int] = 86400,
+) -> DataFrame:
+    """Fold (user_id, segment_us, state) rows into one state per user,
+    composing in segment order.  One combinable groupBy; the fold is
+    over the per-user SEGMENT COUNT (days/months), not events."""
+    k = len(steps)
+    P = len(_pairs(k))
+    window_us = None if window_s is None else int(window_s) * 1_000_000
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("segment_us").alias("seg"), F.col("state").alias("st")))
+    )
+    init = F.expr(f"array_repeat(CAST(NULL AS BIGINT), {k + P})")
+    fold = F.aggregate(
+        ordered, init, lambda acc, x: _compose_states(acc, x["st"], k, window_us)
+    )
+    return states.groupBy("user_id").agg(fold.alias("state"))
+
+
+def funnel_levels_from_states(merged: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Read the funnel level out of a merged state — the longest
+    non-null dp prefix (dp is the first k slots)."""
+    k = len(steps)
+    dp = F.slice(F.col("state"), 1, k)
+    return merged.select(
+        "user_id",
+        F.size(F.filter(dp, lambda v: v.isNotNull())).cast("long").alias("funnel_level"),
     )

@@ -240,3 +240,91 @@ def test_funnel_plan_is_single_shuffle(spark, sf_dir):
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # partial+final agg pair, no extra
     assert "Join" not in plan
+
+
+def _levels_via_segments(eng, segment, window_s=WINDOW_S):
+    st = behavioral.funnel_segment_states(eng, STEPS, window_s=window_s, segment=segment)
+    merged = behavioral.merge_funnel_states(st, STEPS, window_s=window_s)
+    return behavioral.funnel_levels_from_states(merged, STEPS)
+
+
+def _assert_same_levels(a, b):
+    ga = {r["user_id"]: r["funnel_level"] for r in a.collect()}
+    gb = {r["user_id"]: r["funnel_level"] for r in b.collect()}
+    assert ga == gb
+    assert ga
+
+
+def test_segmented_funnel_equals_direct(spark, sf_dir):
+    """Mergeable per-segment summaries folded in order must equal the
+    single-pass funnel — for daily, weekly and 6-hourly segmentation
+    (the 24 h window forces chains ACROSS segment boundaries)."""
+    eng = entrymod._engagement(spark, sf_dir)
+    direct = behavioral.funnel_levels(eng, STEPS, WINDOW_S)
+    for seg in (
+        F.date_trunc("day", F.col("event_ts")),
+        F.date_trunc("week", F.col("event_ts")),
+        F.floor(F.unix_micros("event_ts") / (6 * 3600 * 1_000_000)).cast("long"),
+    ):
+        _assert_same_levels(_levels_via_segments(eng, seg), direct)
+
+
+def test_segmented_funnel_unbounded_window(spark, sf_dir):
+    eng = entrymod._engagement(spark, sf_dir)
+    direct = behavioral.funnel_levels(eng, STEPS, window_s=None)
+    _assert_same_levels(
+        _levels_via_segments(eng, F.date_trunc("day", F.col("event_ts")), window_s=None),
+        direct,
+    )
+
+
+def test_segmented_funnel_boundary_micro(spark):
+    """Chains crossing the segment boundary: valid within window,
+    rejected outside it, and a cross-boundary tie is honored."""
+    def ev(user, etype, day, h, m, s):
+        return (user, etype, datetime.datetime(2024, 1, day, h, m, s))
+
+    rows = [
+        # u1 crosses midnight inside a 120 s window -> 3
+        ev("u1", "view", 1, 23, 59, 30), ev("u1", "click", 1, 23, 59, 50),
+        ev("u1", "purchase", 2, 0, 0, 40),
+        # u2 same shape but the purchase lands past the window -> 2
+        ev("u2", "view", 1, 23, 59, 30), ev("u2", "click", 1, 23, 59, 50),
+        ev("u2", "purchase", 2, 0, 5, 0),
+        # u3: the purchase chain must use the LATER view to fit -> 3
+        ev("u3", "view", 1, 10, 0, 0), ev("u3", "click", 1, 23, 59, 59),
+        ev("u3", "view", 1, 23, 59, 0), ev("u3", "click", 2, 0, 0, 30),
+        ev("u3", "purchase", 2, 0, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, event_ts timestamp")
+    direct = behavioral.funnel_levels(df, STEPS, window_s=120)
+    seg = _levels_via_segments(df, F.date_trunc("day", F.col("event_ts")), window_s=120)
+    _assert_same_levels(seg, direct)
+    got = {r["user_id"]: r["funnel_level"] for r in seg.collect()}
+    assert got == {"u1": 3, "u2": 2, "u3": 3}
+
+
+def test_incremental_state_fold_equals_direct(spark, sf_dir):
+    """The streaming-maintenance shape: keep one merged state per user,
+    fold each new day's segment summaries into it (merged state gets
+    segment_us = 0 — it summarizes strictly earlier time), and the
+    readout equals the full recompute at every step's end."""
+    eng = entrymod._engagement(spark, sf_dir).where(F.col("event_ts") < F.lit("2024-01-10"))
+    daily = behavioral.funnel_segment_states(
+        eng, STEPS, WINDOW_S, segment=F.date_trunc("day", F.col("event_ts"))
+    ).cache()
+    days = sorted(r["segment_us"] for r in daily.select("segment_us").distinct().collect())
+    assert len(days) >= 5
+    merged = None
+    for d in days:
+        batch = daily.where(F.col("segment_us") == d)
+        if merged is None:
+            inc = batch
+        else:
+            inc = merged.select(
+                "user_id", F.lit(0).cast("long").alias("segment_us"), "state"
+            ).unionByName(batch)
+        merged = behavioral.merge_funnel_states(inc, STEPS, WINDOW_S)
+    got = behavioral.funnel_levels_from_states(merged, STEPS)
+    _assert_same_levels(got, behavioral.funnel_levels(eng, STEPS, WINDOW_S))
+    daily.unpersist()
