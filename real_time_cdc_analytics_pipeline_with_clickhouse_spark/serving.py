@@ -327,3 +327,65 @@ def get_minute_topk(spark: SparkSession, base_dir: str, minute_bucket: str, k: i
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def merge_funnel_increment(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    steps,
+    window_s: int | None = 86400,
+) -> None:
+    """Fold one EVENT-TIME-ORDERED micro-batch into the stored
+    per-user mergeable funnel states (operators/behavioral.py): the
+    batch becomes a single segment summary and composes onto each
+    user's running state, so per-batch cost is O(batch users ∪ their
+    buckets) — never O(event history).
+
+    Ordering contract: the running state summarizes strictly earlier
+    event time than the incoming batch (replay/backfill shape — the
+    same per-partition ordering Kafka gives the reference's consumer).
+    For out-of-order producers, keep day-partitioned summaries via
+    ``funnel_segment_states`` over the warehouse and fold at read
+    time instead; the algebra is identical.
+
+    Same bucket-scoped MERGE mechanics as the leaderboard: affected
+    ``user_bucket`` partitions only, dynamic-partition-overwrite
+    commit."""
+    from .operators.behavioral import funnel_segment_states, merge_funnel_states
+
+    bs = funnel_segment_states(batch, steps, window_s, segment=F.lit(1)).withColumn(
+        "user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS))
+    )
+    bs.persist()
+    try:
+        buckets = [r[0] for r in bs.select("user_bucket").distinct().collect()]
+        if not buckets:
+            return
+        if _partitioned_table_exists(state_dir, "user_bucket"):
+            current = (
+                spark.read.parquet(state_dir)
+                .where(F.col("user_bucket").isin(buckets))
+                .select(
+                    "user_id",
+                    F.lit(0).cast("long").alias("segment_us"),  # earlier than the batch
+                    "state",
+                    "user_bucket",
+                )
+            )
+            union = current.unionByName(bs)
+        else:
+            union = bs
+        merged = merge_funnel_states(
+            union.select("user_id", "segment_us", "state"), steps, window_s
+        ).withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
+        _stage_swap(merged, state_dir, partition_by="user_bucket")
+    finally:
+        bs.unpersist()
+
+
+def get_funnel_levels(spark: SparkSession, state_dir: str, steps) -> DataFrame:
+    """Read the funnel level per user out of the maintained state."""
+    from .operators.behavioral import funnel_levels_from_states
+
+    return funnel_levels_from_states(spark.read.parquet(state_dir), steps)

@@ -622,6 +622,36 @@ def start_uniques_sink(enriched: DataFrame, state_dir: str, checkpoint: str):
     )
 
 
+def start_funnel_sink(
+    enriched: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    steps=("view", "click", "purchase"),
+    window_s: int | None = 86400,
+):
+    """Streaming windowFunnel maintenance: each micro-batch folds into
+    per-user mergeable O(k²) funnel states (operators/behavioral.py)
+    via the bucket-scoped ``serving.merge_funnel_increment`` — the
+    continuous form of ClickHouse's windowFunnel over an MV, except
+    the state composes without re-buffering event lists.  Requires
+    event-time-ordered batches (replay/backfill shape); epoch marker
+    no-ops restart re-delivery."""
+    from ..serving import merge_funnel_increment
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if _epoch_already_applied(state_dir + "_meta", epoch):
+            return
+        merge_funnel_increment(batch.sparkSession, state_dir, batch, steps, window_s)
+        _record_epoch(state_dir + "_meta", epoch)
+
+    return (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_outbox_sink(enriched: DataFrame, out_dir: str, checkpoint: str):
     """K3 — JSON outbox (file sink here; Kafka sink in prod: same
     ``to_json(struct(...))`` projection, ESJ:366-381)."""

@@ -328,3 +328,42 @@ def test_incremental_state_fold_equals_direct(spark, sf_dir):
     got = behavioral.funnel_levels_from_states(merged, STEPS)
     _assert_same_levels(got, behavioral.funnel_levels(eng, STEPS, WINDOW_S))
     daily.unpersist()
+
+
+def test_streaming_funnel_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Event-time-ordered replay through start_funnel_sink: the
+    maintained per-user states must read out the same levels as the
+    one-shot funnel, and a re-delivered epoch is a no-op."""
+    import os
+    import time
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark import serving
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    eng = entrymod._engagement(spark, sf_dir).persist()
+    feed = str(tmp_path / "eng_feed")
+    os.makedirs(feed)
+    # 10-day range files written oldest-first (file source triggers by
+    # mtime ascending -> event-time-ordered micro-batches)
+    for n, (lo, hi) in enumerate(((1, 11), (11, 21), (21, 32))):
+        eng.where(
+            (F.dayofmonth("event_ts") >= lo) & (F.dayofmonth("event_ts") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/part{n}.parquet")
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "funnel_state")
+    stream = (
+        spark.readStream.schema(eng.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    q = sp.start_funnel_sink(stream, state_dir, str(tmp_path / "ck_funnel"), STEPS, WINDOW_S)
+    q.processAllAvailable()
+    q.stop()
+
+    got = serving.get_funnel_levels(spark, state_dir, STEPS)
+    _assert_same_levels(got, behavioral.funnel_levels(eng, STEPS, WINDOW_S))
+    assert sp._epoch_already_applied(state_dir + "_meta", 0)
+    eng.unpersist()
