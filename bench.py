@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "pack_sequences",       # sharded applyInPandas packing fold
     "quality_signals",      # explode + two-level additive agg + doc-keyed join
     "pii_redact",           # map-only regex scrub (scan-fused)
+    "funnel_levels",        # windowFunnel dp fold (behavioral analytics layer)
 ]
 
 

@@ -367,3 +367,124 @@ def test_streaming_funnel_sink_equals_batch(spark, sf_dir, tmp_path):
     _assert_same_levels(got, behavioral.funnel_levels(eng, STEPS, WINDOW_S))
     assert sp._epoch_already_applied(state_dir + "_meta", 0)
     eng.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Property tests of the funnel ALGEBRA (pure Python mirrors of the dp
+# fold and the A∘B composition) against brute-force chain search —
+# random ties, k up to 5, random segment splits.  The Spark code paths
+# are separately EXISTS-oracled and segmented≡direct-tested above;
+# this pins the math itself on corners the fixture can't produce.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _brute_level(events, k, w):
+    """Max level via explicit chain enumeration (exponential, n<=10)."""
+    evs = sorted(events)
+    best = 0
+    import itertools
+
+    for r in range(1, k + 1):
+        for combo in itertools.combinations(range(len(evs)), r):
+            ok = all(evs[combo[i]][1] == i + 1 for i in range(r))
+            ok = ok and all(evs[combo[i]][0] <= evs[combo[i + 1]][0] for i in range(r - 1))
+            if ok and (w is None or evs[combo[-1]][0] - evs[combo[0]][0] <= w):
+                best = max(best, r)
+    return best
+
+
+def _py_segment_state(events, k, w):
+    dp = [None] * k
+    pairs = {(j, i): None for j in range(1, k) for i in range(j + 1, k + 1)}
+    for ts, s in sorted(events):
+        if s == 1:
+            dp[0] = ts if dp[0] is None else max(dp[0], ts)
+        elif dp[s - 2] is not None and (w is None or ts - dp[s - 2] <= w):
+            cand = dp[s - 2]
+            dp[s - 1] = cand if dp[s - 1] is None else max(dp[s - 1], cand)
+        for j in range(1, s):
+            if s == j + 1 or pairs[(j, s - 1)] is not None:
+                cur = pairs[(j, s)]
+                pairs[(j, s)] = ts if cur is None else min(cur, ts)
+    return dp, pairs
+
+
+def _py_compose(a, b, k, w):
+    dpa, ma = a
+    dpb, mb = b
+    dp = []
+    for i in range(1, k + 1):
+        cands = [x for x in (dpb[i - 1], dpa[i - 1]) if x is not None]
+        for j in range(1, i):
+            mB = mb[(j, i)]
+            if mB is not None and dpa[j - 1] is not None and (w is None or mB <= dpa[j - 1] + w):
+                cands.append(dpa[j - 1])
+        dp.append(max(cands) if cands else None)
+    m = {}
+    for (j, i), va in ma.items():
+        cands = [x for x in (va, mb[(j, i)]) if x is not None]
+        for l in range(j + 1, i):
+            if ma[(j, l)] is not None and mb[(l, i)] is not None:
+                cands.append(mb[(l, i)])
+        m[(j, i)] = min(cands) if cands else None
+    return dp, m
+
+
+def _dp_level(dp):
+    lvl = 0
+    for v in dp:
+        if v is None:
+            break
+        lvl += 1
+    return lvl
+
+
+@st.composite
+def _event_sets(draw):
+    k = draw(st.integers(2, 5))
+    n = draw(st.integers(0, 10))
+    evs = [
+        (draw(st.integers(0, 20)), draw(st.integers(1, k)))
+        for _ in range(n)
+    ]
+    w = draw(st.one_of(st.none(), st.integers(0, 25)))
+    return k, evs, w
+
+
+@given(_event_sets())
+@settings(max_examples=500, deadline=None)
+def test_prop_dp_fold_equals_bruteforce(case):
+    k, evs, w = case
+    dp, _ = _py_segment_state(evs, k, w)
+    assert _dp_level(dp) == _brute_level(evs, k, w)
+
+
+@given(_event_sets(), st.integers(0, 20), st.integers(0, 20))
+@settings(max_examples=500, deadline=None)
+def test_prop_composition_equals_direct(case, cut1, cut2):
+    """Split the timeline at two random cuts into three segments and
+    compose — must equal the single-pass dp, for any cut placement
+    (incl. empty segments and cuts at tie timestamps... segments
+    partition by ts, so ties never straddle a boundary)."""
+    k, evs, w = case
+    lo, hi = min(cut1, cut2), max(cut1, cut2)
+    segs = [
+        [e for e in evs if e[0] < lo],
+        [e for e in evs if lo <= e[0] < hi],
+        [e for e in evs if e[0] >= hi],
+    ]
+    state = _py_segment_state(segs[0], k, w)
+    for s in segs[1:]:
+        state = _py_compose(state, _py_segment_state(s, k, w), k, w)
+    direct, _ = _py_segment_state(evs, k, w)
+    assert state[0] == direct  # full dp vector, not just the level
+    # associativity: right-fold must agree too
+    state_r = _py_compose(
+        _py_segment_state(segs[0], k, w),
+        _py_compose(_py_segment_state(segs[1], k, w), _py_segment_state(segs[2], k, w), k, w),
+        k,
+        w,
+    )
+    assert state_r[0] == direct
