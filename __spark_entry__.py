@@ -381,7 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot that having_large_orders ceded (that HAVING demo stays
     # DuckDB-twinned in tests/test_consolidated.py).
     q["funnel_levels"] = lambda spark, sf: behavioral.funnel_levels(
-        _engagement(spark, sf), ("view", "click", "purchase"), window_s=86400
+        _engagement(spark, sf),
+        ("view", "click", "purchase"),
+        window_s=_oracle.FUNNEL_WINDOW_S,
     )
 
     def scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:

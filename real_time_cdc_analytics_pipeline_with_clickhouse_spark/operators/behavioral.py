@@ -73,16 +73,22 @@ def _step_expr(steps: Sequence[str]) -> Column:
     return expr
 
 
-def _user_step_seqs(engagement: DataFrame, steps: Sequence[str]) -> DataFrame:
-    """(user_id, seq) where seq = sorted array<struct<ts,s>> of the
-    user's step events; the isin filter prunes at the scan so only
-    funnel-relevant rows ever shuffle."""
+def _user_step_seqs(
+    engagement: DataFrame,
+    steps: Sequence[str],
+    extra_keys: Sequence[Column] = (),
+) -> DataFrame:
+    """(user_id, *extra_keys, seq) where seq = sorted
+    array<struct<ts,s>> of the user's step events; the isin filter
+    prunes at the scan so only funnel-relevant rows ever shuffle.
+    The ONE sequence builder shared by the direct fold and the
+    segment-state path (extra_keys = the segment key)."""
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct event types, got {list(steps)}")
     evs = engagement.where(
         F.col("event_type").isin(list(steps)) & F.col("event_ts").isNotNull()
     )
-    return evs.groupBy("user_id").agg(
+    return evs.groupBy(F.col("user_id"), *extra_keys).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -94,22 +100,27 @@ def _user_step_seqs(engagement: DataFrame, steps: Sequence[str]) -> DataFrame:
     )
 
 
+def _dp_update(acc: Column, x: Column, k: int, window_us: Optional[int]) -> list[Column]:
+    """One event's dp transition — the SINGLE definition of the
+    windowFunnel update, shared by the direct fold and the
+    segment-state fold so the segmented≡direct invariant can't drift."""
+    out = [F.when(x["s"] == 1, F.greatest(acc[0], x["ts"])).otherwise(acc[0])]
+    for i in range(2, k + 1):
+        prev, cur = acc[i - 2], acc[i - 1]
+        cond = (x["s"] == i) & prev.isNotNull()
+        if window_us is not None:
+            cond = cond & ((x["ts"] - prev) <= F.lit(window_us))
+        out.append(F.when(cond, F.greatest(cur, prev)).otherwise(cur))
+    return out
+
+
 def _funnel_dp(seq: Column, k: int, window_us: Optional[int]) -> Column:
     """The windowFunnel fold: dp[i-1] = max chain-start ts over chains
     reaching level i (see module docstring for the dominance proof)."""
-
-    def merge(acc: Column, x: Column) -> Column:
-        out = [F.when(x["s"] == 1, F.greatest(acc[0], x["ts"])).otherwise(acc[0])]
-        for i in range(2, k + 1):
-            prev, cur = acc[i - 2], acc[i - 1]
-            cond = (x["s"] == i) & prev.isNotNull()
-            if window_us is not None:
-                cond = cond & ((x["ts"] - prev) <= F.lit(window_us))
-            out.append(F.when(cond, F.greatest(cur, prev)).otherwise(cur))
-        return F.array(*out)
-
     init = F.expr(f"array_repeat(CAST(NULL AS BIGINT), {k})")
-    return F.aggregate(seq, init, merge)
+    return F.aggregate(
+        seq, init, lambda acc, x: F.array(*_dp_update(acc, x, k, window_us))
+    )
 
 
 def funnel_levels(
@@ -143,16 +154,21 @@ def funnel_conversion(
     window_s: Optional[int] = 86400,
 ) -> DataFrame:
     """Per-level conversion readout: for each level 1..k, how many
-    users reached AT LEAST that level.  The second aggregate is over
-    one row per user — negligible next to the funnel shuffle."""
+    users reached AT LEAST that level — levels nobody reached report
+    an explicit 0 (the ClickHouse readout shape iterates all k).  The
+    second aggregate is over one row per user — negligible next to
+    the funnel shuffle."""
     k = len(steps)
     levels = funnel_levels(engagement, steps, window_s)
     lv = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("level")
     return (
         levels.select(F.col("funnel_level"), lv)
-        .where(F.col("funnel_level") >= F.col("level"))
         .groupBy("level")
-        .agg(F.count("*").cast("long").alias("users_reached"))
+        .agg(
+            F.sum(F.when(F.col("funnel_level") >= F.col("level"), 1).otherwise(0))
+            .cast("long")
+            .alias("users_reached")
+        )
     )
 
 
@@ -278,13 +294,7 @@ def _segment_fold(seq: Column, k: int, window_us: Optional[int]) -> Column:
     P = len(idx)
 
     def merge(acc: Column, x: Column) -> Column:
-        out = [F.when(x["s"] == 1, F.greatest(acc[0], x["ts"])).otherwise(acc[0])]
-        for i in range(2, k + 1):
-            prev, cur = acc[i - 2], acc[i - 1]
-            cond = (x["s"] == i) & prev.isNotNull()
-            if window_us is not None:
-                cond = cond & ((x["ts"] - prev) <= F.lit(window_us))
-            out.append(F.when(cond, F.greatest(cur, prev)).otherwise(cur))
+        out = _dp_update(acc, x, k, window_us)
         for (j, i), p in idx.items():
             cur = acc[k + p]
             if i == j + 1:
@@ -338,26 +348,11 @@ def funnel_segment_states(
         segment = F.date_trunc("day", F.col("event_ts"))
     k = len(steps)
     window_us = None if window_s is None else int(window_s) * 1_000_000
-    evs = engagement.where(
-        F.col("event_type").isin(list(steps)) & F.col("event_ts").isNotNull()
-    )
     # segment keys may be timestamps (date_trunc) or numeric partition
     # ids (floor-divided epochs, month keys) — normalize to a long
-    seg_ty = evs.select(segment.alias("_seg")).schema[0].dataType.simpleString()
+    seg_ty = engagement.select(segment.alias("_seg")).schema[0].dataType.simpleString()
     seg_key = F.unix_micros(segment) if seg_ty.startswith("timestamp") else segment.cast("long")
-    seqs = (
-        evs.groupBy(F.col("user_id"), seg_key.alias("segment_us"))
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.unix_micros("event_ts").alias("ts"),
-                        _step_expr(steps).alias("s"),
-                    )
-                )
-            ).alias("seq")
-        )
-    )
+    seqs = _user_step_seqs(engagement, steps, extra_keys=(seg_key.alias("segment_us"),))
     return seqs.select(
         "user_id",
         "segment_us",

@@ -493,8 +493,17 @@ JOIN (
 # windowFunnel analog (operators/behavioral.py): chain semantics
 # restated with a DIFFERENT algorithm — k-way EXISTS joins instead of
 # the Spark dp fold — so agreement cross-checks the semantics, not a
-# shared implementation.  Window = 86400 s in epoch-us.
-ORACLE["funnel_levels"] = q(f"""
+# shared implementation.  The builder is the single source for the
+# gate entry AND tests/test_behavioral.py (no drifting copies).
+
+FUNNEL_WINDOW_S = 86400
+
+
+def funnel_exists_cte(window_us: int) -> str:
+    """CTE chain ending in ``funnel_oracle(user_id, funnel_level)``
+    for the view→click→purchase funnel at the given window, appendable
+    to the shared PREFIX (starts with a comma)."""
+    return f"""
 , fe AS (
   SELECT user_id, event_type, epoch_us(event_ts) AS ts
   FROM engagement
@@ -503,7 +512,7 @@ ORACLE["funnel_levels"] = q(f"""
 fl2 AS (
   SELECT DISTINCT a.user_id FROM fe a JOIN fe b ON a.user_id = b.user_id
   WHERE a.event_type = 'view' AND b.event_type = 'click'
-    AND b.ts >= a.ts AND b.ts - a.ts <= {86400 * 1_000_000}
+    AND b.ts >= a.ts AND b.ts - a.ts <= {window_us}
 ),
 fl3 AS (
   SELECT DISTINCT a.user_id
@@ -511,16 +520,24 @@ fl3 AS (
             JOIN fe c ON a.user_id = c.user_id
   WHERE a.event_type = 'view' AND b.event_type = 'click'
     AND c.event_type = 'purchase'
-    AND b.ts >= a.ts AND c.ts >= b.ts AND c.ts - a.ts <= {86400 * 1_000_000}
+    AND b.ts >= a.ts AND c.ts >= b.ts AND c.ts - a.ts <= {window_us}
+),
+funnel_oracle AS (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM fl3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM fl2) THEN 2
+              WHEN u.user_id IN (SELECT user_id FROM fe
+                                 WHERE event_type = 'view') THEN 1
+              ELSE 0 END AS funnel_level
+  FROM (SELECT DISTINCT user_id FROM fe) u
 )
-SELECT u.user_id,
-       CASE WHEN u.user_id IN (SELECT user_id FROM fl3) THEN 3
-            WHEN u.user_id IN (SELECT user_id FROM fl2) THEN 2
-            WHEN u.user_id IN (SELECT user_id FROM fe
-                               WHERE event_type = 'view') THEN 1
-            ELSE 0 END AS funnel_level
-FROM (SELECT DISTINCT user_id FROM fe) u
-""")
+"""
+
+
+ORACLE["funnel_levels"] = q(
+    funnel_exists_cte(FUNNEL_WINDOW_S * 1_000_000)
+    + "SELECT user_id, funnel_level FROM funnel_oracle"
+)
 
 ORACLE["scalar_funcs"] = q("""
 SELECT event_id,

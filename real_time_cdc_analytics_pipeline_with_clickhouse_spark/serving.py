@@ -329,12 +329,31 @@ def get_minute_topk(spark: SparkSession, base_dir: str, minute_bucket: str, k: i
     )
 
 
+def _read_funnel_watermark(meta_dir: str) -> int | None:
+    p = os.path.join(meta_dir, "_WATERMARK_US")
+    if os.path.exists(p):
+        with open(p) as fh:
+            raw = fh.read().strip()
+            return int(raw) if raw else None
+    return None
+
+
+def _write_funnel_watermark(meta_dir: str, wm_us: int) -> None:
+    os.makedirs(meta_dir, exist_ok=True)
+    p = os.path.join(meta_dir, "_WATERMARK_US")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(wm_us))
+    os.replace(tmp, p)
+
+
 def merge_funnel_increment(
     spark: SparkSession,
     state_dir: str,
     batch: DataFrame,
     steps,
     window_s: int | None = 86400,
+    epoch: int | None = None,
 ) -> None:
     """Fold one EVENT-TIME-ORDERED micro-batch into the stored
     per-user mergeable funnel states (operators/behavioral.py): the
@@ -342,18 +361,55 @@ def merge_funnel_increment(
     user's running state, so per-batch cost is O(batch users ∪ their
     buckets) — never O(event history).
 
-    Ordering contract: the running state summarizes strictly earlier
-    event time than the incoming batch (replay/backfill shape — the
-    same per-partition ordering Kafka gives the reference's consumer).
-    For out-of-order producers, keep day-partitioned summaries via
-    ``funnel_segment_states`` over the warehouse and fold at read
-    time instead; the algebra is identical.
+    Ordering contract — ENFORCED, not assumed: a persisted event-time
+    watermark (max ``event_ts`` ever applied) rejects a batch whose
+    min event_ts is below it with a descriptive error, because
+    composing an out-of-order batch as strictly-later would SILENTLY
+    fabricate conversions (a late click composes as if it followed an
+    earlier view).  Out-of-order producers should keep day-partitioned
+    summaries via ``funnel_segment_states`` over the warehouse and
+    fold at read time — the algebra is identical.  Boundary ties
+    (batch min == watermark) are accepted; a tie straddling the batch
+    boundary composes only old→new, the same unspecified-tie caveat
+    ClickHouse's own windowFunnel carries.
+
+    Exactly-once — bucket-level, because state composition is NOT
+    idempotent (re-composing the same batch can promote levels using
+    its own events twice): every stored row carries ``last_epoch``,
+    and on re-delivery of ``epoch`` (crash between the per-partition
+    dynamic-overwrite commits and the sink's global epoch marker)
+    buckets already stamped >= epoch are skipped while the rest
+    compose — each bucket applies each epoch exactly once.
 
     Same bucket-scoped MERGE mechanics as the leaderboard: affected
     ``user_bucket`` partitions only, dynamic-partition-overwrite
     commit."""
     from .operators.behavioral import funnel_segment_states, merge_funnel_states
 
+    meta_dir = state_dir + "_meta"
+    span = batch.agg(
+        F.unix_micros(F.min("event_ts")).alias("lo"),
+        F.unix_micros(F.max("event_ts")).alias("hi"),
+    ).first()
+    if span["lo"] is None:
+        return
+    wm = _read_funnel_watermark(meta_dir)
+
+    def _require_in_order() -> None:
+        # deferred until we know the batch will actually compose: a
+        # fully-applied replayed epoch legitimately sits BELOW the
+        # watermark it advanced, and must no-op via the bucket stamps
+        # rather than trip this guard
+        if wm is not None and span["lo"] < wm:
+            raise ValueError(
+                f"out-of-order batch for funnel state at {state_dir}: batch min "
+                f"event time {span['lo']}us is before the applied watermark {wm}us; "
+                "funnel composition requires event-time-ordered batches — use "
+                "day-partitioned funnel_segment_states over the warehouse for "
+                "out-of-order history"
+            )
+
+    stamp = -1 if epoch is None else int(epoch)
     bs = funnel_segment_states(batch, steps, window_s, segment=F.lit(1)).withColumn(
         "user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS))
     )
@@ -363,23 +419,49 @@ def merge_funnel_increment(
         if not buckets:
             return
         if _partitioned_table_exists(state_dir, "user_bucket"):
-            current = (
-                spark.read.parquet(state_dir)
-                .where(F.col("user_bucket").isin(buckets))
-                .select(
-                    "user_id",
-                    F.lit(0).cast("long").alias("segment_us"),  # earlier than the batch
-                    "state",
-                    "user_bucket",
-                )
+            stored = spark.read.parquet(state_dir).where(
+                F.col("user_bucket").isin(buckets)
             )
-            union = current.unionByName(bs)
+            if epoch is not None:
+                done = [
+                    r[0]
+                    for r in stored.groupBy("user_bucket")
+                    .agg(F.max("last_epoch").alias("e"))
+                    .where(F.col("e") >= epoch)
+                    .select("user_bucket")
+                    .collect()
+                ]
+                if done:
+                    buckets = [b for b in buckets if b not in set(done)]
+                    if not buckets:
+                        _write_funnel_watermark(meta_dir, max(wm or 0, span["hi"]))
+                        return
+                    stored = stored.where(F.col("user_bucket").isin(buckets))
+                    bs_live = bs.where(F.col("user_bucket").isin(buckets))
+                else:
+                    bs_live = bs
+            else:
+                bs_live = bs
+            _require_in_order()
+            current = stored.select(
+                "user_id",
+                F.lit(0).cast("long").alias("segment_us"),  # earlier than the batch
+                "state",
+                "user_bucket",
+            )
+            union = current.unionByName(bs_live.select(*current.columns))
         else:
+            _require_in_order()
             union = bs
-        merged = merge_funnel_states(
-            union.select("user_id", "segment_us", "state"), steps, window_s
-        ).withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
+        merged = (
+            merge_funnel_states(
+                union.select("user_id", "segment_us", "state"), steps, window_s
+            )
+            .withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
+            .withColumn("last_epoch", F.lit(stamp).cast("long"))
+        )
         _stage_swap(merged, state_dir, partition_by="user_bucket")
+        _write_funnel_watermark(meta_dir, max(wm or 0, span["hi"]))
     finally:
         bs.unpersist()
 

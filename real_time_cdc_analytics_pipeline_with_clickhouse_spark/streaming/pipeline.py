@@ -634,14 +634,21 @@ def start_funnel_sink(
     via the bucket-scoped ``serving.merge_funnel_increment`` — the
     continuous form of ClickHouse's windowFunnel over an MV, except
     the state composes without re-buffering event lists.  Requires
-    event-time-ordered batches (replay/backfill shape); epoch marker
-    no-ops restart re-delivery."""
+    event-time-ordered batches (replay/backfill shape — enforced by the
+    merge's persisted watermark, which fails loudly on an out-of-order
+    batch).  Exactly-once: the global epoch marker fast-paths clean
+    replays, and the merge's per-bucket ``last_epoch`` stamps make the
+    crash window between the partition commits and this marker safe —
+    funnel composition is NOT idempotent, so re-composing a
+    half-committed batch would otherwise fabricate levels."""
     from ..serving import merge_funnel_increment
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if _epoch_already_applied(state_dir + "_meta", epoch):
             return
-        merge_funnel_increment(batch.sparkSession, state_dir, batch, steps, window_s)
+        merge_funnel_increment(
+            batch.sparkSession, state_dir, batch, steps, window_s, epoch=epoch
+        )
         _record_epoch(state_dir + "_meta", epoch)
 
     return (

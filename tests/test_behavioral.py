@@ -16,45 +16,21 @@ import pyspark.sql.functions as F
 
 import __spark_entry__ as entrymod
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import behavioral
-from real_time_cdc_analytics_pipeline_with_clickhouse_spark.oracle import q
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.oracle import (
+    FUNNEL_WINDOW_S,
+    funnel_exists_cte,
+    q,
+)
 from tests.oracle_utils import compare
 
 STEPS = ("view", "click", "purchase")
-WINDOW_S = 24 * 3600
+WINDOW_S = FUNNEL_WINDOW_S
 _W_US = WINDOW_S * 1_000_000
 
-# fe: the step-filtered event stream; the join-based level sets below
-# restate "non-decreasing-ts chain within the window" independently of
-# the Spark dp fold.
-_FUNNEL_CTES = f"""
-, fe AS (
-  SELECT user_id, event_type, epoch_us(event_ts) AS ts
-  FROM engagement
-  WHERE event_type IN ('view', 'click', 'purchase') AND event_ts IS NOT NULL
-),
-fl2 AS (
-  SELECT DISTINCT a.user_id FROM fe a JOIN fe b ON a.user_id = b.user_id
-  WHERE a.event_type = 'view' AND b.event_type = 'click'
-    AND b.ts >= a.ts AND b.ts - a.ts <= {_W_US}
-),
-fl3 AS (
-  SELECT DISTINCT a.user_id
-  FROM fe a JOIN fe b ON a.user_id = b.user_id
-            JOIN fe c ON a.user_id = c.user_id
-  WHERE a.event_type = 'view' AND b.event_type = 'click'
-    AND c.event_type = 'purchase'
-    AND b.ts >= a.ts AND c.ts >= b.ts AND c.ts - a.ts <= {_W_US}
-),
-funnel_oracle AS (
-  SELECT u.user_id,
-         CASE WHEN u.user_id IN (SELECT user_id FROM fl3) THEN 3
-              WHEN u.user_id IN (SELECT user_id FROM fl2) THEN 2
-              WHEN u.user_id IN (SELECT user_id FROM fe
-                                 WHERE event_type = 'view') THEN 1
-              ELSE 0 END AS funnel_level
-  FROM (SELECT DISTINCT user_id FROM fe) u
-)
-"""
+# the join-based EXISTS restatement of "non-decreasing-ts chain within
+# the window" — built from the SAME template the driver gate uses
+# (oracle.funnel_exists_cte), so gate and tests can't drift apart.
+_FUNNEL_CTES = funnel_exists_cte(_W_US)
 
 
 def _check(sdf, sql, ducks):
@@ -79,10 +55,10 @@ def test_funnel_conversion_matches_oracle(spark, sf_dir, ducks):
     _check(
         sdf,
         q(_FUNNEL_CTES + """
-SELECT lv.level, count(*) AS users_reached
+SELECT lv.level,
+       sum(CASE WHEN f.funnel_level >= lv.level THEN 1 ELSE 0 END) AS users_reached
 FROM funnel_oracle f
-JOIN (SELECT unnest(generate_series(1, 3)) AS level) lv
-  ON f.funnel_level >= lv.level
+CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS level) lv
 GROUP BY lv.level
 """),
         ducks,
@@ -488,3 +464,58 @@ def test_prop_composition_equals_direct(case, cut1, cut2):
         w,
     )
     assert state_r[0] == direct
+
+
+def test_funnel_conversion_reports_zero_levels(spark):
+    """Levels nobody reached must surface as explicit zero rows."""
+    rows = [
+        ("u1", "view", datetime.datetime(2024, 1, 1, 0, 0, 1)),
+        ("u2", "view", datetime.datetime(2024, 1, 1, 0, 0, 2)),
+        ("u2", "click", datetime.datetime(2024, 1, 1, 0, 0, 3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, event_ts timestamp")
+    got = {
+        r["level"]: r["users_reached"]
+        for r in behavioral.funnel_conversion(df, STEPS, WINDOW_S).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0}
+
+
+def test_funnel_increment_epoch_replay_is_noop(spark, sf_dir, tmp_path):
+    """Composition is NOT idempotent, so the bucket-level last_epoch
+    stamps must make a re-delivered epoch a no-op (the crash window
+    between partition commits and the sink's global marker)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark import serving
+
+    eng = entrymod._engagement(spark, sf_dir).persist()
+    b1 = eng.where(F.dayofmonth("event_ts") <= 15)
+    b2 = eng.where(F.dayofmonth("event_ts") > 15)
+    state_dir = str(tmp_path / "fstate")
+    serving.merge_funnel_increment(spark, state_dir, b1, STEPS, WINDOW_S, epoch=0)
+    serving.merge_funnel_increment(spark, state_dir, b2, STEPS, WINDOW_S, epoch=1)
+    want = sorted(map(tuple, serving.get_funnel_levels(spark, state_dir, STEPS).collect()))
+    # replay epoch 1 (all its buckets are stamped -> every bucket skips)
+    serving.merge_funnel_increment(spark, state_dir, b2, STEPS, WINDOW_S, epoch=1)
+    got = sorted(map(tuple, serving.get_funnel_levels(spark, state_dir, STEPS).collect()))
+    assert got == want
+    # and the maintained state equals the one-shot funnel
+    assert want == sorted(
+        map(tuple, behavioral.funnel_levels(eng, STEPS, WINDOW_S).collect())
+    )
+    eng.unpersist()
+
+
+def test_funnel_increment_rejects_out_of_order_batch(spark, sf_dir, tmp_path):
+    """A batch older than the applied watermark must fail loudly —
+    composing it as strictly-later would fabricate conversions."""
+    import pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark import serving
+
+    eng = entrymod._engagement(spark, sf_dir)
+    late = eng.where(F.dayofmonth("event_ts") > 15)
+    early = eng.where(F.dayofmonth("event_ts") <= 15)
+    state_dir = str(tmp_path / "fstate_ooo")
+    serving.merge_funnel_increment(spark, state_dir, late, STEPS, WINDOW_S, epoch=0)
+    with pytest.raises(ValueError, match="out-of-order"):
+        serving.merge_funnel_increment(spark, state_dir, early, STEPS, WINDOW_S, epoch=1)
