@@ -94,18 +94,26 @@ def update_minhash_index(
 def _verified(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs; shingle frames
     may come from different places (index parquet vs freshly
-    computed).  Cost ∝ candidates — the shingle joins are equi-keyed
-    on (doc, shingle), never corpus×corpus."""
-    ea = sh_a.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = sh_b.select(F.col("doc_id").alias("doc_b"), "shingle")
+    computed).  Cost ∝ candidates — the shingle frames are semi-joined
+    down to candidate docs BEFORE any aggregation (sh_a is the
+    accumulated corpus index: counting it unrestricted would make
+    every incremental batch pay a corpus-wide shuffle), and the
+    shingle joins are equi-keyed on (doc, shingle), never
+    corpus×corpus."""
+    ea = sh_a.join(
+        cand.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = sh_b.join(
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    na = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_a")).withColumnRenamed("doc_id", "doc_a")
-    nb = sh_b.groupBy("doc_id").agg(F.count("*").alias("n_b")).withColumnRenamed("doc_id", "doc_b")
+    na = ea.groupBy("doc_a").agg(F.count("*").alias("n_a"))
+    nb = eb.groupBy("doc_b").agg(F.count("*").alias("n_b"))
     return (
         common.join(na, "doc_a")
         .join(nb, "doc_b")

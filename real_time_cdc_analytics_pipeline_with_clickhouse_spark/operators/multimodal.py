@@ -72,8 +72,10 @@ def decode_media(
     - audio  → int16 little-endian samples straight off the bytes
       (odd trailing byte zero-padded);
     - video  → (n_frames, 8, 8) uint8: frame *i* is the base 8×8 tile
-      of the payload plus *i* (mod 256), so every frame is distinct
-      and any frame is reconstructable independently.
+      of the payload plus *i* (mod 256) with the frame index stamped
+      into the first two pixels, so every frame is distinct (up to
+      65536 frames, not just 256) and any frame is reconstructable
+      independently.
 
     Either way downstream operators (``resize_images``,
     ``sample_frames``) receive true arrays and transform real content;
@@ -118,7 +120,14 @@ def decode_media(
             raise ValueError("video decode needs n_frames metadata")
         base = _tile_bytes(raw, FRAME_H * FRAME_W).reshape(FRAME_H, FRAME_W).astype(np.uint16)
         idx = np.arange(int(n_frames), dtype=np.uint16).reshape(-1, 1, 1)
-        return ((base + idx) % 256).astype(np.uint8)
+        frames = ((base + idx) % 256).astype(np.uint8)
+        # stamp the frame index into the first two pixels: (base+i)%256
+        # alone repeats every 256 frames, which would let a
+        # frame-indexing bug off by a multiple of 256 slip past the
+        # digest tests; the stamp keeps every frame distinct to 65536
+        frames[:, 0, 0] = (np.arange(int(n_frames)) >> 8) & 0xFF
+        frames[:, 0, 1] = np.arange(int(n_frames)) & 0xFF
+        return frames
     raise ValueError(f"unknown modality {modality!r}")
 
 
@@ -175,27 +184,34 @@ def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
         for pdf in it:
             w = pdf["width"].astype("int64")
             h = pdf["height"].astype("int64")
-            scale_num = w.combine(h, max)  # longest side
-            out_w = (w * max_side) // scale_num
-            out_h = (h * max_side) // scale_num
-            # no upscaling: assets already within bounds pass through
-            small = scale_num <= max_side
-            out_w = out_w.where(~small, w)
-            out_h = out_h.where(~small, h)
-            digest = []
-            for p, w_, h_, ow, oh in zip(pdf["payload"], w, h, out_w, out_h):
+            out_ws, out_hs, digest = [], [], []
+            for p, w_, h_ in zip(pdf["payload"], w, h):
                 px = decode_media(p, "image", width=int(w_), height=int(h_))
-                ys = (np.arange(int(oh)) * int(h_)) // int(oh)
-                xs = (np.arange(int(ow)) * int(w_)) // int(ow)
+                # source dims from the DECODED array, not the metadata:
+                # a real codec's pixels are authoritative, and metadata
+                # larger than the decode would index out of bounds
+                # (fallback codec decodes to metadata dims, so both
+                # agree there)
+                sh, sw = int(px.shape[0]), int(px.shape[1])
+                longest = max(sh, sw)
+                if longest <= max_side:  # no upscaling: pass through
+                    oh, ow = sh, sw
+                else:
+                    oh = (sh * max_side) // longest
+                    ow = (sw * max_side) // longest
+                ys = (np.arange(oh) * sh) // oh
+                xs = (np.arange(ow) * sw) // ow
                 resized = px[np.ix_(ys, xs)]  # first two axes; channels ride along
+                out_ws.append(ow)
+                out_hs.append(oh)
                 digest.append(hashlib.md5(resized.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "width": w,
                     "height": h,
-                    "out_width": out_w,
-                    "out_height": out_h,
+                    "out_width": pd.Series(out_ws, dtype="int64"),
+                    "out_height": pd.Series(out_hs, dtype="int64"),
                     "resized_md5": digest,
                 }
             )

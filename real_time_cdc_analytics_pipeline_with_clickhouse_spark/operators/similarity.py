@@ -27,6 +27,31 @@ def default_queries(embeddings: DataFrame, every: int = 100) -> DataFrame:
     )
 
 
+
+def _rank_topk(pairs, k: int):
+    """Shared rank-and-select contract for every cosine ANN variant
+    (brute force, sign-LSH octants, k-means IVF): rank on the 6dp
+    cosine (deterministic cross-engine ordering) with a neighbor_id
+    tiebreak, but the OUTPUT value is rounded ONCE from the raw
+    cosine — a second round of an already-rounded value ties exactly
+    at x.xxxx50 and tie-resolution on binary doubles is
+    engine-specific.  ``pairs`` must carry query_id/query_vec/qnrm and
+    vec_id/embedding/nrm."""
+    raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    scored = pairs.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(raw, 6).alias("cos6"),
+        F.round(raw, 4).alias("cos4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.col("cos4").alias("cos_sim"))
+    )
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k neighbors per query by cosine (query ≠ neighbor).
 
@@ -37,25 +62,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = embeddings.repartition(par).withColumn("nrm", norm(F.col("embedding")))
     q = queries.withColumn("qnrm", norm(F.col("query_vec")))
-    raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
-    scored = corpus.crossJoin(F.broadcast(q)).where(
-        F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        # rank on 6dp (deterministic cross-engine ordering), but the
-        # OUTPUT value is rounded ONCE from the raw cosine — a second
-        # round of an already-rounded value ties exactly at x.xxxx50
-        # and tie-resolution on binary doubles is engine-specific
-        F.round(raw, 6).alias("cos6"),
-        F.round(raw, 4).alias("cos4"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.col("cos4").alias("cos_sim"))
-    )
+    return _rank_topk(corpus.crossJoin(F.broadcast(q)), k)
 
 
 def _quantize_int8(vec, nrm):
@@ -117,22 +124,7 @@ def ivf_topk(
         sign_lsh_bucket("query_vec", bits).alias("bucket"),
         norm(F.col("query_vec")).alias("qnrm"),
     )
-    raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
-    scored = corpus.join(F.broadcast(q), "bucket").where(
-        F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        # rank on 6dp, output a single round from raw (see brute_force_topk)
-        F.round(raw, 6).alias("cos6"),
-        F.round(raw, 4).alias("cos4"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.col("cos4").alias("cos_sim"))
-    )
+    return _rank_topk(corpus.join(F.broadcast(q), "bucket"), k)
 
 
 def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16, seed: int = 7):
@@ -212,22 +204,7 @@ def ivf_kmeans_topk(
         .where(F.col("cell_rnk") <= n_probe)
         .select("query_id", "query_vec", "centroid_id", norm(F.col("query_vec")).alias("qnrm"))
     )
-    raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
-    scored = corpus.join(F.broadcast(probes), "centroid_id").where(
-        F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        # rank on 6dp, output a single round from raw (see brute_force_topk)
-        F.round(raw, 6).alias("cos6"),
-        F.round(raw, 4).alias("cos4"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.col("cos4").alias("cos_sim"))
-    )
+    return _rank_topk(corpus.join(F.broadcast(probes), "centroid_id"), k)
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:

@@ -133,6 +133,18 @@ class CDCReplayStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = _list_feed_files(self.path)
+        if len(files) < self._floor:
+            # files below the already-seen mark were deleted (janitor
+            # overreach) — fail with the contract error, not the
+            # IndexError the floor clamp below would otherwise hit
+            raise RuntimeError(
+                f"cdc_replay feed at {self.path} lost files below the "
+                f"committed high-water mark: {self._floor} offsets are "
+                f"checkpointed but only {len(files)} files remain. "
+                "Retention must keep every file at or above the last "
+                "commit; restore the files or re-baseline with a fresh "
+                "checkpoint."
+            )
         end = len(files)
         if self.max_files is not None:
             end = min(end, self._floor + self.max_files)
@@ -201,24 +213,46 @@ class CDCReplayStreamWriter(DataSourceStreamWriter):
         return os.path.join(self.path, f"_batch-{batch_id}")
 
     def commit(self, messages, batch_id: int) -> None:
-        if os.path.exists(self._manifest(batch_id)):  # replayed epoch
+        """Two-phase publish where the MANIFEST is the commit point:
+        the staged→final mapping is written (atomic rename) BEFORE any
+        publish rename, so a crash at any instant leaves one of two
+        recoverable states — no manifest (nothing published; the
+        replayed epoch commits its own fresh staging from scratch) or
+        manifest present (the replayed epoch deterministically FINISHES
+        the recorded renames and discards its own re-staged files).
+        Publishing before the manifest instead would let a crash
+        mid-renames double-publish on replay: the replayed tasks stage
+        under fresh uuid names, so the orphaned half-published files
+        could never be reconciled with the new attempt's."""
+        manifest = self._manifest(batch_id)
+        if os.path.exists(manifest):  # replayed epoch: finish + discard
+            with open(manifest, encoding="utf-8") as fh:
+                recorded = dict(
+                    line.split("\t") for line in fh.read().splitlines() if line
+                )
+            for staged_name, final in recorded.items():
+                staged = os.path.join(self.path, "_staging", staged_name)
+                if os.path.exists(staged):
+                    os.replace(staged, os.path.join(self.path, final))
             for m in messages:
                 for name in m.names:
-                    staged = os.path.join(self.path, "_staging", name)
-                    if os.path.exists(staged):
-                        os.remove(staged)
+                    if name not in recorded:
+                        staged = os.path.join(self.path, "_staging", name)
+                        if os.path.exists(staged):
+                            os.remove(staged)
             return
-        published = []
-        for m in messages:
-            for name in m.names:
-                final = f"{batch_id:010d}-{name}"
-                os.replace(
-                    os.path.join(self.path, "_staging", name),
-                    os.path.join(self.path, final),
-                )
-                published.append(final)
-        with open(self._manifest(batch_id), "w", encoding="utf-8") as fh:
-            fh.write("\n".join(published))
+        mapping = [
+            (name, f"{batch_id:010d}-{name}") for m in messages for name in m.names
+        ]
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(f"{a}\t{b}" for a, b in mapping))
+        os.replace(tmp, manifest)
+        for staged_name, final in mapping:
+            os.replace(
+                os.path.join(self.path, "_staging", staged_name),
+                os.path.join(self.path, final),
+            )
 
     def abort(self, messages, batch_id: int) -> None:
         for m in messages:

@@ -542,32 +542,55 @@ def start_warehouse_sink(enriched: DataFrame, table_dir: str, checkpoint: str):
     )
 
 
-def _epoch_already_applied(base_dir: str, epoch: int) -> bool:
+def _epoch_already_applied(base_dir: str, epoch: int, checkpoint: str | None = None) -> bool:
     """Epoch-marker idempotence guard for additive foreachBatch sinks.
 
     Structured Streaming re-delivers the in-flight micro-batch after a
     restart (foreachBatch is at-least-once); re-applying an ADDITIVE
-    merge would double-count.  Epoch ids are strictly increasing per
-    checkpoint, so a marker holding the last applied epoch closes the
-    common restart path.  Returns True (skip) when ``epoch`` was
-    already applied; the caller must invoke ``_record_epoch`` after a
-    successful apply.  Residual window: a crash between the data
-    commit and the marker replace re-applies that one batch — closing
-    it fully needs the marker inside the same transaction as the data
-    (the Delta/Iceberg commit, txnAppId/txnVersion)."""
+    merge would double-count.  Epoch ids are strictly increasing PER
+    CHECKPOINT, so the marker records both the last applied epoch and
+    the checkpoint that produced it (the Delta txnAppId/txnVersion
+    shape).  A caller passing a DIFFERENT checkpoint against an
+    existing marker gets a loud error instead of either silent outcome
+    — a fresh checkpoint restarts epochs at 0, so comparing its epochs
+    against another checkpoint's marker would silently DROP its first
+    N batches, while blindly applying them would double-count whatever
+    the state already holds; only the operator can decide (reuse the
+    original checkpoint, or reset the state dir).  Returns True (skip)
+    when ``epoch`` was already applied; the caller must invoke
+    ``_record_epoch`` after a successful apply.  Residual window: a
+    crash between the data commit and the marker replace re-applies
+    that one batch — closing it fully needs the marker inside the same
+    transaction as the data (the Delta/Iceberg commit) or a
+    state-level stamp (see serving.merge_funnel_increment)."""
     marker = os.path.join(base_dir, "_LAST_EPOCH")
     if os.path.isfile(marker):
         with open(marker) as fh:
-            return epoch <= int(fh.read().strip() or -1)
+            lines = fh.read().splitlines()
+        last = int(lines[0].strip() or -1) if lines else -1
+        stored_ck = lines[1].strip() if len(lines) > 1 else None
+        if checkpoint is not None and stored_ck is not None:
+            if os.path.abspath(checkpoint) != stored_ck:
+                raise RuntimeError(
+                    f"epoch marker at {base_dir} was written by checkpoint "
+                    f"{stored_ck!r} but this query uses "
+                    f"{os.path.abspath(checkpoint)!r}; epoch ids are only "
+                    "comparable within one checkpoint — reuse the original "
+                    "checkpoint to resume, or reset the state directory to "
+                    "reprocess from scratch"
+                )
+        return epoch <= last
     return False
 
 
-def _record_epoch(base_dir: str, epoch: int) -> None:
+def _record_epoch(base_dir: str, epoch: int, checkpoint: str | None = None) -> None:
     marker = os.path.join(base_dir, "_LAST_EPOCH")
     os.makedirs(base_dir, exist_ok=True)
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(str(epoch))
+        if checkpoint is not None:
+            fh.write("\n" + os.path.abspath(checkpoint))
     os.replace(tmp, marker)
 
 
@@ -584,10 +607,10 @@ def start_serving_sink(enriched: DataFrame, base_dir: str, checkpoint: str):
     from ..serving import apply_serving_increment
 
     def sink(batch: DataFrame, epoch: int) -> None:
-        if _epoch_already_applied(base_dir, epoch):
+        if _epoch_already_applied(base_dir, epoch, checkpoint):
             return
         apply_serving_increment(batch.sparkSession, base_dir, batch)
-        _record_epoch(base_dir, epoch)
+        _record_epoch(base_dir, epoch, checkpoint)
 
     return (
         enriched.writeStream.outputMode("append")
@@ -609,10 +632,10 @@ def start_uniques_sink(enriched: DataFrame, state_dir: str, checkpoint: str):
     from ..operators.sketches import merge_uniques_increment
 
     def sink(batch: DataFrame, epoch: int) -> None:
-        if _epoch_already_applied(state_dir + "_meta", epoch):
+        if _epoch_already_applied(state_dir + "_meta", epoch, checkpoint):
             return
         merge_uniques_increment(batch.sparkSession, state_dir, batch)
-        _record_epoch(state_dir + "_meta", epoch)
+        _record_epoch(state_dir + "_meta", epoch, checkpoint)
 
     return (
         enriched.writeStream.outputMode("append")
@@ -644,12 +667,12 @@ def start_funnel_sink(
     from ..serving import merge_funnel_increment
 
     def sink(batch: DataFrame, epoch: int) -> None:
-        if _epoch_already_applied(state_dir + "_meta", epoch):
+        if _epoch_already_applied(state_dir + "_meta", epoch, checkpoint):
             return
         merge_funnel_increment(
             batch.sparkSession, state_dir, batch, steps, window_s, epoch=epoch
         )
-        _record_epoch(state_dir + "_meta", epoch)
+        _record_epoch(state_dir + "_meta", epoch, checkpoint)
 
     return (
         enriched.writeStream.outputMode("append")
@@ -743,7 +766,7 @@ def start_corpus_ingest_sink(
         # epoch would duplicate rows in BOTH — the same guard as the
         # serving sink (see _epoch_already_applied for the residual
         # crash window)
-        if _epoch_already_applied(corpus_dir, epoch):
+        if _epoch_already_applied(corpus_dir, epoch, checkpoint):
             return
         sp_ = batch.sparkSession
         docs = batch.select(
@@ -761,7 +784,7 @@ def start_corpus_ingest_sink(
         )
         kept.write.mode("append").parquet(corpus_dir)
         lsh_index.update_minhash_index(docs, index_dir)
-        _record_epoch(corpus_dir, epoch)
+        _record_epoch(corpus_dir, epoch, checkpoint)
 
     return (
         doc_stream.writeStream.outputMode("append")

@@ -336,3 +336,53 @@ def test_restart_with_rate_limit_never_duplicates(spark, tmp_path):
 
     vals = sorted(r["value"] for r in spark.read.parquet(out_dir).collect())
     assert vals == [f"row{i}" for i in range(6)]
+
+
+def test_writer_commit_crash_window_finishes_renames(tmp_path):
+    """The manifest is the commit point: with a manifest present but
+    renames unfinished (crash mid-publish), the replayed epoch must
+    FINISH the recorded renames exactly-once and discard its own
+    re-staged files — never publish the batch twice."""
+    out_dir = str(tmp_path / "outbox")
+    w = ds.CDCReplayStreamWriter({"path": out_dir})
+
+    def stage(name: str, text: str) -> ds._StagedFiles:
+        with open(os.path.join(out_dir, "_staging", name), "w", encoding="utf-8") as fh:
+            fh.write(text)
+        return ds._StagedFiles([name])
+
+    # simulate the crash: manifest written, renames NOT performed
+    m1 = stage("part-a.jsonl", "x\n")
+    m2 = stage("part-b.jsonl", "y\n")
+    with open(os.path.join(out_dir, "_batch-3"), "w", encoding="utf-8") as fh:
+        fh.write(
+            "part-a.jsonl\t0000000003-part-a.jsonl\n"
+            "part-b.jsonl\t0000000003-part-b.jsonl"
+        )
+    # replayed epoch arrives with freshly staged (different) files
+    w.commit([stage("part-c.jsonl", "x\n"), stage("part-d.jsonl", "y\n")], batch_id=3)
+    assert ds._list_feed_files(out_dir) == [
+        "0000000003-part-a.jsonl",
+        "0000000003-part-b.jsonl",
+    ]
+    assert not os.listdir(os.path.join(out_dir, "_staging"))
+    with open(os.path.join(out_dir, "0000000003-part-a.jsonl"), encoding="utf-8") as fh:
+        assert fh.read() == "x\n"
+
+
+def test_latest_offset_rejects_pruned_feed(tmp_path):
+    """Files deleted below the committed mark must raise the
+    descriptive retention error, not an IndexError."""
+    import pytest
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i in range(4):
+        with open(os.path.join(feed, f"{i:04d}.jsonl"), "w", encoding="utf-8") as fh:
+            fh.write("{}\n")
+    r = ds.CDCReplayStreamReader({"path": feed})
+    r.commit({"n": 4, "last": "0003.jsonl"})  # checkpointed high-water mark
+    os.remove(os.path.join(feed, "0002.jsonl"))
+    os.remove(os.path.join(feed, "0003.jsonl"))
+    with pytest.raises(RuntimeError, match="lost files below"):
+        r.latestOffset()

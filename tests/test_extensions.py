@@ -107,11 +107,16 @@ def test_multimodal_decode_fallback_codec_is_deterministic():
 
     vid = multimodal.decode_media(b"\xfe", "video", n_frames=3)
     assert vid.shape == (3, multimodal.FRAME_H, multimodal.FRAME_W)
-    assert vid[0].min() == vid[0].max() == 254
-    assert vid[1].min() == vid[1].max() == 255
-    assert vid[2].min() == vid[2].max() == 0  # +2 wraps mod 256
-    # frames are pairwise distinct — a digest pins the frame index
-    assert len({f.tobytes() for f in vid}) == 3
+    # first two pixels carry the frame-index stamp; the rest is base+i
+    assert (vid[0].reshape(-1)[2:] == 254).all()
+    assert (vid[1].reshape(-1)[2:] == 255).all()
+    assert (vid[2].reshape(-1)[2:] == 0).all()  # +2 wraps mod 256
+    assert vid[1][0, 0] == 0 and vid[1][0, 1] == 1
+    # frames are pairwise distinct — a digest pins the frame index —
+    # including BEYOND the 256-wrap of the base+i tile (the stamp is
+    # what keeps frame 0 and frame 256 from colliding)
+    vid300 = multimodal.decode_media(b"\xfe", "video", n_frames=300)
+    assert len({f.tobytes() for f in vid300}) == 300
 
     with pytest.raises(ValueError):
         multimodal.decode_media(b"x", "hologram")
@@ -251,6 +256,8 @@ def test_sample_frames_expansion(spark, sf_dir):
         multimodal.FRAME_H, multimodal.FRAME_W
     ).astype(np.uint16)
     frame_i = ((base + some["frame_idx"]) % 256).astype(np.uint8)
+    frame_i[0, 0] = (some["frame_idx"] >> 8) & 0xFF  # frame-index stamp
+    frame_i[0, 1] = some["frame_idx"] & 0xFF
     assert some["frame_md5"] == hashlib.md5(frame_i.tobytes()).hexdigest()
 
 

@@ -637,3 +637,25 @@ def test_dim_time_travel_reads_retained_versions(spark, tmp_path):
     assert sp.read_dim(spark, dim_dir).first()["length_seconds"] == 240
     with pytest.raises(FileNotFoundError, match="not retained"):
         sp.read_dim_version(spark, dim_dir, 0)
+
+
+def test_epoch_marker_rejects_foreign_checkpoint(tmp_path):
+    """Epoch ids are only comparable within one checkpoint: a sink
+    pointed at state written under a different checkpoint must fail
+    loudly — silently skipping would drop that query's first N
+    batches, silently applying would double-count."""
+    import pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    base = str(tmp_path / "state")
+    ck_a = str(tmp_path / "ck_a")
+    ck_b = str(tmp_path / "ck_b")
+    sp._record_epoch(base, 41, ck_a)
+    assert sp._epoch_already_applied(base, 41, ck_a)
+    assert not sp._epoch_already_applied(base, 42, ck_a)
+    assert sp._epoch_already_applied(base, 41)  # legacy probe, no identity
+    with pytest.raises(RuntimeError, match="different|checkpoint"):
+        sp._epoch_already_applied(base, 0, ck_b)
