@@ -61,6 +61,9 @@ __all__ = [
     "funnel_segment_states",
     "merge_funnel_states",
     "funnel_levels_from_states",
+    "sequence_count_segment_states",
+    "merge_sequence_count_states",
+    "occurrences_from_states",
 ]
 
 
@@ -390,3 +393,93 @@ def funnel_levels_from_states(merged: DataFrame, steps: Sequence[str]) -> DataFr
         "user_id",
         F.size(F.filter(dp, lambda v: v.isNotNull())).cast("long").alias("funnel_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sequence-count states.
+#
+# The greedy disjoint-occurrence scan (sequence_count_chain) also
+# composes across time-ordered segments: a segment's effect is fully
+# described by its TRANSFER FUNCTION — for each possible incoming
+# progress p ∈ 0..k-1, the (outgoing progress, completed count) the
+# greedy scan produces when entering the segment at p.  That is 2k
+# longs per (user, segment); composition is function composition with
+# count addition, trivially associative.  Greedy state is a single
+# progress value, so tracking all k entry points exactly captures any
+# prefix's effect — unlike the funnel dp there is no dominance
+# argument needed, this is exhaustive over the k possible hand-offs.
+# ---------------------------------------------------------------------------
+
+
+def sequence_count_segment_states(
+    engagement: DataFrame,
+    steps: Sequence[str],
+    segment: Optional[Column] = None,
+) -> DataFrame:
+    """Per-(user, segment) transfer function of the greedy disjoint
+    sequence count: state[2p] = progress after the segment when
+    entering at progress p, state[2p+1] = occurrences completed inside
+    the segment from that entry."""
+    if segment is None:
+        segment = F.date_trunc("day", F.col("event_ts"))
+    k = len(steps)
+    seg_ty = engagement.select(segment.alias("_seg")).schema[0].dataType.simpleString()
+    seg_key = F.unix_micros(segment) if seg_ty.startswith("timestamp") else segment.cast("long")
+    seqs = _user_step_seqs(engagement, steps, extra_keys=(seg_key.alias("segment_us"),))
+
+    def merge(acc: Column, x: Column) -> Column:
+        out = []
+        for p in range(k):
+            prog, cnt = acc[2 * p], acc[2 * p + 1]
+            advanced = F.when(x["s"] == prog + 1, prog + 1).otherwise(prog)
+            done = advanced == k
+            out.append(F.when(done, F.lit(0).cast("long")).otherwise(advanced))
+            out.append(cnt + F.when(done, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+        return F.array(*out)
+
+    init = F.array(
+        *[
+            c
+            for p in range(k)
+            for c in (F.lit(p).cast("long"), F.lit(0).cast("long"))
+        ]
+    )
+    fold = F.aggregate(F.col("seq"), init, merge)
+    return seqs.select("user_id", "segment_us", fold.alias("state"))
+
+
+def _compose_seq_states(a: Column, b: Column, k: int) -> Column:
+    """A∘B: route each entry progress through A, then hand A's exit
+    progress to B (element_at is 1-based; progress indexes pairs)."""
+    out = []
+    for p in range(k):
+        pa, ca = a[2 * p], a[2 * p + 1]
+        pb = F.element_at(b, (pa * 2 + 1).cast("int"))
+        cb = F.element_at(b, (pa * 2 + 2).cast("int"))
+        out.append(pb)
+        out.append(ca + cb)
+    return F.array(*out)
+
+
+def merge_sequence_count_states(states: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Fold per-segment transfer functions in segment order; the
+    per-user count is entry-progress-0's count, read with
+    ``occurrences_from_states``."""
+    k = len(steps)
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("segment_us").alias("seg"), F.col("state").alias("st")))
+    )
+    init = F.array(
+        *[
+            c
+            for p in range(k)
+            for c in (F.lit(p).cast("long"), F.lit(0).cast("long"))
+        ]
+    )
+    fold = F.aggregate(ordered, init, lambda acc, x: _compose_seq_states(acc, x["st"], k))
+    return states.groupBy("user_id").agg(fold.alias("state"))
+
+
+def occurrences_from_states(merged: DataFrame) -> DataFrame:
+    """Occurrences for the real scan = the entry-progress-0 track."""
+    return merged.select("user_id", F.col("state")[1].alias("occurrences"))

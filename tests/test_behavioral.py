@@ -519,3 +519,47 @@ def test_funnel_increment_rejects_out_of_order_batch(spark, sf_dir, tmp_path):
     serving.merge_funnel_increment(spark, state_dir, late, STEPS, WINDOW_S, epoch=0)
     with pytest.raises(ValueError, match="out-of-order"):
         serving.merge_funnel_increment(spark, state_dir, early, STEPS, WINDOW_S, epoch=1)
+
+
+def test_segmented_sequence_count_equals_direct(spark, sf_dir):
+    """Per-segment transfer functions folded in order must equal the
+    single-pass greedy count — occurrences straddling segment
+    boundaries hand progress across via the composition."""
+    eng = entrymod._engagement(spark, sf_dir)
+    direct = {
+        r["user_id"]: r["occurrences"]
+        for r in behavioral.sequence_count_chain(eng, STEPS).collect()
+    }
+    for seg in (
+        F.date_trunc("day", F.col("event_ts")),
+        F.floor(F.unix_micros("event_ts") / (6 * 3600 * 1_000_000)).cast("long"),
+    ):
+        st = behavioral.sequence_count_segment_states(eng, STEPS, segment=seg)
+        merged = behavioral.merge_sequence_count_states(st, STEPS)
+        got = {
+            r["user_id"]: r["occurrences"]
+            for r in behavioral.occurrences_from_states(merged).collect()
+        }
+        assert got == direct
+    assert sum(direct.values()) > 0
+
+
+def test_segmented_sequence_count_boundary_micro(spark):
+    """An occurrence split across the segment boundary must count:
+    view on day 1, click+purchase on day 2."""
+    rows = [
+        ("u1", "view", datetime.datetime(2024, 1, 1, 23, 59, 0)),
+        ("u1", "click", datetime.datetime(2024, 1, 2, 0, 1, 0)),
+        ("u1", "purchase", datetime.datetime(2024, 1, 2, 0, 2, 0)),
+        # second occurrence fully inside day 2
+        ("u1", "view", datetime.datetime(2024, 1, 2, 10, 0, 0)),
+        ("u1", "click", datetime.datetime(2024, 1, 2, 10, 1, 0)),
+        ("u1", "purchase", datetime.datetime(2024, 1, 2, 10, 2, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, event_ts timestamp")
+    st = behavioral.sequence_count_segment_states(
+        df, STEPS, segment=F.date_trunc("day", F.col("event_ts"))
+    )
+    merged = behavioral.merge_sequence_count_states(st, STEPS)
+    got = behavioral.occurrences_from_states(merged).collect()
+    assert {r["user_id"]: r["occurrences"] for r in got} == {"u1": 2}
