@@ -171,6 +171,125 @@ def compact_warehouse(
         _stage_swap(df, path, partition_by=MONTH_COL, sort_within=[MONTH_COL, "event_id"])
 
 
+# --- data lifecycle: the MergeTree TTL analog -------------------------------
+
+
+def list_month_partitions(path: str) -> list[str]:
+    """Sorted ``yyyyMM`` values present under ``path`` (directory
+    listing of the partition column — the metadata ClickHouse keeps in
+    ``system.parts``)."""
+    import os
+
+    pre = MONTH_COL + "="
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d[len(pre):]
+        for d in os.listdir(path)
+        if d.startswith(pre) and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def apply_ttl(
+    spark: SparkSession,
+    path: str,
+    cutoff_ts: str,
+    ts_col: str = "event_ts",
+    rollup_path: str | None = None,
+) -> dict:
+    """``TTL event_ts + INTERVAL n DELETE`` analog: expire all rows with
+    ``ts_col < cutoff_ts`` from the monthly-partitioned warehouse.
+
+    Scale shape (the reason ClickHouse ties TTL to the partition key,
+    clickhouse-init.sql:21-28 layout): months entirely behind the
+    cutoff are dropped as WHOLE PARTITIONS — a directory unlink, no
+    data read or rewritten — and only the single month containing the
+    cutoff is rewritten (filtered, partition-scoped).  Surviving
+    months are untouched bytes (tested).  On a lakehouse this is the
+    metadata-only ``DELETE WHERE partition < x`` fast path.
+
+    ``rollup_path``: the ``TTL … GROUP BY`` analog — before deletion,
+    expired facts are folded into the hourly rollup MV
+    (``merge_rollup_increment``), so aggregates survive fact expiry.
+    The fold commits BEFORE any partition is dropped; a crash between
+    the two leaves expired facts still present (re-running the TTL
+    would double-fold, so pair it with an epoch marker in a scheduled
+    setting — the streaming sinks show the pattern).
+
+    Returns ``{"dropped_months", "rewritten_month", "rows_expired"}``.
+    """
+    import os
+    import shutil
+
+    cutoff = F.lit(cutoff_ts).cast("timestamp")
+    cutoff_month = spark.range(1).select(
+        F.date_format(cutoff, "yyyyMM")
+    ).first()[0]
+    months = list_month_partitions(path)
+    whole = [m for m in months if m < cutoff_month]
+    boundary = cutoff_month if cutoff_month in months else None
+
+    expired = None
+    if whole:
+        expired = read_warehouse(spark, path).where(F.col(MONTH_COL).isin(whole))
+    if boundary is not None:
+        bexp = month_slice(spark, path, boundary).where(F.col(ts_col) < cutoff)
+        expired = bexp if expired is None else expired.unionByName(bexp)
+
+    rows_expired = 0
+    if expired is not None:
+        if rollup_path is not None:
+            if os.path.isdir(rollup_path):
+                merge_rollup_increment(spark, rollup_path, expired)
+            else:
+                write_rollup(expired, rollup_path)
+        rows_expired = expired.count()
+
+    rewritten = None
+    if boundary is not None:
+        keep = month_slice(spark, path, boundary).where(F.col(ts_col) >= cutoff)
+        part_dir = os.path.join(path, f"{MONTH_COL}={boundary}")
+        if keep.isEmpty():
+            shutil.rmtree(part_dir)
+            whole.append(boundary)
+        else:
+            # partition-scoped rewrite: stage (we read from the target),
+            # then dynamic-overwrite replaces only this month at commit
+            staging = path.rstrip("/") + "_ttl_staging"
+            keep.withColumn(MONTH_COL, F.lit(boundary)).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    # range-partition on the sort key: a single month's
+                    # rewrite stays parallel (one file per key range),
+                    # and within each task MONTH_COL is constant so the
+                    # dynamic writer's required partition-key sort holds
+                    spark.read.parquet(staging)
+                    .repartitionByRange("event_id")
+                    .sortWithinPartitions(MONTH_COL, "event_id")
+                    .write.mode("overwrite")
+                    .partitionBy(MONTH_COL)
+                    .parquet(path)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            shutil.rmtree(staging, ignore_errors=True)
+            rewritten = boundary
+
+    for m in whole:
+        d = os.path.join(path, f"{MONTH_COL}={m}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    return {
+        "dropped_months": sorted(whole),
+        "rewritten_month": rewritten,
+        "rows_expired": rows_expired,
+    }
+
+
 # --- incremental hourly-rollup maintenance (the MV insert-trigger analog) ---
 
 _ROLLUP_KEY = ["hour_ts", "content_type", "event_type"]

@@ -130,6 +130,98 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     assert feb.where(F.col("platform") == "web").count() == 5
 
 
+def _month_table(spark, wh):
+    """Three months of synthetic enriched-shaped rows, written
+    monthly-partitioned (Jan/Feb/Mar 2024, 100 rows each)."""
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 37).alias("user_id"),
+        (F.col("id") % 11).alias("content_id"),
+        F.lit("video").alias("content_type"),
+        F.when(F.col("id") % 2 == 0, "play").otherwise("click").alias("event_type"),
+        (F.col("id") % 7 * 0.5).alias("engagement_score"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("-"),
+                F.lpad((F.col("id") % 27 + 1).cast("string"), 2, "0"),
+                F.lit(" 10:00:00"),
+            )
+        ).alias("event_ts"),
+    )
+    warehouse.write_warehouse(df, wh)
+    return df
+
+
+def test_ttl_drops_whole_months_without_touching_survivors(spark, tmp_path):
+    """TTL analog: months fully behind the cutoff vanish as whole
+    partitions (no rewrite — surviving partition bytes are untouched),
+    the boundary month is filtered in place, and the result equals a
+    plain filter of the original table."""
+    import glob
+    import os
+
+    wh = str(tmp_path / "wh_ttl")
+    df = _month_table(spark, wh)
+    cutoff = "2024-02-15 00:00:00"
+    mar_files = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{wh}/{warehouse.MONTH_COL}=202403/*.parquet")
+    }
+
+    res = warehouse.apply_ttl(spark, wh, cutoff)
+    assert res["dropped_months"] == ["202401"]
+    assert res["rewritten_month"] == "202402"
+
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(wh).select("event_id").collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in df.where(F.col("event_ts") >= F.lit(cutoff)).select("event_id").collect()
+    )
+    assert got == want and res["rows_expired"] == 300 - len(want)
+    # March bytes untouched: same files, same mtimes
+    after = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{wh}/{warehouse.MONTH_COL}=202403/*.parquet")
+    }
+    assert after == mar_files
+    assert warehouse.list_month_partitions(wh) == ["202402", "202403"]
+
+
+def test_ttl_group_by_folds_expired_facts_into_rollup(spark, tmp_path):
+    """The ``TTL … GROUP BY`` analog: expired facts fold into the
+    hourly rollup MV before deletion, so rollup(MV) + rollup(survivors)
+    still reconstructs the full-history aggregate exactly."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import rollups
+    from tests.oracle_utils import frame_rows
+
+    wh = str(tmp_path / "wh_ttl2")
+    mv = str(tmp_path / "mv_ttl2")
+    df = _month_table(spark, wh)
+    warehouse.apply_ttl(spark, wh, "2024-03-01 00:00:00", rollup_path=mv)
+
+    # fold survivors into the same MV → must equal full-history rollup
+    warehouse.merge_rollup_increment(
+        spark, mv, spark.read.parquet(wh).drop(warehouse.MONTH_COL)
+    )
+    got_df = warehouse.read_rollup(spark, mv)
+    want_df = rollups.hourly_rollup(df).select(got_df.columns)
+    got = frame_rows(got_df.columns, [tuple(r) for r in got_df.collect()])
+    want = frame_rows(want_df.columns, [tuple(r) for r in want_df.collect()])
+    assert got == want
+
+
+def test_ttl_past_everything_empties_the_table(spark, tmp_path):
+    wh = str(tmp_path / "wh_ttl3")
+    _month_table(spark, wh)
+    res = warehouse.apply_ttl(spark, wh, "2030-01-01 00:00:00")
+    assert warehouse.list_month_partitions(wh) == []
+    assert res["rows_expired"] == 300
+
+
 def test_zorder_key_matches_morton_reference(spark):
     """zorder_key must be the exact Morton interleave: bit b of column
     i at position b*ncols+i — checked against a Python reference over
