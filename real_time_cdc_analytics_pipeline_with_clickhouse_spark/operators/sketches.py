@@ -103,6 +103,139 @@ def merge_uniques_increment(
     _stage_swap(merged, path)
 
 
+# --- bounded heavy-hitter state (the topKState analog) ----------------------
+#
+# ClickHouse's topK/topKState keeps a space-saving summary per group and
+# merges summaries across parts.  The Spark-native mergeable form below
+# is the parallel space-saving merge (Cafaro et al.): each state is the
+# per-group TOP-M items with per-item count BOUNDS (lb ≤ true ≤ ub) plus
+# ``dmax`` — the largest upper bound among the items the state dropped
+# (so any item absent from the state has true count ≤ dmax).  Merging
+# sums bounds for shared items, charges each side's dmax for items the
+# side dropped, and re-truncates.  All plan shapes are state-cardinality
+# (keys × m) equi-joins/aggregations — never fact-cardinality after the
+# one initial counting shuffle.  Deterministic (ties by item asc), so
+# the no-truncation case is exactly DuckDB-twinnable.
+
+
+def _truncate_topm(counts: DataFrame, keys: list[str], m: int) -> DataFrame:
+    """Keep top-m rows per key group by (ub desc, item asc); fold the
+    dropped rows' max ub into dmax (added to any incoming dmax)."""
+    w = Window.partitionBy(*keys).orderBy(F.col("ub").desc(), F.col("item").asc())
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    dropped = (
+        ranked.where(F.col("_rn") > m)
+        .groupBy(*keys)
+        .agg(F.max("ub").alias("_dropped_ub"))
+    )
+    kept = ranked.where(F.col("_rn") <= m).drop("_rn")
+    return (
+        kept.join(dropped, keys, "left")
+        .withColumn(
+            "dmax", F.col("dmax") + F.coalesce(F.col("_dropped_ub"), F.lit(0))
+        )
+        .drop("_dropped_ub")
+    )
+
+
+def topk_state(df: DataFrame, item_col: str, keys: list[str], m: int = 64) -> DataFrame:
+    """Build a topK partial state from facts: exact per-(keys, item)
+    counts (ONE combinable shuffle), truncated to the top ``m`` per
+    group.  Output columns: ``keys…, item, lb, ub, dmax`` — within a
+    freshly-built state the retained items are exact (lb == ub) and
+    dmax is the largest dropped count (0 if nothing was dropped).
+
+    Size ``m`` ≥ several× the k you intend to read (the usual
+    space-saving headroom); states stay (keys × m)-sized no matter the
+    fact volume."""
+    if m <= 0:
+        raise ValueError("m must be positive")
+    counts = (
+        df.groupBy(*keys, F.col(item_col).alias("item"))
+        .agg(F.count("*").alias("lb"))
+        .withColumn("ub", F.col("lb"))
+        .withColumn("dmax", F.lit(0).cast("long"))
+    )
+    return _truncate_topm(counts, keys, m)
+
+
+def merge_topk_states(a: DataFrame, b: DataFrame, keys: list[str], m: int = 64) -> DataFrame:
+    """topKMerge: combine two states over the same key space.  For an
+    item one side dropped, that side contributes [0, dmax] — so merged
+    lb = sum of present lbs, merged ub = sum of (ub if present else
+    dmax).  Associative and commutative in the bounds it guarantees;
+    with no truncation anywhere it is exactly the additive count merge
+    (tested ≡ a direct groupBy in any segmentation)."""
+    da = a.groupBy(*keys).agg(F.first("dmax").alias("_da"))
+    db = b.groupBy(*keys).agg(F.first("dmax").alias("_db"))
+    ia = a.select(*keys, "item", F.col("lb").alias("_lba"), F.col("ub").alias("_uba"))
+    ib = b.select(*keys, "item", F.col("lb").alias("_lbb"), F.col("ub").alias("_ubb"))
+    joined = (
+        ia.join(ib, [*keys, "item"], "full_outer")
+        .join(da, keys, "left")
+        .join(db, keys, "left")
+        .select(
+            *keys,
+            "item",
+            (F.coalesce("_lba", F.lit(0)) + F.coalesce("_lbb", F.lit(0))).alias("lb"),
+            (
+                F.coalesce(F.col("_uba"), F.coalesce(F.col("_da"), F.lit(0)))
+                + F.coalesce(F.col("_ubb"), F.coalesce(F.col("_db"), F.lit(0)))
+            ).alias("ub"),
+            (
+                F.coalesce(F.col("_da"), F.lit(0)) + F.coalesce(F.col("_db"), F.lit(0))
+            ).alias("dmax"),
+        )
+    )
+    return _truncate_topm(joined, keys, m)
+
+
+def topk_from_state(state: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Read-time topK(k): the k items with the largest upper bounds per
+    group, with their [lb, ub] count bounds and a ``guaranteed`` flag —
+    true when the item's lb beats every non-reported item's possible
+    count (the (k+1)-th ub and dmax), i.e. the item is CERTAINLY in the
+    true top k."""
+    w = Window.partitionBy(*keys).orderBy(F.col("ub").desc(), F.col("item").asc())
+    ranked = state.withColumn("_rn", F.row_number().over(w))
+    nxt = (
+        ranked.where(F.col("_rn") == k + 1)
+        .select(*keys, F.col("ub").alias("_next_ub"))
+    )
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .join(nxt, keys, "left")
+        .select(
+            *keys,
+            F.col("_rn").alias("rank"),
+            "item",
+            "lb",
+            "ub",
+            (
+                F.col("lb")
+                >= F.greatest(F.coalesce(F.col("_next_ub"), F.lit(0)), F.col("dmax"))
+            ).alias("guaranteed"),
+        )
+    )
+
+
+def merge_topk_increment(
+    spark: SparkSession, path: str, new_df: DataFrame, item_col: str,
+    keys: list[str], m: int = 64,
+) -> None:
+    """Fold a new fact batch into a stored topK state table — the
+    AggregatingMergeTree insert-trigger shape shared with the uniq and
+    histogram states."""
+    import os
+
+    if not os.path.isdir(path):
+        topk_state(new_df, item_col, keys, m).write.mode("overwrite").parquet(path)
+        return
+    current = spark.read.parquet(path)
+    merged = merge_topk_states(current, topk_state(new_df, item_col, keys, m), keys, m)
+    _stage_swap(merged, path)
+
+
 # --- fixed-bin histogram state (the quantileState analog) ------------------
 
 

@@ -186,3 +186,95 @@ def test_histogram_quantile_accuracy(spark, sf_dir):
     for r in rows:
         ex = r[f"p{QS.index(r['q'])}"]
         assert abs(r["quantile"] - ex) <= w + 1e-9, (r["event_type"], r["q"], r["quantile"], ex)
+
+
+# --- topK state (parallel space-saving) -------------------------------------
+
+
+def _true_counts(enr):
+    return {
+        (r["event_type"], r["content_id"]): r["c"]
+        for r in enr.groupBy("event_type", "content_id").agg(F.count("*").alias("c")).collect()
+    }
+
+
+def test_topk_state_no_truncation_is_exact_any_segmentation(spark, sf_dir):
+    """With m >= distinct items per group, merged states in any
+    segmentation/order equal the exact groupBy counts (lb == ub ==
+    true) with dmax == 0."""
+    enr = _enriched(spark, sf_dir)
+    m = 1 + enr.select("content_id").distinct().count()
+    segs = [enr.where(F.col("event_id") % 3 == i) for i in range(3)]
+    # states are stored artifacts in the AggregatingMergeTree pattern —
+    # materialize each (as parquet would) before merging
+    states = [
+        sketches.topk_state(s, "content_id", ["event_type"], m).localCheckpoint()
+        for s in segs
+    ]
+    merged = sketches.merge_topk_states(
+        sketches.merge_topk_states(states[2], states[0], ["event_type"], m),
+        states[1], ["event_type"], m,
+    )
+    truth = _true_counts(enr)
+    rows = merged.collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        t = truth[(r["event_type"], r["item"])]
+        assert r["lb"] == r["ub"] == t and r["dmax"] == 0, r
+
+
+def test_topk_bounds_hold_under_aggressive_truncation(spark, sf_dir):
+    """With tiny m the state truncates hard; every retained item's
+    bounds must bracket its true count, every item with true count >
+    dmax must be retained, and the guaranteed flag must only mark items
+    certainly in the true top k."""
+    enr = _enriched(spark, sf_dir)
+    m, k = 8, 3
+    segs = [enr.where(F.col("event_id") % 4 == i) for i in range(4)]
+    st = sketches.topk_state(segs[0], "content_id", ["event_type"], m).localCheckpoint()
+    for s in segs[1:]:
+        st = sketches.merge_topk_states(
+            st, sketches.topk_state(s, "content_id", ["event_type"], m).localCheckpoint(),
+            ["event_type"], m,
+        ).localCheckpoint()
+    truth = _true_counts(enr)
+    by_group = {}
+    for (et, item), c in truth.items():
+        by_group.setdefault(et, {})[item] = c
+    state_rows = st.collect()
+    retained = {(r["event_type"], r["item"]) for r in state_rows}
+    dmax_by_group = {r["event_type"]: r["dmax"] for r in state_rows}
+    for r in state_rows:
+        t = truth[(r["event_type"], r["item"])]
+        assert r["lb"] <= t <= r["ub"], (r, t)
+    for (et, item), c in truth.items():
+        if c > dmax_by_group.get(et, 0):
+            assert (et, item) in retained, (et, item, c, dmax_by_group.get(et))
+    for r in sketches.topk_from_state(st, ["event_type"], k).collect():
+        if r["guaranteed"]:
+            grp = by_group[r["event_type"]]
+            true_topk_floor = sorted(grp.values(), reverse=True)[: k][-1]
+            assert truth[(r["event_type"], r["item"])] >= true_topk_floor, r
+
+
+def test_topk_increment_matches_single_build(spark, sf_dir, tmp_path):
+    """Stored-state fold (merge_topk_increment) over batches ==
+    one-shot state over the union, when m is generous enough that no
+    truncation occurs."""
+    enr = _enriched(spark, sf_dir)
+    m = 1 + enr.select("content_id").distinct().count()
+    path = str(tmp_path / "topk_state")
+    for i in range(3):
+        sketches.merge_topk_increment(
+            spark, path, enr.where(F.col("event_id") % 3 == i),
+            "content_id", ["event_type"], m,
+        )
+    got = sorted(
+        (r["event_type"], r["item"], r["lb"], r["ub"])
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        (r["event_type"], r["item"], r["lb"], r["ub"])
+        for r in sketches.topk_state(enr, "content_id", ["event_type"], m).collect()
+    )
+    assert got == want
