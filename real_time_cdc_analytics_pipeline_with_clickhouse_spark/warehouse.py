@@ -334,3 +334,138 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
         "hour_ts", "content_type", "event_type", "cnt",
         F.col("score_dec").cast("double").alias("total_score"),
     )
+
+
+# --- projections: alternate pre-aggregated copies + automatic routing -------
+#
+# ClickHouse PROJECTIONs are per-table alternate layouts (pre-aggregated
+# or re-sorted copies) maintained alongside the base parts; the query
+# planner silently answers a matching query from the smallest qualifying
+# projection instead of scanning the base table.  The Spark-native
+# analog below keeps each projection as an additive-DECIMAL partial
+# aggregate (the same exactly-mergeable state as the hourly rollup MV),
+# a JSON manifest as the catalog, and a router that rewrites a
+# grouped-aggregate read to the cheapest projection whose grouping keys
+# COVER the request (requested keys ⊆ projection keys ⇒ the finer
+# partials re-aggregate exactly).  At 100 TB this turns a fact scan
+# into a KB-to-MB pre-aggregate read — the same reason ClickHouse ships
+# the feature.  Derived time keys supported: ``hour_ts`` (hour
+# truncation of event_ts), matching the reference MV grain.
+
+_MANIFEST = "_projections.json"
+
+_DERIVED_KEYS = {"hour_ts": lambda: F.date_trunc("hour", F.col("event_ts")).alias("hour_ts")}
+
+
+def _keyed_partial(facts: DataFrame, keys: list[str]) -> DataFrame:
+    cols = [
+        _DERIVED_KEYS[k]() if k in _DERIVED_KEYS and k not in facts.columns else F.col(k)
+        for k in keys
+    ]
+    return facts.groupBy(*cols).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("engagement_score").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("score_dec"),
+    )
+
+
+def _load_manifest(proj_root: str) -> dict:
+    import json
+    import os
+
+    mf = os.path.join(proj_root, _MANIFEST)
+    if not os.path.isfile(mf):
+        return {"projections": {}}
+    with open(mf) as f:
+        return json.load(f)
+
+
+def _store_manifest(proj_root: str, manifest: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(proj_root, exist_ok=True)
+    tmp = os.path.join(proj_root, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(proj_root, _MANIFEST))
+
+
+def define_projection(
+    spark: SparkSession, wh_path: str, proj_root: str, name: str, keys: list[str]
+) -> None:
+    """``ALTER TABLE … ADD PROJECTION (SELECT keys…, count(), sum(score)
+    GROUP BY keys…) + MATERIALIZE`` analog: build the partial-aggregate
+    copy from the current facts and register it in the catalog with its
+    stored row count (the router's cost signal)."""
+    import os
+
+    facts = read_warehouse(spark, wh_path)
+    path = os.path.join(proj_root, name)
+    part = _keyed_partial(facts, keys)
+    part.write.mode("overwrite").parquet(path)
+    manifest = _load_manifest(proj_root)
+    manifest["projections"][name] = {
+        "keys": list(keys),
+        "path": path,
+        "rows": spark.read.parquet(path).count(),
+    }
+    _store_manifest(proj_root, manifest)
+
+
+def refresh_projections(spark: SparkSession, proj_root: str, new_facts: DataFrame) -> None:
+    """Insert-time maintenance: fold a new fact batch into EVERY
+    registered projection additively (DECIMAL partials ⇒ bit-identical
+    to a full rebuild, any batch order — same guarantee as
+    merge_rollup_increment)."""
+    manifest = _load_manifest(proj_root)
+    for name, meta in manifest["projections"].items():
+        current = spark.read.parquet(meta["path"])
+        merged = (
+            current.unionByName(_keyed_partial(new_facts, meta["keys"]))
+            .groupBy(*meta["keys"])
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
+            )
+        )
+        _stage_swap(merged, meta["path"])
+        meta["rows"] = spark.read.parquet(meta["path"]).count()
+    _store_manifest(proj_root, manifest)
+
+
+def routed_aggregate(
+    spark: SparkSession, wh_path: str, proj_root: str, keys: list[str]
+) -> tuple[DataFrame, str]:
+    """Answer ``SELECT keys…, count(*), sum(score) GROUP BY keys…``
+    from the cheapest qualifying projection, else the base facts.
+    Returns ``(df, source)`` where source is the projection name or
+    ``"facts"``; the df shape is identical either way
+    (``keys…, cnt, total_score``), so callers are layout-agnostic —
+    exactly ClickHouse's silent-rewrite contract (equality facts vs
+    projection is tested)."""
+    manifest = _load_manifest(proj_root)
+    want = set(keys)
+    candidates = [
+        (meta["rows"], name, meta)
+        for name, meta in manifest["projections"].items()
+        if want <= set(meta["keys"])
+    ]
+    if candidates:
+        _, name, meta = min(candidates)
+        part = spark.read.parquet(meta["path"])
+        grouped = part.groupBy(*keys).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
+        )
+        src = name
+    else:
+        grouped = _keyed_partial(read_warehouse(spark, wh_path), keys)
+        src = "facts"
+    return (
+        grouped.select(
+            *keys, "cnt", F.col("score_dec").cast("double").alias("total_score")
+        ),
+        src,
+    )

@@ -292,3 +292,60 @@ def test_zorder_compaction_clusters_both_dims(spark, sf_dir, tmp_path):
         for r in month.orderBy("event_id").select("user_id", "content_id").collect()
     ]
     assert mean_bbox(stored) < 0.5 * mean_bbox(flat), (mean_bbox(stored), mean_bbox(flat))
+
+
+# --- projections (alternate pre-aggregated copies + routing) ----------------
+
+
+def test_projection_routing_picks_smallest_and_matches_facts(spark, sf_dir, tmp_path):
+    """The router must answer a covered grouping from the smallest
+    qualifying projection and produce EXACTLY the fact-scan answer;
+    an uncovered grouping falls back to facts."""
+    wh = str(tmp_path / "wh_proj")
+    proot = str(tmp_path / "projections")
+    enr = _enriched(spark, sf_dir)
+    warehouse.write_warehouse(enr, wh)
+    warehouse.define_projection(spark, wh, proot, "by_hour_type", ["hour_ts", "event_type", "content_type"])
+    warehouse.define_projection(spark, wh, proot, "by_type", ["event_type"])
+
+    # covered by both → the 5-row by_type projection wins over the finer one
+    df, src = warehouse.routed_aggregate(spark, wh, proot, ["event_type"])
+    assert src == "by_type"
+    got = sorted(map(tuple, df.collect()))
+    facts, fsrc = warehouse.routed_aggregate(spark, wh, str(tmp_path / "empty_proj"), ["event_type"])
+    assert fsrc == "facts"
+    assert got == sorted(map(tuple, facts.collect()))
+
+    # coarser-than-projection grouping re-aggregates the finer partials
+    df2, src2 = warehouse.routed_aggregate(spark, wh, proot, ["content_type"])
+    assert src2 == "by_hour_type"
+    facts2, _ = warehouse.routed_aggregate(spark, wh, str(tmp_path / "empty_proj"), ["content_type"])
+    nsort = lambda rows: sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+    assert nsort(map(tuple, df2.collect())) == nsort(map(tuple, facts2.collect()))
+
+    # not covered by any projection → facts
+    _, src3 = warehouse.routed_aggregate(spark, wh, proot, ["user_id"])
+    assert src3 == "facts"
+
+
+def test_projection_refresh_equals_rebuild(spark, sf_dir, tmp_path):
+    """Insert-time projection maintenance: additive DECIMAL folds over
+    batches must be bit-identical to rebuilding the projection from the
+    full fact history."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path / "wh_proj2")
+    proot = str(tmp_path / "projections2")
+    enr = _enriched(spark, sf_dir)
+    b1 = enr.where(F.col("event_id") % 2 == 0)
+    b2 = enr.where(F.col("event_id") % 2 == 1)
+    warehouse.write_warehouse(b1, wh)
+    warehouse.define_projection(spark, wh, proot, "by_type", ["event_type", "content_type"])
+    warehouse.refresh_projections(spark, proot, b2)
+
+    got, src = warehouse.routed_aggregate(spark, wh, proot, ["event_type", "content_type"])
+    assert src == "by_type"
+    warehouse.write_warehouse(enr, wh)  # full history
+    want, _ = warehouse.routed_aggregate(spark, wh, str(tmp_path / "noproj"), ["event_type", "content_type"])
+    nsort = lambda rows: sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+    assert nsort(map(tuple, got.collect())) == nsort(map(tuple, want.collect()))
