@@ -58,6 +58,8 @@ __all__ = [
     "retention_counts",
     "sequence_match_chain",
     "sequence_count_chain",
+    "parse_sequence_pattern",
+    "sequence_match_pattern",
     "funnel_segment_states",
     "merge_funnel_states",
     "funnel_levels_from_states",
@@ -242,6 +244,136 @@ def sequence_count_chain(engagement: DataFrame, steps: Sequence[str]) -> DataFra
     fold = F.aggregate(F.col("seq"), init, merge)
     return _user_step_seqs(engagement, steps).select(
         "user_id", fold[1].alias("occurrences")
+    )
+
+
+_PATTERN_TOKEN = __import__("re").compile(
+    r"\(\?(\d+)\)|\(\?t\s*(<=|>=|<|>|==)\s*(\d+)\)|\.\*"
+)
+
+
+def parse_sequence_pattern(pattern: str, n_conds: int):
+    """Parse the ClickHouse ``sequenceMatch`` mini-language into
+    ``(atoms, edges)``: atoms = 1-based condition indices in match
+    order; edges[i] describes what may separate atom i and atom i+1 —
+    ``{"adjacent": True}`` (no token between → the next
+    condition-matching event), ``{"op", "sec"}`` (a ``(?t…)`` time
+    bound, any number of events between), or ``{}`` (``.*``, any gap).
+
+    ``==`` is rejected: the single-candidate dominance DP below keeps
+    one best prefix match per atom (latest or earliest by the next
+    edge's direction), which is exact for one-sided bounds but not for
+    equality."""
+    atoms: list[int] = []
+    edges: list[dict] = []
+    pending: dict | None = None
+    saw_gap_since_atom = True  # leading .* is irrelevant
+    pos = 0
+    for m in _PATTERN_TOKEN.finditer(pattern):
+        if m.start() != pos:
+            raise ValueError(f"bad pattern at {pattern[pos:m.start()]!r}")
+        pos = m.end()
+        if m.group(1) is not None:
+            idx = int(m.group(1))
+            if not 1 <= idx <= n_conds:
+                raise ValueError(f"(?{idx}) out of range for {n_conds} conditions")
+            if atoms:
+                if pending is not None:
+                    edges.append(pending)
+                elif saw_gap_since_atom:
+                    edges.append({})
+                else:
+                    edges.append({"adjacent": True})
+            atoms.append(idx)
+            pending = None
+            saw_gap_since_atom = False
+        elif m.group(2) is not None:
+            if m.group(2) == "==":
+                raise ValueError("(?t==n) is not supported (see docstring)")
+            if not atoms:
+                raise ValueError("time condition before the first (?N)")
+            pending = {"op": m.group(2), "sec": int(m.group(3))}
+        else:
+            saw_gap_since_atom = True
+    if pos != len(pattern.strip()) and pattern[pos:].strip():
+        raise ValueError(f"bad pattern at {pattern[pos:]!r}")
+    if pending is not None:
+        raise ValueError("dangling time condition at pattern end")
+    if not atoms:
+        raise ValueError("pattern has no (?N) atoms")
+    return atoms, edges
+
+
+def sequence_match_pattern(
+    engagement: DataFrame, steps: Sequence[str], pattern: str
+) -> DataFrame:
+    """Full ``sequenceMatch(pattern)(ts, cond1, …)`` analog: per user,
+    TRUE iff the user's step events contain a match of ``pattern``,
+    where condition N is ``event_type == steps[N-1]``.  Supported
+    syntax (the ClickHouse operators): ``(?N)``, ``.*``, direct
+    adjacency (``(?1)(?2)`` — the next condition-matching event), and
+    ``(?t<n) (?t<=n) (?t>n) (?t>=n)`` time bounds in seconds.  As in
+    ClickHouse, events matching NO condition are invisible to
+    adjacency.
+
+    Exactness: one in-order scan per user (same single-shuffle shape as
+    ``funnel_levels``), DP over pattern prefixes keeping ONE candidate
+    (ts, position) per prefix.  The kept candidate is chosen by the
+    FOLLOWING edge's direction — latest for adjacency/upper bounds
+    (a later last-event dominates), earliest for lower bounds — which
+    is a sound dominance argument for one-sided constraints, so the
+    scan is exact (randomized brute-force cross-check in
+    tests/test_behavioral.py).  Atoms may repeat a condition
+    (``(?1)(?1)``); an event advances at most one prefix per scan step
+    (updates run highest-prefix-first against pre-event state)."""
+    atoms, edges = parse_sequence_pattern(pattern, len(steps))
+    k = len(atoms)
+
+    def keep_late(i: int) -> bool:
+        # i = 0-based atom position; policy driven by the edge AFTER it
+        if i >= k - 1:
+            return True
+        e = edges[i]
+        return bool(e.get("adjacent")) or e.get("op") in (None, "<", "<=")
+
+    def update(acc: Column, x: Column) -> Column:
+        n = acc["n"]  # 0-based index of THIS event in the user's scan
+        new_ts, new_idx = [], []
+        for i in range(k):  # order irrelevant: all reads are from acc
+            cond = x["s"] == atoms[i]
+            if i > 0:
+                prev_ts, prev_idx = acc["ts"][i - 1], acc["idx"][i - 1]
+                cond = cond & prev_ts.isNotNull()
+                e = edges[i - 1]
+                if e.get("adjacent"):
+                    cond = cond & (prev_idx == n - 1)
+                elif e.get("op"):
+                    gap = x["ts"] - prev_ts
+                    bound = F.lit(int(e["sec"]) * 1_000_000)
+                    cond = cond & {
+                        "<": gap < bound,
+                        "<=": gap <= bound,
+                        ">": gap > bound,
+                        ">=": gap >= bound,
+                    }[e["op"]]
+            if not keep_late(i):
+                cond = cond & acc["ts"][i].isNull()  # keep the earliest
+            new_ts.append(F.when(cond, x["ts"]).otherwise(acc["ts"][i]))
+            new_idx.append(F.when(cond, n).otherwise(acc["idx"][i]))
+        return F.struct(
+            (n + 1).alias("n"),
+            F.array(*new_ts).alias("ts"),
+            F.array(*new_idx).alias("idx"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.expr(f"array_repeat(CAST(NULL AS BIGINT), {k})").alias("ts"),
+        F.expr(f"array_repeat(CAST(NULL AS BIGINT), {k})").alias("idx"),
+    )
+    fold = F.aggregate(F.col("seq"), init, update)
+    return _user_step_seqs(engagement, steps).select(
+        "user_id", fold["ts"][k - 1].isNotNull().alias("matched")
     )
 
 

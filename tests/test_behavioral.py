@@ -563,3 +563,124 @@ def test_segmented_sequence_count_boundary_micro(spark):
     merged = behavioral.merge_sequence_count_states(st, STEPS)
     got = behavioral.occurrences_from_states(merged).collect()
     assert {r["user_id"]: r["occurrences"] for r in got} == {"u1": 2}
+
+
+# --- sequence_match_pattern: the full ClickHouse mini-language --------------
+
+
+def _bf_match(events, steps, atoms, edges):
+    """Brute-force reference: DFS over strictly-increasing index tuples
+    of the (pre-filtered) step-event sequence."""
+    k = len(atoms)
+
+    def ok(i, j_prev):
+        if i == k:
+            return True
+        start = 0 if i == 0 else j_prev + 1
+        for j in range(start, len(events)):
+            if events[j][1] != steps[atoms[i] - 1]:
+                continue
+            if i > 0:
+                e = edges[i - 1]
+                if e.get("adjacent") and j != j_prev + 1:
+                    continue
+                if e.get("op"):
+                    gap = events[j][0] - events[j_prev][0]
+                    b = e["sec"] * 1_000_000
+                    if not {"<": gap < b, "<=": gap <= b, ">": gap > b, ">=": gap >= b}[e["op"]]:
+                        continue
+            if ok(i + 1, j):
+                return True
+        return False
+
+    return ok(0, -1)
+
+
+def _pattern_frame(spark, users):
+    """users: {user_id: [(unix_seconds, type), ...]} → engagement frame."""
+    rows = [
+        (uid, t, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s))
+        for uid, evs in users.items()
+        for s, t in evs
+    ]
+    return spark.createDataFrame(rows, "user_id long, event_type string, event_ts timestamp")
+
+
+def test_sequence_pattern_micro_cases(spark):
+    """Pinned semantics: adjacency sees only condition-matching events,
+    time bounds are inclusive/exclusive as written, repeated atoms need
+    distinct events."""
+    users = {
+        1: [(0, "view"), (5, "click")],            # loose + t<=5 ok, t<5 no, adjacency ok
+        2: [(0, "view"), (3, "view"), (5, "click")],  # adjacency view->click ok (view ignored? NO: view matches cond1 so it IS visible)
+        3: [(0, "view"), (2, "buy"), (5, "click")],   # 'buy' not a condition -> invisible to adjacency
+        4: [(0, "view")],                          # (?1)(?1) needs two views
+        5: [(0, "view"), (9, "view")],             # (?1)(?t>5)(?1) ok; (?t<5) no
+    }
+    df = _pattern_frame(spark, users)
+    steps = ("view", "click")
+
+    def got(pattern):
+        return {
+            r["user_id"]: r["matched"]
+            for r in behavioral.sequence_match_pattern(df, steps, pattern).collect()
+        }
+
+    g = got("(?1)(?t<=5)(?2)")
+    assert g[1] is True and g[2] is True and g[3] is True
+    g = got("(?1)(?t<5)(?2)")
+    assert g[1] is False
+    g = got("(?1)(?2)")
+    assert g[1] is True          # directly adjacent
+    assert g[2] is True          # view,view,click: second view is adjacent to click
+    assert g[3] is True          # 'buy' matches no condition -> invisible
+    g = got("(?1)(?1)")
+    assert g[4] is False and g[5] is True
+    g = got("(?1)(?t>5)(?1)")
+    assert g[5] is True
+    g = got("(?1)(?t>=10)(?1)")
+    assert g[5] is False
+
+
+def test_sequence_pattern_matches_bruteforce_randomized(spark):
+    """200 random users × 6 patterns vs the DFS reference — exercises
+    loose gaps, adjacency, upper/lower time bounds and repeated atoms
+    together."""
+    import random
+
+    rnd = random.Random(20240814)
+    steps = ("view", "click", "purchase")
+    users = {}
+    for uid in range(200):
+        n = rnd.randint(0, 9)
+        ts = sorted(rnd.sample(range(0, 120), n))
+        users[uid] = [(t, rnd.choice(steps)) for t in ts]
+    users = {u: evs for u, evs in users.items() if evs}
+    df = _pattern_frame(spark, users)
+    patterns = [
+        "(?1).*(?2)",
+        "(?1)(?2)",
+        "(?1)(?t<=15)(?2)",
+        "(?1)(?t>10)(?2)(?t<30)(?3)",
+        "(?1)(?1)",
+        "(?2).*(?1)(?t>=20)(?3)",
+        "(?3)(?2)(?1)",
+    ]
+    for pattern in patterns:
+        atoms, edges = behavioral.parse_sequence_pattern(pattern, len(steps))
+        got = {
+            r["user_id"]: r["matched"]
+            for r in behavioral.sequence_match_pattern(df, steps, pattern).collect()
+        }
+        for uid, evs in users.items():
+            filtered = [(s * 1_000_000, t) for s, t in evs if t in steps]
+            want = _bf_match(filtered, steps, atoms, edges)
+            assert got[uid] == want, (pattern, uid, evs, got[uid], want)
+
+
+def test_sequence_pattern_parser_rejects_bad_input(spark):
+    import pytest
+
+    for bad in ["", "(?t<5)(?1)", "(?1)(?t<5)", "(?4)", "(?1)(?t==5)(?2)", "(?1)x(?2)"]:
+        with pytest.raises(ValueError):
+            behavioral.parse_sequence_pattern(bad, 3)
