@@ -421,3 +421,23 @@ def having_large_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.col("total_qty_dec").cast("double").alias("total_qty"),
         )
     )
+
+
+def limit_by(
+    df: DataFrame, keys: list[str], n: int, order_by: list[Column], offset: int = 0
+) -> DataFrame:
+    """ClickHouse ``LIMIT [offset,] n BY keys`` — the first ``n`` rows
+    per key group (after ``order_by``, ties broken deterministically by
+    the caller's ordering), optionally skipping ``offset`` rows first.
+    Spark has no SQL surface for this; the idiom is a ranked window +
+    filter, which AQE executes as one shuffle on ``keys`` with the sort
+    local to each group — per-group top-k never sees a global sort.
+    """
+    if n <= 0 or offset < 0:
+        raise ValueError("need n > 0 and offset >= 0")
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + n))
+        .drop("_rn")
+    )

@@ -103,6 +103,45 @@ def merge_uniques_increment(
     _stage_swap(merged, path)
 
 
+def uniques_overlap(state: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise audience overlap between groups, from stored uniqState
+    sketches alone — the ClickHouse ``uniqTheta`` intersect/union
+    readout, done with HLL inclusion–exclusion:
+    ``|A ∩ B| = |A| + |B| − |A ∪ B|`` (clamped at 0 — estimates can
+    dip negative for near-disjoint sets).
+
+    Input: a state with one or more rows per ``group_col`` value
+    carrying ``uniq_users_state`` sketches (any grain — they re-merge
+    here).  Output: one row per unordered group pair (a < b) with
+    ``uniq_a, uniq_b, uniq_union, uniq_overlap``.
+
+    Scale shape: groups first collapse to ONE sketch each (combinable
+    union agg), and only then do sketches pair up — the join is over
+    group-cardinality rows carrying KB-sized states, never raw ids.
+    Overlap questions on raw facts need a self-join of fact-cardinality
+    id sets; this answers them from the rollup artifact."""
+    per = (
+        state.groupBy(F.col(group_col).alias("g"))
+        .agg(F.hll_union_agg("uniq_users_state").alias("sk"))
+    )
+    a = per.select(F.col("g").alias("a"), F.col("sk").alias("_ska"))
+    b = per.select(F.col("g").alias("b"), F.col("sk").alias("_skb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    ua = F.hll_sketch_estimate("_ska")
+    ub = F.hll_sketch_estimate("_skb")
+    uu = F.hll_sketch_estimate(F.hll_union("_ska", "_skb"))
+    return pairs.select(
+        "a",
+        "b",
+        ua.alias("uniq_a"),
+        ub.alias("uniq_b"),
+        uu.alias("uniq_union"),
+        F.greatest(F.lit(0).cast("long"), (ua + ub - uu).cast("long")).alias(
+            "uniq_overlap"
+        ),
+    )
+
+
 # --- bounded heavy-hitter state (the topKState analog) ----------------------
 #
 # ClickHouse's topK/topKState keeps a space-saving summary per group and

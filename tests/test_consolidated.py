@@ -381,3 +381,37 @@ def test_having_large_orders(spark, sf_dir, ducks):
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
     _check(sdf, HAVING_LARGE_ORDERS_SQL, ducks)
+
+
+def test_limit_by(spark, sf_dir, ducks):
+    """ClickHouse LIMIT n BY analog: 2 most recent orders per customer
+    segment-bucket, with and without OFFSET."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders")
+    sdf = relational.limit_by(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        ["o_custkey"],
+        2,
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+    )
+    _check(sdf, q("""
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 2
+"""), ducks)
+
+    off = relational.limit_by(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ["o_custkey"],
+        2,
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        offset=1,
+    )
+    _check(off, q("""
+SELECT o_orderkey, o_custkey, o_orderdate FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn > 1 AND rn <= 3
+"""), ducks)

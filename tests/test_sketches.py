@@ -278,3 +278,26 @@ def test_topk_increment_matches_single_build(spark, sf_dir, tmp_path):
         for r in sketches.topk_state(enr, "content_id", ["event_type"], m).collect()
     )
     assert got == want
+
+
+def test_uniques_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
+    """HLL inclusion-exclusion overlap vs exact pairwise intersections:
+    within 5% of |A|+|B| (the union-estimate error scale)."""
+    enr = _enriched(spark, sf_dir)
+    state = sketches.hourly_uniques_state(enr)
+    got = {
+        (r["a"], r["b"]): r
+        for r in sketches.uniques_overlap(state, "event_type").collect()
+    }
+    sets = {
+        r["event_type"]: set()
+        for r in enr.select("event_type").distinct().collect()
+    }
+    for r in enr.select("event_type", "user_id").distinct().collect():
+        sets[r["event_type"]].add(r["user_id"])
+    assert got
+    for (a, b), r in got.items():
+        inter = len(sets[a] & sets[b])
+        tol = max(5, 0.05 * (len(sets[a]) + len(sets[b])))
+        assert abs(r["uniq_overlap"] - inter) <= tol, (a, b, r, inter)
+        assert abs(r["uniq_union"] - len(sets[a] | sets[b])) <= tol
