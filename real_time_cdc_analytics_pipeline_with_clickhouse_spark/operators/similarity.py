@@ -251,3 +251,74 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             F.concat_ws(",", "centroid").alias("centroid_um_csv"),
         )
     )
+
+
+def kmeans_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style candidate generation: cosine near-dup pairs
+    scored only WITHIN a learned k-means cell (Abbas et al.'s semantic
+    dedup keys candidates by cluster; the sign-LSH variant in
+    dedup.embedding_near_dup_pairs keys by hyperplane bucket).  Learned
+    cells adapt to the corpus geometry, so semantically-clone groups
+    co-locate even when correlated dimensions defeat fixed hyperplanes.
+
+    Scale shape: assignment is a map-side model.transform (no shuffle);
+    the self-join is an equi-join on centroid_id — per-cell work is
+    quadratic in CELL occupancy, so size ``n_centroids`` to the corpus
+    (cells ≈ n/target_occupancy) exactly like ``lsh_bits_for``.  Pairs
+    straddling a cell boundary are missed — SemDeDup's own documented
+    trade; raise n_centroids recall via the LSH multiprobe variant when
+    boundary pairs matter.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    model, _ = kmeans_centroids(embeddings, n_centroids, seed)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    assigned = (
+        model.transform(
+            embeddings.repartition(par).withColumn(
+                "features", array_to_vector(F.col("embedding").cast("array<double>"))
+            )
+        )
+        .select(
+            "vec_id", "embedding",
+            F.col("prediction").alias("centroid_id"),
+            norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Semantic dedup keep-set: drop every vector that is the HIGHER id
+    of a within-cell near-dup pair (the same greedy keeper rule as
+    ``dedup.fuzzy_dedup_keep``, so text-fuzzy and embedding-semantic
+    dedup compose predictably in a corpus pipeline).  One anti-join
+    after candidate scoring; the invariant (for every within-cell pair
+    at ≥ threshold, the higher id is gone) is tested."""
+    pairs = kmeans_near_dup_pairs(embeddings, threshold, n_centroids, seed)
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return embeddings.join(drops, "vec_id", "left_anti")

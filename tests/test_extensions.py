@@ -409,3 +409,67 @@ def test_lsh_planes_deterministic_and_prefix_stable():
     assert dedup.lsh_bits_for(1000) == 4  # below target → lo clamp
     assert dedup.lsh_bits_for(10**9, target_bucket=4096) == 18
     assert dedup.lsh_bits_for(10**12) == 24  # hi clamp
+
+
+def test_semantic_dedup_finds_clone_clusters_and_keeps_one(spark):
+    """SemDeDup analog: near-identical clone groups must co-locate in a
+    k-means cell, every clone pair must be found, and the keep set must
+    retain exactly the lowest id per clone group while never dropping a
+    singleton."""
+    import random
+
+    rnd = random.Random(42)
+    dim, n_base, n_clones = 16, 40, 3
+    rows = []
+    vid = 0
+    clone_groups = []
+    for b in range(n_base):
+        base = [rnd.gauss(0, 1) for _ in range(dim)]
+        if b < 10:  # first 10 bases get near-identical clones
+            group = []
+            for _ in range(n_clones):
+                rows.append((vid, [x + rnd.gauss(0, 0.001) for x in base]))
+                group.append(vid)
+                vid += 1
+            clone_groups.append(group)
+        else:
+            rows.append((vid, base))
+            vid += 1
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.kmeans_near_dup_pairs(
+            embs, threshold=0.999, n_centroids=8
+        ).collect()
+    }
+    for group in clone_groups:
+        for i, a in enumerate(group):
+            for b in group[i + 1:]:
+                assert (a, b) in pairs, f"missed clone pair {(a, b)}"
+
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_keep(
+            embs, threshold=0.999, n_centroids=8
+        ).collect()
+    }
+    clone_ids = {v for g in clone_groups for v in g}
+    for group in clone_groups:
+        assert min(group) in kept
+        assert all(v not in kept for v in group if v != min(group))
+    singletons = {r[0] for r in rows if r[0] not in clone_ids} - clone_ids
+    assert singletons <= kept, "a non-duplicate vector was dropped"
+
+
+def test_semantic_dedup_greedy_invariant_on_fixture(spark, sf_dir):
+    """On the driver embeddings: for EVERY within-cell pair at >=
+    threshold, the higher id must be absent from the keep set (and
+    nothing else dropped)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    thr, nc = 0.95, 16
+    pairs = similarity.kmeans_near_dup_pairs(embs, thr, nc).collect()
+    kept = {r["vec_id"] for r in similarity.semantic_dedup_keep(embs, thr, nc).collect()}
+    dropped_want = {r["vec_b"] for r in pairs}
+    all_ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
+    assert kept == all_ids - dropped_want

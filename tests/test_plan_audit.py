@@ -86,3 +86,30 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_topk_state_aggregates_map_side(spark, sf_dir):
+    """The topK state's one fact shuffle must be a partial (map-side)
+    hash aggregate — the count collapses before the exchange, so the
+    shuffle carries (keys × items) rows, not facts."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import sketches
+
+    enr = entrymod._enriched(spark, sf_dir)
+    plan = plan_string(sketches.topk_state(enr, "content_id", ["event_type"], 16))
+    assert "partial_count" in plan or "partial_" in plan.lower(), plan
+
+
+def test_routed_aggregate_scans_projection_not_facts(spark, sf_dir, tmp_path):
+    """When a projection covers the grouping, the physical plan must
+    read the projection parquet and never touch the fact table — the
+    whole point of the feature at 100 TB."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark import warehouse
+
+    wh = str(tmp_path / "wh_audit")
+    proot = str(tmp_path / "proj_audit")
+    warehouse.write_warehouse(entrymod._enriched(spark, sf_dir), wh)
+    warehouse.define_projection(spark, wh, proot, "by_type", ["event_type"])
+    df, src = warehouse.routed_aggregate(spark, wh, proot, ["event_type"])
+    assert src == "by_type"
+    plan = plan_string(df)
+    assert "proj_audit" in plan and "wh_audit" not in plan, plan
