@@ -209,12 +209,18 @@ def apply_ttl(
     metadata-only ``DELETE WHERE partition < x`` fast path.
 
     ``rollup_path``: the ``TTL … GROUP BY`` analog — before deletion,
-    expired facts are folded into the hourly rollup MV
-    (``merge_rollup_increment``), so aggregates survive fact expiry.
-    The fold commits BEFORE any partition is dropped; a crash between
-    the two leaves expired facts still present (re-running the TTL
-    would double-fold, so pair it with an epoch marker in a scheduled
-    setting — the streaming sinks show the pattern).
+    expired facts are preserved as hourly-rollup partials so aggregates
+    survive fact expiry.  EXACTLY-ONCE BY CONSTRUCTION: each TTL run
+    owns a write-once ``run=<cutoff-id>`` partition of the
+    expired-rollup table — written (from the still-intact facts) and
+    committed BEFORE any drop starts, never rewritten once committed,
+    and never merged into mutable state — so a crash at any point
+    followed by a re-run of the same cutoff either re-creates the
+    identical partition (crash before commit: facts untouched) or
+    skips straight to the idempotent drops (crash after commit);
+    double-counting has no code path.  Successive cutoffs expire
+    disjoint fact sets, so run partitions are additive; read with
+    ``read_ttl_rollup`` (re-merges across runs at rollup cardinality).
 
     Returns ``{"dropped_months", "rewritten_month", "rows_expired"}``.
     """
@@ -239,10 +245,16 @@ def apply_ttl(
     rows_expired = 0
     if expired is not None:
         if rollup_path is not None:
-            if os.path.isdir(rollup_path):
-                merge_rollup_increment(spark, rollup_path, expired)
-            else:
-                write_rollup(expired, rollup_path)
+            run_id = spark.range(1).select(
+                F.date_format(cutoff, "yyyyMMddHHmmss")
+            ).first()[0]
+            run_dir = os.path.join(rollup_path, f"run={run_id}")
+            # write-once: drops only start after this commit (_SUCCESS),
+            # so a committed run partition always reflects the COMPLETE
+            # expired set for its cutoff; a replay after partial drops
+            # must not rewrite it from the mutated facts
+            if not os.path.isfile(os.path.join(run_dir, "_SUCCESS")):
+                _partial_rollup(expired).write.mode("overwrite").parquet(run_dir)
         rows_expired = expired.count()
 
     rewritten = None
@@ -288,6 +300,25 @@ def apply_ttl(
         "rewritten_month": rewritten,
         "rows_expired": rows_expired,
     }
+
+
+def read_ttl_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Read the TTL expired-rollup table: re-merge the per-run
+    partitions (additive DECIMAL partials) to one rollup — the same
+    output shape as ``read_rollup``.  Union it with a rollup of the
+    surviving facts to reconstruct full-history aggregates."""
+    return (
+        spark.read.parquet(rollup_path)
+        .groupBy(*_ROLLUP_KEY)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
+        )
+        .select(
+            "hour_ts", "content_type", "event_type", "cnt",
+            F.col("score_dec").cast("double").alias("total_score"),
+        )
+    )
 
 
 # --- incremental hourly-rollup maintenance (the MV insert-trigger analog) ---

@@ -191,25 +191,38 @@ def test_ttl_drops_whole_months_without_touching_survivors(spark, tmp_path):
     assert warehouse.list_month_partitions(wh) == ["202402", "202403"]
 
 
-def test_ttl_group_by_folds_expired_facts_into_rollup(spark, tmp_path):
-    """The ``TTL … GROUP BY`` analog: expired facts fold into the
-    hourly rollup MV before deletion, so rollup(MV) + rollup(survivors)
-    still reconstructs the full-history aggregate exactly."""
+def test_ttl_group_by_preserves_aggregates_exactly_once(spark, tmp_path):
+    """The ``TTL … GROUP BY`` analog: expired facts persist as per-run
+    rollup partitions, so expired-rollup + rollup(survivors)
+    reconstructs the full-history aggregate exactly — across TWO
+    successive cutoffs, and bit-stable under a crash-retry replay of a
+    run (the same cutoff re-applied is an idempotent partition
+    rewrite, never a double fold)."""
     from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import rollups
     from tests.oracle_utils import frame_rows
 
     wh = str(tmp_path / "wh_ttl2")
     mv = str(tmp_path / "mv_ttl2")
     df = _month_table(spark, wh)
+    warehouse.apply_ttl(spark, wh, "2024-02-01 00:00:00", rollup_path=mv)
+    warehouse.apply_ttl(spark, wh, "2024-03-01 00:00:00", rollup_path=mv)
+    # crash-retry replay of the second run
     warehouse.apply_ttl(spark, wh, "2024-03-01 00:00:00", rollup_path=mv)
 
-    # fold survivors into the same MV → must equal full-history rollup
-    warehouse.merge_rollup_increment(
-        spark, mv, spark.read.parquet(wh).drop(warehouse.MONTH_COL)
+    survivors = rollups.hourly_rollup(
+        spark.read.parquet(wh).drop(warehouse.MONTH_COL)
+    ).select("hour_ts", "content_type", "event_type", "cnt", "total_score")
+    combined = (
+        warehouse.read_ttl_rollup(spark, mv)
+        .unionByName(survivors)
+        .groupBy("hour_ts", "content_type", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("total_score"), 2).alias("total_score"),
+        )
     )
-    got_df = warehouse.read_rollup(spark, mv)
-    want_df = rollups.hourly_rollup(df).select(got_df.columns)
-    got = frame_rows(got_df.columns, [tuple(r) for r in got_df.collect()])
+    want_df = rollups.hourly_rollup(df).select(combined.columns)
+    got = frame_rows(combined.columns, [tuple(r) for r in combined.collect()])
     want = frame_rows(want_df.columns, [tuple(r) for r in want_df.collect()])
     assert got == want
 
