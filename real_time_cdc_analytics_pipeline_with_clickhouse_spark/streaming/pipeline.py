@@ -645,6 +645,31 @@ def start_uniques_sink(enriched: DataFrame, state_dir: str, checkpoint: str):
     )
 
 
+def start_projection_sink(enriched: DataFrame, proj_root: str, checkpoint: str):
+    """Streaming maintenance of the warehouse PROJECTIONS
+    (warehouse.define_projection catalog): each micro-batch folds into
+    every registered pre-aggregated copy via the additive DECIMAL merge
+    (``warehouse.refresh_projections``) — ClickHouse keeps projections
+    consistent inside the insert; this is that trigger as a
+    foreachBatch sink.  The merges are additive, so the same epoch
+    marker as the serving sink guards foreachBatch's at-least-once
+    restart re-delivery."""
+    from ..warehouse import refresh_projections
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if _epoch_already_applied(proj_root + "_meta", epoch, checkpoint):
+            return
+        refresh_projections(batch.sparkSession, proj_root, batch)
+        _record_epoch(proj_root + "_meta", epoch, checkpoint)
+
+    return (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_funnel_sink(
     enriched: DataFrame,
     state_dir: str,

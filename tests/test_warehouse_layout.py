@@ -362,3 +362,43 @@ def test_projection_refresh_equals_rebuild(spark, sf_dir, tmp_path):
     want, _ = warehouse.routed_aggregate(spark, wh, str(tmp_path / "noproj"), ["event_type", "content_type"])
     nsort = lambda rows: sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
     assert nsort(map(tuple, got.collect())) == nsort(map(tuple, want.collect()))
+
+
+def test_streaming_projection_sink_equals_batch_rebuild(spark, sf_dir, tmp_path):
+    """Streaming projection maintenance: after a multi-batch replay the
+    projection partials must be bit-identical to a one-shot rebuild
+    over the full history, and routing must still pick them up."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    enr = _enriched(spark, sf_dir).persist()
+    wh = str(tmp_path / "wh_pstream")
+    proot = str(tmp_path / "proj_stream")
+    # bootstrap: define projections over the FIRST batch only
+    b0 = enr.where(F.col("event_id") % 3 == 0)
+    warehouse.write_warehouse(b0, wh)
+    warehouse.define_projection(spark, wh, proot, "by_type", ["event_type", "content_type"])
+
+    feed = str(tmp_path / "proj_feed")
+    os.makedirs(feed)
+    for fname, i in (("b.parquet", 1), ("c.parquet", 2)):
+        enr.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/{fname}")
+    stream = (
+        spark.readStream.schema(enr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    q = sp.start_projection_sink(stream, proot, str(tmp_path / "ck_proj"))
+    q.processAllAvailable()
+    q.stop()
+
+    got, src = warehouse.routed_aggregate(spark, wh, proot, ["event_type", "content_type"])
+    assert src == "by_type"
+    whf = str(tmp_path / "wh_full")
+    warehouse.write_warehouse(enr, whf)
+    want, _ = warehouse.routed_aggregate(spark, whf, str(tmp_path / "noproj"), ["event_type", "content_type"])
+    nsort = lambda rows: sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+    assert nsort(map(tuple, got.collect())) == nsort(map(tuple, want.collect()))
