@@ -645,6 +645,36 @@ def start_uniques_sink(enriched: DataFrame, state_dir: str, checkpoint: str):
     )
 
 
+def start_topk_sink(
+    enriched: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    item_col: str = "content_id",
+    keys: tuple = ("event_type",),
+    m: int = 64,
+):
+    """Streaming maintenance of the mergeable topK heavy-hitter state
+    (operators/sketches.py topKState analog): each micro-batch builds
+    its own space-saving summary and merges it into the stored state —
+    state-cardinality work per batch, facts never re-scanned.  The
+    merge is additive in the bounds, so the shared epoch marker guards
+    restart re-delivery."""
+    from ..operators.sketches import merge_topk_increment
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if _epoch_already_applied(state_dir + "_meta", epoch, checkpoint):
+            return
+        merge_topk_increment(batch.sparkSession, state_dir, batch, item_col, list(keys), m)
+        _record_epoch(state_dir + "_meta", epoch, checkpoint)
+
+    return (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_projection_sink(enriched: DataFrame, proj_root: str, checkpoint: str):
     """Streaming maintenance of the warehouse PROJECTIONS
     (warehouse.define_projection catalog): each micro-batch folds into

@@ -113,3 +113,33 @@ def test_routed_aggregate_scans_projection_not_facts(spark, sf_dir, tmp_path):
     assert src == "by_type"
     plan = plan_string(df)
     assert "proj_audit" in plan and "wh_audit" not in plan, plan
+
+
+# Shuffle-count budgets for the heaviest headline queries: at 100 TB
+# every extra Exchange is a full re-shuffle of the working set, so a
+# regression that sneaks one in (a lost ReusedExchange, a broken
+# broadcast, an accidental repartition) should fail loudly here even
+# when the sf0.1 wall-clock hides it.  Budgets are the CURRENT plan's
+# exchange count, reviewed as the intended shape — not aspirational.
+SHUFFLE_BUDGET = {
+    "hourly_rollup": 3,       # feed repartition + agg + dim-compaction window
+    "dedup_latest": 3,
+    "trending_recent": 6,     # minute agg + topk window + retention anchor (reused) + dims
+    "dedup_minhash_lsh": 4,
+    "dedup_ngram_jaccard": 11,  # shingle build + df-cap + self-join + jaccard aggs
+    "tfidf_top_terms": 10,
+    "quality_signals": 2,
+    "funnel_levels": 2,       # seq-build agg + dim window
+}
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_count_within_budget(name, spark, sf_dir):
+    import re
+
+    plan = plan_string(QUERIES[name](spark, sf_dir))
+    # formatted-plan node headers: "(N) Exchange" = a real shuffle;
+    # BroadcastExchange nodes are deliberate and excluded
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} exchanges, budget {SHUFFLE_BUDGET[name]} — a shuffle crept in"
+    )

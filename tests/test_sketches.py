@@ -301,3 +301,40 @@ def test_uniques_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
         tol = max(5, 0.05 * (len(sets[a]) + len(sets[b])))
         assert abs(r["uniq_overlap"] - inter) <= tol, (a, b, r, inter)
         assert abs(r["uniq_union"] - len(sets[a] | sets[b])) <= tol
+
+
+def test_streaming_topk_sink_equals_batch_state(spark, sf_dir, tmp_path):
+    """Streamed topK maintenance ≡ one-shot state over the union (m
+    generous so no truncation), and the guaranteed top-k readout equals
+    the exact counts' top-k."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    enr = _enriched(spark, sf_dir).persist()
+    m = 1 + enr.select("content_id").distinct().count()
+    feed = str(tmp_path / "topk_feed")
+    os.makedirs(feed)
+    for fname, i in (("a.parquet", 0), ("b.parquet", 1), ("c.parquet", 2)):
+        enr.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/{fname}")
+    stream = (
+        spark.readStream.schema(enr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    state_dir = str(tmp_path / "topk_state_stream")
+    q = sp.start_topk_sink(stream, state_dir, str(tmp_path / "ck_topk"), m=m)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["event_type"], r["item"], r["lb"], r["ub"])
+        for r in spark.read.parquet(state_dir).collect()
+    )
+    want = sorted(
+        (r["event_type"], r["item"], r["lb"], r["ub"])
+        for r in sketches.topk_state(enr, "content_id", ["event_type"], m).collect()
+    )
+    assert got == want
