@@ -23,16 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 MONTH_COL = "event_month"
 
 
-def write_warehouse(enriched: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Write the enriched-events table monthly-partitioned, key-sorted."""
-    (
+def write_warehouse(
+    enriched: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    bloom_cols: list[str] | None = None,
+) -> None:
+    """Write the enriched-events table monthly-partitioned, key-sorted.
+
+    ``bloom_cols``: write parquet BLOOM FILTERS — the ClickHouse
+    ``bloom_filter`` skip-index analog.  Row-group min/max stats (the
+    sparse index) only skip when the column is clustered; blooms skip
+    row groups on ANY point predicate over a high-cardinality
+    unclustered column (user_id, content_id lookups on an
+    event_id-sorted table), at a few KB per column chunk.  The parquet
+    reader consults them during predicate pushdown with no query-side
+    change.  Both the per-column ``…#col`` key and the global enable
+    are set: this parquet build ignores the per-column form (verified
+    by byte-identical output), so requesting ANY bloom column enables
+    blooms for the whole file — the per-column keys are kept for
+    parquet versions that honor the finer grain."""
+    w = (
         enriched.withColumn(MONTH_COL, F.date_format("event_ts", "yyyyMM"))
         .repartition(F.col(MONTH_COL))
         .sortWithinPartitions("event_id")
         .write.mode(mode)
-        .partitionBy(MONTH_COL)
-        .parquet(path)
     )
+    if bloom_cols:
+        w = w.option("parquet.bloom.filter.enabled", "true")
+        for c in bloom_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.partitionBy(MONTH_COL).parquet(path)
 
 
 def read_warehouse(spark: SparkSession, path: str) -> DataFrame:

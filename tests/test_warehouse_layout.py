@@ -402,3 +402,26 @@ def test_streaming_projection_sink_equals_batch_rebuild(spark, sf_dir, tmp_path)
     want, _ = warehouse.routed_aggregate(spark, whf, str(tmp_path / "noproj"), ["event_type", "content_type"])
     nsort = lambda rows: sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
     assert nsort(map(tuple, got.collect())) == nsort(map(tuple, want.collect()))
+
+
+def test_bloom_filter_skip_index_analog(spark, tmp_path):
+    """ClickHouse bloom_filter skip-index analog: bloom-enabled columns
+    must actually serialize filters into the parquet files (bytes grow
+    vs the identical bloom-less write) and lookups stay correct with
+    the predicate pushed to the scan."""
+    import glob
+    import os
+
+    wh_plain = str(tmp_path / "wh_nobloom")
+    wh_bloom = str(tmp_path / "wh_bloom")
+    df = _month_table(spark, wh_plain)  # writes plain
+    warehouse.write_warehouse(df, wh_bloom, bloom_cols=["user_id", "content_id"])
+
+    size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/*/*.parquet"))
+    assert size(wh_bloom) > size(wh_plain), "bloom filters were not written"
+
+    lookup = warehouse.read_warehouse(spark, wh_bloom).where(F.col("user_id") == 5)
+    plan = plan_string(lookup)
+    assert "PushedFilters" in plan and "EqualTo(user_id,5)" in plan
+    want = df.where(F.col("user_id") == 5).count()
+    assert lookup.count() == want and want > 0
