@@ -105,13 +105,26 @@ def _user_step_seqs(
     )
 
 
-def _dp_update(acc: Column, x: Column, k: int, window_us: Optional[int]) -> list[Column]:
+def _dp_update(
+    acc: Column,
+    x: Column,
+    k: int,
+    window_us: Optional[int],
+    read: Optional[Column] = None,
+) -> list[Column]:
     """One event's dp transition — the SINGLE definition of the
     windowFunnel update, shared by the direct fold and the
-    segment-state fold so the segmented≡direct invariant can't drift."""
+    segment-state fold so the segmented≡direct invariant can't drift.
+
+    ``read`` (default ``acc``) is where extension SOURCES come from
+    while updates land in ``acc`` — the strict_increase path reads the
+    state committed before the current timestamp group so same-ts
+    events can't chain onto each other."""
+    if read is None:
+        read = acc
     out = [F.when(x["s"] == 1, F.greatest(acc[0], x["ts"])).otherwise(acc[0])]
     for i in range(2, k + 1):
-        prev, cur = acc[i - 2], acc[i - 1]
+        prev, cur = read[i - 2], acc[i - 1]
         cond = (x["s"] == i) & prev.isNotNull()
         if window_us is not None:
             cond = cond & ((x["ts"] - prev) <= F.lit(window_us))
@@ -128,28 +141,140 @@ def _funnel_dp(seq: Column, k: int, window_us: Optional[int]) -> Column:
     )
 
 
+_FUNNEL_MODES = ("strict_increase", "strict_dedup", "strict_order")
+
+
+def _strict_funnel_dp(
+    seq: Column, k: int, window_us: Optional[int], modes: Sequence[str]
+) -> Column:
+    """The windowFunnel fold under ClickHouse's strict modes.  Pinned
+    semantics (scan = sorted (ts, s) order; s=0 rows, present only
+    under strict_order, are events matching no condition):
+
+    - ``strict_dedup``   — an event whose condition's level is ALREADY
+      reached (dp[s] non-null) stops the search; the level so far is
+      final ("a repeating event interrupts further search").
+    - ``strict_order``   — once a step-1 event has been seen, any event
+      that does not extend a live chain (matches no condition, or its
+      predecessor level is empty) stops the search.  Step-1 events
+      never interrupt (they restart chains), and a window-failed
+      step-s event with a live predecessor does not interrupt either.
+    - ``strict_increase`` — chain timestamps must STRICTLY increase:
+      extensions read the dp state committed before the current
+      timestamp group, so same-ts events cannot chain onto each other
+      (on distinct timestamps this equals the base semantics).
+
+    Stop modes never retract dp entries, so dp stays a prefix and the
+    level readout is unchanged.  State is
+    struct(ts, stopped, com[k], pen[k]): ``pen`` is current, ``com``
+    the pre-group commit (tracked only under strict_increase).
+    Cross-checked against brute-force chain enumeration in
+    tests/test_behavioral.py."""
+    bad = set(modes) - set(_FUNNEL_MODES)
+    if bad:
+        raise ValueError(f"unknown funnel modes {sorted(bad)}; known: {_FUNNEL_MODES}")
+    si = "strict_increase" in modes
+    sd = "strict_dedup" in modes
+    so = "strict_order" in modes
+
+    def update(acc: Column, x: Column) -> Column:
+        rolled = acc["ts"] != x["ts"]
+        com = (
+            F.when(rolled, acc["pen"]).otherwise(acc["com"]) if si else acc["pen"]
+        )
+        read = com if si else acc["pen"]
+        pen = acc["pen"]
+        stop = F.lit(False)
+        if sd:
+            # x["s"] is 1-based; pen[s-1] = chain already at this level.
+            # greatest(s, 1) keeps the index legal on s=0 rows (present
+            # under a combined strict_order mode); the s >= 1 conjunct
+            # discards the probe's value there.
+            lvl = F.element_at(pen, F.greatest(x["s"], F.lit(1)).cast("int"))
+            stop = stop | ((x["s"] >= 1) & lvl.isNotNull())
+        if so:
+            first_seen = pen[0].isNotNull()
+            prev_lvl = F.element_at(
+                read, F.greatest(x["s"] - 1, F.lit(1)).cast("int")
+            )
+            extendable = F.when(x["s"] == 1, F.lit(True)).otherwise(
+                (x["s"] >= 2) & prev_lvl.isNotNull()
+            )
+            stop = stop | (first_seen & ~extendable)
+        new_pen = F.array(*_dp_update(pen, x, k, window_us, read=read))
+        stopped = acc["stopped"] | stop
+        return F.struct(
+            x["ts"].alias("ts"),
+            stopped.alias("stopped"),
+            (com if si else F.lit(None).cast("array<bigint>")).alias("com"),
+            F.when(acc["stopped"] | stop, acc["pen"]).otherwise(new_pen).alias("pen"),
+        )
+
+    nulls = f"array_repeat(CAST(NULL AS BIGINT), {k})"
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("ts"),
+        F.lit(False).alias("stopped"),
+        F.expr(nulls).alias("com"),
+        F.expr(nulls).alias("pen"),
+    )
+    return F.aggregate(seq, init, update)["pen"]
+
+
 def funnel_levels(
     engagement: DataFrame,
     steps: Sequence[str],
     window_s: Optional[int] = 86400,
+    modes: Sequence[str] = (),
 ) -> DataFrame:
     """``windowFunnel`` analog: per user, the deepest funnel level
     reached — the longest ``steps`` prefix completed by a
     non-decreasing-ts event chain spanning at most ``window_s``
     seconds (``None`` = unbounded, the pure sequence form).
 
+    ``modes`` ⊆ {'strict_increase', 'strict_dedup', 'strict_order'}
+    mirrors ClickHouse's ``windowFunnel(window, mode, …)`` arguments —
+    see ``_strict_funnel_dp`` for the pinned semantics.  Under
+    strict_order ALL of the user's events shuffle (non-step events can
+    interrupt the search, so they must be observed — the same cost
+    ClickHouse pays); every other mode keeps the step-only scan filter.
+
     Returns (user_id, funnel_level) for every user with at least one
     step event; users whose events never include step 1 report 0.
     """
     k = len(steps)
     window_us = None if window_s is None else int(window_s) * 1_000_000
-    dp = _funnel_dp(F.col("seq"), k, window_us)
-    return (
-        _user_step_seqs(engagement, steps)
-        .select(
-            "user_id",
-            F.size(F.filter(dp, lambda v: v.isNotNull())).cast("long").alias("funnel_level"),
-        )
+    if not modes:
+        dp = _funnel_dp(F.col("seq"), k, window_us)
+        seqs = _user_step_seqs(engagement, steps)
+    else:
+        dp = _strict_funnel_dp(F.col("seq"), k, window_us, modes)
+        if "strict_order" in modes:
+            seqs = _user_all_event_seqs(engagement, steps)
+        else:
+            seqs = _user_step_seqs(engagement, steps)
+    return seqs.select(
+        "user_id",
+        F.size(F.filter(dp, lambda v: v.isNotNull())).cast("long").alias("funnel_level"),
+    )
+
+
+def _user_all_event_seqs(engagement: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """strict_order's sequence builder: every event of the user, with
+    s=0 for events matching no funnel condition (they interrupt the
+    search but never extend it).  Ties sort (ts, s), so a same-ts
+    non-step event is scanned before the step events at that ts."""
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct event types, got {list(steps)}")
+    evs = engagement.where(F.col("event_ts").isNotNull())
+    return evs.groupBy(F.col("user_id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("event_ts").alias("ts"),
+                    F.coalesce(_step_expr(steps), F.lit(0).cast("long")).alias("s"),
+                )
+            )
+        ).alias("seq")
     )
 
 
@@ -157,6 +282,7 @@ def funnel_conversion(
     engagement: DataFrame,
     steps: Sequence[str],
     window_s: Optional[int] = 86400,
+    modes: Sequence[str] = (),
 ) -> DataFrame:
     """Per-level conversion readout: for each level 1..k, how many
     users reached AT LEAST that level — levels nobody reached report
@@ -164,7 +290,7 @@ def funnel_conversion(
     second aggregate is over one row per user — negligible next to
     the funnel shuffle."""
     k = len(steps)
-    levels = funnel_levels(engagement, steps, window_s)
+    levels = funnel_levels(engagement, steps, window_s, modes)
     lv = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("level")
     return (
         levels.select(F.col("funnel_level"), lv)

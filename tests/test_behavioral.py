@@ -684,3 +684,159 @@ def test_sequence_pattern_parser_rejects_bad_input(spark):
     for bad in ["", "(?t<5)(?1)", "(?1)(?t<5)", "(?4)", "(?1)(?t==5)(?2)", "(?1)x(?2)"]:
         with pytest.raises(ValueError):
             behavioral.parse_sequence_pattern(bad, 3)
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel strict modes — the Spark fold vs an INDEPENDENT
+# exhaustive chain-set reference (no dp, no dominance: it materializes
+# every valid chain, so a dominance or stop-ordering bug in the fold
+# cannot be mirrored here).
+# ---------------------------------------------------------------------------
+
+_MODE_SETS = [
+    (),
+    ("strict_increase",),
+    ("strict_dedup",),
+    ("strict_order",),
+    ("strict_increase", "strict_dedup"),
+    ("strict_increase", "strict_order"),
+    ("strict_dedup", "strict_order"),
+    ("strict_increase", "strict_dedup", "strict_order"),
+]
+
+
+def _strict_ref_level(events, k, w, modes):
+    """Pinned strict-mode semantics by exhaustive chain tracking.
+    events: (ts, s) with s in 0..k (0 = matches no condition); w in
+    the same time unit as ts (None = unbounded)."""
+    si = "strict_increase" in modes
+    sd = "strict_dedup" in modes
+    so = "strict_order" in modes
+    if not so:
+        events = [e for e in events if e[1] >= 1]
+    evs = sorted(events)
+    committed: set = {()}
+    live: set = {()}
+    best = 0
+    cur_ts = None
+    for ts, s in evs:
+        if si and ts != cur_ts:
+            committed = set(live)
+            cur_ts = ts
+        read = committed if si else live
+        if sd and s >= 1 and any(len(c) == s for c in live):
+            return best
+        if so:
+            first_seen = any(len(c) == 1 for c in live)
+            extendable = s == 1 or (s >= 2 and any(len(c) == s - 1 for c in read))
+            if first_seen and not extendable:
+                return best
+        new = set()
+        if s == 1:
+            new.add(((ts, 1),))
+        elif s >= 2:
+            for c in read:
+                if len(c) != s - 1:
+                    continue
+                if w is not None and ts - c[0][0] > w:
+                    continue
+                if si and ts <= c[-1][0]:
+                    continue
+                new.add(c + ((ts, s),))
+        if new:
+            best = max(best, max(len(c) for c in new))
+        live |= new
+    return best
+
+
+def test_strict_funnel_modes_match_chain_reference(spark):
+    """120 seeded-random users (heavy ties, interleaved non-step
+    events) x 8 mode subsets x 2 windows, Spark vs the chain-set
+    reference."""
+    import random
+
+    rng = random.Random(20260814)
+    types = ["view", "click", "purchase", "other1", "other2"]
+    step_of = {"view": 1, "click": 2, "purchase": 3}
+    cases = {}
+    rows = []
+    for u in range(120):
+        uid = f"u{u:03d}"
+        n = rng.randint(0, 10)
+        evs = [(rng.randint(0, 12), rng.choice(types)) for _ in range(n)]
+        cases[uid] = [(ts, step_of.get(t, 0)) for ts, t in evs]
+        rows += [
+            (uid, t, datetime.datetime(2024, 1, 1, 0, 0, ts)) for ts, t in evs
+        ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, event_ts timestamp"
+    ).cache()
+    try:
+        for modes in _MODE_SETS:
+            for w in (None, 5):
+                got = {
+                    r["user_id"]: r["funnel_level"]
+                    for r in behavioral.funnel_levels(
+                        df, STEPS, window_s=w, modes=modes
+                    ).collect()
+                }
+                for uid, evs in cases.items():
+                    want = _strict_ref_level(evs, 3, w, modes)
+                    assert got.get(uid, 0) == want, (
+                        f"user {uid} modes={modes} w={w}: spark="
+                        f"{got.get(uid, 0)} ref={want} events={sorted(evs)}"
+                    )
+    finally:
+        df.unpersist()
+
+
+def test_strict_funnel_pinned_micro_semantics(spark):
+    def ev(user, etype, second):
+        return (user, etype, datetime.datetime(2024, 1, 1, 0, 0, second))
+
+    rows = [
+        # o1: view,click,OTHER,purchase -> strict_order stops at the
+        # non-step event (level 2); base reaches 3
+        ev("o1", "view", 0), ev("o1", "click", 1), ev("o1", "other", 2),
+        ev("o1", "purchase", 3),
+        # o2: leading non-extending events BEFORE the first view never
+        # interrupt (first_seen gate) -> level 1
+        ev("o2", "click", 1), ev("o2", "purchase", 2), ev("o2", "view", 3),
+        # o3: a step-1 restart is invisible to strict_order -> level 3
+        ev("o3", "view", 0), ev("o3", "click", 1), ev("o3", "view", 2),
+        ev("o3", "purchase", 3),
+        # d1: repeated view at an already-reached level stops the
+        # search under strict_dedup (level 2); base reaches 3
+        ev("d1", "view", 0), ev("d1", "click", 1), ev("d1", "view", 2),
+        ev("d1", "purchase", 3),
+        # i1: click ties the view timestamp -> cannot chain under
+        # strict_increase (level 1); base counts the tie (level 3)
+        ev("i1", "view", 5), ev("i1", "click", 5), ev("i1", "purchase", 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, event_ts timestamp")
+
+    def levels(modes):
+        return {
+            r["user_id"]: r["funnel_level"]
+            for r in behavioral.funnel_levels(df, STEPS, window_s=10, modes=modes).collect()
+        }
+
+    base = levels(())
+    assert base["o1"] == 3 and base["d1"] == 3 and base["i1"] == 3
+    so = levels(("strict_order",))
+    assert so["o1"] == 2 and so["o2"] == 1 and so["o3"] == 3
+    sd = levels(("strict_dedup",))
+    assert sd["d1"] == 2 and sd["o1"] == 3
+    si = levels(("strict_increase",))
+    assert si["i1"] == 1 and si["o1"] == 3
+
+
+def test_strict_funnel_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("u", "view", datetime.datetime(2024, 1, 1))],
+        "user_id string, event_type string, event_ts timestamp",
+    )
+    with _pytest.raises(ValueError, match="unknown funnel modes"):
+        behavioral.funnel_levels(df, STEPS, modes=("strict_bogus",)).collect()
