@@ -604,7 +604,13 @@ def funnel_segment_states(
 
     At scale this is the map side of the funnel: each time partition
     is scanned once, independently, and emits O(k^2) longs per active
-    user — the shuffle carries summaries, never event lists."""
+    user — the shuffle carries summaries, never event lists.
+
+    Strict modes are direct-fold only (``funnel_levels(modes=...)``):
+    their stop-the-search semantics depend on global scan position, so
+    a segment summary can't carry them without also carrying where in
+    the segment the stop fired — ClickHouse's own -State form has the
+    same coupling (it re-buffers raw event lists)."""
     if segment is None:
         segment = F.date_trunc("day", F.col("event_ts"))
     k = len(steps)
