@@ -358,3 +358,17 @@ def histogram_quantiles(
         + (F.col("_h.target").cast("double") - below) / F.col("_h.cnt").cast("double")
     )
     return hit.select(*keys, "q", F.round(est, 6).alias("quantile"))
+
+
+def uniq_up_to(col, n: int):
+    """ClickHouse ``uniqUpTo(N)(x)`` analog: the EXACT distinct count
+    while it is <= N, pinned to N+1 beyond — the cheap "are there more
+    than N distinct values?" probe (reference deploys ClickHouse, whose
+    SQL surface includes it).  Use inside ``groupBy(...).agg(...)``.
+
+    Scale note: ClickHouse's state caps at N+1 stored values; Spark's
+    partial distinct aggregation dedups map-side but does not cap, so
+    for high-cardinality groups where only the capped answer matters
+    prefer the HLL ``uniqState`` family above (bounded state, ~1.6 %
+    error) — this helper is for small-N exact probes."""
+    return F.least(F.count_distinct(col), F.lit(int(n) + 1)).cast("long")

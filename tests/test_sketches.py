@@ -338,3 +338,34 @@ def test_streaming_topk_sink_equals_batch_state(spark, sf_dir, tmp_path):
         for r in sketches.topk_state(enr, "content_id", ["event_type"], m).collect()
     )
     assert got == want
+
+
+def test_uniq_up_to_matches_duckdb(spark, sf_dir, ducks):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.sketches import uniq_up_to
+
+    eng = entrymod._engagement(spark, sf_dir)
+    for n in (3, 50, 10_000):
+        sdf = eng.groupBy("event_type").agg(
+            uniq_up_to(F.col("user_id"), n).alias("uniq_capped")
+        )
+        srows = [tuple(r) for r in sdf.collect()]
+        res = ducks.sql(
+            q(
+                "SELECT event_type, "
+                f"least(count(DISTINCT user_id), {n + 1})::BIGINT AS uniq_capped "
+                "FROM engagement GROUP BY event_type"
+            )
+        )
+        problems = compare(
+            sdf.columns, srows, [d[0] for d in res.description], res.fetchall()
+        )
+        assert not problems, f"n={n}: " + " | ".join(problems)
+        assert srows
+    # the cap genuinely binds at n=3 on this fixture
+    capped = dict(
+        (r[0], r[1])
+        for r in eng.groupBy("event_type")
+        .agg(uniq_up_to(F.col("user_id"), 3).alias("u"))
+        .collect()
+    )
+    assert all(v == 4 for v in capped.values())
