@@ -170,6 +170,8 @@ def _strict_funnel_dp(
     the pre-group commit (tracked only under strict_increase).
     Cross-checked against brute-force chain enumeration in
     tests/test_behavioral.py."""
+    if isinstance(modes, str):
+        modes = (modes,)
     bad = set(modes) - set(_FUNNEL_MODES)
     if bad:
         raise ValueError(f"unknown funnel modes {sorted(bad)}; known: {_FUNNEL_MODES}")
@@ -241,6 +243,8 @@ def funnel_levels(
     Returns (user_id, funnel_level) for every user with at least one
     step event; users whose events never include step 1 report 0.
     """
+    if isinstance(modes, str):  # a bare mode string iterates as chars
+        modes = (modes,)
     k = len(steps)
     window_us = None if window_s is None else int(window_s) * 1_000_000
     if not modes:
@@ -249,7 +253,12 @@ def funnel_levels(
     else:
         dp = _strict_funnel_dp(F.col("seq"), k, window_us, modes)
         if "strict_order" in modes:
-            seqs = _user_all_event_seqs(engagement, steps)
+            # all events shuffle (non-step events interrupt), but the
+            # output contract stays "users with >= 1 step event" —
+            # same cardinality as every other mode
+            seqs = _user_all_event_seqs(engagement, steps).where(
+                F.exists("seq", lambda x: x["s"] >= 1)
+            )
         else:
             seqs = _user_step_seqs(engagement, steps)
     return seqs.select(

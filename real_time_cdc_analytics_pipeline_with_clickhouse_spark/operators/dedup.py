@@ -742,15 +742,17 @@ def sign_lsh_bucket(vec, bits: int = 8, dim: int = LSH_DIM, seed: str = LSH_SEED
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, bits: int | None = 8
+    embeddings: DataFrame, threshold: float = 0.9, bits: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, bucketed by random-hyperplane LSH.
 
     Only pairs inside the same hyperplane-sign bucket are scored — at
     100 TB the bucket key is the shuffle key and each bucket is small.
-    Pass ``bits=None`` to size the bucket space from the corpus count
-    (``lsh_bits_for``) so mean occupancy stays executor-bounded as the
-    corpus grows (one extra count job).  A high-cosine pair straddling
+    The default ``bits=None`` sizes the bucket space from the corpus
+    count (``lsh_bits_for``) so mean occupancy stays executor-bounded
+    as the corpus grows (one extra count job) — the scale-safe path is
+    the one you get without thinking; pass explicit ``bits`` only to
+    pin a reproducible bucket space (the oracle gate queries do).  A high-cosine pair straddling
     one hyperplane (near-zero projection flips sign between the two
     vectors) lands in different buckets and is missed;
     ``multiprobe_embedding_near_dup_pairs`` recovers those.
@@ -777,7 +779,7 @@ def embedding_near_dup_pairs(
 
 
 def multiprobe_embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, bits: int | None = 8
+    embeddings: DataFrame, threshold: float = 0.9, bits: int | None = None
 ) -> DataFrame:
     """Sign-LSH near-dup with radius-1 multi-probe: each vector also
     probes the ``bits`` buckets one sign-flip away, so a pair split by

@@ -104,12 +104,13 @@ def quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> Dat
 
 
 def ivf_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, bits: int | None = 6
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, bits: int | None = None
 ) -> DataFrame:
     """Approximate top-k: probe only the query's random-hyperplane
-    bucket.  ``bits=None`` sizes the bucket space from the corpus count
-    (``lsh_bits_for``), keeping per-bucket scoring work bounded as the
-    corpus grows; ``ivf_kmeans_topk`` is the learned-centroid variant
+    bucket.  The default ``bits=None`` sizes the bucket space from the
+    corpus count (``lsh_bits_for``), keeping per-bucket scoring work
+    bounded as the corpus grows (pass explicit bits only to pin a
+    reproducible bucket space — the oracle gate does); ``ivf_kmeans_topk`` is the learned-centroid variant
     with explicit ``n_probe`` recall control."""
     if bits is None:
         bits = lsh_bits_for(embeddings.count())

@@ -371,4 +371,6 @@ def uniq_up_to(col, n: int):
     for high-cardinality groups where only the capped answer matters
     prefer the HLL ``uniqState`` family above (bounded state, ~1.6 %
     error) — this helper is for small-N exact probes."""
+    if int(n) < 1:
+        raise ValueError(f"uniqUpTo requires N >= 1, got {n}")
     return F.least(F.count_distinct(col), F.lit(int(n) + 1)).cast("long")

@@ -265,18 +265,25 @@ def apply_ttl(
 
     rows_expired = 0
     if expired is not None:
-        if rollup_path is not None:
-            run_id = spark.range(1).select(
-                F.date_format(cutoff, "yyyyMMddHHmmss")
-            ).first()[0]
-            run_dir = os.path.join(rollup_path, f"run={run_id}")
-            # write-once: drops only start after this commit (_SUCCESS),
-            # so a committed run partition always reflects the COMPLETE
-            # expired set for its cutoff; a replay after partial drops
-            # must not rewrite it from the mutated facts
-            if not os.path.isfile(os.path.join(run_dir, "_SUCCESS")):
-                _partial_rollup(expired).write.mode("overwrite").parquet(run_dir)
-        rows_expired = expired.count()
+        # the expired set is read twice (rollup fold + count) — persist
+        # so the boundary-month scan and filter run once
+        expired = expired.persist()
+        try:
+            if rollup_path is not None:
+                run_id = spark.range(1).select(
+                    F.date_format(cutoff, "yyyyMMddHHmmss")
+                ).first()[0]
+                run_dir = os.path.join(rollup_path, f"run={run_id}")
+                # write-once: drops only start after this commit
+                # (_SUCCESS), so a committed run partition always
+                # reflects the COMPLETE expired set for its cutoff; a
+                # replay after partial drops must not rewrite it from
+                # the mutated facts
+                if not os.path.isfile(os.path.join(run_dir, "_SUCCESS")):
+                    _partial_rollup(expired).write.mode("overwrite").parquet(run_dir)
+            rows_expired = expired.count()
+        finally:
+            expired.unpersist()
 
     rewritten = None
     if boundary is not None:
