@@ -252,8 +252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = lambda spark, sf: dedup.dedup_clusters(_docs_dup(spark, sf))
     q["fuzzy_dedup_keep"] = lambda spark, sf: dedup.fuzzy_dedup_keep(_docs_dup(spark, sf))
     q["simhash_pairs"] = lambda spark, sf: dedup.simhash_dup_pairs(_docs_dup(spark, sf))
+    # bits pinned explicitly: the DuckDB oracle embeds an 8-bit (resp.
+    # 6-bit) plane table as literals, so the gate must not follow the
+    # adaptive corpus-sized default (lsh_bits_for) — see oracle.py.
     q["embedding_near_dup"] = lambda spark, sf: dedup.embedding_near_dup_pairs(
-        _embs_dup(spark, sf), threshold=0.9
+        _embs_dup(spark, sf), threshold=0.9, bits=8
     )
     q["ann_bruteforce_topk"] = lambda spark, sf: similarity.brute_force_topk(
         load_table(spark, sf, "embeddings"),
@@ -262,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
         load_table(spark, sf, "embeddings"),
         similarity.default_queries(load_table(spark, sf, "embeddings")),
+        bits=6,
     )
     q["ann_quantized_topk"] = lambda spark, sf: similarity.quantized_topk(
         load_table(spark, sf, "embeddings"),

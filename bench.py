@@ -209,6 +209,34 @@ def main() -> None:
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 timings[f"_scale10x_{name}"] = round(best, 3)
+
+            # adaptive-bits twin probes: the gate lambdas pin bits for
+            # oracle reproducibility, so the corpus-sized default path
+            # (lsh_bits_for) gets its own timing here — the r5 verdict's
+            # requirement that adaptive sizing never regress the fixed
+            # bucket space at bench scale
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                dedup as DD,
+                similarity as SIM,
+            )
+
+            emb10 = spark.read.parquet(f"{scale_dir}/embeddings.parquet")
+            adaptive = {
+                "embedding_near_dup_adaptive": lambda: DD.embedding_near_dup_pairs(
+                    emb10, threshold=0.9
+                ),
+                "ann_ivf_topk_adaptive": lambda: SIM.ivf_topk(
+                    emb10, SIM.default_queries(emb10)
+                ),
+            }
+            for name, build in adaptive.items():
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    build().write.mode("overwrite").format("noop").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                timings[f"_scale10x_{name}"] = round(best, 3)
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 

@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.vector import dot, norm
-from .dedup import lsh_bits_for, sign_lsh_bucket
+from .dedup import corpus_rows, lsh_bits_for, sign_lsh_bucket
 
 
 def default_queries(embeddings: DataFrame, every: int = 100) -> DataFrame:
@@ -113,7 +113,7 @@ def ivf_topk(
     reproducible bucket space — the oracle gate does); ``ivf_kmeans_topk`` is the learned-centroid variant
     with explicit ``n_probe`` recall control."""
     if bits is None:
-        bits = lsh_bits_for(embeddings.count())
+        bits = lsh_bits_for(corpus_rows(embeddings))
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = embeddings.repartition(par).select(
         "vec_id", "embedding",

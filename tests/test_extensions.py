@@ -342,13 +342,19 @@ def test_multiprobe_embedding_near_dup_superset_and_boundary_recall(spark, sf_di
     )
     corpus = emb.unionByName(twin_df)
 
+    # bits=8 pinned: the twin construction above reflects each vector
+    # across ONE of the 8-bit plane table's hyperplanes, so the
+    # hamming-1 invisibility claim only holds in that bucket space (the
+    # adaptive default would pick fewer bits for this 300-row corpus).
     single = {
         (r["vec_a"], r["vec_b"])
-        for r in dedup.embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+        for r in dedup.embedding_near_dup_pairs(corpus, threshold=0.9, bits=bits).collect()
     }
     multi = {
         (r["vec_a"], r["vec_b"])
-        for r in dedup.multiprobe_embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+        for r in dedup.multiprobe_embedding_near_dup_pairs(
+            corpus, threshold=0.9, bits=bits
+        ).collect()
     }
     assert single <= multi
     twin_pairs = {(i, i + 500000) for i in twin_ids}
@@ -406,9 +412,61 @@ def test_lsh_planes_deterministic_and_prefix_stable():
     assert all(v in (-1, 1) for row in p8 for v in row)
     # every plane mixes both signs (not degenerate)
     assert all(len(set(row)) == 2 for row in p8)
-    assert dedup.lsh_bits_for(1000) == 4  # below target → lo clamp
+    assert dedup.lsh_bits_for(1000) == 4  # near target → lo clamp
     assert dedup.lsh_bits_for(10**9, target_bucket=4096) == 18
     assert dedup.lsh_bits_for(10**12) == 24  # hi clamp
+    # throughput-sized default: 256 mean occupancy, not 4096 — a 55k
+    # corpus (the 10× bench probe) gets 8 bits / 256 buckets, i.e.
+    # adaptive sizing reproduces the hand-tuned fixed value at bench
+    # scale instead of regressing it (the r5 bench finding)
+    assert dedup.lsh_bits_for(55_000) == 8
+    assert dedup.lsh_bits_for(10**9) == 22
+
+
+def test_default_bits_path_calls_lsh_bits_for(spark, sf_dir, monkeypatch):
+    """The no-``bits`` default of every sign-LSH operator must size the
+    bucket space from the corpus via ``lsh_bits_for`` (the scale-safe
+    path), and an explicit ``bits`` must bypass the sizer entirely (the
+    reproducible-oracle path)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    calls = []
+    real = dedup.lsh_bits_for
+
+    def spy(n_rows, *a, **kw):
+        calls.append(n_rows)
+        return real(n_rows, *a, **kw)
+
+    monkeypatch.setattr(dedup, "lsh_bits_for", spy)
+    monkeypatch.setattr(similarity, "lsh_bits_for", spy)
+
+    dedup.embedding_near_dup_pairs(emb)
+    dedup.multiprobe_embedding_near_dup_pairs(emb)
+    q = similarity.default_queries(emb, every=10)
+    similarity.ivf_topk(emb, q)
+    assert calls == [50, 50, 50], calls
+
+    calls.clear()
+    dedup.embedding_near_dup_pairs(emb, bits=8)
+    similarity.ivf_topk(emb, q, bits=6)
+    assert calls == [], "explicit bits must not invoke the sizer"
+
+
+def test_corpus_rows_memoizes_by_semantic_hash(spark, sf_dir):
+    """``corpus_rows`` runs the count job once per distinct plan: a
+    re-constructed but semantically identical DataFrame hits the cache
+    (benchmarks re-build the same lineage every iteration)."""
+    a = load_table(spark, sf_dir, "embeddings").limit(40)
+    b = load_table(spark, sf_dir, "embeddings").limit(40)
+    assert a.semanticHash() == b.semanticHash()
+    dedup._CORPUS_ROWS_CACHE.pop(a.semanticHash(), None)
+    assert dedup.corpus_rows(a) == 40
+    dedup._CORPUS_ROWS_CACHE[b.semanticHash()] = -1  # sentinel: must not re-count
+    assert dedup.corpus_rows(b) == -1
+    dedup._CORPUS_ROWS_CACHE.pop(b.semanticHash(), None)
 
 
 def test_semantic_dedup_finds_clone_clusters_and_keeps_one(spark):
