@@ -395,10 +395,10 @@ def parse_sequence_pattern(pattern: str, n_conds: int):
     condition-matching event), ``{"op", "sec"}`` (a ``(?t…)`` time
     bound, any number of events between), or ``{}`` (``.*``, any gap).
 
-    ``==`` is rejected: the single-candidate dominance DP below keeps
-    one best prefix match per atom (latest or earliest by the next
-    edge's direction), which is exact for one-sided bounds but not for
-    equality."""
+    ``==`` parses like the other operators; the evaluator routes
+    equality-edged patterns to the candidate-LIST DP (the
+    single-candidate dominance DP is exact only for one-sided
+    bounds)."""
     atoms: list[int] = []
     edges: list[dict] = []
     pending: dict | None = None
@@ -423,8 +423,6 @@ def parse_sequence_pattern(pattern: str, n_conds: int):
             pending = None
             saw_gap_since_atom = False
         elif m.group(2) is not None:
-            if m.group(2) == "==":
-                raise ValueError("(?t==n) is not supported (see docstring)")
             if not atoms:
                 raise ValueError("time condition before the first (?N)")
             pending = {"op": m.group(2), "sec": int(m.group(3))}
@@ -440,15 +438,15 @@ def parse_sequence_pattern(pattern: str, n_conds: int):
 
 
 def sequence_match_pattern(
-    engagement: DataFrame, steps: Sequence[str], pattern: str
+    engagement: DataFrame, steps: Sequence[str], pattern: str, cap: int = 64
 ) -> DataFrame:
     """Full ``sequenceMatch(pattern)(ts, cond1, …)`` analog: per user,
     TRUE iff the user's step events contain a match of ``pattern``,
     where condition N is ``event_type == steps[N-1]``.  Supported
     syntax (the ClickHouse operators): ``(?N)``, ``.*``, direct
     adjacency (``(?1)(?2)`` — the next condition-matching event), and
-    ``(?t<n) (?t<=n) (?t>n) (?t>=n)`` time bounds in seconds.  As in
-    ClickHouse, events matching NO condition are invisible to
+    ``(?t<n) (?t<=n) (?t>n) (?t>=n) (?t==n)`` time bounds in seconds.
+    As in ClickHouse, events matching NO condition are invisible to
     adjacency.
 
     Exactness: one in-order scan per user (same single-shuffle shape as
@@ -460,8 +458,19 @@ def sequence_match_pattern(
     scan is exact (randomized brute-force cross-check in
     tests/test_behavioral.py).  Atoms may repeat a condition
     (``(?1)(?1)``); an event advances at most one prefix per scan step
-    (updates run highest-prefix-first against pre-event state)."""
+    (updates run highest-prefix-first against pre-event state).
+
+    ``(?t==n)`` edges defeat single-candidate dominance (no ordering
+    of prefix matches is universally best against an equality), so
+    equality-edged patterns route to a candidate-LIST DP: up to
+    ``cap`` (ts, idx) prefix matches are retained per atom.  A user
+    whose list overflows AND ends unmatched fails LOUDLY
+    (``raise_error``) instead of returning a silent false negative —
+    a kept candidate that completes is always a real match, so
+    matched=True is sound even past the cap."""
     atoms, edges = parse_sequence_pattern(pattern, len(steps))
+    if any(e.get("op") == "==" for e in edges):
+        return _sequence_match_candidates(engagement, steps, atoms, edges, cap)
     k = len(atoms)
 
     def keep_late(i: int) -> bool:
@@ -509,6 +518,87 @@ def sequence_match_pattern(
     fold = F.aggregate(F.col("seq"), init, update)
     return _user_step_seqs(engagement, steps).select(
         "user_id", fold["ts"][k - 1].isNotNull().alias("matched")
+    )
+
+
+def _sequence_match_candidates(
+    engagement: DataFrame, steps: Sequence[str], atoms, edges, cap: int
+) -> DataFrame:
+    """Candidate-list evaluator for patterns with ``(?t==n)`` edges
+    (see ``sequence_match_pattern``): per atom a bounded list of
+    achievable (last-ts, last-idx) prefix matches.  An event matching
+    atom i appends one candidate iff SOME candidate of atom i-1
+    satisfies the connecting edge (``F.exists`` over the pre-event
+    list — the higher-order function runs JVM-side, no UDF).  Lists
+    keep their EARLIEST ``cap`` entries; dropping can only lose
+    potential matches, so the overflow flag turns an unmatched verdict
+    into a loud error rather than ever flipping a matched one."""
+    k = len(atoms)
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+
+    def update(acc: Column, x: Column) -> Column:
+        n = acc["n"]
+        over = acc["over"]
+        new_lists = []
+        for i in range(k):  # all reads from pre-event acc
+            lst = acc["c"][i]
+            cond = x["s"] == atoms[i]
+            if i > 0:
+                prev = acc["c"][i - 1]
+                e = edges[i - 1]
+                if e.get("adjacent"):
+                    ok = F.exists(prev, lambda c: c["idx"] == n - 1)
+                elif e.get("op"):
+                    bound = F.lit(int(e["sec"]) * 1_000_000)
+                    op = e["op"]
+                    ok = F.exists(
+                        prev,
+                        lambda c: {
+                            "<": (x["ts"] - c["ts"]) < bound,
+                            "<=": (x["ts"] - c["ts"]) <= bound,
+                            ">": (x["ts"] - c["ts"]) > bound,
+                            ">=": (x["ts"] - c["ts"]) >= bound,
+                            "==": (x["ts"] - c["ts"]) == bound,
+                        }[op],
+                    )
+                else:
+                    ok = F.size(prev) > 0
+                cond = cond & ok
+            appended = F.concat(
+                lst, F.array(F.struct(x["ts"].alias("ts"), n.alias("idx")))
+            )
+            grown = F.when(cond, appended).otherwise(lst)
+            over = over | (F.size(grown) > cap)
+            new_lists.append(F.slice(grown, 1, cap))
+        return F.struct(
+            (n + 1).alias("n"), F.array(*new_lists).alias("c"), over.alias("over")
+        )
+
+    empty = "CAST(array() AS ARRAY<STRUCT<ts: BIGINT, idx: BIGINT>>)"
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.expr(f"array_repeat({empty}, {k})").alias("c"),
+        F.lit(False).alias("over"),
+    )
+    fold = F.aggregate(F.col("seq"), init, update)
+    matched = F.size(fold["c"][k - 1]) > 0
+    loud = F.raise_error(
+        F.concat(
+            F.lit(
+                f"sequence_match_pattern: candidate list overflowed cap={cap} "
+                "for user_id="
+            ),
+            F.col("user_id").cast("string"),
+            F.lit(" with no match found — the verdict would be unreliable; raise cap"),
+        )
+    )
+    return _user_step_seqs(engagement, steps).select(
+        "user_id",
+        F.when(matched, F.lit(True))
+        .when(fold["over"], loud.cast("boolean"))
+        .otherwise(F.lit(False))
+        .alias("matched"),
     )
 
 

@@ -1,0 +1,198 @@
+"""Persistent learned-IVF ANN index — query a 100 TB embedding corpus
+without re-clustering it per query.
+
+``similarity.ivf_kmeans_topk`` is the self-contained flow: every call
+re-fits KMeans and re-assigns the corpus — fine for one-off analytics,
+wrong for a serving path (the fit is an iterative multi-job Spark
+stage; at corpus scale it dominates the query).  The production answer
+— the same artifact discipline as ``lsh_index`` for MinHash — is to
+PERSIST the inverted file:
+
+- ``build_ivf_index`` fits KMeans ONCE, writes the (tiny) centroid
+  table, the corpus assignments partitioned by ``centroid_id`` (the
+  inverted lists — a probe reads only its cells' partitions), and a
+  manifest carrying the clustering params plus the corpus row count
+  and the ``lsh_bits_for`` sizing derived from it — so the sign-LSH
+  operators sharing the corpus can size their bucket space from
+  metadata instead of an eager count job (r5 verdict finding #5);
+- ``ivf_index_topk`` answers top-k from the stored artifact with NO
+  pyspark.ml in the plan: query→cell ranking is a broadcast
+  cross-join against the stored centroids (euclidean d2 — exactly the
+  assignment rule KMeans.transform applies), the probe join is an
+  equi-join on ``centroid_id``, and partition pruning keeps unprobed
+  inverted lists unread;
+- ``update_ivf_index`` folds a new batch in WITHOUT refit: broadcast
+  the stored centroids, assign each new vector to its nearest cell
+  map-side, append to the inverted lists (cost ∝ batch, not corpus).
+
+Equivalence contract (tested): on the same corpus and params, the
+stored-index top-k equals ``ivf_kmeans_topk``'s fit-per-call answer,
+and an index built from a prefix then updated with the remainder
+equals an index built from the whole corpus — centroids are immutable
+after build (the standard IVF trade: cell quality drifts as the
+corpus grows; rebuild to re-center, exactly like FAISS retraining).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.vector import norm
+from .dedup import lsh_bits_for
+from .similarity import _rank_topk, kmeans_centroids
+
+_MANIFEST = "_ivf_manifest.json"
+
+
+def _write_manifest(index_dir: str, meta: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, _MANIFEST))
+
+
+def read_manifest(index_dir: str) -> dict:
+    p = os.path.join(index_dir, _MANIFEST)
+    if not os.path.isfile(p):
+        raise FileNotFoundError(
+            f"no IVF index at {index_dir} — run build_ivf_index first"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def index_lsh_bits(index_dir: str) -> int:
+    """Bucket-space sizing for the sign-LSH operators over an indexed
+    corpus, from the manifest's row count alone — no count job."""
+    return lsh_bits_for(read_manifest(index_dir)["n_rows"])
+
+
+def _d2(vec_col: str, centroid_col: str = "centroid"):
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(centroid_col), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast cross-join + per-vector
+    min — the map-side KMeans.transform rule (euclidean, centroid_id
+    tiebreak) without needing the fitted model object."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", _d2("embedding"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "centroid_id", norm(F.col("embedding")).alias("nrm"))
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> None:
+    """Fit once, persist centroids + inverted lists + manifest.
+
+    The corpus pass is ``model.transform`` (map-side); the inverted
+    lists are partitioned by ``centroid_id`` so a probe's read prunes
+    to its cells' directories.  At 100 TB fit the model on a sample
+    (see ``kmeans_centroids``) — the full corpus is only ever
+    assigned, never iterated over."""
+    from pyspark.ml.functions import array_to_vector
+
+    model, centroids = kmeans_centroids(embeddings, n_centroids, seed)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    assigned = (
+        model.transform(
+            embeddings.repartition(par).withColumn(
+                "features", array_to_vector(F.col("embedding").cast("array<double>"))
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("prediction").alias("centroid_id"),
+            norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{index_dir}/assignments"
+    )
+    n = embeddings.sparkSession.read.parquet(f"{index_dir}/assignments").count()
+    _write_manifest(
+        index_dir,
+        {
+            "n_centroids": n_centroids,
+            "seed": seed,
+            "n_rows": n,
+            "lsh_bits": lsh_bits_for(n),
+        },
+    )
+
+
+def update_ivf_index(new_embeddings: DataFrame, index_dir: str) -> None:
+    """Fold a new batch into the inverted lists WITHOUT refit: assign
+    map-side against the stored (broadcast) centroids, append only the
+    touched cell partitions, bump the manifest count (which also
+    re-sizes ``lsh_bits`` for the sign-LSH family)."""
+    spark = new_embeddings.sparkSession
+    meta = read_manifest(index_dir)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = _assign(
+        new_embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        centroids,
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{index_dir}/assignments"
+    )
+    n = spark.read.parquet(f"{index_dir}/assignments").count()
+    meta.update({"n_rows": n, "lsh_bits": lsh_bits_for(n)})
+    _write_manifest(index_dir, meta)
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k from the stored artifact — no KMeans fit, no corpus-wide
+    scoring: rank cells per query against the broadcast centroid table,
+    equi-join the (query × n_probe) probe set against the inverted
+    lists on ``centroid_id``.  The corpus side never shuffles, and the
+    probed cell ids (a bounded list: |queries| × n_probe, and the query
+    set is small by the broadcast contract) are collected and pushed as
+    a STATIC partition filter — unprobed inverted-list directories are
+    never opened (plan-asserted), the artifact-read analog of the
+    warehouse's month pruning."""
+    read_manifest(index_dir)  # loud error on a missing index
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", _d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "query_vec", "centroid_id", norm(F.col("query_vec")).alias("qnrm"))
+    )
+    # tiny eager job (queries × centroids rows, broadcast-side only) —
+    # re-deriving probes later inside the main plan costs the same
+    # small cross-join again, far less than caching plumbing
+    cells = [r[0] for r in probes.select("centroid_id").distinct().collect()]
+    corpus = spark.read.parquet(f"{index_dir}/assignments").where(
+        F.col("centroid_id").isin(cells)
+    )
+    return _rank_topk(corpus.join(F.broadcast(probes), "centroid_id"), k)

@@ -74,33 +74,66 @@ def merge_uniques_to(state: DataFrame, keys: list[str]) -> DataFrame:
 
 def estimate_uniques(state: DataFrame) -> DataFrame:
     """Read-time estimate: replace the binary state with its distinct
-    count (the uniqMerge() SELECT surface)."""
+    count (the uniqMerge() SELECT surface; the exactly-once
+    ``last_epoch`` bookkeeping column never reaches readers)."""
     return state.withColumn(
         "uniq_users", F.hll_sketch_estimate("uniq_users_state")
-    ).drop("uniq_users_state")
+    ).drop("uniq_users_state", "last_epoch")
 
 
 def write_uniques_state(enriched: DataFrame, path: str, lgk: int = DEFAULT_LGK) -> None:
     hourly_uniques_state(enriched, lgk).write.mode("overwrite").parquet(path)
 
 
+def _epoch_stamp(df: DataFrame, epoch: int | None) -> DataFrame:
+    """Stamp committed state rows with the applying epoch (-1 for
+    batch callers) — the in-data half of the streaming sinks'
+    exactly-once contract: because the stamp commits ATOMICALLY with
+    the merged data, a crash between this table's commit and the
+    sink's global epoch marker cannot double-apply on replay."""
+    return df.withColumn(
+        "last_epoch", F.lit(-1 if epoch is None else int(epoch)).cast("long")
+    )
+
+
+def _epoch_done(stored: DataFrame, epoch: int | None) -> bool:
+    """True when this (unpartitioned, atomically-swapped) state table
+    already holds ``epoch`` — the re-delivered half of the crash
+    window; the merge must no-op."""
+    if epoch is None or "last_epoch" not in stored.columns:
+        return False
+    return stored.agg(F.max("last_epoch")).first()[0] >= epoch
+
+
 def merge_uniques_increment(
-    spark: SparkSession, path: str, new_enriched: DataFrame, lgk: int = DEFAULT_LGK
+    spark: SparkSession,
+    path: str,
+    new_enriched: DataFrame,
+    lgk: int = DEFAULT_LGK,
+    epoch: int | None = None,
 ) -> None:
     """Fold a new fact batch into the stored uniqState table — the
     AggregatingMergeTree insert-trigger run at write time.  Sketch
     union is commutative/associative, so any increment order yields
-    the same estimates as a full recompute (tested)."""
+    the same estimates as a full recompute (tested).  Sketch union is
+    idempotent for re-delivered VALUES but the companion additive
+    ``cnt`` is not, so under ``epoch`` the committed rows carry a
+    table-level ``last_epoch`` stamp and a re-delivered epoch no-ops."""
     import os
 
     if not os.path.isdir(path):  # bootstrap: first batch creates the table
-        write_uniques_state(new_enriched, path, lgk)
+        _epoch_stamp(hourly_uniques_state(new_enriched, lgk), epoch).write.mode(
+            "overwrite"
+        ).parquet(path)
         return
     current = spark.read.parquet(path)
+    if _epoch_done(current, epoch):
+        return
     merged = merge_uniques_to(
-        current.unionByName(hourly_uniques_state(new_enriched, lgk)), _UNIQ_KEY
+        current.drop("last_epoch").unionByName(hourly_uniques_state(new_enriched, lgk)),
+        _UNIQ_KEY,
     )
-    _stage_swap(merged, path)
+    _stage_swap(_epoch_stamp(merged, epoch), path)
 
 
 def uniques_overlap(state: DataFrame, group_col: str) -> DataFrame:
@@ -260,19 +293,27 @@ def topk_from_state(state: DataFrame, keys: list[str], k: int) -> DataFrame:
 
 def merge_topk_increment(
     spark: SparkSession, path: str, new_df: DataFrame, item_col: str,
-    keys: list[str], m: int = 64,
+    keys: list[str], m: int = 64, epoch: int | None = None,
 ) -> None:
     """Fold a new fact batch into a stored topK state table — the
     AggregatingMergeTree insert-trigger shape shared with the uniq and
-    histogram states."""
+    histogram states.  The merge is additive in the bounds, so under
+    ``epoch`` the committed rows carry a table-level ``last_epoch``
+    stamp and a re-delivered epoch no-ops (crash-window safe)."""
     import os
 
     if not os.path.isdir(path):
-        topk_state(new_df, item_col, keys, m).write.mode("overwrite").parquet(path)
+        _epoch_stamp(topk_state(new_df, item_col, keys, m), epoch).write.mode(
+            "overwrite"
+        ).parquet(path)
         return
     current = spark.read.parquet(path)
-    merged = merge_topk_states(current, topk_state(new_df, item_col, keys, m), keys, m)
-    _stage_swap(merged, path)
+    if _epoch_done(current, epoch):
+        return
+    merged = merge_topk_states(
+        current.drop("last_epoch"), topk_state(new_df, item_col, keys, m), keys, m
+    )
+    _stage_swap(_epoch_stamp(merged, epoch), path)
 
 
 # --- fixed-bin histogram state (the quantileState analog) ------------------
@@ -358,6 +399,105 @@ def histogram_quantiles(
         + (F.col("_h.target").cast("double") - below) / F.col("_h.cnt").cast("double")
     )
     return hit.select(*keys, "q", F.round(est, 6).alias("quantile"))
+
+
+# --- log-bucketed histogram state (unbounded-domain quantiles) -------------
+#
+# The fixed-bin state above needs lo/hi up front — fine for known
+# domains (engagement_score ∈ [0, 7.5]), wrong for an unknown-range
+# column (latencies, revenues, embedding norms).  The standard
+# mergeable answer is RELATIVE-error log bucketing (the DDSketch
+# construction, Masson et al., VLDB'19 — see PAPERS.md): bucket
+# boundaries are ABSOLUTE powers of gamma = (1+alpha)/(1-alpha), so no
+# re-binning ever happens — states from any two corpora merge by plain
+# addition, exactly like the fixed-bin form — and every bucket's
+# midpoint is within alpha relative error of anything in the bucket.
+# State size is logarithmic in the value RANGE (~log_gamma(hi/lo)
+# buckets actually touched), not pre-declared.
+
+DEFAULT_ALPHA = 0.01
+_LOG_BIN_OFFSET = 100_000  # > max |bucket index| for float64 at alpha>=1e-4
+
+
+def _gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def log_histogram_state(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    alpha: float = DEFAULT_ALPHA,
+    min_value: float = 1e-9,
+) -> DataFrame:
+    """Log-bucketed quantile state ``(keys…, bin, cnt)`` for columns of
+    UNKNOWN range (negative values included — the sign gets its own
+    mirrored store, ``|v| < min_value`` collapses to the zero bucket).
+
+    Encoding: bucket index i = ceil(ln|v| / ln gamma); stored bin =
+    sign(v)·(i + OFFSET), 0 for the zero bucket — a single long that
+    sorts in value order, so the fixed-bin readout machinery (cumsum →
+    first bin reaching the target rank) transfers unchanged.  The
+    merge IS ``merge_histogram_states`` (additive), and binning is a
+    pure function of the value — merge-order invariant by
+    construction."""
+    import math
+
+    lg = math.log(_gamma(alpha))
+    v = F.col(value_col).cast("double")
+    absv = F.abs(v)
+    i = F.ceil(F.log(absv) / F.lit(lg)).cast("long")
+    bin_ = (
+        F.when(absv < F.lit(float(min_value)), F.lit(0).cast("long"))
+        .when(v > 0, i + F.lit(_LOG_BIN_OFFSET))
+        .otherwise(-(i + F.lit(_LOG_BIN_OFFSET)))
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bin_.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def log_histogram_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Read-time quantiles from a log-bucketed state: the first bucket
+    whose cumulative count reaches ceil(q·total), reported as the
+    bucket midpoint ``2·gamma^i/(gamma+1)`` — within ``alpha``
+    relative error of the exact quantile value (the DDSketch
+    guarantee), for ANY value range, at state cardinality cost.
+
+    Output: ``(keys…, q, quantile)`` — same shape as
+    ``histogram_quantiles`` so the two states are drop-in peers."""
+    if not all(0.0 < x <= 1.0 for x in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    g = _gamma(alpha)
+    cum = F.sum("cnt").over(Window.partitionBy(*keys).orderBy("bin"))
+    cdf = hist.withColumn("cum", cum)
+    totals = hist.groupBy(*keys).agg(F.sum("cnt").alias("total"))
+    qlit = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    hit = (
+        cdf.join(totals, keys)
+        .select(*keys, "bin", "cum", "total", qlit)
+        .withColumn("target", F.ceil(F.col("q") * F.col("total")))
+        .where(F.col("cum") >= F.col("target"))
+        .groupBy(*keys, "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    i = (F.abs(F.col("bin")) - F.lit(_LOG_BIN_OFFSET)).cast("double")
+    rep = F.lit(2.0 / (g + 1.0)) * F.pow(F.lit(g), i)
+    est = (
+        F.when(F.col("bin") == 0, F.lit(0.0))
+        .when(F.col("bin") > 0, rep)
+        .otherwise(-rep)
+    )
+    return hit.select(*keys, "q", F.round(est, 9).alias("quantile"))
 
 
 def uniq_up_to(col, n: int):

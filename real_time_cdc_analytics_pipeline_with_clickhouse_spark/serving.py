@@ -47,16 +47,28 @@ def materialize_serving_tables(enriched: DataFrame, base_dir: str) -> None:
     apply_serving_increment(enriched.sparkSession, base_dir, enriched)
 
 
-def apply_serving_increment(spark: SparkSession, base_dir: str, batch: DataFrame) -> None:
+def apply_serving_increment(
+    spark: SparkSession, base_dir: str, batch: DataFrame, epoch: int | None = None
+) -> None:
     """Fold one micro-batch of enriched events into all four serving
     tables (K2).  Each merge is partition-scoped: only the buckets the
-    batch touches are read or rewritten."""
+    batch touches are read or rewritten.
+
+    ``epoch`` (streaming callers): the additive merges (leaderboard,
+    trending, counters) stamp every committed row with it and skip
+    buckets already stamped >= epoch on re-delivery — so a crash
+    anywhere between the four table commits and the sink's global
+    epoch marker replays safely, each table/bucket applying each epoch
+    exactly once (the funnel sink's pattern generalized).  The
+    latest-event merge needs no stamp: latest-wins is idempotent, a
+    re-delivered event loses the (event_ts, event_id) tiebreak against
+    the stored copy of itself."""
     batch.persist()
     try:
-        merge_leaderboard_increment(spark, base_dir, batch)
-        merge_trending_increment(spark, base_dir, batch)
+        merge_leaderboard_increment(spark, base_dir, batch, epoch=epoch)
+        merge_trending_increment(spark, base_dir, batch, epoch=epoch)
         merge_latest_event_increment(spark, base_dir, batch)
-        merge_event_counters_increment(spark, base_dir, batch)
+        merge_event_counters_increment(spark, base_dir, batch, epoch=epoch)
     finally:
         batch.unpersist()
 
@@ -89,7 +101,33 @@ def _rank_state(agg: DataFrame) -> DataFrame:
     )
 
 
-def merge_leaderboard_increment(spark: SparkSession, base_dir: str, new_enriched: DataFrame) -> None:
+def _stamped(stored: DataFrame) -> DataFrame:
+    """Stored rows with a guaranteed ``last_epoch`` column (pre-stamp
+    tables read as -1: every epoch applies)."""
+    if "last_epoch" not in stored.columns:
+        stored = stored.withColumn("last_epoch", F.lit(-1).cast("long"))
+    return stored
+
+
+def _buckets_already_stamped(stored: DataFrame, bucket_col: str, epoch: int) -> set:
+    """Buckets whose committed rows already carry ``epoch`` (the
+    re-delivered half of a crash between the per-partition
+    dynamic-overwrite commits and the sink's global epoch marker) —
+    those skip; the rest apply.  A bounded collect: ≤ touched-bucket
+    cardinality rows."""
+    return {
+        r[0]
+        for r in stored.groupBy(bucket_col)
+        .agg(F.max("last_epoch").alias("e"))
+        .where(F.col("e") >= epoch)
+        .select(bucket_col)
+        .collect()
+    }
+
+
+def merge_leaderboard_increment(
+    spark: SparkSession, base_dir: str, new_enriched: DataFrame, epoch: int | None = None
+) -> None:
     """Fold a micro-batch into the stored leaderboard incrementally —
     the warehouse's partition-scoped MERGE pattern generalized from
     time partitions to key-space buckets:
@@ -104,7 +142,11 @@ def merge_leaderboard_increment(spark: SparkSession, base_dir: str, new_enriched
 
     Exactness: decimal addition is associative/commutative, so any
     batch arrival order lands bit-identical to a full recompute
-    (tested).
+    (tested).  Exactly-once under ``epoch``: addition is NOT
+    idempotent, so committed rows carry a per-bucket ``last_epoch``
+    stamp and a re-delivered epoch skips the buckets it already
+    reached (funnel-sink pattern — each bucket applies each epoch
+    exactly once, even through the commit-vs-marker crash window).
     """
     delta = new_enriched.groupBy("user_id", "content_id").agg(
         F.sum(F.col("engagement_score").cast("decimal(18,2)"))
@@ -118,19 +160,27 @@ def merge_leaderboard_increment(spark: SparkSession, base_dir: str, new_enriched
             return
         path = f"{base_dir}/user_leaderboard"
         if _partitioned_table_exists(path, "user_bucket"):
-            current = (
-                spark.read.parquet(path)
-                .where(F.col("user_bucket").isin(buckets))
-                .select("user_id", "content_id", "score_dec", "user_bucket")
+            stored = _stamped(
+                spark.read.parquet(path).where(F.col("user_bucket").isin(buckets))
             )
+            if epoch is not None:
+                done = _buckets_already_stamped(stored, "user_bucket", epoch)
+                if done:
+                    buckets = [b for b in buckets if b not in done]
+                    if not buckets:
+                        return
+                    stored = stored.where(F.col("user_bucket").isin(buckets))
+            current = stored.select("user_id", "content_id", "score_dec", "user_bucket")
             merged = (
-                current.unionByName(delta)
+                current.unionByName(delta.where(F.col("user_bucket").isin(buckets)))
                 .groupBy("user_id", "content_id", "user_bucket")
                 .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
             )
         else:  # first batch bootstraps the table
             merged = delta
-        ranked = _rank_state(merged.drop("user_bucket"))
+        ranked = _rank_state(merged.drop("user_bucket")).withColumn(
+            "last_epoch", F.lit(-1 if epoch is None else int(epoch)).cast("long")
+        )
         _stage_swap(ranked, path, partition_by="user_bucket")
     finally:
         delta.unpersist()
@@ -174,22 +224,34 @@ def merge_latest_event_increment(spark: SparkSession, base_dir: str, new_enriche
         delta.unpersist()
 
 
-def merge_event_counters_increment(spark: SparkSession, base_dir: str, new_enriched: DataFrame) -> None:
+def merge_event_counters_increment(
+    spark: SparkSession, base_dir: str, new_enriched: DataFrame, epoch: int | None = None
+) -> None:
     """Fold a micro-batch into the global per-event-type counters (the
     Redis ``INCR event_counters:{type}`` analog) — an additive merge of
     a ≤|event-type-domain|-row table, the one serving table small
-    enough that partition scoping would be overhead."""
-    delta = rollups.event_counters(new_enriched)
+    enough that partition scoping would be overhead.  The table is
+    unpartitioned (one atomic whole-table swap per merge), so the
+    exactly-once stamp is table-level: committed rows carry
+    ``last_epoch`` and a re-delivered epoch is a no-op."""
     path = f"{base_dir}/event_counters"
-    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+    exists = os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    if exists:
+        stored = _stamped(spark.read.parquet(path))
+        if epoch is not None:
+            if stored.agg(F.max("last_epoch")).first()[0] >= epoch:
+                return
         merged = (
-            spark.read.parquet(path)
-            .unionByName(delta)
+            stored.select("event_type", "cnt")
+            .unionByName(rollups.event_counters(new_enriched))
             .groupBy("event_type")
             .agg(F.sum("cnt").alias("cnt"))
         )
     else:
-        merged = delta
+        merged = rollups.event_counters(new_enriched)
+    merged = merged.withColumn(
+        "last_epoch", F.lit(-1 if epoch is None else int(epoch)).cast("long")
+    )
     _stage_swap(merged, path)
 
 
@@ -200,7 +262,7 @@ def get_user_leaderboard(spark: SparkSession, base_dir: str, user_id: int, k: in
         .where((F.col("user_bucket") == user_id % N_BUCKETS) & (F.col("user_id") == user_id))
         .where(F.col("rnk") <= k)
         .orderBy("rnk")
-        .drop("user_bucket", "score_dec")
+        .drop("user_bucket", "score_dec", "last_epoch")
     )
 
 
@@ -218,8 +280,10 @@ def get_latest_event(spark: SparkSession, base_dir: str, user_id: int, content_i
 
 def get_event_counter(spark: SparkSession, base_dir: str, event_type: str) -> DataFrame:
     """GET event_counters:{type}."""
-    return spark.read.parquet(f"{base_dir}/event_counters").where(
-        F.col("event_type") == event_type
+    return (
+        spark.read.parquet(f"{base_dir}/event_counters")
+        .where(F.col("event_type") == event_type)
+        .drop("last_epoch")
     )
 
 
@@ -255,7 +319,9 @@ def get_trending(spark: SparkSession, base_dir: str, k: int = 5, minutes: int = 
     )
 
 
-def merge_trending_increment(spark: SparkSession, base_dir: str, new_enriched: DataFrame) -> None:
+def merge_trending_increment(
+    spark: SparkSession, base_dir: str, new_enriched: DataFrame, epoch: int | None = None
+) -> None:
     """Fold a micro-batch into the stored per-minute trending partials
     incrementally — the leaderboard's partition-scoped MERGE pattern
     applied to TIME partitions:
@@ -272,7 +338,10 @@ def merge_trending_increment(spark: SparkSession, base_dir: str, new_enriched: D
     per-bucket read-time window over ≤ content-cardinality rows —
     cheap, and storing it would force re-ranking untouched buckets
     whenever k changes).  Decimal addition is order-independent, so
-    any batch split lands bit-identical to a full recompute (tested).
+    any batch split lands bit-identical to a full recompute (tested);
+    under ``epoch`` the same per-bucket ``last_epoch`` stamps as the
+    leaderboard make re-delivery exactly-once through the
+    commit-vs-marker crash window.
     """
     delta = new_enriched.groupBy(
         F.date_format("event_ts", "yyyyMMddHHmm").alias("minute_bucket"),
@@ -289,19 +358,29 @@ def merge_trending_increment(spark: SparkSession, base_dir: str, new_enriched: D
             return
         path = f"{base_dir}/trending_state"
         if _partitioned_table_exists(path, "minute_bucket"):
-            current = (
+            stored = _stamped(
                 spark.read.parquet(path)
                 .withColumn("minute_bucket", F.col("minute_bucket").cast("string"))
                 .where(F.col("minute_bucket").isin(buckets))
-                .select("minute_bucket", "content_id", "score_dec")
             )
+            if epoch is not None:
+                done = _buckets_already_stamped(stored, "minute_bucket", epoch)
+                if done:
+                    buckets = [b for b in buckets if b not in done]
+                    if not buckets:
+                        return
+                    stored = stored.where(F.col("minute_bucket").isin(buckets))
+            current = stored.select("minute_bucket", "content_id", "score_dec")
             merged = (
-                current.unionByName(delta)
+                current.unionByName(delta.where(F.col("minute_bucket").isin(buckets)))
                 .groupBy("minute_bucket", "content_id")
                 .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
             )
         else:
             merged = delta
+        merged = merged.withColumn(
+            "last_epoch", F.lit(-1 if epoch is None else int(epoch)).cast("long")
+        )
         _stage_swap(merged, path, partition_by="minute_bucket")
     finally:
         delta.unpersist()

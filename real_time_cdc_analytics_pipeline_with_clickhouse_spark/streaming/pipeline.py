@@ -558,11 +558,15 @@ def _epoch_already_applied(base_dir: str, epoch: int, checkpoint: str | None = N
     the state already holds; only the operator can decide (reuse the
     original checkpoint, or reset the state dir).  Returns True (skip)
     when ``epoch`` was already applied; the caller must invoke
-    ``_record_epoch`` after a successful apply.  Residual window: a
-    crash between the data commit and the marker replace re-applies
-    that one batch — closing it fully needs the marker inside the same
-    transaction as the data (the Delta/Iceberg commit) or a
-    state-level stamp (see serving.merge_funnel_increment)."""
+    ``_record_epoch`` after a successful apply.  This marker is the
+    FAST PATH only: a crash between the data commit and the marker
+    replace re-delivers that one batch past this check, so every
+    non-idempotent merge behind it also stamps ``last_epoch`` INSIDE
+    its committed data and no-ops per table/bucket on replay (the
+    pattern pioneered by serving.merge_funnel_increment, now shared by
+    the serving, uniques, topk and projection sinks) — the marker
+    saves re-reading state for the common clean-replay case, the
+    in-data stamps close the crash window."""
     marker = os.path.join(base_dir, "_LAST_EPOCH")
     if os.path.isfile(marker):
         with open(marker) as fh:
@@ -601,15 +605,17 @@ def start_serving_sink(enriched: DataFrame, base_dir: str, checkpoint: str):
     (``serving.apply_serving_increment`` — decimal leaderboard +
     trending partials, latest-wins latest-event, additive counters),
     NOT a full refresh — per-batch cost is O(batch ∪ touched
-    partitions), not O(history).  An epoch marker makes the additive
-    merges idempotent across the restart re-delivery foreachBatch is
-    subject to."""
+    partitions), not O(history).  Exactly-once: the global epoch
+    marker fast-paths clean replays, and the per-bucket/table
+    ``last_epoch`` stamps the merges commit WITH their data make the
+    crash window between the four table commits and this marker safe
+    (each table applies each epoch exactly once)."""
     from ..serving import apply_serving_increment
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if _epoch_already_applied(base_dir, epoch, checkpoint):
             return
-        apply_serving_increment(batch.sparkSession, base_dir, batch)
+        apply_serving_increment(batch.sparkSession, base_dir, batch, epoch=epoch)
         _record_epoch(base_dir, epoch, checkpoint)
 
     return (
@@ -627,14 +633,15 @@ def start_uniques_sink(enriched: DataFrame, state_dir: str, checkpoint: str):
     micro-batch's HLL sketches union into the stored per-(hour,
     event_type) state table.  Sketch union is idempotent for
     re-delivered VALUES (set semantics), but the companion additive
-    ``cnt`` is not, so the same epoch marker as the serving sink
-    guards restart re-delivery."""
+    ``cnt`` is not, so the epoch marker fast-paths clean replays and
+    the merge's in-data ``last_epoch`` stamp closes the
+    commit-vs-marker crash window."""
     from ..operators.sketches import merge_uniques_increment
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if _epoch_already_applied(state_dir + "_meta", epoch, checkpoint):
             return
-        merge_uniques_increment(batch.sparkSession, state_dir, batch)
+        merge_uniques_increment(batch.sparkSession, state_dir, batch, epoch=epoch)
         _record_epoch(state_dir + "_meta", epoch, checkpoint)
 
     return (
@@ -657,14 +664,17 @@ def start_topk_sink(
     (operators/sketches.py topKState analog): each micro-batch builds
     its own space-saving summary and merges it into the stored state —
     state-cardinality work per batch, facts never re-scanned.  The
-    merge is additive in the bounds, so the shared epoch marker guards
-    restart re-delivery."""
+    merge is additive in the bounds, so the epoch marker fast-paths
+    clean replays and the merge's in-data ``last_epoch`` stamp closes
+    the commit-vs-marker crash window."""
     from ..operators.sketches import merge_topk_increment
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if _epoch_already_applied(state_dir + "_meta", epoch, checkpoint):
             return
-        merge_topk_increment(batch.sparkSession, state_dir, batch, item_col, list(keys), m)
+        merge_topk_increment(
+            batch.sparkSession, state_dir, batch, item_col, list(keys), m, epoch=epoch
+        )
         _record_epoch(state_dir + "_meta", epoch, checkpoint)
 
     return (
@@ -681,15 +691,17 @@ def start_projection_sink(enriched: DataFrame, proj_root: str, checkpoint: str):
     every registered pre-aggregated copy via the additive DECIMAL merge
     (``warehouse.refresh_projections``) — ClickHouse keeps projections
     consistent inside the insert; this is that trigger as a
-    foreachBatch sink.  The merges are additive, so the same epoch
-    marker as the serving sink guards foreachBatch's at-least-once
-    restart re-delivery."""
+    foreachBatch sink.  The merges are additive, so the epoch marker
+    fast-paths clean replays and each projection's in-data
+    ``last_epoch`` stamp closes the commit-vs-marker crash window
+    (projections commit independently — a replay applies exactly the
+    projections the crash left behind)."""
     from ..warehouse import refresh_projections
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if _epoch_already_applied(proj_root + "_meta", epoch, checkpoint):
             return
-        refresh_projections(batch.sparkSession, proj_root, batch)
+        refresh_projections(batch.sparkSession, proj_root, batch, epoch=epoch)
         _record_epoch(proj_root + "_meta", epoch, checkpoint)
 
     return (
@@ -789,6 +801,7 @@ def start_corpus_ingest_sink(
     index_dir: str,
     checkpoint: str,
     threshold: float = 0.5,
+    compact_every: int | None = 16,
 ):
     """Live training-corpus ingestion with FUZZY dedup: per micro-batch,
     new documents dedup against the persistent MinHash-LSH index
@@ -810,9 +823,21 @@ def start_corpus_ingest_sink(
     BATCH equi-join against the index; never a corpus rescan), one
     append to each index table.  Bootstrap: an empty index dir is
     initialized from the first batch.
+
+    ``compact_every``: every N applied epochs the appended corpus and
+    index tables are rewritten by the MergeTree-background-merge
+    analog (``lsh_index.compact_minhash_index`` + the corpus
+    stage-swap) — without it a long-running ingest accretes one file
+    set per micro-batch and every candidate join pays the
+    file-open/footer tax (the classic streaming small-file problem).
+    Logical content is unchanged (tested); the epoch marker lives in a
+    ``_meta`` sibling dir so a compaction rewrite can never clobber
+    it.  ``None`` disables.
     """
     from ..operators import dedup as dd
     from ..operators import lsh_index
+
+    meta_dir = corpus_dir + "_meta"
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
@@ -821,7 +846,7 @@ def start_corpus_ingest_sink(
         # epoch would duplicate rows in BOTH — the same guard as the
         # serving sink (see _epoch_already_applied for the residual
         # crash window)
-        if _epoch_already_applied(corpus_dir, epoch, checkpoint):
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
             return
         sp_ = batch.sparkSession
         docs = batch.select(
@@ -839,7 +864,18 @@ def start_corpus_ingest_sink(
         )
         kept.write.mode("append").parquet(corpus_dir)
         lsh_index.update_minhash_index(docs, index_dir)
-        _record_epoch(corpus_dir, epoch, checkpoint)
+        _record_epoch(meta_dir, epoch, checkpoint)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            # after the marker: a crash mid-compaction replays as an
+            # already-applied epoch (no re-append) and the swap either
+            # completed or left the original bytes
+            from ..warehouse import _stage_swap
+
+            lsh_index.compact_minhash_index(sp_, index_dir)
+            corpus = sp_.read.parquet(corpus_dir)
+            _stage_swap(
+                corpus.repartition(sp_.sparkContext.defaultParallelism), corpus_dir
+            )
 
     return (
         doc_stream.writeStream.outputMode("append")

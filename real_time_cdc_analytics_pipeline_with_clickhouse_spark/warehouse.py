@@ -416,17 +416,57 @@ _MANIFEST = "_projections.json"
 _DERIVED_KEYS = {"hour_ts": lambda: F.date_trunc("hour", F.col("event_ts")).alias("hour_ts")}
 
 
-def _keyed_partial(facts: DataFrame, keys: list[str]) -> DataFrame:
+# Aggregate-spec registry: each projection declares WHICH partial
+# states it stores (the ClickHouse projection-SELECT surface beyond
+# count/sum — incl. the uniqState sketch family).  Three expressions
+# per spec: build a partial from facts, re-merge partials (additive
+# sum / decimal sum / HLL union — all combinable), and the read-time
+# finalizer.
+_DEFAULT_AGGS = ("cnt", "sum_score")
+_PROJ_AGGS = {
+    "cnt": {
+        "build": lambda: F.count("*").alias("cnt"),
+        "merge": lambda: F.sum("cnt").alias("cnt"),
+        "read": lambda: F.col("cnt"),
+        "out": "cnt",
+    },
+    "sum_score": {
+        "build": lambda: F.sum(F.col("engagement_score").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("score_dec"),
+        "merge": lambda: F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
+        "read": lambda: F.col("score_dec").cast("double"),
+        "out": "total_score",
+    },
+    # uniqState: the HLL sketch partial (sketches.py family) — union
+    # is lossless re-aggregation, so a distinct-users question answered
+    # from the projection equals sketching the facts directly (tested)
+    "uniq_users": {
+        "build": lambda: F.hll_sketch_agg("user_id", F.lit(12)).alias("uniq_users_state"),
+        "merge": lambda: F.hll_union_agg("uniq_users_state").alias("uniq_users_state"),
+        "read": lambda: F.hll_sketch_estimate("uniq_users_state"),
+        "out": "uniq_users",
+    },
+}
+
+
+def _check_aggs(aggs) -> list[str]:
+    bad = [a for a in aggs if a not in _PROJ_AGGS]
+    if bad:
+        raise ValueError(f"unknown projection aggregates {bad}; known: {sorted(_PROJ_AGGS)}")
+    return list(aggs)
+
+
+def _keyed_partial(facts: DataFrame, keys: list[str], aggs=_DEFAULT_AGGS) -> DataFrame:
     cols = [
         _DERIVED_KEYS[k]() if k in _DERIVED_KEYS and k not in facts.columns else F.col(k)
         for k in keys
     ]
-    return facts.groupBy(*cols).agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.col("engagement_score").cast("decimal(18,2)"))
-        .cast("decimal(28,2)")
-        .alias("score_dec"),
-    )
+    return facts.groupBy(*cols).agg(*[_PROJ_AGGS[a]["build"]() for a in _check_aggs(aggs)])
+
+
+def _merge_partials(partials: DataFrame, keys: list[str], aggs) -> DataFrame:
+    return partials.groupBy(*keys).agg(*[_PROJ_AGGS[a]["merge"]() for a in aggs])
 
 
 def _load_manifest(proj_root: str) -> dict:
@@ -452,79 +492,109 @@ def _store_manifest(proj_root: str, manifest: dict) -> None:
 
 
 def define_projection(
-    spark: SparkSession, wh_path: str, proj_root: str, name: str, keys: list[str]
+    spark: SparkSession,
+    wh_path: str,
+    proj_root: str,
+    name: str,
+    keys: list[str],
+    aggs=_DEFAULT_AGGS,
 ) -> None:
-    """``ALTER TABLE … ADD PROJECTION (SELECT keys…, count(), sum(score)
+    """``ALTER TABLE … ADD PROJECTION (SELECT keys…, <agg states>
     GROUP BY keys…) + MATERIALIZE`` analog: build the partial-aggregate
     copy from the current facts and register it in the catalog with its
-    stored row count (the router's cost signal)."""
+    stored row count (the router's cost signal).  ``aggs`` picks the
+    stored states from ``_PROJ_AGGS`` — count/sum partials by default,
+    ``"uniq_users"`` adds the uniqState HLL sketch so distinct-count
+    questions route to the projection too."""
     import os
 
     facts = read_warehouse(spark, wh_path)
     path = os.path.join(proj_root, name)
-    part = _keyed_partial(facts, keys)
+    part = _keyed_partial(facts, keys, aggs)
     part.write.mode("overwrite").parquet(path)
     manifest = _load_manifest(proj_root)
     manifest["projections"][name] = {
         "keys": list(keys),
+        "aggs": _check_aggs(aggs),
         "path": path,
         "rows": spark.read.parquet(path).count(),
     }
     _store_manifest(proj_root, manifest)
 
 
-def refresh_projections(spark: SparkSession, proj_root: str, new_facts: DataFrame) -> None:
+def refresh_projections(
+    spark: SparkSession, proj_root: str, new_facts: DataFrame, epoch: int | None = None
+) -> None:
     """Insert-time maintenance: fold a new fact batch into EVERY
     registered projection additively (DECIMAL partials ⇒ bit-identical
     to a full rebuild, any batch order — same guarantee as
-    merge_rollup_increment)."""
+    merge_rollup_increment).
+
+    ``epoch`` (streaming callers): each projection commits separately,
+    so each carries its OWN table-level ``last_epoch`` stamp inside the
+    committed rows — a crash between two projection commits (or before
+    the sink's global marker) replays with the already-committed
+    projections no-oping and only the missing ones applying."""
     manifest = _load_manifest(proj_root)
+    stamp = -1 if epoch is None else int(epoch)
     for name, meta in manifest["projections"].items():
+        aggs = meta.get("aggs", list(_DEFAULT_AGGS))
         current = spark.read.parquet(meta["path"])
-        merged = (
-            current.unionByName(_keyed_partial(new_facts, meta["keys"]))
-            .groupBy(*meta["keys"])
-            .agg(
-                F.sum("cnt").alias("cnt"),
-                F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
-            )
-        )
+        if (
+            epoch is not None
+            and "last_epoch" in current.columns
+            and current.agg(F.max("last_epoch")).first()[0] >= epoch
+        ):
+            continue
+        merged = _merge_partials(
+            current.drop("last_epoch").unionByName(
+                _keyed_partial(new_facts, meta["keys"], aggs)
+            ),
+            meta["keys"],
+            aggs,
+        ).withColumn("last_epoch", F.lit(stamp).cast("long"))
         _stage_swap(merged, meta["path"])
         meta["rows"] = spark.read.parquet(meta["path"]).count()
     _store_manifest(proj_root, manifest)
 
 
 def routed_aggregate(
-    spark: SparkSession, wh_path: str, proj_root: str, keys: list[str]
+    spark: SparkSession,
+    wh_path: str,
+    proj_root: str,
+    keys: list[str],
+    aggs=_DEFAULT_AGGS,
 ) -> tuple[DataFrame, str]:
-    """Answer ``SELECT keys…, count(*), sum(score) GROUP BY keys…``
-    from the cheapest qualifying projection, else the base facts.
-    Returns ``(df, source)`` where source is the projection name or
-    ``"facts"``; the df shape is identical either way
-    (``keys…, cnt, total_score``), so callers are layout-agnostic —
-    exactly ClickHouse's silent-rewrite contract (equality facts vs
-    projection is tested)."""
+    """Answer ``SELECT keys…, <aggs> GROUP BY keys…`` from the
+    cheapest qualifying projection, else the base facts.  A projection
+    qualifies when its keys cover the requested keys AND its stored
+    states cover the requested aggregates (asking for
+    ``"uniq_users"`` routes past count/sum-only projections straight
+    to one carrying the sketch — or to facts).  Returns ``(df,
+    source)`` where source is the projection name or ``"facts"``; the
+    df shape depends only on ``aggs`` (``keys…`` + one finalized
+    column per agg), never on the route — exactly ClickHouse's
+    silent-rewrite contract (equality facts vs projection is
+    tested)."""
+    aggs = _check_aggs(aggs)
     manifest = _load_manifest(proj_root)
-    want = set(keys)
+    want_k, want_a = set(keys), set(aggs)
     candidates = [
         (meta["rows"], name, meta)
         for name, meta in manifest["projections"].items()
-        if want <= set(meta["keys"])
+        if want_k <= set(meta["keys"]) and want_a <= set(meta.get("aggs", _DEFAULT_AGGS))
     ]
     if candidates:
         _, name, meta = min(candidates)
         part = spark.read.parquet(meta["path"])
-        grouped = part.groupBy(*keys).agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
-        )
+        grouped = _merge_partials(part, keys, aggs)
         src = name
     else:
-        grouped = _keyed_partial(read_warehouse(spark, wh_path), keys)
+        grouped = _keyed_partial(read_warehouse(spark, wh_path), keys, aggs)
         src = "facts"
     return (
         grouped.select(
-            *keys, "cnt", F.col("score_dec").cast("double").alias("total_score")
+            *keys, *[_PROJ_AGGS[a]["read"]().alias(_PROJ_AGGS[a]["out"]) for a in aggs]
         ),
         src,
     )

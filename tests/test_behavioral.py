@@ -587,7 +587,10 @@ def _bf_match(events, steps, atoms, edges):
                 if e.get("op"):
                     gap = events[j][0] - events[j_prev][0]
                     b = e["sec"] * 1_000_000
-                    if not {"<": gap < b, "<=": gap <= b, ">": gap > b, ">=": gap >= b}[e["op"]]:
+                    if not {
+                        "<": gap < b, "<=": gap <= b, ">": gap > b,
+                        ">=": gap >= b, "==": gap == b,
+                    }[e["op"]]:
                         continue
             if ok(i + 1, j):
                 return True
@@ -640,6 +643,13 @@ def test_sequence_pattern_micro_cases(spark):
     assert g[5] is True
     g = got("(?1)(?t>=10)(?1)")
     assert g[5] is False
+    # equality bounds: exact 9 s gap matches ==9 only
+    g = got("(?1)(?t==9)(?1)")
+    assert g[5] is True and g[4] is False
+    g = got("(?1)(?t==8)(?1)")
+    assert g[5] is False
+    g = got("(?1)(?t==5)(?2)")
+    assert g[1] is True and g[3] is True and g[2] is True  # 0->5s click
 
 
 def test_sequence_pattern_matches_bruteforce_randomized(spark):
@@ -665,6 +675,11 @@ def test_sequence_pattern_matches_bruteforce_randomized(spark):
         "(?1)(?1)",
         "(?2).*(?1)(?t>=20)(?3)",
         "(?3)(?2)(?1)",
+        # equality edges route to the candidate-list DP — the exact
+        # case the single-candidate dominance argument cannot cover
+        "(?1)(?t==10)(?2)",
+        "(?1)(?t==10)(?2)(?t==20)(?3)",
+        "(?1)(?t==5)(?1)",
     ]
     for pattern in patterns:
         atoms, edges = behavioral.parse_sequence_pattern(pattern, len(steps))
@@ -681,9 +696,36 @@ def test_sequence_pattern_matches_bruteforce_randomized(spark):
 def test_sequence_pattern_parser_rejects_bad_input(spark):
     import pytest
 
-    for bad in ["", "(?t<5)(?1)", "(?1)(?t<5)", "(?4)", "(?1)(?t==5)(?2)", "(?1)x(?2)"]:
+    for bad in ["", "(?t<5)(?1)", "(?1)(?t<5)", "(?4)", "(?1)x(?2)"]:
         with pytest.raises(ValueError):
             behavioral.parse_sequence_pattern(bad, 3)
+    # == is valid syntax since r6 (candidate-list evaluator)
+    atoms, edges = behavioral.parse_sequence_pattern("(?1)(?t==5)(?2)", 3)
+    assert atoms == [1, 2] and edges == [{"op": "==", "sec": 5}]
+
+
+def test_sequence_pattern_equality_overflow_is_loud(spark):
+    """A capped candidate list that overflows while the user stays
+    unmatched must raise, never return a silent false negative; a user
+    who MATCHES despite overflow stays a sound True."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    # 10 views at even seconds, no click at view+5s -> unmatched, and
+    # more prefix candidates than cap=4 holds
+    users = {1: [(2 * i, "view") for i in range(10)]}
+    df = _pattern_frame(spark, users)
+    with pytest.raises(SparkRuntimeException, match="candidate list overflowed"):
+        behavioral.sequence_match_pattern(
+            df, ("view", "click"), "(?1)(?t==5)(?2)", cap=4
+        ).collect()
+
+    # same overflow, but a real match exists (view@0 -> click@5): True
+    users2 = {1: [(2 * i, "view") for i in range(10)] + [(5, "click")]}
+    got = behavioral.sequence_match_pattern(
+        _pattern_frame(spark, users2), ("view", "click"), "(?1)(?t==5)(?2)", cap=4
+    ).collect()
+    assert got[0]["matched"] is True
 
 
 # ---------------------------------------------------------------------------

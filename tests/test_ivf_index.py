@@ -1,0 +1,111 @@
+"""Persistent learned-IVF index (operators/ivf_index.py): stored-index
+answers must equal the fit-per-call flow, updates must not refit, and
+the manifest must carry the metadata the sign-LSH family sizes from."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.vector import norm
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+    dedup,
+    ivf_index,
+    similarity,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import plan_string
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+N_CENTROIDS, SEED, N_PROBE = 8, 7, 3
+
+
+def _emb(spark, sf_dir, n=400):
+    return load_table(spark, sf_dir, "embeddings").limit(n).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _topk_rows(df):
+    return sorted(map(tuple, df.select("query_id", "neighbor_id", "rnk", "cos_sim").collect()))
+
+
+def test_stored_index_topk_equals_fit_per_call(spark, sf_dir, tmp_path):
+    """Same corpus, same params: the artifact path must return the
+    exact rows the self-contained fit-per-call operator returns —
+    proof that persisting the index changes WHERE the work happens,
+    never the answer."""
+    emb = _emb(spark, sf_dir).persist()
+    q = similarity.default_queries(emb, every=50)
+    idx = str(tmp_path / "ivf")
+    ivf_index.build_ivf_index(emb, idx, N_CENTROIDS, SEED)
+    got = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+    want = _topk_rows(
+        similarity.ivf_kmeans_topk(emb, q, k=5, n_centroids=N_CENTROIDS, n_probe=N_PROBE, seed=SEED)
+    )
+    assert got == want and got
+    emb.unpersist()
+
+
+def test_update_appends_without_refit_and_prunes(spark, sf_dir, tmp_path):
+    """An index built on a prefix then updated with the remainder must
+    answer like one built over everything the assignments cover — the
+    update is a map-side nearest-centroid append against the FROZEN
+    centroids (no KMeans anywhere in its plan), and the probe read
+    must prune to the probed cell partitions."""
+    emb = _emb(spark, sf_dir).persist()
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    q = similarity.default_queries(emb, every=50)
+    idx = str(tmp_path / "ivf_inc")
+    ivf_index.build_ivf_index(first, idx, N_CENTROIDS, SEED)
+    n_first = ivf_index.read_manifest(idx)["n_rows"]
+    ivf_index.update_ivf_index(rest, idx)
+    meta = ivf_index.read_manifest(idx)
+    assert meta["n_rows"] == emb.count() and meta["n_rows"] > n_first
+
+    got_df = ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE)
+    got = _topk_rows(got_df)
+
+    # reference: assign the SAME frozen centroids to the full corpus
+    # (centroids never move on update, so a full re-assignment against
+    # them is the ground truth the incremental appends must reproduce)
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    assigned = ivf_index._assign(emb, centroids)
+    w = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    wq = F.broadcast(
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", ivf_index._d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= N_PROBE)
+        .select(
+            "query_id", "query_vec", "centroid_id", norm(F.col("query_vec")).alias("qnrm")
+        )
+    )
+    want = _topk_rows(similarity._rank_topk(assigned.join(wq, "centroid_id"), k=5))
+    assert got == want and got
+
+    # static partition pruning: only probed cells' directories are read
+    plan = plan_string(got_df)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    emb.unpersist()
+
+
+def test_manifest_sizes_lsh_bits_from_metadata(spark, sf_dir, tmp_path):
+    """The artifact manifest carries the corpus count and its
+    ``lsh_bits_for`` sizing, so sign-LSH operators over an indexed
+    corpus need no eager count job (r5 finding #5)."""
+    emb = _emb(spark, sf_dir, n=300)
+    idx = str(tmp_path / "ivf_meta")
+    ivf_index.build_ivf_index(emb, idx, N_CENTROIDS, SEED)
+    meta = ivf_index.read_manifest(idx)
+    assert meta["n_rows"] == 300
+    assert meta["lsh_bits"] == dedup.lsh_bits_for(300)
+    assert ivf_index.index_lsh_bits(idx) == dedup.lsh_bits_for(300)
+
+
+def test_missing_index_fails_loudly(spark, sf_dir, tmp_path):
+    import pytest
+
+    q = similarity.default_queries(_emb(spark, sf_dir, n=50), every=10)
+    with pytest.raises(FileNotFoundError, match="build_ivf_index"):
+        ivf_index.ivf_index_topk(spark, q, str(tmp_path / "nope"))

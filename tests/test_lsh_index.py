@@ -112,7 +112,61 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
     # additive-sink replay guard: both epochs are marked applied, so a
     # re-delivered micro-batch (restart replay) appends nothing (the
     # same marker protocol the serving sink proves end-to-end in
-    # test_serving.test_streaming_serving_sink_equals_batch_recompute)
-    assert sp._epoch_already_applied(corpus_dir, 0)
-    assert sp._epoch_already_applied(corpus_dir, 1)
-    assert not sp._epoch_already_applied(corpus_dir, 2)
+    # test_serving.test_streaming_serving_sink_equals_batch_recompute);
+    # the marker lives beside the corpus so compaction can't clobber it
+    assert sp._epoch_already_applied(corpus_dir + "_meta", 0)
+    assert sp._epoch_already_applied(corpus_dir + "_meta", 1)
+    assert not sp._epoch_already_applied(corpus_dir + "_meta", 2)
+
+
+def test_ingest_compaction_bounds_files_and_preserves_results(spark, sf_dir, tmp_path):
+    """Long-running ingest: per-batch appends accrete one file set per
+    epoch; the every-N-epochs compaction must bound the file counts of
+    the corpus and both index tables WITHOUT changing any result —
+    corpus rows identical to an uncompacted twin ingest, and the next
+    batch dedups identically against either index."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    n_batches = 12
+    feeds = {"a": str(tmp_path / "feed_a"), "b": str(tmp_path / "feed_b")}
+    for d in feeds.values():
+        for i in range(n_batches):
+            docs.where(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/f{i:02d}.parquet")
+
+    def ingest(feed, corpus, idx, ck, compact_every):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string, source string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{feed}/*.parquet")
+        )
+        q = sp.start_corpus_ingest_sink(stream, corpus, idx, ck, compact_every=compact_every)
+        q.processAllAvailable()
+        q.stop()
+
+    ca, ia = str(tmp_path / "corpus_a"), str(tmp_path / "idx_a")
+    cb, ib = str(tmp_path / "corpus_b"), str(tmp_path / "idx_b")
+    ingest(feeds["a"], ca, ia, str(tmp_path / "ck_a"), compact_every=4)
+    ingest(feeds["b"], cb, ib, str(tmp_path / "ck_b"), compact_every=None)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(ca).collect())
+    want = sorted(r["doc_id"] for r in spark.read.parquet(cb).collect())
+    assert got == want and got
+
+    # the compacted index answers the next batch identically
+    nxt = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source"
+    )
+    ka = sorted(r["doc_id"] for r in lsh_index.dedup_against_index(spark, nxt, ia).collect())
+    kb = sorted(r["doc_id"] for r in lsh_index.dedup_against_index(spark, nxt, ib).collect())
+    assert ka == kb
+
+    # and the file counts are actually bounded: the uncompacted twin
+    # holds ~one file set per epoch; the compacted one collapsed at
+    # epoch 11, then accreted only epochs 12+ — strictly fewer files
+    par = spark.sparkContext.defaultParallelism
+    assert lsh_index.parquet_file_count(ca) < lsh_index.parquet_file_count(cb)
+    assert lsh_index.parquet_file_count(ca) <= par + 1
+    assert lsh_index.parquet_file_count(ia) < lsh_index.parquet_file_count(ib)

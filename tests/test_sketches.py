@@ -188,6 +188,77 @@ def test_histogram_quantile_accuracy(spark, sf_dir):
         assert abs(r["quantile"] - ex) <= w + 1e-9, (r["event_type"], r["q"], r["quantile"], ex)
 
 
+def _unknown_range_df(spark):
+    """Deterministic unknown-range fixture: values spanning 9 orders of
+    magnitude, both signs, exact zeros — everything the fixed-bin
+    state cannot take without domain knowledge."""
+    import math
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(4000):
+        g = "a" if i % 2 == 0 else "b"
+        r = rnd.random()
+        if r < 0.05:
+            v = 0.0
+        else:
+            v = math.exp(rnd.uniform(-9.0, 11.0)) * (1 if rnd.random() < 0.8 else -1)
+        rows.append((g, v))
+    return rows, spark.createDataFrame(rows, "grp string, v double")
+
+
+def test_log_histogram_quantile_relative_error_bound(spark):
+    """Unknown-range column: every estimate must land within the
+    DDSketch-style alpha relative-error bound of the exact rank-q
+    element — with NO lo/hi given up front."""
+    alpha = 0.01
+    rows, df = _unknown_range_df(spark)
+    state = sketches.log_histogram_state(df, "v", ["grp"], alpha=alpha)
+    qs = [0.05, 0.5, 0.9, 0.99]
+    est = {
+        (r["grp"], r["q"]): r["quantile"]
+        for r in sketches.log_histogram_quantiles(state, ["grp"], qs, alpha=alpha).collect()
+    }
+    import math
+
+    for g in ("a", "b"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        for q in qs:
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            got = est[(g, q)]
+            if abs(exact) < 1e-9:
+                assert abs(got) < 1e-9, (g, q, got, exact)
+            else:
+                rel = abs(got - exact) / abs(exact)
+                assert rel <= alpha + 1e-9, (g, q, got, exact, rel)
+
+
+def test_log_histogram_merge_order_invariant(spark):
+    """Bucket boundaries are absolute powers of gamma, so states from
+    arbitrary splits merge by plain addition into the identical state
+    — no re-binning, any order (the property the fixed-bin state
+    could only offer within one declared range)."""
+    _rows, df = _unknown_range_df(spark)
+    parts = [
+        sketches.log_histogram_state(
+            df.where(F.abs(F.hash("v")) % 3 == i), "v", ["grp"]
+        )
+        for i in range(3)
+    ]
+    m_ab_c = sketches.merge_histogram_states(
+        sketches.merge_histogram_states(parts[0], parts[1], ["grp"]), parts[2], ["grp"]
+    )
+    m_c_ba = sketches.merge_histogram_states(
+        parts[2], sketches.merge_histogram_states(parts[1], parts[0], ["grp"]), ["grp"]
+    )
+    full = sketches.log_histogram_state(df, "v", ["grp"])
+    a = sorted(tuple(r) for r in m_ab_c.collect())
+    b = sorted(tuple(r) for r in m_c_ba.collect())
+    c = sorted(tuple(r) for r in full.collect())
+    assert a == b == c and a
+
+
 # --- topK state (parallel space-saving) -------------------------------------
 
 

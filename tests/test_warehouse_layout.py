@@ -404,6 +404,52 @@ def test_streaming_projection_sink_equals_batch_rebuild(spark, sf_dir, tmp_path)
     assert nsort(map(tuple, got.collect())) == nsort(map(tuple, want.collect()))
 
 
+def test_projection_uniq_users_routes_and_matches_facts(spark, sf_dir, tmp_path):
+    """Aggregate-spec projections (r4 verdict task #6): a projection
+    carrying the uniqState HLL sketch must answer a distinct-users
+    question identically to the fact scan — across incremental
+    refreshes (sketch union is lossless) — and the router must skip
+    cheaper projections that lack the requested aggregate."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path / "wh_uniqproj")
+    proot = str(tmp_path / "proj_uniq")
+    enr = _enriched(spark, sf_dir)
+    b1 = enr.where(F.col("event_id") % 2 == 0)
+    b2 = enr.where(F.col("event_id") % 2 == 1)
+    warehouse.write_warehouse(b1, wh)
+    # a SMALLER count/sum-only projection on the same keys: must lose
+    # the route when uniq_users is requested despite being cheaper
+    warehouse.define_projection(spark, wh, proot, "by_type_plain", ["event_type"])
+    warehouse.define_projection(
+        spark, wh, proot, "by_type_uniq", ["event_type", "content_type"],
+        aggs=("cnt", "sum_score", "uniq_users"),
+    )
+    warehouse.refresh_projections(spark, proot, b2)
+    warehouse.write_warehouse(enr, wh)  # full history for the facts route
+
+    got, src = warehouse.routed_aggregate(
+        spark, wh, proot, ["event_type"], aggs=("cnt", "uniq_users")
+    )
+    assert src == "by_type_uniq"
+    want, fsrc = warehouse.routed_aggregate(
+        spark, wh, str(tmp_path / "noproj"), ["event_type"], aggs=("cnt", "uniq_users")
+    )
+    assert fsrc == "facts"
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == ["event_type", "cnt", "uniq_users"]
+
+    # count/sum requests still prefer the smaller plain projection
+    _, src2 = warehouse.routed_aggregate(spark, wh, proot, ["event_type"])
+    assert src2 == "by_type_plain"
+
+    # unknown aggregate fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown projection aggregates"):
+        warehouse.routed_aggregate(spark, wh, proot, ["event_type"], aggs=("median",))
+
+
 def test_bloom_filter_skip_index_analog(spark, tmp_path):
     """ClickHouse bloom_filter skip-index analog: bloom-enabled columns
     must actually serialize filters into the parquet files (bytes grow
