@@ -500,6 +500,40 @@ def log_histogram_quantiles(
     return hit.select(*keys, "q", F.round(est, 9).alias("quantile"))
 
 
+def merge_log_histogram_increment(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    alpha: float = DEFAULT_ALPHA,
+    epoch: int | None = None,
+) -> None:
+    """Fold a new fact batch into a stored log-bucketed quantile state
+    — the AggregatingMergeTree insert-trigger shape shared with the
+    uniq/topk states, for the UNBOUNDED-domain quantile family (the
+    natural streaming fit: a stream's value range is never known up
+    front, and absolute gamma-power buckets mean a batch can never
+    force a re-bin of history).  Additive merge ⇒ the usual in-data
+    ``last_epoch`` stamp makes re-delivered epochs no-op."""
+    import os
+
+    if not os.path.isdir(path):
+        _epoch_stamp(log_histogram_state(new_df, value_col, keys, alpha), epoch).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return
+    current = spark.read.parquet(path)
+    if _epoch_done(current, epoch):
+        return
+    merged = merge_histogram_states(
+        current.drop("last_epoch"),
+        log_histogram_state(new_df, value_col, keys, alpha),
+        keys,
+    )
+    _stage_swap(_epoch_stamp(merged, epoch), path)
+
+
 def uniq_up_to(col, n: int):
     """ClickHouse ``uniqUpTo(N)(x)`` analog: the EXACT distinct count
     while it is <= N, pinned to N+1 beyond — the cheap "are there more

@@ -712,6 +712,87 @@ def start_projection_sink(enriched: DataFrame, proj_root: str, checkpoint: str):
     )
 
 
+def start_quantile_sink(
+    enriched: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    value_col: str = "engagement_score",
+    keys: tuple = ("event_type",),
+    alpha: float | None = None,
+):
+    """Streaming maintenance of the UNBOUNDED-domain quantile state
+    (operators/sketches.py log-bucketed family — the quantileState MV
+    for a column whose range is unknown up front, which is every
+    streaming column): each micro-batch's log-histogram partials fold
+    additively into the stored state.  Absolute gamma-power buckets
+    mean no batch can ever force a re-bin of history; the epoch marker
+    fast-paths clean replays and the merge's in-data ``last_epoch``
+    stamp closes the commit-vs-marker crash window."""
+    from ..operators.sketches import DEFAULT_ALPHA, merge_log_histogram_increment
+
+    a = DEFAULT_ALPHA if alpha is None else alpha
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if _epoch_already_applied(state_dir + "_meta", epoch, checkpoint):
+            return
+        merge_log_histogram_increment(
+            batch.sparkSession, state_dir, batch, value_col, list(keys), a, epoch=epoch
+        )
+        _record_epoch(state_dir + "_meta", epoch, checkpoint)
+
+    return (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def start_embedding_index_sink(
+    emb_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    n_centroids: int = 16,
+    seed: int = 7,
+):
+    """Live ANN-index ingestion — the embedding twin of
+    ``start_corpus_ingest_sink``: the first micro-batch BUILDS the
+    persistent IVF index (fits centroids once — at scale, point the
+    bootstrap at a representative seed corpus instead), every later
+    batch folds in map-side against the frozen centroids
+    (``ivf_index.update_ivf_index`` — no refit, cost ∝ batch).
+    Queries against the index (``ivf_index_topk``) see each batch as
+    soon as its append commits.
+
+    The index append is additive, so the epoch marker guards restart
+    re-delivery; as with the corpus ingest sink, the residual
+    crash-between-append-and-marker window would duplicate that one
+    batch's vectors in the inverted lists (see
+    ``_epoch_already_applied``) — run the periodic index rebuild to
+    both re-center drifted cells and squash any such residue."""
+    from ..operators import ivf_index
+
+    meta_dir = index_dir + "_sinkmeta"
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        if not os.path.isdir(f"{index_dir}/assignments"):
+            ivf_index.build_ivf_index(batch, index_dir, n_centroids, seed)
+        else:
+            ivf_index.update_ivf_index(batch, index_dir)
+        _record_epoch(meta_dir, epoch, checkpoint)
+
+    return (
+        emb_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_funnel_sink(
     enriched: DataFrame,
     state_dir: str,

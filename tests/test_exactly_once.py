@@ -141,6 +141,25 @@ def test_topk_increment_epoch_replay_is_noop(spark, sf_dir, tmp_path):
         assert lb <= exact[(et, item)] <= ub
 
 
+def test_log_histogram_increment_epoch_replay_is_noop(spark, sf_dir, tmp_path):
+    """The log-bucketed quantile state is additive; a re-delivered
+    epoch must not double-count any bucket."""
+    enr, b1, b2 = _halves(spark, sf_dir)
+    path = str(tmp_path / "logq_eo")
+    args = ("engagement_score", ["event_type"])
+    sketches.merge_log_histogram_increment(spark, path, b1, *args, epoch=0)
+    sketches.merge_log_histogram_increment(spark, path, b2, *args, epoch=1)
+    sketches.merge_log_histogram_increment(spark, path, b2, *args, epoch=1)  # replay
+    got = sorted(
+        (r["event_type"], r["bin"], r["cnt"]) for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sketches.log_histogram_state(enr, "engagement_score", ["event_type"]).collect()
+    )
+    assert got == want and got
+
+
 def test_projection_partial_commit_then_replay(spark, sf_dir, tmp_path):
     """Projections commit independently, so a crash can leave one
     refreshed and another not.  Simulated by rolling one projection's

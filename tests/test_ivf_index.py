@@ -103,6 +103,58 @@ def test_manifest_sizes_lsh_bits_from_metadata(spark, sf_dir, tmp_path):
     assert ivf_index.index_lsh_bits(idx) == dedup.lsh_bits_for(300)
 
 
+def test_streaming_embedding_index_sink(spark, sf_dir, tmp_path):
+    """Live index ingestion: batch 1 bootstraps (fit + build), later
+    batches fold in against the frozen centroids; the resulting index
+    must answer exactly like a frozen-centroid assignment of the full
+    corpus, and a restart replay must append nothing."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    emb = _emb(spark, sf_dir, n=300).persist()
+    feed = str(tmp_path / "embfeed")
+    os.makedirs(feed)
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            f"{feed}/f{i}.parquet"
+        )
+    idx = str(tmp_path / "ivf_stream")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q_ = sp.start_embedding_index_sink(stream, idx, str(tmp_path / "ck_emb"), N_CENTROIDS, SEED)
+    q_.processAllAvailable()
+    q_.stop()
+
+    meta = ivf_index.read_manifest(idx)
+    assert meta["n_rows"] == 300
+
+    queries = similarity.default_queries(emb, every=50)
+    got = _topk_rows(ivf_index.ivf_index_topk(spark, queries, idx, k=5, n_probe=N_PROBE))
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    assigned = ivf_index._assign(emb, centroids)
+    w = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    probes = F.broadcast(
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", ivf_index._d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= N_PROBE)
+        .select(
+            "query_id", "query_vec", "centroid_id", norm(F.col("query_vec")).alias("qnrm")
+        )
+    )
+    want = _topk_rows(similarity._rank_topk(assigned.join(probes, "centroid_id"), k=5))
+    assert got == want and got
+
+    # restart replay: all three epochs marked applied, nothing re-appends
+    assert sp._epoch_already_applied(idx + "_sinkmeta", 2)
+    assert not sp._epoch_already_applied(idx + "_sinkmeta", 3)
+    emb.unpersist()
+
+
 def test_missing_index_fails_loudly(spark, sf_dir, tmp_path):
     import pytest
 

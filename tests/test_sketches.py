@@ -259,6 +259,60 @@ def test_log_histogram_merge_order_invariant(spark):
     assert a == b == c and a
 
 
+def test_streaming_quantile_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Multi-batch replay (out of event-time order) through
+    start_quantile_sink must land the identical log-bucketed state —
+    and therefore identical quantile readouts — as one batch build:
+    absolute buckets + additive merge are order-independent."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import pipeline as sp
+
+    enr = _enriched(spark, sf_dir).persist()
+    feed = str(tmp_path / "qfeed")
+    os.makedirs(feed)
+    for fname, i in (("b.parquet", 1), ("a.parquet", 0), ("c.parquet", 2)):
+        enr.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/{fname}")
+    state_dir = str(tmp_path / "q_state")
+    stream = (
+        spark.readStream.schema(enr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    q_ = sp.start_quantile_sink(stream, state_dir, str(tmp_path / "ck_q"))
+    q_.processAllAvailable()
+    q_.stop()
+
+    got_state = sorted(
+        (r["event_type"], r["bin"], r["cnt"])
+        for r in spark.read.parquet(state_dir).collect()
+    )
+    want_state = sorted(
+        tuple(r)
+        for r in sketches.log_histogram_state(enr, "engagement_score", ["event_type"]).collect()
+    )
+    assert got_state == want_state and got_state
+
+    got_q = sorted(
+        tuple(r)
+        for r in sketches.log_histogram_quantiles(
+            spark.read.parquet(state_dir), ["event_type"], QS
+        ).collect()
+    )
+    want_q = sorted(
+        tuple(r)
+        for r in sketches.log_histogram_quantiles(
+            sketches.log_histogram_state(enr, "engagement_score", ["event_type"]),
+            ["event_type"],
+            QS,
+        ).collect()
+    )
+    assert got_q == want_q and got_q
+    enr.unpersist()
+
+
 # --- topK state (parallel space-saving) -------------------------------------
 
 
