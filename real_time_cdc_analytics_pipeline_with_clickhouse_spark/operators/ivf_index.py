@@ -125,9 +125,13 @@ def build_ivf_index(
         )
     )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{index_dir}/assignments"
-    )
+    # inverted lists live under batch=<id>/centroid_id=<cell> — the
+    # batch level makes every later append a DETERMINISTIC overwrite of
+    # its own directory (exactly-once under streaming replay), the cell
+    # level keeps probe-side partition pruning
+    assigned.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
+        "batch", "centroid_id"
+    ).parquet(f"{index_dir}/assignments")
     n = embeddings.sparkSession.read.parquet(f"{index_dir}/assignments").count()
     _write_manifest(
         index_dir,
@@ -140,11 +144,30 @@ def build_ivf_index(
     )
 
 
-def update_ivf_index(new_embeddings: DataFrame, index_dir: str) -> None:
+def _next_batch_id(index_dir: str) -> int:
+    pre = "batch="
+    root = f"{index_dir}/assignments"
+    ids = [
+        int(d[len(pre):])
+        for d in os.listdir(root)
+        if d.startswith(pre) and os.path.isdir(os.path.join(root, d))
+    ]
+    return (max(ids) + 1) if ids else 0
+
+
+def update_ivf_index(
+    new_embeddings: DataFrame, index_dir: str, epoch: int | None = None
+) -> None:
     """Fold a new batch into the inverted lists WITHOUT refit: assign
-    map-side against the stored (broadcast) centroids, append only the
-    touched cell partitions, bump the manifest count (which also
-    re-sizes ``lsh_bits`` for the sign-LSH family)."""
+    map-side against the stored (broadcast, frozen) centroids, write
+    the batch's OWN ``batch=<id>`` directory, bump the manifest count
+    (which also re-sizes ``lsh_bits`` for the sign-LSH family).
+
+    Exactly-once: pass the micro-batch ``epoch`` as the batch id — the
+    write is a whole-directory overwrite and assignment against frozen
+    centroids is deterministic, so a crash-replayed epoch rewrites
+    byte-identical content instead of duplicating vectors (tested).
+    Batch callers may omit it (ids self-allocate)."""
     spark = new_embeddings.sparkSession
     meta = read_manifest(index_dir)
     centroids = spark.read.parquet(f"{index_dir}/centroids")
@@ -154,8 +177,9 @@ def update_ivf_index(new_embeddings: DataFrame, index_dir: str) -> None:
         ),
         centroids,
     )
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(
-        f"{index_dir}/assignments"
+    b = _next_batch_id(index_dir) if epoch is None else int(epoch)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{index_dir}/assignments/batch={b}"
     )
     n = spark.read.parquet(f"{index_dir}/assignments").count()
     meta.update({"n_rows": n, "lsh_bits": lsh_bits_for(n)})

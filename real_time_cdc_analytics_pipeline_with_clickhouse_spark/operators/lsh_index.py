@@ -108,14 +108,17 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     pays N× the file-open/footer overhead and row-group stats degrade.
     Rewrite = the same stage-then-swap: bands re-cluster to one sorted
     file per ``band_id`` partition, shingles to parallelism-bounded
-    files.  Logical content is unchanged (tested: dedup results
-    identical before/after)."""
+    files.  Both tables are SET-semantic (a (doc, band, key) or (doc,
+    shingle) row means membership, never a count — ``_verified``
+    distinct's before counting), so the rewrite also ``distinct``s:
+    logical content is unchanged (tested: dedup results identical
+    before/after) and any crash-replay append residue is squashed."""
     from ..warehouse import _stage_swap
 
-    bands = spark.read.parquet(f"{index_dir}/bands")
+    bands = spark.read.parquet(f"{index_dir}/bands").distinct()
     _stage_swap(bands, f"{index_dir}/bands", partition_by="band_id",
                 sort_within=["band_id", "band_key"])
-    sh = spark.read.parquet(f"{index_dir}/shingles")
+    sh = spark.read.parquet(f"{index_dir}/shingles").distinct()
     _stage_swap(sh.repartition(spark.sparkContext.defaultParallelism),
                 f"{index_dir}/shingles")
 
@@ -128,13 +131,25 @@ def _verified(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: floa
     accumulated corpus index: counting it unrestricted would make
     every incremental batch pay a corpus-wide shuffle), and the
     shingle joins are equi-keyed on (doc, shingle), never
-    corpus×corpus."""
-    ea = sh_a.join(
-        cand.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
-    ).select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = sh_b.join(
-        cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
-    ).select(F.col("doc_id").alias("doc_b"), "shingle")
+    corpus×corpus.  The candidate-restricted shingle rows are
+    DISTINCT'd before counting: Jaccard is a SET ratio, and a
+    crash-replayed index append that duplicated a doc's shingle rows
+    must not corrupt it (duplicate-tolerance is half of the ingest
+    sink's exactly-once story)."""
+    ea = (
+        sh_a.join(
+            cand.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        )
+        .select(F.col("doc_id").alias("doc_a"), "shingle")
+        .distinct()
+    )
+    eb = (
+        sh_b.join(
+            cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        )
+        .select(F.col("doc_id").alias("doc_b"), "shingle")
+        .distinct()
+    )
     common = (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "shingle"])
@@ -178,12 +193,20 @@ def dedup_against_index(
     idx_bands = spark.read.parquet(f"{index_dir}/bands")
     idx_sh = spark.read.parquet(f"{index_dir}/shingles")
 
-    # batch × index candidates: indexed doc is always doc_a (precedent)
+    # batch × index candidates: indexed doc is always doc_a (precedent).
+    # doc_a < doc_b ENFORCES the module contract (indexed docs precede
+    # the batch — ids below it) instead of trusting it; it also makes a
+    # crash-REPLAYED batch deterministic: the replay sees its own
+    # append in the index, but self-pairs and larger-id batch-mates are
+    # excluded here exactly as the within-batch rule excludes them, so
+    # the replayed keep set is identical to the original
     cross = (
         idx_bands.alias("a")
         .join(
             new_bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_key") == F.col("b.band_key")),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

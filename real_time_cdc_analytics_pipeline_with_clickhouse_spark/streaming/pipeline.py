@@ -764,25 +764,34 @@ def start_embedding_index_sink(
     Queries against the index (``ivf_index_topk``) see each batch as
     soon as its append commits.
 
-    The index append is additive, so the epoch marker guards restart
-    re-delivery; as with the corpus ingest sink, the residual
-    crash-between-append-and-marker window would duplicate that one
-    batch's vectors in the inverted lists (see
-    ``_epoch_already_applied``) — run the periodic index rebuild to
-    both re-center drifted cells and squash any such residue."""
+    Exactly-once through the crash window: each epoch's append is a
+    whole-directory OVERWRITE of its own ``batch=<epoch>`` inverted
+    lists (assignment against frozen centroids is deterministic, so a
+    replay rewrites identical bytes), and a replay of the BOOTSTRAP
+    epoch re-runs the build — itself a full overwrite — rather than
+    appending its vectors a second time (the ``_BUILD_EPOCH`` marker,
+    written before the build starts, routes it)."""
     from ..operators import ivf_index
 
     meta_dir = index_dir + "_sinkmeta"
+    build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         if _epoch_already_applied(meta_dir, epoch, checkpoint):
             return
-        if not os.path.isdir(f"{index_dir}/assignments"):
+        built_by = None
+        if os.path.isfile(build_marker):
+            with open(build_marker) as fh:
+                built_by = int(fh.read().strip() or -1)
+        if not os.path.isdir(f"{index_dir}/assignments") or built_by == epoch:
+            os.makedirs(meta_dir, exist_ok=True)
+            with open(build_marker, "w") as fh:  # before the build: a
+                fh.write(str(epoch))  # crash mid-build replays as a rebuild
             ivf_index.build_ivf_index(batch, index_dir, n_centroids, seed)
         else:
-            ivf_index.update_ivf_index(batch, index_dir)
+            ivf_index.update_ivf_index(batch, index_dir, epoch=epoch)
         _record_epoch(meta_dir, epoch, checkpoint)
 
     return (
@@ -905,28 +914,39 @@ def start_corpus_ingest_sink(
     append to each index table.  Bootstrap: an empty index dir is
     initialized from the first batch.
 
-    ``compact_every``: every N applied epochs the appended corpus and
-    index tables are rewritten by the MergeTree-background-merge
-    analog (``lsh_index.compact_minhash_index`` + the corpus
-    stage-swap) — without it a long-running ingest accretes one file
-    set per micro-batch and every candidate join pays the
-    file-open/footer tax (the classic streaming small-file problem).
-    Logical content is unchanged (tested); the epoch marker lives in a
-    ``_meta`` sibling dir so a compaction rewrite can never clobber
-    it.  ``None`` disables.
+    Exactly-once THROUGH the crash window (not just the marker fast
+    path): the corpus is laid out as ``batch_group=G`` directories
+    (G = epoch // compact_every) and each epoch MERGES into its group
+    dir keyed by doc_id — a replayed epoch recomputes the identical
+    keep set (``dedup_against_index``'s ``doc_a < doc_b`` rule makes
+    the verdicts identical even though the replay sees its own index
+    append) and the doc_id-keyed dedup makes the rewrite idempotent.
+    The index append side is duplicate-TOLERANT by construction
+    (candidates and shingle sets are distinct'd in ``_verified``), so
+    a replayed append changes no verdict; compaction squashes the
+    redundant bytes.
+
+    ``compact_every`` doubles as the corpus group size and the index
+    compaction cadence: every N applied epochs the index tables are
+    rewritten by the MergeTree-background-merge analog
+    (``lsh_index.compact_minhash_index``) — without it a long-running
+    ingest accretes one file set per micro-batch and every candidate
+    join pays the file-open/footer tax — and the rolling group merge
+    IS the corpus' compaction (files per group stay few; group dirs
+    grow 1/N as fast as epochs).  Logical content is unchanged
+    (tested); the epoch marker lives in a ``_meta`` sibling dir so no
+    rewrite can clobber it.  ``None`` disables index compaction and
+    degrades the corpus to one dir per epoch (still exactly-once).
     """
     from ..operators import dedup as dd
     from ..operators import lsh_index
 
     meta_dir = corpus_dir + "_meta"
+    gsize = compact_every or 1
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
-        # corpus append + index append are both additive: a replayed
-        # epoch would duplicate rows in BOTH — the same guard as the
-        # serving sink (see _epoch_already_applied for the residual
-        # crash window)
         if _epoch_already_applied(meta_dir, epoch, checkpoint):
             return
         sp_ = batch.sparkSession
@@ -943,20 +963,27 @@ def start_corpus_ingest_sink(
         kept = docs.join(
             kept_ids.select("doc_id"), "doc_id", "left_semi"
         )
-        kept.write.mode("append").parquet(corpus_dir)
+        gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
+        if os.path.isdir(gdir) and any(f.endswith(".parquet") for f in os.listdir(gdir)):
+            # stage-then-swap with the staging copy OUTSIDE corpus_dir:
+            # a sibling staging dir would be discovered as a bogus
+            # partition by corpus-wide reads (_stage_swap keeps its
+            # staging copy for crash recovery, so location matters)
+            staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
+            merged = (
+                sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["doc_id"])
+            )
+            merged.write.mode("overwrite").parquet(staging)
+            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+        else:
+            kept.write.mode("overwrite").parquet(gdir)
         lsh_index.update_minhash_index(docs, index_dir)
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             # after the marker: a crash mid-compaction replays as an
             # already-applied epoch (no re-append) and the swap either
             # completed or left the original bytes
-            from ..warehouse import _stage_swap
-
             lsh_index.compact_minhash_index(sp_, index_dir)
-            corpus = sp_.read.parquet(corpus_dir)
-            _stage_swap(
-                corpus.repartition(sp_.sparkContext.defaultParallelism), corpus_dir
-            )
 
     return (
         doc_stream.writeStream.outputMode("append")

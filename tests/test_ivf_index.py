@@ -152,6 +152,15 @@ def test_streaming_embedding_index_sink(spark, sf_dir, tmp_path):
     # restart replay: all three epochs marked applied, nothing re-appends
     assert sp._epoch_already_applied(idx + "_sinkmeta", 2)
     assert not sp._epoch_already_applied(idx + "_sinkmeta", 3)
+
+    # crash-WINDOW replay of epoch 2 (append committed, marker not):
+    # the batch=<epoch> overwrite rewrites identical content — row
+    # count and answers unchanged, no duplicated vectors
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    ivf_index.update_ivf_index(b2, idx, epoch=2)
+    assert ivf_index.read_manifest(idx)["n_rows"] == 300
+    again = _topk_rows(ivf_index.ivf_index_topk(spark, queries, idx, k=5, n_probe=N_PROBE))
+    assert again == got
     emb.unpersist()
 
 

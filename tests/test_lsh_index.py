@@ -118,6 +118,21 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
     assert sp._epoch_already_applied(corpus_dir + "_meta", 1)
     assert not sp._epoch_already_applied(corpus_dir + "_meta", 2)
 
+    # crash-WINDOW replay of epoch 1 (its index append committed, the
+    # marker did not): verdicts must be identical even though the
+    # replay sees batch 2's own rows in the index (the doc_a < doc_b
+    # rule), and a duplicate index append must change nothing — the
+    # full exactly-once story, beyond the marker fast path
+    replay_kept = sorted(
+        r["doc_id"] for r in lsh_index.dedup_against_index(spark, b2, idx_dir).collect()
+    )
+    assert replay_kept == sorted(r["doc_id"] for r in kept2.select("doc_id").collect())
+    lsh_index.update_minhash_index(b2, idx_dir)  # the replayed append
+    again = sorted(
+        r["doc_id"] for r in lsh_index.dedup_against_index(spark, b2, idx_dir).collect()
+    )
+    assert again == replay_kept
+
 
 def test_ingest_compaction_bounds_files_and_preserves_results(spark, sf_dir, tmp_path):
     """Long-running ingest: per-batch appends accrete one file set per
