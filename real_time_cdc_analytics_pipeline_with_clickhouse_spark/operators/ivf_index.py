@@ -41,7 +41,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.vector import norm
+from ..functions.vector import dot, norm
 from .dedup import lsh_bits_for
 from .similarity import _rank_topk, kmeans_centroids
 
@@ -220,3 +220,47 @@ def ivf_index_topk(
         F.col("centroid_id").isin(cells)
     )
     return _rank_topk(corpus.join(F.broadcast(probes), "centroid_id"), k)
+
+
+def near_dup_pairs_from_index(
+    spark: SparkSession, index_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """SemDeDup candidate pairs from the STORED index — the
+    artifact-backed form of ``similarity.kmeans_near_dup_pairs``,
+    which re-fits KMeans and re-assigns the corpus on every call.
+    Here the inverted lists already hold (vec_id, embedding, nrm,
+    centroid_id); the only work is the per-cell self-join (equi-keyed
+    on ``centroid_id``, quadratic in CELL occupancy — size
+    ``n_centroids`` at build time exactly like ``lsh_bits_for``) and
+    exact cosine verification.  On the same corpus and params the
+    pairs equal the fit-per-call flow (same seed → same fit → same
+    cells; tested)."""
+    read_manifest(index_dir)
+    assigned = spark.read.parquet(f"{index_dir}/assignments")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup_keep_from_index(
+    spark: SparkSession, index_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """Artifact-backed ``similarity.semantic_dedup_keep``: drop the
+    higher id of every within-cell near-dup pair, reading everything
+    from the stored index — no fit, no re-assignment."""
+    pairs = near_dup_pairs_from_index(spark, index_dir, threshold)
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    corpus = spark.read.parquet(f"{index_dir}/assignments").select("vec_id", "embedding")
+    return corpus.join(drops, "vec_id", "left_anti")

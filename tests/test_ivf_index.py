@@ -164,6 +164,41 @@ def test_streaming_embedding_index_sink(spark, sf_dir, tmp_path):
     emb.unpersist()
 
 
+def test_index_backed_semantic_dedup_equals_fit_per_call(spark, sf_dir, tmp_path):
+    """`near_dup_pairs_from_index` must return exactly the pairs the
+    fit-per-call `kmeans_near_dup_pairs` finds on the same corpus and
+    params (same seed → same fit → same cells), with zero fitting or
+    re-assignment at query time; the keep variant drops exactly the
+    higher id of every pair."""
+    base = _emb(spark, sf_dir, n=200)
+    clones = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = base.unionByName(clones).persist()
+    idx = str(tmp_path / "ivf_sem")
+    ivf_index.build_ivf_index(corpus, idx, N_CENTROIDS, SEED)
+
+    got = sorted(
+        map(tuple, ivf_index.near_dup_pairs_from_index(spark, idx, 0.9).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.kmeans_near_dup_pairs(corpus, 0.9, N_CENTROIDS, SEED).collect(),
+        )
+    )
+    assert got == want and got
+
+    kept = {r["vec_id"] for r in ivf_index.semantic_dedup_keep_from_index(spark, idx, 0.9).collect()}
+    for _a, b, _c in got:
+        assert b not in kept
+    all_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    dropped = {b for _a, b, _c in got}
+    assert kept == all_ids - dropped
+    corpus.unpersist()
+
+
 def test_missing_index_fails_loudly(spark, sf_dir, tmp_path):
     import pytest
 
