@@ -169,9 +169,12 @@ def _strict_funnel_dp(
     struct(ts, stopped, com[k], pen[k]): ``pen`` is current, ``com``
     the pre-group commit (tracked only under strict_increase).
     Cross-checked against brute-force chain enumeration in
-    tests/test_behavioral.py."""
-    if isinstance(modes, str):
-        modes = (modes,)
+    tests/test_behavioral.py.
+
+    ``modes`` must already be a SEQUENCE of mode strings — the public
+    boundary (``funnel_levels``) owns the bare-string normalization; a
+    stray bare string here fails the unknown-modes check loudly (its
+    characters are not mode names), never silently."""
     bad = set(modes) - set(_FUNNEL_MODES)
     if bad:
         raise ValueError(f"unknown funnel modes {sorted(bad)}; known: {_FUNNEL_MODES}")
