@@ -24,7 +24,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import rollups
-from .warehouse import _stage_swap
+from .warehouse import _stage_swap, buckets_already_stamped as _buckets_already_stamped
+from .warehouse import stamped as _stamped
 
 TABLES = ["user_leaderboard", "latest_event", "event_counters", "trending_state"]
 
@@ -99,30 +100,6 @@ def _rank_state(agg: DataFrame) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
     )
-
-
-def _stamped(stored: DataFrame) -> DataFrame:
-    """Stored rows with a guaranteed ``last_epoch`` column (pre-stamp
-    tables read as -1: every epoch applies)."""
-    if "last_epoch" not in stored.columns:
-        stored = stored.withColumn("last_epoch", F.lit(-1).cast("long"))
-    return stored
-
-
-def _buckets_already_stamped(stored: DataFrame, bucket_col: str, epoch: int) -> set:
-    """Buckets whose committed rows already carry ``epoch`` (the
-    re-delivered half of a crash between the per-partition
-    dynamic-overwrite commits and the sink's global epoch marker) —
-    those skip; the rest apply.  A bounded collect: ≤ touched-bucket
-    cardinality rows."""
-    return {
-        r[0]
-        for r in stored.groupBy(bucket_col)
-        .agg(F.max("last_epoch").alias("e"))
-        .where(F.col("e") >= epoch)
-        .select(bucket_col)
-        .collect()
-    }
 
 
 def merge_leaderboard_increment(

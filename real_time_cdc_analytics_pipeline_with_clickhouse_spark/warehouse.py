@@ -469,6 +469,42 @@ def _merge_partials(partials: DataFrame, keys: list[str], aggs) -> DataFrame:
     return partials.groupBy(*keys).agg(*[_PROJ_AGGS[a]["merge"]() for a in aggs])
 
 
+def stamped(stored: DataFrame) -> DataFrame:
+    """Stored rows with a guaranteed ``last_epoch`` column (pre-stamp
+    tables read as -1: every epoch applies).  Shared by every
+    incrementally-maintained table that stamps its exactly-once epoch
+    inside the committed data (serving tables, projections)."""
+    if "last_epoch" not in stored.columns:
+        stored = stored.withColumn("last_epoch", F.lit(-1).cast("long"))
+    return stored
+
+
+def buckets_already_stamped(stored: DataFrame, bucket_col: str, epoch: int) -> set:
+    """Buckets whose committed rows already carry ``epoch`` (the
+    re-delivered half of a crash between per-partition dynamic
+    overwrite commits and a sink's global epoch marker) — those skip,
+    the rest apply.  A bounded collect: ≤ touched-bucket cardinality
+    rows."""
+    return {
+        r[0]
+        for r in stored.groupBy(bucket_col)
+        .agg(F.max("last_epoch").alias("e"))
+        .where(F.col("e") >= epoch)
+        .select(bucket_col)
+        .collect()
+    }
+
+
+# key-hash bucket count for partition-scoped projection maintenance —
+# high-cardinality projections (e.g. per-user partials over years of
+# facts) must not be rewritten whole per micro-batch
+_PBUCKETS = 64
+
+
+def _pbucket(keys: list[str]):
+    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(_PBUCKETS))
+
+
 def _load_manifest(proj_root: str) -> dict:
     import json
     import os
@@ -505,17 +541,25 @@ def define_projection(
     stored row count (the router's cost signal).  ``aggs`` picks the
     stored states from ``_PROJ_AGGS`` — count/sum partials by default,
     ``"uniq_users"`` adds the uniqState HLL sketch so distinct-count
-    questions route to the projection too."""
+    questions route to the projection too.
+
+    Layout: partitioned by a hash bucket of the key tuple
+    (``pbucket``), so insert-time maintenance reads and rewrites ONLY
+    the buckets a batch's partials hash into — a per-user projection
+    over years of facts never rewrites whole per micro-batch (the
+    leaderboard's partition-scoped MERGE pattern applied to the
+    projection catalog)."""
     import os
 
     facts = read_warehouse(spark, wh_path)
     path = os.path.join(proj_root, name)
-    part = _keyed_partial(facts, keys, aggs)
-    part.write.mode("overwrite").parquet(path)
+    part = _keyed_partial(facts, keys, aggs).withColumn("pbucket", _pbucket(keys))
+    part.write.mode("overwrite").partitionBy("pbucket").parquet(path)
     manifest = _load_manifest(proj_root)
     manifest["projections"][name] = {
         "keys": list(keys),
         "aggs": _check_aggs(aggs),
+        "pbuckets": _PBUCKETS,
         "path": path,
         "rows": spark.read.parquet(path).count(),
     }
@@ -530,31 +574,48 @@ def refresh_projections(
     to a full rebuild, any batch order — same guarantee as
     merge_rollup_increment).
 
-    ``epoch`` (streaming callers): each projection commits separately,
-    so each carries its OWN table-level ``last_epoch`` stamp inside the
-    committed rows — a crash between two projection commits (or before
-    the sink's global marker) replays with the already-committed
-    projections no-oping and only the missing ones applying."""
+    Partition-scoped: only the ``pbucket`` partitions the batch's
+    partials hash into are read or rewritten (a bounded collect of
+    ≤ ``_PBUCKETS`` bucket ids prunes the stored read) — per-batch
+    cost is O(batch keys ∪ their buckets), never O(projection).
+
+    ``epoch`` (streaming callers): every committed row carries a
+    per-BUCKET ``last_epoch`` stamp — a crash anywhere between the
+    per-partition commits, between two projections, or before the
+    sink's global marker replays with the already-stamped buckets
+    no-oping and exactly the missing ones applying."""
     manifest = _load_manifest(proj_root)
     stamp = -1 if epoch is None else int(epoch)
     for name, meta in manifest["projections"].items():
         aggs = meta.get("aggs", list(_DEFAULT_AGGS))
-        current = spark.read.parquet(meta["path"])
-        if (
-            epoch is not None
-            and "last_epoch" in current.columns
-            and current.agg(F.max("last_epoch")).first()[0] >= epoch
-        ):
-            continue
-        merged = _merge_partials(
-            current.drop("last_epoch").unionByName(
-                _keyed_partial(new_facts, meta["keys"], aggs)
-            ),
-            meta["keys"],
-            aggs,
-        ).withColumn("last_epoch", F.lit(stamp).cast("long"))
-        _stage_swap(merged, meta["path"])
-        meta["rows"] = spark.read.parquet(meta["path"]).count()
+        keys = meta["keys"]
+        delta = _keyed_partial(new_facts, keys, aggs).withColumn("pbucket", _pbucket(keys))
+        delta.persist()
+        try:
+            touched = [r[0] for r in delta.select("pbucket").distinct().collect()]
+            if not touched:
+                continue
+            stored = stamped(
+                spark.read.parquet(meta["path"]).where(F.col("pbucket").isin(touched))
+            )
+            if epoch is not None:
+                done = buckets_already_stamped(stored, "pbucket", epoch)
+                if done:
+                    touched = [b for b in touched if b not in done]
+                    if not touched:
+                        continue
+                    stored = stored.where(F.col("pbucket").isin(touched))
+            merged = _merge_partials(
+                stored.drop("last_epoch").unionByName(
+                    delta.where(F.col("pbucket").isin(touched))
+                ),
+                [*keys, "pbucket"],
+                aggs,
+            ).withColumn("last_epoch", F.lit(stamp).cast("long"))
+            _stage_swap(merged, meta["path"], partition_by="pbucket")
+            meta["rows"] = spark.read.parquet(meta["path"]).count()
+        finally:
+            delta.unpersist()
     _store_manifest(proj_root, manifest)
 
 

@@ -404,6 +404,48 @@ def test_streaming_projection_sink_equals_batch_rebuild(spark, sf_dir, tmp_path)
     assert nsort(map(tuple, got.collect())) == nsort(map(tuple, want.collect()))
 
 
+def test_projection_refresh_is_bucket_scoped(spark, sf_dir, tmp_path):
+    """Partition-scoped projection maintenance: a refresh whose delta
+    hashes into few pbuckets must leave every OTHER bucket's files
+    byte-untouched (mtime+size identical — the TTL survivor test's
+    criterion), while the routed answer still equals a full rebuild."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path / "wh_pscope")
+    proot = str(tmp_path / "proj_pscope")
+    enr = _enriched(spark, sf_dir).persist()
+    one_user = enr.select("user_id").first()[0]
+    base = enr.where(F.col("user_id") != one_user)
+    delta = enr.where(F.col("user_id") == one_user)
+    warehouse.write_warehouse(base, wh)
+    warehouse.define_projection(spark, wh, proot, "by_user", ["user_id"])
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{proot}/by_user/pbucket=*/*.parquet")
+        }
+
+    before = snap()
+    warehouse.refresh_projections(spark, proot, delta)
+    after = snap()
+
+    touched_bucket = delta.select(warehouse._pbucket(["user_id"]).alias("b")).first()[0]
+    untouched_before = {p: v for p, v in before.items() if f"pbucket={touched_bucket}/" not in p}
+    untouched_after = {p: v for p, v in after.items() if f"pbucket={touched_bucket}/" not in p}
+    assert untouched_before and untouched_before == untouched_after
+
+    warehouse.write_warehouse(enr, wh)
+    got, src = warehouse.routed_aggregate(spark, wh, proot, ["user_id"])
+    assert src == "by_user"
+    want, _ = warehouse.routed_aggregate(spark, wh, str(tmp_path / "noproj"), ["user_id"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    enr.unpersist()
+
+
 def test_projection_uniq_users_routes_and_matches_facts(spark, sf_dir, tmp_path):
     """Aggregate-spec projections (r4 verdict task #6): a projection
     carrying the uniqState HLL sketch must answer a distinct-users
