@@ -80,7 +80,7 @@ def _d2(vec_col: str, centroid_col: str = "centroid"):
     )
 
 
-def _assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign(embeddings: DataFrame, centroids: DataFrame, int8: bool = False) -> DataFrame:
     """Nearest-centroid assignment via broadcast cross-join + per-vector
     min — the map-side KMeans.transform rule (euclidean, centroid_id
     tiebreak) without needing the fitted model object."""
@@ -90,8 +90,28 @@ def _assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
         .withColumn("_d2", _d2("embedding"))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "centroid_id", norm(F.col("embedding")).alias("nrm"))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            norm(F.col("embedding")).alias("nrm"),
+            *([_int8_col()] if int8 else []),
+        )
     )
+
+
+def _int8_col():
+    """L2-normalize-then-quantize to int8 (×127), stored as
+    ``array<tinyint>`` — the ``similarity.quantized_topk`` scheme made
+    a STORED artifact column: at 100 TB the inverted lists carry 1
+    byte/dim instead of 8, and the quantized query path ranks by the
+    exact integer dot product (no float tolerance)."""
+    from .similarity import _quantize_int8
+
+    return F.transform(
+        _quantize_int8(F.col("embedding"), norm(F.col("embedding"))),
+        lambda x: x.cast("tinyint"),
+    ).alias("qv")
 
 
 def build_ivf_index(
@@ -99,6 +119,7 @@ def build_ivf_index(
     index_dir: str,
     n_centroids: int = 16,
     seed: int = 7,
+    int8: bool = False,
 ) -> None:
     """Fit once, persist centroids + inverted lists + manifest.
 
@@ -106,7 +127,10 @@ def build_ivf_index(
     lists are partitioned by ``centroid_id`` so a probe's read prunes
     to its cells' directories.  At 100 TB fit the model on a sample
     (see ``kmeans_centroids``) — the full corpus is only ever
-    assigned, never iterated over."""
+    assigned, never iterated over.  ``int8=True`` additionally stores
+    the quantized vector column for ``ivf_index_topk_quantized`` (the
+    memory-bound serving path; the float column stays for exact
+    rescoring)."""
     from pyspark.ml.functions import array_to_vector
 
     model, centroids = kmeans_centroids(embeddings, n_centroids, seed)
@@ -122,6 +146,7 @@ def build_ivf_index(
             F.col("embedding").cast("array<double>").alias("embedding"),
             F.col("prediction").alias("centroid_id"),
             norm(F.col("embedding")).alias("nrm"),
+            *([_int8_col()] if int8 else []),
         )
     )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
@@ -140,6 +165,7 @@ def build_ivf_index(
             "seed": seed,
             "n_rows": n,
             "lsh_bits": lsh_bits_for(n),
+            "int8": bool(int8),
         },
     )
 
@@ -176,6 +202,7 @@ def update_ivf_index(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         ),
         centroids,
+        int8=bool(meta.get("int8")),
     )
     b = _next_batch_id(index_dir) if epoch is None else int(epoch)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
@@ -220,6 +247,68 @@ def ivf_index_topk(
         F.col("centroid_id").isin(cells)
     )
     return _rank_topk(corpus.join(F.broadcast(probes), "centroid_id"), k)
+
+
+def ivf_index_topk_quantized(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Memory-bound top-k from an ``int8=True`` index: the probed
+    inverted lists are scanned through their 1-byte-per-dim ``qv``
+    column only (the float vectors never leave disk — ReadSchema shows
+    the pruning), ranking by the exact integer dot product of the
+    quantized vectors — ``similarity.quantized_topk``'s integer-exact
+    contract on the stored artifact.  Output shape matches it:
+    (query_id, neighbor_id, rnk, int_dot)."""
+    from .similarity import _quantize_int8
+
+    meta = read_manifest(index_dir)
+    if not meta.get("int8"):
+        raise ValueError(
+            f"index at {index_dir} was not built with int8=True — rebuild with "
+            "build_ivf_index(..., int8=True) to store the quantized column"
+        )
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", _d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select(
+            "query_id",
+            "centroid_id",
+            _quantize_int8(F.col("query_vec"), norm(F.col("query_vec"))).alias("qq"),
+        )
+    )
+    cells = [r[0] for r in probes.select("centroid_id").distinct().collect()]
+    corpus = (
+        spark.read.parquet(f"{index_dir}/assignments")
+        .where(F.col("centroid_id").isin(cells))
+        .select("vec_id", "centroid_id", "qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("qq"), F.col("qv"), lambda a, b: a * b.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("int_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("int_dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "int_dot")
+    )
 
 
 def near_dup_pairs_from_index(

@@ -199,6 +199,69 @@ def test_index_backed_semantic_dedup_equals_fit_per_call(spark, sf_dir, tmp_path
     corpus.unpersist()
 
 
+def test_int8_index_stores_exact_quantization_and_ranks(spark, sf_dir, tmp_path):
+    """int8=True: the stored ``qv`` column must round-trip the exact
+    quantization of the float vectors (including through updates and
+    the tinyint narrowing), and the quantized query path must rank by
+    the exact integer dot product — verified against numpy on raw
+    collected vectors."""
+    import numpy as np
+    import pytest
+
+    emb = _emb(spark, sf_dir, n=300).persist()
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_int8")
+    ivf_index.build_ivf_index(first, idx, N_CENTROIDS, SEED, int8=True)
+    ivf_index.update_ivf_index(rest, idx)
+    assert ivf_index.read_manifest(idx)["int8"] is True
+
+    assigned = spark.read.parquet(f"{idx}/assignments")
+    assert dict(assigned.dtypes)["qv"] == "array<tinyint>"
+    # round-trip: stored qv == quantize(float column), for every row
+    # (build batches AND update batches)
+    mismatch = assigned.where(
+        F.col("qv").cast("array<long>")
+        != F.transform(
+            F.col("embedding"),
+            lambda x: F.round(
+                x.cast("double")
+                / F.sqrt(
+                    F.aggregate(
+                        F.col("embedding"),
+                        F.lit(0.0),
+                        lambda a, v: a + v.cast("double") * v.cast("double"),
+                    )
+                )
+                * 127
+            ).cast("long"),
+        )
+    ).count()
+    assert mismatch == 0
+
+    q = similarity.default_queries(emb, every=50)
+    got = ivf_index.ivf_index_topk_quantized(spark, q, idx, k=5, n_probe=N_PROBE)
+    rows = got.collect()
+    assert rows and all(r["rnk"] <= 5 for r in rows)
+
+    # numpy cross-check of int_dot for every returned pair
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+
+    def qz(v):
+        return np.round(v / np.linalg.norm(v) * 127).astype(np.int64)
+
+    for r in rows:
+        want = int(np.dot(qz(vecs[r["query_id"]]), qz(vecs[r["neighbor_id"]])))
+        assert r["int_dot"] == want, (r, want)
+
+    # a float-only index refuses the quantized path loudly
+    idx2 = str(tmp_path / "ivf_float")
+    ivf_index.build_ivf_index(first, idx2, N_CENTROIDS, SEED)
+    with pytest.raises(ValueError, match="int8=True"):
+        ivf_index.ivf_index_topk_quantized(spark, q, idx2)
+    emb.unpersist()
+
+
 def test_missing_index_fails_loudly(spark, sf_dir, tmp_path):
     import pytest
 
