@@ -86,7 +86,8 @@ def _leaderboard_state(enriched: DataFrame) -> DataFrame:
     agg = enriched.groupBy("user_id", "content_id").agg(
         F.sum(F.col("engagement_score").cast("decimal(18,2)"))
         .cast("decimal(28,2)")
-        .alias("score_dec")
+        .alias("score_dec"),
+        F.max("event_ts").alias("last_ts"),
     )
     return _rank_state(agg)
 
@@ -128,7 +129,8 @@ def merge_leaderboard_increment(
     delta = new_enriched.groupBy("user_id", "content_id").agg(
         F.sum(F.col("engagement_score").cast("decimal(18,2)"))
         .cast("decimal(28,2)")
-        .alias("score_dec")
+        .alias("score_dec"),
+        F.max("event_ts").alias("last_ts"),
     ).withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
     delta.persist()
     try:
@@ -147,11 +149,16 @@ def merge_leaderboard_increment(
                     if not buckets:
                         return
                     stored = stored.where(F.col("user_bucket").isin(buckets))
-            current = stored.select("user_id", "content_id", "score_dec", "user_bucket")
+            current = stored.select(
+                "user_id", "content_id", "score_dec", "last_ts", "user_bucket"
+            )
             merged = (
                 current.unionByName(delta.where(F.col("user_bucket").isin(buckets)))
                 .groupBy("user_id", "content_id", "user_bucket")
-                .agg(F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"))
+                .agg(
+                    F.sum("score_dec").cast("decimal(28,2)").alias("score_dec"),
+                    F.max("last_ts").alias("last_ts"),
+                )
             )
         else:  # first batch bootstraps the table
             merged = delta
@@ -212,6 +219,9 @@ def merge_event_counters_increment(
     exactly-once stamp is table-level: committed rows carry
     ``last_epoch`` and a re-delivered epoch is a no-op."""
     path = f"{base_dir}/event_counters"
+    delta = new_enriched.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.max("event_ts").alias("last_ts")
+    )
     exists = os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
     if exists:
         stored = _stamped(spark.read.parquet(path))
@@ -219,13 +229,13 @@ def merge_event_counters_increment(
             if stored.agg(F.max("last_epoch")).first()[0] >= epoch:
                 return
         merged = (
-            stored.select("event_type", "cnt")
-            .unionByName(rollups.event_counters(new_enriched))
+            stored.select("event_type", "cnt", "last_ts")
+            .unionByName(delta)
             .groupBy("event_type")
-            .agg(F.sum("cnt").alias("cnt"))
+            .agg(F.sum("cnt").alias("cnt"), F.max("last_ts").alias("last_ts"))
         )
     else:
-        merged = rollups.event_counters(new_enriched)
+        merged = delta
     merged = merged.withColumn(
         "last_epoch", F.lit(-1 if epoch is None else int(epoch)).cast("long")
     )
@@ -239,7 +249,7 @@ def get_user_leaderboard(spark: SparkSession, base_dir: str, user_id: int, k: in
         .where((F.col("user_bucket") == user_id % N_BUCKETS) & (F.col("user_id") == user_id))
         .where(F.col("rnk") <= k)
         .orderBy("rnk")
-        .drop("user_bucket", "score_dec", "last_epoch")
+        .drop("user_bucket", "score_dec", "last_epoch", "last_ts")
     )
 
 
@@ -260,7 +270,7 @@ def get_event_counter(spark: SparkSession, base_dir: str, event_type: str) -> Da
     return (
         spark.read.parquet(f"{base_dir}/event_counters")
         .where(F.col("event_type") == event_type)
-        .drop("last_epoch")
+        .drop("last_epoch", "last_ts")
     )
 
 
@@ -520,6 +530,113 @@ def merge_funnel_increment(
         _write_funnel_watermark(meta_dir, max(wm or 0, span["hi"]))
     finally:
         bs.unpersist()
+
+
+# Redis key TTLs the reference sets on each serving write
+# (EnhancedEngagementStreamingJob.java:420-441): leaderboard keys 86400 s,
+# trending minute buckets 15*60 s, counters 3600 s.
+SERVING_TTLS_S = {
+    "user_leaderboard": 86_400,
+    "latest_event": 86_400,
+    "trending_state": 15 * 60,
+    "event_counters": 3_600,
+}
+
+
+def expire_serving_state(
+    spark: SparkSession, base_dir: str, now: str, ttls: dict | None = None
+) -> dict:
+    """The Redis ``EXPIRE`` analog for the serving tables: a key whose
+    LAST write is older than its TTL disappears, exactly as the
+    reference's per-write ``jedis.expire`` calls make it (each table
+    tracks ``last_ts`` = max event_ts folded into the key —
+    re-touching a key renews it, Redis semantics).
+
+    Scale shape (the ``apply_ttl`` discipline): trending minute
+    buckets wholly behind the cutoff drop as WHOLE partition
+    directories — an unlink, nothing read; the bucketed key tables
+    rewrite ONLY buckets that actually contain an expired key (found
+    via a per-bucket min(last_ts) aggregate — bounded rows); the
+    counters table is domain-sized.  Returns per-table expired-row /
+    dropped-partition counts.  A later increment for an expired key
+    simply bootstraps it again, exactly like INCR/SET on an expired
+    Redis key."""
+    import shutil
+
+    ttls = {**SERVING_TTLS_S, **(ttls or {})}
+    now_c = F.to_timestamp(F.lit(now))
+    report: dict = {}
+
+    # trending: partition drop (minute_bucket is the directory key)
+    tdir = f"{base_dir}/trending_state"
+    dropped = []
+    if os.path.isdir(tdir):
+        import datetime
+
+        cutoff = (
+            datetime.datetime.strptime(now, "%Y-%m-%d %H:%M:%S")
+            - datetime.timedelta(seconds=ttls["trending_state"])
+        ).strftime("%Y%m%d%H%M")
+        for d in sorted(os.listdir(tdir)):
+            if d.startswith("minute_bucket=") and d.split("=", 1)[1] < cutoff:
+                shutil.rmtree(os.path.join(tdir, d))
+                dropped.append(d.split("=", 1)[1])
+    report["trending_dropped_buckets"] = dropped
+
+    # bucketed key tables: rewrite only buckets holding an expired key
+    for table, ts_col in (("user_leaderboard", "last_ts"), ("latest_event", "event_ts")):
+        path = f"{base_dir}/{table}"
+        report[f"{table}_expired"] = 0
+        if not _partitioned_table_exists(path, "user_bucket"):
+            continue
+        cutoff_ts = now_c - F.expr(f"INTERVAL {ttls[table]} SECONDS")
+        stored = spark.read.parquet(path)
+        stale = [
+            r[0]
+            for r in stored.groupBy("user_bucket")
+            .agg(F.min(ts_col).alias("_mn"))
+            .where(F.col("_mn") < cutoff_ts)
+            .select("user_bucket")
+            .collect()
+        ]
+        if not stale:
+            continue
+        touched = stored.where(F.col("user_bucket").isin(stale))
+        survivors = touched.where(F.col(ts_col) >= cutoff_ts)
+        report[f"{table}_expired"] = touched.count() - survivors.count()
+        if table == "user_leaderboard":
+            # re-rank survivors (ranks must stay dense per user)
+            survivors = _rank_state(
+                survivors.select("user_id", "content_id", "score_dec", "last_ts")
+            ).withColumn("last_epoch", F.lit(-1).cast("long"))
+        survivors.persist()
+        live = {r[0] for r in survivors.select("user_bucket").distinct().collect()}
+        if live:
+            _stage_swap(survivors, path, partition_by="user_bucket")
+        survivors.unpersist()
+        # a bucket whose EVERY key expired has no survivor rows, so the
+        # dynamic overwrite never touches its partition — unlink it
+        # (an empty parquet dir cannot carry schema, so a fully-expired
+        # table ends as deleted partitions — the Redis "key gone" state)
+        for b in stale:
+            if b not in live:
+                shutil.rmtree(os.path.join(path, f"user_bucket={b}"), ignore_errors=True)
+
+    # counters: domain-sized table, whole-row expiry
+    cpath = f"{base_dir}/event_counters"
+    report["event_counters_expired"] = 0
+    if os.path.isdir(cpath) and any(f.endswith(".parquet") for f in os.listdir(cpath)):
+        cutoff_ts = now_c - F.expr(f"INTERVAL {ttls['event_counters']} SECONDS")
+        stored = spark.read.parquet(cpath)
+        survivors = stored.where(F.col("last_ts") >= cutoff_ts)
+        n_live = survivors.count()
+        n_exp = stored.count() - n_live
+        report["event_counters_expired"] = n_exp
+        if n_exp and n_live:
+            _stage_swap(survivors, cpath)
+        elif n_exp:  # every counter expired — the table IS gone
+            shutil.rmtree(cpath, ignore_errors=True)
+    return report
 
 
 def get_funnel_levels(spark: SparkSession, state_dir: str, steps) -> DataFrame:

@@ -598,7 +598,13 @@ def _record_epoch(base_dir: str, epoch: int, checkpoint: str | None = None) -> N
     os.replace(tmp, marker)
 
 
-def start_serving_sink(enriched: DataFrame, base_dir: str, checkpoint: str):
+def start_serving_sink(
+    enriched: DataFrame,
+    base_dir: str,
+    checkpoint: str,
+    ttl_every: int | None = None,
+    ttls: dict | None = None,
+):
     """K2 — the Redis serving layer as an incrementally maintained
     foreachBatch sink: each micro-batch folds into all four serving
     tables via the partition-scoped merges
@@ -609,13 +615,31 @@ def start_serving_sink(enriched: DataFrame, base_dir: str, checkpoint: str):
     marker fast-paths clean replays, and the per-bucket/table
     ``last_epoch`` stamps the merges commit WITH their data make the
     crash window between the four table commits and this marker safe
-    (each table applies each epoch exactly once)."""
-    from ..serving import apply_serving_increment
+    (each table applies each epoch exactly once).
+
+    ``ttl_every=N`` additionally runs the Redis EXPIRE analog
+    (``serving.expire_serving_state``) every N epochs, clocked by the
+    stream's own event time (the batch's max event_ts — the serving
+    layer's notion of "now", deterministic under replay).  Expiry is
+    monotone/idempotent state surgery, so a crash between the sweep
+    and the epoch marker replays harmlessly, and a later increment
+    for an expired key bootstraps it again — INCR-after-EXPIRE
+    semantics."""
+    from ..serving import apply_serving_increment, expire_serving_state
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if _epoch_already_applied(base_dir, epoch, checkpoint):
             return
         apply_serving_increment(batch.sparkSession, base_dir, batch, epoch=epoch)
+        if ttl_every and epoch % ttl_every == ttl_every - 1:
+            mx = batch.agg(F.max("event_ts")).first()[0]
+            if mx is not None:
+                expire_serving_state(
+                    batch.sparkSession,
+                    base_dir,
+                    mx.strftime("%Y-%m-%d %H:%M:%S"),
+                    ttls=ttls,
+                )
         _record_epoch(base_dir, epoch, checkpoint)
 
     return (
