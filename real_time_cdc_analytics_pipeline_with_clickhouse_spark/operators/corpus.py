@@ -121,6 +121,82 @@ def pack_sequences(
     return docs.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
 
 
+def shuffle_shard_by_tokens(
+    documents: DataFrame,
+    target_tokens: int = 2048,
+    seed: str = "shuf:",
+    buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + token-balanced sharding —
+    the step that turns a curated corpus into what a dataloader
+    consumes: shards of ~``target_tokens`` tokens each, in a
+    reproducible pseudo-random document order.
+
+    Order: ``order_key = portable_hash64(seed || doc_id)`` (ties break
+    on doc_id) — a content-independent shuffle that is identical
+    across runs, engines, and partition layouts.  Shard: the doc's
+    EXCLUSIVE prefix token count along that order, integer-divided by
+    ``target_tokens`` (a boundary-straddling doc belongs to the shard
+    its first token lands in), so every interior shard's token sum is
+    within ±(max_doc_tokens − 1) of target.
+
+    Scale shape — the global prefix sum is NOT a single-partition
+    window (``Window.orderBy`` with no partition key collapses the
+    corpus onto one task).  Because the order key is a uniform 60-bit
+    hash, its top ``log2(buckets)`` bits are an order-PRESERVING
+    range partitioner: per-bucket token totals (≤ ``buckets`` rows,
+    map-side-combined) are collected once, their exclusive prefix
+    becomes a broadcast per-bucket base offset, and the within-bucket
+    window runs partitioned by bucket — the classic two-level
+    distributed prefix sum, one bounded collect + one bucket-keyed
+    shuffle.  The 3-column (id, count, key) projection is persisted
+    across the two passes so the corpus text is tokenized exactly
+    once; at 100 TB that projection is ~1% of corpus bytes (checkpoint
+    it instead if memory is tight).  Raise ``buckets`` (any power of
+    two ≤ 2^60) until a bucket's docs fit one task.
+
+    DuckDB-twinned in tests/test_consolidated.py (the twin runs the
+    plain global window — same answer, oracle scale doesn't need the
+    decomposition), plus bucket-count and partition-layout invariance.
+    """
+    k = buckets.bit_length() - 1
+    if buckets <= 0 or (1 << k) != buckets:
+        raise ValueError(f"buckets must be a power of two, got {buckets}")
+    docs = documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        portable_hash64(F.col("doc_id").cast("string"), seed=seed).alias("order_key"),
+    ).withColumn("_b", F.shiftright(F.col("order_key"), 60 - k).cast("int"))
+    docs.persist()
+    totals = sorted(
+        (r["_b"], r["t"])
+        for r in docs.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    bases, run = [], 0
+    for b, t in totals:
+        bases.append((b, run))
+        run += int(t)
+    spark = documents.sparkSession
+    base_df = spark.createDataFrame(bases, "_b int, _base long")
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("order_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.col("_base") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.join(F.broadcast(base_df), "_b")
+        .withColumn("_before", before)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "order_key",
+            F.expr(f"CAST(_before DIV {int(target_tokens)} AS INT)").alias("shard"),
+            F.pmod(F.col("_before"), F.lit(int(target_tokens))).alias("shard_off"),
+        )
+    )
+
+
 def mix_corpus(
     documents: DataFrame,
     recipe: dict[str, int],

@@ -415,3 +415,63 @@ SELECT o_orderkey, o_custkey, o_orderdate FROM (
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
   FROM orders) WHERE rn > 1 AND rn <= 3
 """), ducks)
+
+
+def test_shuffle_shard_by_tokens(spark, sf_dir, ducks):
+    """Deterministic global shuffle + token-balanced sharding: the
+    two-level distributed prefix sum must equal the plain global
+    window (the DuckDB twin), be invariant to bucket count and input
+    partition layout, keep interior shard token sums within
+    ±(max_doc−1) of target, and never plan a single-partition
+    window."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import (
+        plan_string,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = 2048
+    sdf = corpus.shuffle_shard_by_tokens(docs, target_tokens=target, buckets=64)
+    _check(sdf, q(f"""
+, shuf AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS order_key
+  FROM doc_toks
+), pre AS (
+  SELECT doc_id, n_tokens, order_key,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY order_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM shuf
+)
+SELECT doc_id, n_tokens, order_key,
+       CAST(before // {target} AS INT) AS shard,
+       CAST(before % {target} AS BIGINT) AS shard_off
+FROM pre
+"""), ducks)
+
+    # the window must be bucket-partitioned, never a global sort-to-one
+    plan = plan_string(sdf)
+    assert "_b" in plan and "SinglePartition" not in plan
+
+    base = sorted(map(tuple, sdf.collect()))
+    # bucket-count invariance: the decomposition is exact, so any
+    # power-of-two bucket count yields the identical sharding
+    alt = corpus.shuffle_shard_by_tokens(docs, target_tokens=target, buckets=4)
+    assert sorted(map(tuple, alt.collect())) == base
+    # partition-layout invariance
+    rep = corpus.shuffle_shard_by_tokens(
+        docs.repartition(7), target_tokens=target, buckets=64
+    )
+    assert sorted(map(tuple, rep.collect())) == base
+
+    # interior shards hold target ± (max_doc_tokens − 1) tokens
+    per_shard = {
+        r["shard"]: r["t"]
+        for r in sdf.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    max_doc = sdf.agg(F.max("n_tokens")).first()[0]
+    n_shards = max(per_shard) + 1
+    assert n_shards >= 3, "fixture must span several shards"
+    for s in range(n_shards - 1):
+        assert abs(per_shard.get(s, 0) - target) <= max_doc - 1, (s, per_shard.get(s))
+    spark.catalog.clearCache()
