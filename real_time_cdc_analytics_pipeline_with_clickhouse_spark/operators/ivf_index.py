@@ -353,3 +353,42 @@ def semantic_dedup_keep_from_index(
     drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     corpus = spark.read.parquet(f"{index_dir}/assignments").select("vec_id", "embedding")
     return corpus.join(drops, "vec_id", "left_anti")
+
+
+def cluster_balanced_sample(
+    spark: SparkSession, index_dir: str, per_cluster: int, seed: str = "cbs:"
+) -> DataFrame:
+    """Cluster-balanced (semantic-diversity) sampling off the stored
+    index: keep at most ``per_cluster`` vectors per centroid cell,
+    chosen by a deterministic hash rank within the cell — the
+    curation move that caps over-represented semantic regions instead
+    of sampling the raw distribution (a uniform sample of a skewed
+    corpus reproduces the skew; a per-cell cap flattens it).
+
+    Scale shape: reads ONLY (vec_id, centroid_id) from the inverted
+    lists — centroid_id is the partition directory key and vec_id a
+    pruned column, so the scan never touches embedding bytes; the
+    pick is one ``row_number`` window partitioned by centroid_id
+    (per-cell occupancy is bounded by construction — ``n_centroids``
+    is sized at build time).  Rank = ``portable_hash64(seed ||
+    vec_id)`` with a vec_id tiebreak: reproducible across runs,
+    engines, and partition layouts, and changing ``seed`` redraws the
+    sample without touching the index.  DuckDB-twinned directly over
+    the index parquet in tests/test_ivf_index.py."""
+    from ..functions.scalar import portable_hash64
+
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
+    read_manifest(index_dir)
+    assigned = spark.read.parquet(f"{index_dir}/assignments").select(
+        "vec_id", "centroid_id"
+    )
+    ranked = assigned.withColumn(
+        "_h", portable_hash64(F.col("vec_id").cast("string"), seed=seed)
+    )
+    w = Window.partitionBy("centroid_id").orderBy("_h", "vec_id")
+    return (
+        ranked.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= per_cluster)
+        .select("vec_id", "centroid_id", "pick")
+    )

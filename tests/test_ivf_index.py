@@ -268,3 +268,53 @@ def test_missing_index_fails_loudly(spark, sf_dir, tmp_path):
     q = similarity.default_queries(_emb(spark, sf_dir, n=50), every=10)
     with pytest.raises(FileNotFoundError, match="build_ivf_index"):
         ivf_index.ivf_index_topk(spark, q, str(tmp_path / "nope"))
+
+
+def test_cluster_balanced_sample_twin_and_cap(spark, sf_dir, tmp_path, ducks):
+    """Cluster-balanced sampling off the stored index: exactly equal
+    to a DuckDB window run straight over the index parquet (same
+    portable hash rank), cap respected with every nonempty cell
+    represented, and the plan never reads embedding bytes."""
+    from tests.oracle_utils import compare
+
+    emb = _emb(spark, sf_dir).persist()
+    idx = str(tmp_path / "ivf_cbs")
+    ivf_index.build_ivf_index(emb, idx, N_CENTROIDS, SEED)
+    per = 20
+    sdf = ivf_index.cluster_balanced_sample(spark, idx, per)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ducks.sql(f"""
+SELECT vec_id, centroid_id, pick FROM (
+  SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id,
+         row_number() OVER (
+           PARTITION BY centroid_id
+           ORDER BY ('0x' || substr(md5('cbs:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                    vec_id) AS pick
+  FROM read_parquet('{idx}/assignments/**/*.parquet', hive_partitioning=1)
+) WHERE pick <= {per}
+""")
+    problems = compare(
+        sdf.columns, srows, [d[0] for d in res.description], res.fetchall()
+    )
+    assert not problems, " | ".join(problems)
+    assert srows
+
+    # per-cell counts = min(per_cluster, cell occupancy)
+    occ = {
+        r["centroid_id"]: r["count"]
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .groupBy("centroid_id")
+        .count()
+        .collect()
+    }
+    got = {
+        r["centroid_id"]: r["count"]
+        for r in sdf.groupBy("centroid_id").count().collect()
+    }
+    assert got == {c: min(per, n) for c, n in occ.items()}
+    # a skewed corpus comes out flattened: no sampled cell exceeds per
+    assert max(got.values()) <= per
+
+    # scan prunes to (vec_id, centroid_id) — embedding bytes untouched
+    assert "embedding" not in plan_string(sdf)
+    emb.unpersist()
