@@ -267,6 +267,26 @@ def main() -> None:
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 timings[f"_scale10x_{name}"] = round(best, 3)
+
+            # deterministic shuffle + token-balanced sharding over the
+            # 10× corpus: the two-level distributed prefix sum must
+            # stay flat — a single-partition global window would
+            # crater here
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                corpus as CORP,
+            )
+
+            docs10 = spark.read.parquet(f"{scale_dir}/documents.parquet")
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                CORP.shuffle_shard_by_tokens(docs10, buckets=256).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()  # the op persists its 3-col projection
+            timings["_scale10x_shuffle_shard"] = round(best, 3)
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 
