@@ -197,6 +197,51 @@ def shuffle_shard_by_tokens(
     )
 
 
+def write_training_shards(
+    documents: DataFrame,
+    out_dir: str,
+    target_tokens: int = 2048,
+    seed: str = "shuf:",
+    buckets: int = 64,
+) -> None:
+    """Materialize the shuffled corpus as one ordered parquet file per
+    shard — the physical dataloader handoff that
+    ``shuffle_shard_by_tokens`` plans.
+
+    Layout: ``shard=<n>/`` directories, each holding EXACTLY one file
+    whose row order is the shuffle order (``repartition("shard")``
+    puts a whole shard in one task; ``sortWithinPartitions`` orders it
+    before the ``partitionBy`` writer splits directories, so each
+    shard's file is written already sorted).  ``target_tokens`` is
+    therefore the FILE granularity: the test-scale default is small,
+    a real corpus wants O(10⁸) tokens per shard so file count =
+    total_tokens/target stays cluster-reasonable — one task per
+    shard is the scale knob, not a bottleneck, because shards are
+    *sized in tokens*, not in documents.  Rows keep ``order_key`` and
+    ``shard_off`` so a reader that cannot rely on split order can
+    re-sort cheaply (``read_training_shard``)."""
+    assign = shuffle_shard_by_tokens(documents, target_tokens, seed, buckets)
+    (
+        documents.join(assign, "doc_id")
+        .repartition("shard")
+        .sortWithinPartitions("shard", "order_key", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+def read_training_shard(spark, out_dir: str, shard: int) -> DataFrame:
+    """One shard back in shuffle order (partition-pruned read; the
+    explicit sort costs nothing on a single pre-sorted file but makes
+    the order a contract, not a parquet-split accident)."""
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("shard") == shard)
+        .orderBy("order_key", "doc_id")
+    )
+
+
 def mix_corpus(
     documents: DataFrame,
     recipe: dict[str, int],

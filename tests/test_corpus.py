@@ -503,3 +503,51 @@ def test_mix_corpus_empty_recipe_sources(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     assert mix_corpus(docs, {"no_such_source": 1000}).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# training-shard writer (physical handoff for shuffle_shard_by_tokens)
+# ---------------------------------------------------------------------------
+
+
+def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
+    """One dir per shard, exactly one parquet file per dir, rows
+    stored already in shuffle order, and the (doc_id -> shard)
+    placement identical to the planning operator; the reader returns
+    the shard in order with a partition-pruned scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    corpus.write_training_shards(docs, out, target_tokens=2048)
+
+    want = {
+        r["doc_id"]: (r["shard"], r["order_key"])
+        for r in corpus.shuffle_shard_by_tokens(docs, target_tokens=2048).collect()
+    }
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == len({s for s, _ in want.values()})
+
+    got = {}
+    for d in shard_dirs:
+        files = [f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)  # whole shard in one file
+        tbl = pq.read_table(f"{out}/{d}/{files[0]}", columns=["doc_id", "order_key"])
+        keys = tbl.column("order_key").to_pylist()
+        assert keys == sorted(keys), f"{d} not stored in shuffle order"
+        s = int(d.split("=", 1)[1])
+        for doc_id, k in zip(tbl.column("doc_id").to_pylist(), keys):
+            got[doc_id] = (s, k)
+    assert got == want
+
+    # reader contract: ordered, pruned to one partition dir
+    some_shard = min(s for s, _ in want.values())
+    rd = corpus.read_training_shard(spark, out, some_shard)
+    rows = rd.select("doc_id", "order_key").collect()
+    assert [r["order_key"] for r in rows] == sorted(r["order_key"] for r in rows)
+    assert {r["doc_id"] for r in rows} == {
+        d for d, (s, _) in want.items() if s == some_shard
+    }
+    spark.catalog.clearCache()
