@@ -121,6 +121,59 @@ def pack_sequences(
     return docs.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
 
 
+def pack_sequences_ffd(
+    documents: DataFrame, capacity: int = PACK_CAPACITY, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """First-fit-decreasing sequence packing — the padding-efficiency
+    upgrade over ``pack_sequences``' next-fit fold: docs are placed
+    longest-first into the first open pack with room, so small docs
+    backfill the gaps big ones leave instead of forcing new packs.
+    FFD is the classic bin-packing heuristic (≤ 11/9·OPT + 1 packs);
+    the next-fit fold has no constant-factor bound, so on real length
+    distributions FFD cuts pad tokens substantially (pack counts
+    asserted ≤ next-fit's on the fixtures).
+
+    Same execution shape as ``pack_sequences``: shard by
+    ``doc_id mod shards``, per-shard Arrow-batched fold in
+    ``applyInPandas`` — one shuffle, parallelism = shards.  Placement
+    is deterministic: sort is (n_tokens DESC, doc_id) and the
+    first-fit scan order is pack_id.  An oversize doc (> capacity)
+    still gets a pack to itself.  ``off_tokens`` is the doc's offset
+    within its pack (docs in a pack laid out in placement order).
+    Cross-checked against an independent Python model and the
+    no-overflow/all-docs-placed invariants in tests/test_corpus.py.
+    """
+
+    docs = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # fill level per pack_id
+        pack_ids, offs = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            for pid, fill in enumerate(fills):
+                if fill + t <= capacity:
+                    break
+            else:
+                pid, fill = len(fills), 0
+                fills.append(0)
+            pack_ids.append(pid)
+            offs.append(fill)
+            fills[pid] = fill + t
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int32")
+        pdf["off_tokens"] = pd.Series(offs, dtype="int32")
+        return pdf
+
+    return docs.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
 def shuffle_shard_by_tokens(
     documents: DataFrame,
     target_tokens: int = 2048,

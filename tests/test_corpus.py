@@ -551,3 +551,77 @@ def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
         d for d, (s, _) in want.items() if s == some_shard
     }
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# first-fit-decreasing packing
+# ---------------------------------------------------------------------------
+
+
+def _ffd_model(rows, capacity):
+    """Independent Python FFD: rows = [(doc_id, n_tokens)] one shard."""
+    fills, out = [], {}
+    for doc_id, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        for pid, fill in enumerate(fills):
+            if fill + t <= capacity:
+                break
+        else:
+            pid, fill = len(fills), 0
+            fills.append(0)
+        out[doc_id] = (pid, fill)
+        fills[pid] = fill + t
+    return out
+
+
+def test_pack_sequences_ffd_matches_model_and_beats_next_fit(spark, sf_dir):
+    """FFD placement must equal an independent Python model shard by
+    shard, never overflow capacity (oversize docs alone in a pack),
+    place every doc exactly once, and use no more packs than the
+    greedy next-fit packer on the same corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap, shards = 512, 8
+    got = corpus.pack_sequences_ffd(docs, capacity=cap, shards=shards).collect()
+
+    base = {
+        r["doc_id"]: (r["shard"], r["n_tokens"])
+        for r in docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+                    " ",
+                )
+            ).alias("n_tokens"),
+        ).collect()
+    }
+    assert {r["doc_id"] for r in got} == set(base)  # every doc placed once
+
+    by_shard = {}
+    for d, (s, t) in base.items():
+        by_shard.setdefault(s, []).append((d, t))
+    model = {}
+    for s, rows in by_shard.items():
+        for d, (pid, off) in _ffd_model(rows, cap).items():
+            model[d] = (s, pid, off)
+    assert {r["doc_id"]: (r["shard"], r["pack_id"], r["off_tokens"]) for r in got} == model
+
+    # no pack overflows unless it is a single oversize doc
+    packs = {}
+    for r in got:
+        packs.setdefault((r["shard"], r["pack_id"]), []).append(r["n_tokens"])
+    for key, sizes in packs.items():
+        assert sum(sizes) <= cap or len(sizes) == 1, key
+
+    # padding win: FFD uses no more packs than next-fit, per shard
+    nf = corpus.pack_sequences(docs, capacity=cap, shards=shards).collect()
+    nf_packs = {}
+    ffd_packs = {}
+    for r in nf:
+        nf_packs[r["shard"]] = max(nf_packs.get(r["shard"], -1), r["pack_id"])
+    for r in got:
+        ffd_packs[r["shard"]] = max(ffd_packs.get(r["shard"], -1), r["pack_id"])
+    assert set(nf_packs) == set(ffd_packs)
+    for s in nf_packs:
+        assert ffd_packs[s] <= nf_packs[s], s
+    assert sum(ffd_packs.values()) < sum(nf_packs.values()), "no padding win on fixture"
