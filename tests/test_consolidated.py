@@ -475,3 +475,65 @@ FROM pre
     for s in range(n_shards - 1):
         assert abs(per_shard.get(s, 0) - target) <= max_doc - 1, (s, per_shard.get(s))
     spark.catalog.clearCache()
+
+
+def test_bm25_topk_twin(spark, sf_dir, ducks):
+    """BM25 lexical retrieval: exact DuckDB twin (same tokenizer CTE,
+    same weighting, scores rounded to 4dp before the deterministic
+    (score DESC, doc_id) rank), and the precomputed-lengths fast path
+    returns identical rows."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "vector", "window"]
+    k1, b, k = 1.2, 0.75, 25
+    sdf = retrieval.bm25_topk(docs, terms, k=k)
+    _check(sdf, q(f"""
+, dl AS (SELECT doc_id, len(toks) AS dl FROM doc_toks),
+  bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+  btf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM doc_toks)
+    WHERE term IN ('spark', 'vector', 'window')
+    GROUP BY doc_id, term
+  ),
+  bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term)
+SELECT doc_id, round(sum(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * ({k1} + 1.0)
+         / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+       ), 4) AS bm25
+FROM btf JOIN bdf USING(term) JOIN dl USING(doc_id) CROSS JOIN bstats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""), ducks)
+
+    fast = retrieval.bm25_topk(
+        docs, terms, k=k, lengths=retrieval.doc_lengths(docs)
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, sdf.collect()))
+
+
+def test_rrf_fuse_pinned(spark):
+    """Reciprocal-rank fusion micro-case: hand-computed 1/(60+r) sums,
+    doc in both lists wins, ties broken by doc_id."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import retrieval
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, bm25 double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.99), (4, 0.90), (1, 0.10)], "doc_id long, cos_sim double"
+    )
+    got = [(r["doc_id"], r["rrf"]) for r in retrieval.rrf_fuse(lex, sem, k=4).collect()]
+    exp = {
+        1: 1 / 61 + 1 / 63,  # lex rank 1, sem rank 3
+        2: 1 / 62 + 1 / 61,  # lex rank 2, sem rank 1
+        3: 1 / 63,
+        4: 1 / 62,
+    }
+    want = sorted(
+        ((d, round(v, 6)) for d, v in exp.items()), key=lambda t: (-t[1], t[0])
+    )
+    assert got == want
