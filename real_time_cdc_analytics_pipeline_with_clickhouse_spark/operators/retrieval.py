@@ -94,6 +94,178 @@ def bm25_topk(
     )
 
 
+_TIX_MANIFEST = "_text_index_manifest.json"
+_TIX_SEED = "tix:"
+
+
+def _term_bucket_py(term: str, buckets: int) -> int:
+    """Python twin of the posting-list bucket key — md5-derived like
+    ``portable_hash64`` so driver-side query planning and the stored
+    layout always agree."""
+    import hashlib
+
+    return int(hashlib.md5((_TIX_SEED + term).encode()).hexdigest()[:15], 16) % buckets
+
+
+def _tix_paths(index_dir: str):
+    return f"{index_dir}/postings", f"{index_dir}/lengths", f"{index_dir}/{_TIX_MANIFEST}"
+
+
+def _write_tix_manifest(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = f"{index_dir}/{_TIX_MANIFEST}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{index_dir}/{_TIX_MANIFEST}")
+
+
+def read_text_index_manifest(index_dir: str) -> dict:
+    import json
+    import os
+
+    path = f"{index_dir}/{_TIX_MANIFEST}"
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"no text index at {index_dir} — build_text_index first"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _postings(documents: DataFrame, buckets: int) -> DataFrame:
+    from ..functions.scalar import portable_hash64
+
+    return (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "tbucket",
+            F.pmod(
+                portable_hash64(F.col("term"), seed=_TIX_SEED), F.lit(buckets)
+            ).cast("int"),
+        )
+    )
+
+
+def build_text_index(
+    documents: DataFrame, index_dir: str, buckets: int = 64
+) -> None:
+    """Persist the inverted text index — the stored-artifact form of
+    ``bm25_topk``, mirroring ``lsh_index``/``ivf_index``: tokenize the
+    corpus ONCE at build, answer queries forever after without
+    touching document text.
+
+    Layout: ``postings/batch=/tbucket=`` — (doc_id, term, tf) rows
+    partitioned by a term-hash bucket, so a query prunes its scan to
+    |query| partition directories; ``lengths/`` — the per-doc token
+    lengths every BM25 call needs; a manifest holding the ADDITIVE
+    corpus stats (n_docs, sum_dl) so incremental updates never rescan
+    history.  Per-term document frequencies are NOT stored: the query
+    recounts them from its own pruned postings (|candidates| rows),
+    which keeps updates append-only."""
+    post, lens, _ = _tix_paths(index_dir)
+    p = _postings(documents, buckets).withColumn("batch", F.lit(-1))
+    p.write.mode("overwrite").partitionBy("batch", "tbucket").parquet(post)
+    dl = doc_lengths(documents)
+    dl.write.mode("overwrite").parquet(lens)
+    row = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).first()
+    _write_tix_manifest(
+        index_dir,
+        {
+            "n_docs": int(row["n"]),
+            "sum_dl": int(row["s"]),
+            "buckets": int(buckets),
+            "seed": _TIX_SEED,
+        },
+    )
+
+
+def update_text_index(new_documents: DataFrame, index_dir: str) -> None:
+    """Append a new batch map-side: its postings land under a fresh
+    ``batch=`` dir in the SAME term-bucket layout (no old posting is
+    read or rewritten), lengths append, and the manifest's additive
+    stats fold the batch in.  Callers dedup doc_ids upstream (the
+    corpus-ingest sinks do)."""
+    import os
+
+    meta = read_text_index_manifest(index_dir)
+    post, lens, _ = _tix_paths(index_dir)
+    nxt = (
+        max(
+            [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(post)
+                if d.startswith("batch=")
+            ],
+            default=-1,
+        )
+        + 1
+    )
+    p = _postings(new_documents, meta["buckets"]).withColumn(
+        "batch", F.lit(nxt)
+    )
+    p.write.mode("append").partitionBy("batch", "tbucket").parquet(post)
+    dl = doc_lengths(new_documents)
+    dl.write.mode("append").parquet(lens)
+    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+    meta["n_docs"] += int(row["n"])
+    meta["sum_dl"] += int(row["s"])
+    _write_tix_manifest(index_dir, meta)
+
+
+def bm25_topk_from_index(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k off the stored index: no tokenization anywhere in
+    the plan — the postings scan statically prunes to the query
+    terms' ``tbucket`` partitions (driver-computed from the same
+    md5 hash the build used), corpus stats come from the manifest,
+    and document frequencies are recounted from the pruned postings.
+    Same corpus, same params → identical rows to ``bm25_topk``
+    (tested)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    meta = read_text_index_manifest(index_dir)
+    qt = sorted({t.lower() for t in query_terms})
+    tb = sorted({_term_bucket_py(t, meta["buckets"]) for t in qt})
+    post, lens, _ = _tix_paths(index_dir)
+    tf = (
+        spark.read.parquet(post)
+        .where(F.col("tbucket").isin(tb) & F.col("term").isin(qt))
+        .select("doc_id", "term", "tf")
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dlen = spark.read.parquet(lens)
+    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .join(dlen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * part), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     lexical: DataFrame,
     semantic: DataFrame,

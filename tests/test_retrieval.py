@@ -1,0 +1,70 @@
+"""Stored inverted text index (operators/retrieval.py): index-backed
+BM25 must equal the direct operator, updates must append without
+rewriting history, and the query plan must prune to the query terms'
+bucket partitions with no tokenization anywhere."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import retrieval
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import plan_string
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+TERMS = ["spark", "vector", "window"]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_index_backed_bm25_equals_direct(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "tix")
+    retrieval.build_text_index(docs, idx, buckets=16)
+    got = retrieval.bm25_topk_from_index(spark, idx, TERMS, k=25)
+    want = retrieval.bm25_topk(docs, TERMS, k=25)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    # no tokenization at query time; postings scan pruned to the
+    # query terms' bucket partitions
+    plan = plan_string(got)
+    assert "explode" not in plan.lower()
+    assert "tbucket" in plan
+
+
+def test_update_appends_and_matches_full_build(spark, sf_dir, tmp_path):
+    """Build on the even docs, fold in the odd docs: answers must
+    equal an index built over everything, and the batch=0 append must
+    not rewrite the batch=-1 postings."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_inc = str(tmp_path / "tix_inc")
+    retrieval.build_text_index(docs.where(F.col("doc_id") % 2 == 0), idx_inc, buckets=16)
+    base_files = set()
+    for root, _dirs, files in os.walk(f"{idx_inc}/postings/batch=-1"):
+        base_files |= {f"{root}/{f}" for f in files if f.endswith(".parquet")}
+    stamps = {p: os.path.getmtime(p) for p in base_files}
+
+    retrieval.update_text_index(docs.where(F.col("doc_id") % 2 == 1), idx_inc)
+    assert all(os.path.getmtime(p) == stamps[p] for p in base_files)
+    assert os.path.isdir(f"{idx_inc}/postings/batch=0")
+
+    idx_full = str(tmp_path / "tix_full")
+    retrieval.build_text_index(docs, idx_full, buckets=16)
+    got = retrieval.bm25_topk_from_index(spark, idx_inc, TERMS, k=25)
+    want = retrieval.bm25_topk_from_index(spark, idx_full, TERMS, k=25)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    # additive manifest stats fold exactly
+    mi = retrieval.read_text_index_manifest(idx_inc)
+    mf = retrieval.read_text_index_manifest(idx_full)
+    assert (mi["n_docs"], mi["sum_dl"]) == (mf["n_docs"], mf["sum_dl"])
+
+
+def test_missing_index_fails_loudly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="build_text_index"):
+        retrieval.bm25_topk_from_index(spark, str(tmp_path / "nope"), TERMS)
