@@ -163,61 +163,95 @@ def build_text_index(
 
     Layout: ``postings/batch=/tbucket=`` — (doc_id, term, tf) rows
     partitioned by a term-hash bucket, so a query prunes its scan to
-    |query| partition directories; ``lengths/`` — the per-doc token
-    lengths every BM25 call needs; a manifest holding the ADDITIVE
-    corpus stats (n_docs, sum_dl) so incremental updates never rescan
-    history.  Per-term document frequencies are NOT stored: the query
-    recounts them from its own pruned postings (|candidates| rows),
-    which keeps updates append-only."""
+    |query| partition directories; ``lengths/batch=`` — the per-doc
+    token lengths every BM25 call needs; a manifest holding the
+    ADDITIVE corpus stats (n_docs, sum_dl) so incremental updates
+    never rescan history.  Per-term document frequencies are NOT
+    stored: the query recounts them from its own pruned postings
+    (|candidates| rows), which keeps updates append-only.  Every
+    batch owns its whole ``batch=`` directory (written as an
+    overwrite of deterministic content), so a crash-replayed batch
+    rewrites identical bytes instead of appending twice."""
     post, lens, _ = _tix_paths(index_dir)
-    p = _postings(documents, buckets).withColumn("batch", F.lit(-1))
-    p.write.mode("overwrite").partitionBy("batch", "tbucket").parquet(post)
-    dl = doc_lengths(documents)
-    dl.write.mode("overwrite").parquet(lens)
-    row = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("s")
-    ).first()
+    n, s = _write_tix_batch(documents, post, lens, -1, buckets)
     _write_tix_manifest(
         index_dir,
         {
-            "n_docs": int(row["n"]),
-            "sum_dl": int(row["s"]),
+            "n_docs": n,
+            "sum_dl": s,
             "buckets": int(buckets),
             "seed": _TIX_SEED,
+            "last_epoch": -1,
         },
     )
 
 
-def update_text_index(new_documents: DataFrame, index_dir: str) -> None:
-    """Append a new batch map-side: its postings land under a fresh
-    ``batch=`` dir in the SAME term-bucket layout (no old posting is
-    read or rewritten), lengths append, and the manifest's additive
-    stats fold the batch in.  Callers dedup doc_ids upstream (the
-    corpus-ingest sinks do)."""
+def _write_tix_batch(
+    documents: DataFrame, post: str, lens: str, batch_id: int, buckets: int
+) -> tuple[int, int]:
+    """Write one batch's postings, then derive its lengths table FROM
+    the written postings (|d| = Σ_t tf(t,d) — the normalized token
+    stream has no token outside a posting row), so each batch
+    tokenizes exactly once.  Returns the batch's (n_docs, sum_dl)."""
+    spark = documents.sparkSession
+    (
+        _postings(documents, buckets)
+        .select("doc_id", "term", "tf", "tbucket")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{post}/batch={batch_id}")
+    )
+    dl = (
+        spark.read.parquet(f"{post}/batch={batch_id}")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("int").alias("dl"))
+    )
+    dl.write.mode("overwrite").parquet(f"{lens}/batch={batch_id}")
+    row = (
+        spark.read.parquet(f"{lens}/batch={batch_id}")
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    return int(row["n"]), int(row["s"])
+
+
+def update_text_index(
+    new_documents: DataFrame, index_dir: str, epoch: int | None = None
+) -> None:
+    """Fold a new batch in map-side: its postings and lengths land as
+    whole-directory OVERWRITES of their own ``batch=`` dirs in the
+    SAME term-bucket layout (no old posting is read or rewritten —
+    proven by mtime in tests), then the manifest's additive stats
+    fold the batch in.  Streaming callers pass ``epoch``: the batch
+    dir is named by it (deterministic tokenization ⇒ a replay
+    rewrites identical bytes) and the manifest's ``last_epoch`` stamp
+    makes a replayed stats fold a no-op — exactly-once through every
+    crash window.  Callers dedup doc_ids upstream (the corpus-ingest
+    sinks do)."""
     import os
 
     meta = read_text_index_manifest(index_dir)
+    if epoch is not None and meta.get("last_epoch", -1) >= epoch:
+        return
     post, lens, _ = _tix_paths(index_dir)
-    nxt = (
-        max(
-            [
-                int(d.split("=", 1)[1])
-                for d in os.listdir(post)
-                if d.startswith("batch=")
-            ],
-            default=-1,
+    if epoch is not None:
+        bid = epoch
+    else:
+        bid = (
+            max(
+                [
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(post)
+                    if d.startswith("batch=")
+                ],
+                default=-1,
+            )
+            + 1
         )
-        + 1
-    )
-    p = _postings(new_documents, meta["buckets"]).withColumn(
-        "batch", F.lit(nxt)
-    )
-    p.write.mode("append").partitionBy("batch", "tbucket").parquet(post)
-    dl = doc_lengths(new_documents)
-    dl.write.mode("append").parquet(lens)
-    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
-    meta["n_docs"] += int(row["n"])
-    meta["sum_dl"] += int(row["s"])
+    n, s = _write_tix_batch(new_documents, post, lens, bid, meta["buckets"])
+    meta["n_docs"] += n
+    meta["sum_dl"] += s
+    meta["last_epoch"] = max(meta.get("last_epoch", -1), bid)
     _write_tix_manifest(index_dir, meta)
 
 
@@ -248,7 +282,7 @@ def bm25_topk_from_index(
         .select("doc_id", "term", "tf")
     )
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dlen = spark.read.parquet(lens)
+    dlen = spark.read.parquet(lens).select("doc_id", "dl")
     n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
     idf = F.log(
         (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

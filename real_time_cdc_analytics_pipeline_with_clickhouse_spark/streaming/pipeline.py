@@ -826,6 +826,55 @@ def start_embedding_index_sink(
     )
 
 
+def start_text_index_sink(
+    docs_stream: DataFrame, index_dir: str, checkpoint: str, buckets: int = 64
+):
+    """Live inverted-index ingestion — the lexical twin of
+    ``start_embedding_index_sink``: the first micro-batch BUILDS the
+    stored text index (``retrieval.build_text_index``), every later
+    batch folds in map-side (``update_text_index(epoch=...)`` —
+    tokenize the batch, overwrite its own ``batch=<epoch>`` postings
+    and lengths dirs, fold the manifest's additive stats).  BM25
+    queries against the index see each batch as soon as its manifest
+    fold commits.
+
+    Exactly-once through the crash window: tokenization is
+    deterministic so a replayed batch dir rewrites identical bytes,
+    the manifest's ``last_epoch`` stamp makes a replayed stats fold a
+    no-op, and a replay of the bootstrap epoch re-runs the build — a
+    full overwrite — rather than appending twice (the
+    ``_BUILD_EPOCH`` marker routes it)."""
+    from ..operators import retrieval
+
+    meta_dir = index_dir + "_sinkmeta"
+    build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        built_by = None
+        if os.path.isfile(build_marker):
+            with open(build_marker) as fh:
+                built_by = int(fh.read().strip() or -1)
+        if not os.path.isdir(f"{index_dir}/postings") or built_by == epoch:
+            os.makedirs(meta_dir, exist_ok=True)
+            with open(build_marker, "w") as fh:
+                fh.write(str(epoch))
+            retrieval.build_text_index(batch, index_dir, buckets=buckets)
+        else:
+            retrieval.update_text_index(batch, index_dir, epoch=epoch)
+        _record_epoch(meta_dir, epoch, checkpoint)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_funnel_sink(
     enriched: DataFrame,
     state_dir: str,

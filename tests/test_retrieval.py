@@ -68,3 +68,52 @@ def test_update_appends_and_matches_full_build(spark, sf_dir, tmp_path):
 def test_missing_index_fails_loudly(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="build_text_index"):
         retrieval.bm25_topk_from_index(spark, str(tmp_path / "nope"), TERMS)
+
+
+def test_streaming_text_index_sink_equals_one_shot_build(spark, sf_dir, tmp_path):
+    """First micro-batch builds, later batches fold map-side; the
+    sink-built index must answer exactly like a one-shot build over
+    the full corpus, manifest stats must agree, and a replayed epoch
+    must be a no-op (the manifest last_epoch stamp)."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    feed = str(tmp_path / "docs_feed")
+    os.makedirs(feed)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/b{i}.parquet")
+
+    idx = str(tmp_path / "tix_stream")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    q = sp.start_text_index_sink(stream, idx, str(tmp_path / "ck_tix"), buckets=16)
+    q.processAllAvailable()
+    q.stop()
+
+    idx_full = str(tmp_path / "tix_oneshot")
+    retrieval.build_text_index(docs, idx_full, buckets=16)
+    got = retrieval.bm25_topk_from_index(spark, idx, TERMS, k=25)
+    want = retrieval.bm25_topk_from_index(spark, idx_full, TERMS, k=25)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    ms = retrieval.read_text_index_manifest(idx)
+    mf = retrieval.read_text_index_manifest(idx_full)
+    assert (ms["n_docs"], ms["sum_dl"]) == (mf["n_docs"], mf["sum_dl"])
+    assert ms["last_epoch"] == 2
+
+    # replayed epoch: the manifest stamp short-circuits the fold
+    last_batch = docs.where(F.col("doc_id") % 3 == 2)
+    retrieval.update_text_index(last_batch, idx, epoch=2)
+    ms2 = retrieval.read_text_index_manifest(idx)
+    assert ms2 == ms
+    assert _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=25)) == _rows(want)
+    docs.unpersist()
