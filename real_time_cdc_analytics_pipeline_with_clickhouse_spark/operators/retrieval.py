@@ -255,6 +255,63 @@ def update_text_index(
     _write_tix_manifest(index_dir, meta)
 
 
+def _swap_tree(stage: str, target: str) -> None:
+    """Replace a whole partition tree with its staged rewrite: two
+    atomic renames (old → ``__old``, stage → target) then delete the
+    old copy.  A crash can leave either the old tree live (stage
+    intact, retry safe) or, in the two-rename window, the target
+    briefly absent with BOTH copies on disk — never a half-merged
+    tree."""
+    import os
+    import shutil
+
+    old = target.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(target, old)
+    os.rename(stage, target)
+    shutil.rmtree(old)
+
+
+def compact_text_index(spark, index_dir: str) -> None:
+    """Small-file compaction for the appended text index — the
+    MergeTree background-merge analog the other artifacts already
+    have (``lsh_index.compact_minhash_index``): after N streamed
+    epochs the postings tree holds N ``batch=`` dirs × buckets files
+    and every query pays N× the footer overhead.  Rewrite all batches
+    into a single ``batch=-1`` tree, one file per ``tbucket``
+    partition (the batch level must survive — partition discovery
+    needs a uniform directory depth, and later updates keep landing
+    as ``batch=<epoch>`` siblings).  Batches hold disjoint doc_ids
+    (the ingest sinks dedup upstream; batch dirs are deterministic
+    overwrites, so no crash residue either) — the rewrite is a pure
+    re-layout: queries identical before/after, manifest untouched
+    (``last_epoch`` survives, so replayed old epochs stay inert)."""
+    post, lens, _ = _tix_paths(index_dir)
+    read_text_index_manifest(index_dir)
+    stage = post + "__stage"
+    (
+        spark.read.parquet(post)
+        .select("doc_id", "term", "tf", "tbucket")
+        .withColumn("batch", F.lit(-1))
+        .repartition(F.col("tbucket"))
+        .write.mode("overwrite")
+        .partitionBy("batch", "tbucket")
+        .parquet(stage)
+    )
+    _swap_tree(stage, post)
+    lstage = lens + "__stage"
+    (
+        spark.read.parquet(lens)
+        .select("doc_id", "dl")
+        .withColumn("batch", F.lit(-1))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(lstage)
+    )
+    _swap_tree(lstage, lens)
+
+
 def bm25_topk_from_index(
     spark,
     index_dir: str,

@@ -827,7 +827,11 @@ def start_embedding_index_sink(
 
 
 def start_text_index_sink(
-    docs_stream: DataFrame, index_dir: str, checkpoint: str, buckets: int = 64
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    buckets: int = 64,
+    compact_every: int | None = None,
 ):
     """Live inverted-index ingestion — the lexical twin of
     ``start_embedding_index_sink``: the first micro-batch BUILDS the
@@ -843,7 +847,11 @@ def start_text_index_sink(
     the manifest's ``last_epoch`` stamp makes a replayed stats fold a
     no-op, and a replay of the bootstrap epoch re-runs the build — a
     full overwrite — rather than appending twice (the
-    ``_BUILD_EPOCH`` marker routes it)."""
+    ``_BUILD_EPOCH`` marker routes it).  ``compact_every=N``
+    additionally runs the small-file compaction
+    (``retrieval.compact_text_index`` — all batch dirs re-laid into
+    one, queries unchanged) every N epochs, the MergeTree
+    background-merge cadence the corpus-ingest sink uses."""
     from ..operators import retrieval
 
     meta_dir = index_dir + "_sinkmeta"
@@ -865,6 +873,8 @@ def start_text_index_sink(
             retrieval.build_text_index(batch, index_dir, buckets=buckets)
         else:
             retrieval.update_text_index(batch, index_dir, epoch=epoch)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            retrieval.compact_text_index(batch.sparkSession, index_dir)
         _record_epoch(meta_dir, epoch, checkpoint)
 
     return (

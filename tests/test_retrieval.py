@@ -117,3 +117,75 @@ def test_streaming_text_index_sink_equals_one_shot_build(spark, sf_dir, tmp_path
     assert ms2 == ms
     assert _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=25)) == _rows(want)
     docs.unpersist()
+
+
+def test_text_index_compaction_bounds_files_and_preserves_results(
+    spark, sf_dir, tmp_path
+):
+    """Twin 6-batch ingests, one compacting every 3 epochs: the
+    compacted index must hold strictly fewer batch dirs and files,
+    answer identically, and keep the manifest's additive stats and
+    last_epoch stamp (so replayed old epochs stay inert)."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    feed = str(tmp_path / "cfeed")
+    os.makedirs(feed)
+    for i in range(6):
+        docs.where(F.col("doc_id") % 6 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/b{i}.parquet")
+
+    def run(idx, compact_every):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed + "/*")
+        )
+        q = sp.start_text_index_sink(
+            stream,
+            idx,
+            idx + "_ck",
+            buckets=16,
+            compact_every=compact_every,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    plain, tight = str(tmp_path / "tix_plain"), str(tmp_path / "tix_tight")
+    run(plain, None)
+    run(tight, 3)
+
+    def stats(idx):
+        batches, files = set(), 0
+        for root, dirs, fs in os.walk(f"{idx}/postings"):
+            for d in dirs:
+                if d.startswith("batch="):
+                    batches.add(d)
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+        return batches, files
+
+    pb, pf = stats(plain)
+    tb, tf_ = stats(tight)
+    assert tb == {"batch=-1"} and len(pb) == 6
+    assert tf_ < pf
+
+    got = retrieval.bm25_topk_from_index(spark, tight, TERMS, k=25)
+    want = retrieval.bm25_topk_from_index(spark, plain, TERMS, k=25)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    mt = retrieval.read_text_index_manifest(tight)
+    mp = retrieval.read_text_index_manifest(plain)
+    assert (mt["n_docs"], mt["sum_dl"], mt["last_epoch"]) == (
+        mp["n_docs"],
+        mp["sum_dl"],
+        mp["last_epoch"],
+    )
+    # compacting an already-compacted index is a no-op re-layout
+    retrieval.compact_text_index(spark, tight)
+    assert _rows(retrieval.bm25_topk_from_index(spark, tight, TERMS, k=25)) == _rows(want)
+    docs.unpersist()
