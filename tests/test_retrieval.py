@@ -189,3 +189,49 @@ def test_text_index_compaction_bounds_files_and_preserves_results(
     retrieval.compact_text_index(spark, tight)
     assert _rows(retrieval.bm25_topk_from_index(spark, tight, TERMS, k=25)) == _rows(want)
     docs.unpersist()
+
+
+def test_hybrid_retrieval_rrf_over_bm25_and_ann(spark, sf_dir):
+    """End-to-end hybrid retrieval: the BM25 lexical list and an
+    ANN semantic list (brute-force cosine for one query vector,
+    vec_id doubling as doc_id) fuse by RRF exactly as the
+    independently recomputed 1/(60+rank) sums say, and any doc
+    present in both lists outranks a doc holding the same single-list
+    rank in only one."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lex = retrieval.bm25_topk(docs, TERMS, k=10)
+    one_q = similarity.default_queries(emb).limit(1)
+    sem = (
+        similarity.brute_force_topk(emb, one_q, k=10)
+        .select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
+    )
+    fused = retrieval.rrf_fuse(lex, sem, k=20).collect()
+
+    lrank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(lex.collect(), key=lambda r: (-r["bm25"], r["doc_id"]))
+        )
+    }
+    srank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(sem.collect(), key=lambda r: (-r["cos_sim"], r["doc_id"]))
+        )
+    }
+    exp = {}
+    for d in set(lrank) | set(srank):
+        exp[d] = round(
+            (1 / (60 + lrank[d]) if d in lrank else 0)
+            + (1 / (60 + srank[d]) if d in srank else 0),
+            6,
+        )
+    want = sorted(exp.items(), key=lambda t: (-t[1], t[0]))[:20]
+    assert [(r["doc_id"], r["rrf"]) for r in fused] == want and fused
