@@ -39,6 +39,7 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
     multimodal,
     quality,
     relational as R,
+    retrieval,
     rollups,
     similarity,
 )
@@ -241,10 +242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_top_terms"] = lambda spark, sf: dedup.tfidf_top_terms(
         load_table(spark, sf, "documents")
     )
-    q["hash_split"] = lambda spark, sf: dedup.hash_split(load_table(spark, sf, "documents"))
-    q["vocab_top_bigrams"] = lambda spark, sf: dedup.vocab_top_bigrams(
-        load_table(spark, sf, "documents")
-    )
+    # hash_split and vocab_top_bigrams folded to pytest (round 6: their
+    # portable-hash-filter and token-df machinery is exercised by
+    # deterministic_sample and tfidf_top_terms respectively; both keep
+    # their ORACLE twins in tests/test_consolidated.py) to free gate
+    # slots for the retrieval operators below.
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs_dup(spark, sf), threshold=0.5
     )
@@ -271,6 +273,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "embeddings"),
         similarity.default_queries(load_table(spark, sf, "embeddings")),
     )
+
+    q["bm25_topk"] = lambda spark, sf: retrieval.bm25_topk(
+        load_table(spark, sf, "documents"), ["spark", "vector", "window"], k=25
+    )
+
+    def hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+        """Hybrid retrieval: the BM25 lexical top-10 fused by RRF with
+        a brute-force cosine top-10 for the pinned query vector
+        vec_id=0 (vec_id doubles as doc_id in the fixtures)."""
+        docs = load_table(spark, sf, "documents")
+        emb = load_table(spark, sf, "embeddings")
+        lex = retrieval.bm25_topk(docs, ["spark", "vector", "window"], k=10)
+        q0 = similarity.default_queries(emb).where(F.col("query_id") == 0)
+        sem = similarity.brute_force_topk(emb, q0, k=10).select(
+            F.col("neighbor_id").alias("doc_id"), "cos_sim"
+        )
+        return retrieval.rrf_fuse(lex, sem, k=20)
+
+    q["hybrid_rrf"] = hybrid_rrf
 
     def text_analysis(spark: SparkSession, sf: str) -> DataFrame:
         """Language-ID, quality metrics, token counts and document

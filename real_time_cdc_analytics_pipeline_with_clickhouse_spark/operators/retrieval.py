@@ -357,6 +357,40 @@ def bm25_topk_from_index(
     )
 
 
+def hybrid_topk_from_indexes(
+    spark,
+    text_index_dir: str,
+    ivf_index_dir: str,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    k_each: int = 10,
+    n_probe: int = 4,
+    c: int = 60,
+) -> DataFrame:
+    """End-to-end hybrid retrieval entirely off the STORED artifacts —
+    the serving-path composition of ``bm25_topk_from_index`` (inverted
+    text index, term-bucket partition pruning) and
+    ``ivf_index.ivf_index_topk`` (persistent IVF, centroid-partition
+    pruning, no KMeans in the plan), fused by RRF.  Neither side
+    tokenizes, fits, or scans the corpus: total work is two pruned
+    index reads plus list-sized fusion, which is what a query node
+    would run per request at 100 TB.  One query per call (RRF ranks
+    are per-query); batch callers loop — each call is index-pruned
+    and bounded, not corpus-sized."""
+    from .ivf_index import ivf_index_topk
+
+    lex = bm25_topk_from_index(spark, text_index_dir, query_terms, k=k_each)
+    queries = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vec])],
+        "query_id long, query_vec array<double>",
+    )
+    sem = ivf_index_topk(spark, queries, ivf_index_dir, k=k_each, n_probe=n_probe).select(
+        F.col("neighbor_id").alias("doc_id"), "cos_sim"
+    )
+    return rrf_fuse(lex, sem, k=k, c=c)
+
+
 def rrf_fuse(
     lexical: DataFrame,
     semantic: DataFrame,

@@ -711,6 +711,64 @@ FROM (
 ) WHERE rnk <= 5
 """)
 
+# Lexical + hybrid retrieval (operators/retrieval.py): the shared
+# tokenizer CTE (doc_toks), the BM25 weighting with scores rounded to
+# 4dp before the deterministic (score DESC, doc_id) rank, and RRF
+# fusion re-ranking both lists by their rounded scores.
+_BM25_CTES = """
+bdl AS (SELECT doc_id, len(toks) AS dl FROM doc_toks),
+  bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdl),
+  btf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM doc_toks)
+    WHERE term IN ('spark', 'vector', 'window')
+    GROUP BY doc_id, term
+  ),
+  bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+  bscore AS (
+    SELECT doc_id, round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS bm25
+    FROM btf JOIN bdf USING(term) JOIN bdl USING(doc_id) CROSS JOIN bstats
+    GROUP BY doc_id
+  )
+"""
+
+ORACLE["bm25_topk"] = q(f"""
+, {_BM25_CTES}
+SELECT doc_id, bm25 FROM bscore
+ORDER BY bm25 DESC, doc_id
+LIMIT 25
+""")
+
+ORACLE["hybrid_rrf"] = q(f"""
+, {_BM25_CTES},
+  hlex AS (SELECT doc_id, bm25 FROM bscore ORDER BY bm25 DESC, doc_id LIMIT 10),
+  hsem AS (
+    SELECT doc_id, cos4 AS cos_sim
+    FROM (
+      SELECT e.vec_id AS doc_id,
+             round({_cosine("q0.embedding", "e.embedding")}, 6) AS cos6,
+             round({_cosine("q0.embedding", "e.embedding")}, 4) AS cos4,
+             row_number() OVER (
+               ORDER BY round({_cosine("q0.embedding", "e.embedding")}, 6) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q0
+      WHERE e.vec_id <> 0
+    ) WHERE rnk <= 10
+  ),
+  lr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM hlex),
+  sr AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r FROM hsem)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf
+FROM (SELECT * FROM lr UNION ALL SELECT * FROM sr)
+GROUP BY doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""")
+
 _MARKERS = {
     "en": ["the", "and", "of", "to", "a"],
     "de": ["der", "die", "und", "das", "ist"],

@@ -360,6 +360,24 @@ def test_decontaminate(spark, sf_dir, ducks):
     assert self_flags == 0, "benchmark docs must be flagged contaminated"
 
 
+def test_hash_split(spark, sf_dir, ducks):
+    """Deterministic train/val/test hash split (folded r6: its
+    driver-gate slot now carries ``bm25_topk``; the portable-hash
+    bucketing stays gate-exercised via deterministic_sample and keeps
+    the same twin SQL it had in the registry)."""
+    sdf = dedup.hash_split(load_table(spark, sf_dir, "documents"))
+    _check(sdf, ORACLE["hash_split"], ducks)
+
+
+def test_vocab_top_bigrams(spark, sf_dir, ducks):
+    """Corpus-level bigram vocabulary (folded r6: its driver-gate slot
+    now carries ``hybrid_rrf``; the token-df machinery stays
+    gate-exercised via tfidf_top_terms and keeps the same twin SQL it
+    had in the registry)."""
+    sdf = dedup.vocab_top_bigrams(load_table(spark, sf_dir, "documents"))
+    _check(sdf, ORACLE["vocab_top_bigrams"], ducks)
+
+
 def test_sessionize(spark, sf_dir, ducks):
     """30-min-gap sessionization (folded r3: its driver-gate slot now
     carries the composed corpus_prep flow; the window idiom stays

@@ -191,6 +191,44 @@ def test_text_index_compaction_bounds_files_and_preserves_results(
     docs.unpersist()
 
 
+def test_hybrid_topk_from_indexes_equals_componentwise_fusion(
+    spark, sf_dir, tmp_path
+):
+    """The stored-artifact hybrid path must equal fusing the two
+    index-backed lists computed independently, and its plan must be
+    fully index-fed: no tokenization, no KMeans, postings pruned to
+    the query term buckets."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tix = str(tmp_path / "tix")
+    vix = str(tmp_path / "vix")
+    retrieval.build_text_index(docs, tix, buckets=16)
+    ivf_index.build_ivf_index(emb, vix, n_centroids=8, seed=7)
+
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    got = retrieval.hybrid_topk_from_indexes(
+        spark, tix, vix, TERMS, qvec, k=20, k_each=10, n_probe=4
+    )
+
+    lex = retrieval.bm25_topk_from_index(spark, tix, TERMS, k=10)
+    queries = spark.createDataFrame(
+        [(-1, [float(x) for x in qvec])], "query_id long, query_vec array<double>"
+    )
+    sem = ivf_index.ivf_index_topk(spark, queries, vix, k=10, n_probe=4).select(
+        F.col("neighbor_id").alias("doc_id"), "cos_sim"
+    )
+    want = retrieval.rrf_fuse(lex, sem, k=20)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    plan = plan_string(got)
+    assert "explode" not in plan.lower()
+    assert "tbucket" in plan
+
+
 def test_hybrid_retrieval_rrf_over_bm25_and_ann(spark, sf_dir):
     """End-to-end hybrid retrieval: the BM25 lexical list and an
     ANN semantic list (brute-force cosine for one query vector,
