@@ -250,6 +250,12 @@ def main() -> None:
             t0 = time.time()
             IVFX.build_ivf_index(emb10, idx_dir, n_centroids=32, seed=7)
             timings["_scale10x_ivf_index_build"] = round(time.time() - t0, 3)
+            # PQ tier builds its own artifact (codes alongside floats)
+            # so the plain build metric stays round-comparable
+            idx_pq = f"{scale_dir}/_ivf_pq_index"
+            t0 = time.time()
+            IVFX.build_ivf_index(emb10, idx_pq, n_centroids=32, seed=7, pq_m=8, pq_ks=16)
+            timings["_scale10x_ivf_pq_build"] = round(time.time() - t0, 3)
             q10 = SIM.default_queries(emb10)
             learned = {
                 "ivf_index_topk": lambda: IVFX.ivf_index_topk(
@@ -257,6 +263,11 @@ def main() -> None:
                 ),
                 "ivf_kmeans_topk": lambda: SIM.ivf_kmeans_topk(
                     emb10, q10, k=5, n_centroids=32, n_probe=4, seed=7
+                ),
+                # PQ/ADC tier: scans (vec_id, codes, nrm) only — the
+                # scan-bytes story the 100 TB memory budget rides on
+                "ivf_pq_topk": lambda: IVFX.ivf_index_topk_pq(
+                    spark, q10, idx_pq, k=5, n_probe=4, rerank=50
                 ),
             }
             for name, build in learned.items():

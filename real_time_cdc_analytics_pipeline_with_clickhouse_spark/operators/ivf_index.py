@@ -31,6 +31,20 @@ and an index built from a prefix then updated with the remainder
 equals an index built from the whole corpus — centroids are immutable
 after build (the standard IVF trade: cell quality drifts as the
 corpus grows; rebuild to re-center, exactly like FAISS retraining).
+
+Product quantization (``pq_m=...``) adds the IVF-PQ memory tier
+(Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011 — the construction behind FAISS's IVFPQ): the
+vector is split into ``pq_m`` subspaces, each subspace gets its own
+``pq_ks``-entry k-means codebook, and every corpus vector is stored
+as ``pq_m`` 1-byte codes — at 64 dims × float64 that is a 64×
+reduction in scan bytes, the difference between "the index fits in
+cluster memory" and "it doesn't" at 100 TB.  Queries score by ADC
+(asymmetric distance computation): one tiny per-query lookup table of
+query-subvector · sub-centroid dot products, then each candidate's
+approximate dot product is ``pq_m`` table lookups — no float vector
+is read at all unless ``rerank`` asks for exact re-scoring of the
+short candidate list.
 """
 
 from __future__ import annotations
@@ -114,12 +128,98 @@ def _int8_col():
     ).alias("qv")
 
 
+def fit_pq_codebooks(
+    embeddings: DataFrame, m: int, ks: int, seed: int = 7
+) -> DataFrame:
+    """Fit the ``m`` per-subspace codebooks (``ks`` k-means centers
+    over each ``dim/m``-wide slice of the embedding) and return them as
+    (sub_id, code_id, sub_centroid array<double>) — m × ks rows, the
+    always-broadcastable artifact PQ revolves around.  Like
+    ``kmeans_centroids``, fit on a sample at corpus scale: codebook
+    quality needs the distribution's shape, not every vector."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = embeddings.select(F.size("embedding")).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by pq_m={m}")
+    dsub = dim // m
+    spark = embeddings.sparkSession
+    rows = []
+    for sub in range(m):
+        vecs = embeddings.select(
+            array_to_vector(
+                F.slice(F.col("embedding").cast("array<double>"), sub * dsub + 1, dsub)
+            ).alias("features")
+        )
+        model = KMeans(k=ks, seed=seed + sub, maxIter=10).fit(vecs)
+        rows += [
+            (sub, i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(
+        rows, "sub_id int, code_id int, sub_centroid array<double>"
+    )
+
+
+def _codebook_row(codebooks: DataFrame) -> DataFrame:
+    """Pack the codebook table into ONE row carrying ``_cb``:
+    array<array<array<double>>> indexed [sub_id][code_id][dim] — a
+    crossJoin(broadcast(...)) against it attaches the whole codebook
+    to every row with zero row multiplication, keeping both encode and
+    ADC scoring pure map-side expressions."""
+    per_sub = (
+        codebooks.groupBy("sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("code_id", "sub_centroid"))).alias("cl"))
+        .select("sub_id", F.transform("cl", lambda s: s["sub_centroid"]).alias("codes"))
+    )
+    return (
+        per_sub.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "codes"))).alias("sl"))
+        .select(F.transform("sl", lambda s: s["codes"]).alias("_cb"))
+    )
+
+
+def _d2e(a, b):
+    """Squared euclidean distance between two array expressions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes_col(m: int, dsub: int, ks: int):
+    """PQ encode as one native expression over ``embedding`` + ``_cb``:
+    for each subspace, argmin code by squared distance (struct
+    ``array_min`` — ties break to the lowest code id), assembled into
+    an array of 1-byte codes.  Map-side, whole-stage-codegen'd; no
+    explode, no Python."""
+    ctype = "tinyint" if ks <= 127 else "smallint"
+
+    def code(sub: int):
+        sl = F.slice(F.col("embedding").cast("array<double>"), sub * dsub + 1, dsub)
+        darr = F.transform(
+            F.col("_cb")[sub], lambda c, i: F.struct(_d2e(sl, c).alias("d"), i.alias("i"))
+        )
+        return F.array_min(darr)["i"].cast(ctype)
+
+    return F.array(*[code(sub) for sub in range(m)]).alias("codes")
+
+
+def _with_pq_codes(df: DataFrame, codebooks: DataFrame, m: int, dsub: int, ks: int) -> DataFrame:
+    return df.crossJoin(F.broadcast(_codebook_row(codebooks))).withColumn(
+        "codes", _pq_codes_col(m, dsub, ks)
+    ).drop("_cb")
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_dir: str,
     n_centroids: int = 16,
     seed: int = 7,
     int8: bool = False,
+    pq_m: int | None = None,
+    pq_ks: int = 16,
 ) -> None:
     """Fit once, persist centroids + inverted lists + manifest.
 
@@ -130,7 +230,9 @@ def build_ivf_index(
     assigned, never iterated over.  ``int8=True`` additionally stores
     the quantized vector column for ``ivf_index_topk_quantized`` (the
     memory-bound serving path; the float column stays for exact
-    rescoring)."""
+    rescoring); ``pq_m=...`` stores per-subspace PQ codes for
+    ``ivf_index_topk_pq`` (the memory tier below int8 — pq_m bytes per
+    vector instead of one per dim)."""
     from pyspark.ml.functions import array_to_vector
 
     model, centroids = kmeans_centroids(embeddings, n_centroids, seed)
@@ -149,6 +251,12 @@ def build_ivf_index(
             *([_int8_col()] if int8 else []),
         )
     )
+    pq_dim = None
+    if pq_m is not None:
+        pq_dim = embeddings.select(F.size("embedding")).first()[0]
+        codebooks = fit_pq_codebooks(embeddings, pq_m, pq_ks, seed)
+        codebooks.write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
+        assigned = _with_pq_codes(assigned, codebooks, pq_m, pq_dim // pq_m, pq_ks)
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     # inverted lists live under batch=<id>/centroid_id=<cell> — the
     # batch level makes every later append a DETERMINISTIC overwrite of
@@ -166,6 +274,7 @@ def build_ivf_index(
             "n_rows": n,
             "lsh_bits": lsh_bits_for(n),
             "int8": bool(int8),
+            **({"pq_m": pq_m, "pq_ks": pq_ks, "pq_dim": pq_dim} if pq_m else {}),
         },
     )
 
@@ -204,6 +313,15 @@ def update_ivf_index(
         centroids,
         int8=bool(meta.get("int8")),
     )
+    if meta.get("pq_m"):
+        codebooks = spark.read.parquet(f"{index_dir}/pq_codebooks")
+        assigned = _with_pq_codes(
+            assigned,
+            codebooks,
+            meta["pq_m"],
+            meta["pq_dim"] // meta["pq_m"],
+            meta["pq_ks"],
+        )
     b = _next_batch_id(index_dir) if epoch is None else int(epoch)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{index_dir}/assignments/batch={b}"
@@ -309,6 +427,110 @@ def ivf_index_topk_quantized(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "int_dot")
     )
+
+
+def ivf_index_topk_pq(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ top-k by asymmetric distance computation (ADC) over the
+    stored codes — the memory-bound tier below ``int8``: the probed
+    inverted lists are scanned through (vec_id, codes, nrm) only, so
+    scan bytes per vector are ``pq_m`` + 8 instead of 8 × dim (the
+    float embeddings never leave disk; ReadSchema-asserted).
+
+    Per probe row the query builds a ``pq_m × pq_ks`` lookup table of
+    query-subvector · sub-centroid dot products (list-sized — the
+    codebook is always broadcastable); a candidate's approximate dot
+    product is then ``pq_m`` array lookups folded JVM-side.  The
+    approximate cosine divides by the STORED exact norm, so the only
+    error is the codebook quantization of the direction.
+
+    ``rerank=R`` adds the standard PQ refinement: keep the top R by
+    ADC per query, re-score exactly from the float column — candidate
+    list is |queries| × R (broadcastable), so the exact pass reads
+    floats for a bounded set, never the cell.  Output matches
+    ``_rank_topk`` (query_id, neighbor_id, rnk, cos_sim) when
+    reranked; un-reranked rows carry the ADC cosine as ``adc_cos``."""
+    meta = read_manifest(index_dir)
+    if not meta.get("pq_m"):
+        raise ValueError(
+            f"index at {index_dir} was not built with pq_m=... — rebuild with "
+            "build_ivf_index(..., pq_m=M) to store the PQ codes"
+        )
+    m, dsub = meta["pq_m"], meta["pq_dim"] // meta["pq_m"]
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    cbrow = _codebook_row(spark.read.parquet(f"{index_dir}/pq_codebooks"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    lut = F.transform(
+        F.col("_cb"),
+        lambda sub_codes, s: F.transform(
+            sub_codes,
+            lambda c: dot(
+                F.slice(F.col("query_vec").cast("array<double>"), s * dsub + 1, dsub), c
+            ),
+        ),
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", _d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            "query_id",
+            "centroid_id",
+            lut.alias("_lut"),
+            norm(F.col("query_vec")).alias("qnrm"),
+        )
+    )
+    cells = [r[0] for r in probes.select("centroid_id").distinct().collect()]
+    corpus = (
+        spark.read.parquet(f"{index_dir}/assignments")
+        .where(F.col("centroid_id").isin(cells))
+        .select("vec_id", "centroid_id", "codes", "nrm")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (adc / (F.col("qnrm") * F.col("nrm"))).alias("_adc_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("_adc_cos"), 6).desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank:
+        return ranked.where(F.col("rnk") <= k).select(
+            "query_id", "neighbor_id", "rnk", F.round("_adc_cos", 4).alias("adc_cos")
+        )
+    cands = ranked.where(F.col("rnk") <= max(rerank, k)).select("query_id", "neighbor_id")
+    floats = (
+        spark.read.parquet(f"{index_dir}/assignments")
+        .where(F.col("centroid_id").isin(cells))
+        .select("vec_id", "embedding", "nrm")
+    )
+    qfull = queries.withColumn("qnrm", norm(F.col("query_vec")))
+    pairs = floats.join(
+        F.broadcast(cands), floats["vec_id"] == cands["neighbor_id"]
+    ).join(F.broadcast(qfull), "query_id")
+    return _rank_topk(pairs, k)
 
 
 def near_dup_pairs_from_index(

@@ -262,6 +262,102 @@ def test_int8_index_stores_exact_quantization_and_ranks(spark, sf_dir, tmp_path)
     emb.unpersist()
 
 
+def test_pq_codes_match_numpy_and_update_uses_frozen_codebooks(
+    spark, sf_dir, tmp_path
+):
+    """IVF-PQ storage contract: every stored code — from the build
+    batch AND from an update batch encoded against the FROZEN
+    codebooks — must equal the numpy argmin over the stored codebook
+    (ties to the lowest code id), and the manifest must carry the PQ
+    geometry."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir, n=300).persist()
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_pq")
+    ivf_index.build_ivf_index(first, idx, N_CENTROIDS, SEED, pq_m=8, pq_ks=16)
+    ivf_index.update_ivf_index(rest, idx)
+    meta = ivf_index.read_manifest(idx)
+    assert (meta["pq_m"], meta["pq_ks"], meta["pq_dim"]) == (8, 16, 64)
+
+    assigned = spark.read.parquet(f"{idx}/assignments")
+    assert dict(assigned.dtypes)["codes"] == "array<tinyint>"
+    cb = {
+        (r.sub_id, r.code_id): np.asarray(r.sub_centroid)
+        for r in spark.read.parquet(f"{idx}/pq_codebooks").collect()
+    }
+    m, ks, dsub = 8, 16, 8
+    for r in assigned.select("embedding", "codes").collect():
+        v = np.asarray(r.embedding)
+        for sub in range(m):
+            d = [np.sum((v[sub * dsub:(sub + 1) * dsub] - cb[(sub, c)]) ** 2) for c in range(ks)]
+            assert int(np.argmin(d)) == r.codes[sub]
+    emb.unpersist()
+
+
+def test_pq_topk_adc_pruning_and_rerank_equivalence(spark, sf_dir, tmp_path):
+    """IVF-PQ query contract: (a) the un-reranked ADC plan reads ONLY
+    (vec_id, centroid_id, codes, nrm) — the float embedding column
+    never leaves disk; (b) ADC scores numpy-cross-check from the
+    stored codes + codebook; (c) with ``rerank`` ≥ the probed cells'
+    occupancy the result is EXACTLY ``ivf_index_topk`` — the exact
+    re-score of every candidate ADC saw, so PQ changes the scan bytes,
+    not the achievable answer."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir).persist()
+    q = similarity.default_queries(emb, every=50)
+    idx = str(tmp_path / "ivf_pq_q")
+    ivf_index.build_ivf_index(emb, idx, N_CENTROIDS, SEED, pq_m=8, pq_ks=16)
+
+    adc = ivf_index.ivf_index_topk_pq(spark, q, idx, k=10, n_probe=N_PROBE)
+    plan = plan_string(adc)
+    assert "codes" in plan
+    import re
+
+    for m_ in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        if "codes" in m_.group(1):
+            assert "embedding" not in m_.group(1), m_.group(1)
+
+    rows = adc.collect()
+    assert rows and all(r.rnk <= 10 for r in rows)
+
+    # numpy ADC cross-check for every returned pair
+    cb = {
+        (r.sub_id, r.code_id): np.asarray(r.sub_centroid)
+        for r in spark.read.parquet(f"{idx}/pq_codebooks").collect()
+    }
+    stored = {
+        r.vec_id: (list(r.codes), float(r.nrm))
+        for r in spark.read.parquet(f"{idx}/assignments").select("vec_id", "codes", "nrm").collect()
+    }
+    qvecs = {r.query_id: np.asarray(r.query_vec) for r in q.collect()}
+    dsub = 8
+    for r in rows:
+        qv = qvecs[r.query_id]
+        codes, nrm = stored[r.neighbor_id]
+        want = sum(
+            float(np.dot(qv[s * dsub:(s + 1) * dsub], cb[(s, codes[s])])) for s in range(8)
+        ) / (np.linalg.norm(qv) * nrm)
+        assert abs(r.adc_cos - round(want, 4)) <= 1e-9, (r, want)
+
+    got = _topk_rows(
+        ivf_index.ivf_index_topk_pq(spark, q, idx, k=5, n_probe=N_PROBE, rerank=10**6)
+    )
+    want = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+    assert got == want and got
+
+    # a no-PQ index refuses the PQ path loudly
+    import pytest
+
+    idx2 = str(tmp_path / "ivf_nopq")
+    ivf_index.build_ivf_index(emb.limit(100), idx2, N_CENTROIDS, SEED)
+    with pytest.raises(ValueError, match="pq_m"):
+        ivf_index.ivf_index_topk_pq(spark, q, idx2)
+    emb.unpersist()
+
+
 def test_missing_index_fails_loudly(spark, sf_dir, tmp_path):
     import pytest
 
