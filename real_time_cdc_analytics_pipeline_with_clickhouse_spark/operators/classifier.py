@@ -1,0 +1,191 @@
+"""Model-based quality classification — the fastText-style hashed
+linear classifier (Joulin et al. 2016, "Bag of Tricks for Efficient
+Text Classification") that production corpus pipelines use to scale a
+quality judgment beyond hand thresholds: train a tiny linear model on
+labeled (or heuristic-labeled) documents, then score the whole corpus
+with it.
+
+Spark-first split of the two phases:
+
+- ``train_quality_classifier`` — pyspark.ml LogisticRegression over
+  hashed unigram+bigram count features.  Training runs ONCE, on a
+  labeled set (at 100 TB: a sample — the model has ``n_buckets``
+  parameters, it saturates long before the corpus does), and persists
+  the weights as a model artifact (weights parquet + manifest), the
+  same artifact discipline as ``ivf_index``/``lsh_index``.
+- ``score_quality_from_model`` — scoring has NO pyspark.ml in the
+  plan: the (≤ n_buckets)-row weight table is broadcast, features
+  stream through explode → equi-join → one combinable per-doc sum,
+  and the sigmoid is a scalar expression.  Map-side + one doc-keyed
+  shuffle at any corpus size.
+
+Features are hashed with ``portable_hash64`` (md5-based), so a stored
+model scores IDENTICALLY in DuckDB — the scoring path is
+oracle-twinned in tests/test_classifier.py against SQL over the same
+weights parquet.  Docs with no features still surface (score =
+sigmoid(bias)): a quality scorer that silently drops rows would
+corrupt downstream counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..functions.scalar import portable_hash64
+from ..functions.text import shingles_from_tokens, tokens
+
+_MANIFEST = "_model_manifest.json"
+
+
+def feature_buckets(text: Column, n_buckets: int, seed: str = "qc:") -> Column:
+    """Hashed feature ids (array<int>) of a text column: non-empty
+    unigrams + word bigrams, each mapped to ``portable_hash64(seed ||
+    feature) mod n_buckets``.  One array expression per row — the
+    tokenize/normalize runs once (bound as a higher-order-function
+    input, same trick as ``shingles``)."""
+    toks = F.filter(tokens(text), lambda x: x != "")
+    bound = F.transform(
+        F.array(toks), lambda t: F.concat(t, shingles_from_tokens(t, 2))
+    )
+    feats = F.element_at(bound, 1)
+    return F.transform(
+        feats, lambda f: (portable_hash64(f, seed=seed) % n_buckets).cast("int")
+    )
+
+
+def _occurrences(documents: DataFrame, n_buckets: int, seed: str) -> DataFrame:
+    """(doc_id, bucket) — one row per feature OCCURRENCE (raw counts,
+    the same featurization train and score must share)."""
+    return documents.select(
+        "doc_id", F.explode(feature_buckets(F.col("text"), n_buckets, seed)).alias("bucket")
+    )
+
+
+def train_quality_classifier(
+    documents: DataFrame,
+    labels: DataFrame,
+    model_dir: str,
+    n_buckets: int = 1024,
+    seed: str = "qc:",
+    max_iter: int = 50,
+    reg: float = 1e-4,
+) -> None:
+    """Fit the hashed linear model and persist it.
+
+    ``labels`` is (doc_id, label double ∈ {0,1}) — hand labels, or a
+    heuristic teacher like ``quality_signals.quality_ok`` (the
+    standard distillation move: the linear model generalizes the
+    thresholds and scores 100× cheaper than recomputing them).  The
+    dense ``n_buckets``-wide count vectors exist ONLY here, on the
+    (sampled) training set; the scored corpus never materializes
+    them."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    cnts = (
+        _occurrences(documents.join(labels.select("doc_id"), "doc_id"), n_buckets, seed)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    maps = cnts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", F.col("cnt").cast("double")))
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)),
+    )
+    train = (
+        labels.join(maps, "doc_id", "left")
+        .select(
+            F.col("label").cast("double").alias("label"),
+            array_to_vector(
+                F.coalesce(dense, F.array_repeat(F.lit(0.0), n_buckets))
+            ).alias("features"),
+        )
+    )
+    model = LogisticRegression(maxIter=max_iter, regParam=reg).fit(train)
+    spark = documents.sparkSession
+    w = model.coefficients.toArray()
+    weights = spark.createDataFrame(
+        [(int(b), float(w[b])) for b in range(n_buckets) if w[b] != 0.0],
+        "bucket int, w double",
+    )
+    weights.write.mode("overwrite").parquet(f"{model_dir}/weights")
+    os.makedirs(model_dir, exist_ok=True)
+    tmp = os.path.join(model_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "seed": seed,
+                "bias": float(model.intercept),
+                "n_nonzero": weights.count(),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    os.replace(tmp, os.path.join(model_dir, _MANIFEST))
+
+
+def read_model_manifest(model_dir: str) -> dict:
+    p = os.path.join(model_dir, _MANIFEST)
+    if not os.path.isfile(p):
+        raise FileNotFoundError(
+            f"no quality model at {model_dir} — run train_quality_classifier first"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def score_quality(
+    documents: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    n_buckets: int,
+    seed: str = "qc:",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score documents with a (broadcast) weight table — the 100 TB
+    path: explode features → equi-join the ≤ n_buckets weight rows →
+    one combinable per-doc sum → sigmoid.  No pyspark.ml, no Python,
+    no dense vectors.  Returns (doc_id, quality_prob 6dp, quality_keep);
+    featureless docs score sigmoid(bias)."""
+    occ = _occurrences(documents, n_buckets, seed)
+    sums = (
+        occ.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("_wsum"))
+    )
+    raw = F.lit(float(bias)) + F.coalesce(F.col("_wsum"), F.lit(0.0))
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    return (
+        documents.select("doc_id")
+        .join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            prob.alias("quality_prob"),
+            (prob >= threshold).alias("quality_keep"),
+        )
+    )
+
+
+def score_quality_from_model(
+    spark: SparkSession,
+    documents: DataFrame,
+    model_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score against the STORED model artifact (weights parquet +
+    manifest) — the serving form of :func:`score_quality`."""
+    meta = read_model_manifest(model_dir)
+    weights = spark.read.parquet(f"{model_dir}/weights")
+    return score_quality(
+        documents, weights, meta["bias"], meta["n_buckets"], meta["seed"], threshold
+    )
