@@ -370,6 +370,47 @@ def mix_corpus(
     )
 
 
+def mix_corpus_temperature(
+    documents: DataFrame,
+    alpha: float,
+    total_tokens: int,
+    min_tokens: int = 5,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture: derive the per-source token recipe
+    FROM the corpus's own distribution instead of hand weights — the
+    p^α re-weighting of multilingual/multi-source pretraining (Conneau
+    & Lample 2019; XLM-R): source s gets ``total_tokens · p_s^α /
+    Σ_t p_t^α`` where ``p_s`` is its empirical token share.  α = 1
+    keeps the natural proportions, α = 0 flattens to uniform, values
+    between up-weight small high-quality sources without letting any
+    source dominate.
+
+    One bounded per-source aggregation (≤ #sources rows collected)
+    computes the shares; the recipe then rides the exact
+    :func:`mix_corpus` machinery — same determinism, same scale shape
+    (map-only CASE + scan-time repeats, the corpus never shuffles).
+    Sources must clear the same ``min_tokens`` gate both here and in
+    the delegate, so the shares and the sampling see the same corpus.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    base = documents.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).where(F.col("n_tokens") >= min_tokens)
+    totals = {
+        r["source"]: r["t"]
+        for r in base.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    if not totals:
+        return mix_corpus(documents, {}, min_tokens, denom)
+    grand = sum(totals.values())
+    powed = {s: (t / grand) ** alpha for s, t in totals.items()}
+    z = sum(powed.values())
+    recipe = {s: int(round(total_tokens * p / z)) for s, p in powed.items()}
+    return mix_corpus(documents, recipe, min_tokens, denom)
+
+
 def prepare_training_corpus(
     documents: DataFrame,
     jaccard_threshold: float = 0.5,

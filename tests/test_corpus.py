@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.functions.text import tokens
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus, dedup
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 
@@ -496,6 +497,69 @@ def test_mix_corpus_matches_python_model_and_hits_targets(spark, sf_dir, ducks):
     for s, target in recipe.items():
         assert abs(achieved[s] - target) / target < 0.35  # small-corpus variance
     assert any(rep == 2 for _d, s, _n, rep in got if s == "src0")
+
+
+def test_mix_corpus_temperature_recipe_and_limits(spark, sf_dir):
+    """Temperature mixing: the derived recipe must be the p^α law over
+    the empirical token shares — α=1 reproduces natural proportions
+    (every source's expected rate equal), α=0 splits the budget
+    uniformly, and lowering α strictly raises the smallest source's
+    share; the sampled output must equal mix_corpus under the derived
+    recipe (same machinery, proven by row identity)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.corpus import (
+        mix_corpus,
+        mix_corpus_temperature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    base = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n"))
+        .where(F.col("n") >= 5)
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+    )
+    totals = {r["source"]: r["t"] for r in base.collect()}
+    grand = sum(totals.values())
+    total_budget = 4000
+
+    def derived(alpha):
+        powed = {s: (t / grand) ** alpha for s, t in totals.items()}
+        z = sum(powed.values())
+        return {s: int(round(total_budget * p / z)) for s, p in powed.items()}
+
+    for alpha in (0.0, 0.5, 1.0):
+        got = sorted(
+            map(
+                tuple,
+                mix_corpus_temperature(docs, alpha, total_budget)
+                .select("doc_id", "source", "n_tokens", "rep")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                mix_corpus(docs, derived(alpha))
+                .select("doc_id", "source", "n_tokens", "rep")
+                .collect(),
+            )
+        )
+        assert got == want and got, alpha
+
+    # α=0 → uniform budget split; α=1 → proportional to token mass
+    r0, r1 = derived(0.0), derived(1.0)
+    assert max(r0.values()) - min(r0.values()) <= 1
+    for s, t in totals.items():
+        assert abs(r1[s] - total_budget * t / grand) <= 1
+    # smaller α strictly favors the smallest source
+    smallest = min(totals, key=totals.get)
+    assert derived(0.3)[smallest] > derived(0.7)[smallest] > r1[smallest]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        mix_corpus_temperature(docs, -0.1, total_budget)
+    docs.unpersist()
 
 
 def test_mix_corpus_empty_recipe_sources(spark, sf_dir):

@@ -23,7 +23,19 @@ QUERIES = entrymod.queries()
 #   ann_bruteforce_topk  — the query SET broadcast against the corpus
 #                          (exact-baseline semantics; corpus never shuffles)
 #   ann_quantized_topk   — same shape, int8-quantized
-BNLJ_ALLOWED = {"trending_recent", "tfidf_top_terms", "ann_bruteforce_topk", "ann_quantized_topk"}
+#   bm25_topk            — scalar corpus stats (n_docs, avgdl): 1-row
+#                          aggregate broadcast against the candidate set
+#   hybrid_rrf           — inherits bm25_topk's stats row plus the
+#                          1-vector query broadcast of its exact-cosine
+#                          leg (ann_bruteforce_topk's reviewed shape)
+BNLJ_ALLOWED = {
+    "trending_recent",
+    "tfidf_top_terms",
+    "ann_bruteforce_topk",
+    "ann_quantized_topk",
+    "bm25_topk",
+    "hybrid_rrf",
+}
 
 # streaming_replay_rollup runs an actual stream; its batch twin
 # (hourly_rollup) is audited instead.
