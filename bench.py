@@ -303,6 +303,18 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_bm25_index_topk"] = round(best, 3)
 
+            # positional phrase query off the same index — anchor
+            # algebra over pruned (doc_id, term, positions) reads
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                RETR.phrase_match_from_index(
+                    spark, docs10_idx, ["spark", "vector"], k=100
+                ).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_phrase_from_index"] = round(best, 3)
+
             # per-request hybrid retrieval entirely off the two stored
             # artifacts (text index + persistent IVF): this is the
             # serving-path latency a query node would pay — two pruned

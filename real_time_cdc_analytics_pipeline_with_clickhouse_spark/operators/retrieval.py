@@ -136,14 +136,24 @@ def read_text_index_manifest(index_dir: str) -> dict:
 
 
 def _postings(documents: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, term, tf, positions, tbucket) — POSITIONAL postings:
+    ``positions`` holds the term's 1-based token offsets (sorted), so
+    the index answers phrase queries too; ``tf`` stays the
+    ranking-path column (= size(positions)) and BM25 reads never
+    touch the positions bytes (column pruning, plan-asserted)."""
     from ..functions.scalar import portable_hash64
 
     return (
         documents.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
         )
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list((F.col("pos") + 1).cast("int"))).alias(
+                "positions"
+            ),
+        )
         .withColumn(
             "tbucket",
             F.pmod(
@@ -182,6 +192,7 @@ def build_text_index(
             "buckets": int(buckets),
             "seed": _TIX_SEED,
             "last_epoch": -1,
+            "positions": True,
         },
     )
 
@@ -196,7 +207,7 @@ def _write_tix_batch(
     spark = documents.sparkSession
     (
         _postings(documents, buckets)
-        .select("doc_id", "term", "tf", "tbucket")
+        .select("doc_id", "term", "tf", "positions", "tbucket")
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(f"{post}/batch={batch_id}")
@@ -291,7 +302,7 @@ def compact_text_index(spark, index_dir: str) -> None:
     stage = post + "__stage"
     (
         spark.read.parquet(post)
-        .select("doc_id", "term", "tf", "tbucket")
+        .select("doc_id", "term", "tf", "positions", "tbucket")
         .withColumn("batch", F.lit(-1))
         .repartition(F.col("tbucket"))
         .write.mode("overwrite")
@@ -355,6 +366,70 @@ def bm25_topk_from_index(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+def phrase_match_from_index(
+    spark,
+    index_dir: str,
+    phrase_terms: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Exact phrase search off the positional postings — the
+    proximity operator a bag-of-terms ranker can't express: a document
+    matches when the phrase's terms occur at CONSECUTIVE token
+    positions, and ``n_occurrences`` counts the anchors.
+
+    Position algebra, all native array expressions: term i's postings
+    are shifted by −i (``transform(positions, p → p − i)``), so every
+    occurrence of the full phrase collapses to one shared anchor
+    position; the per-doc match set is the running ``array_intersect``
+    across terms.  Repeated terms in the phrase just re-join the same
+    posting list under a different shift — overlapping occurrences
+    ("a a a" in "a a a a") fall out naturally.
+
+    Scale shape: the postings scan statically prunes to the phrase
+    terms' ``tbucket`` dirs and reads (doc_id, term, positions) only;
+    matching is |phrase|−1 doc_id equi-joins between candidate-sized
+    sides (each bounded by the rarest term's document frequency —
+    every join strictly shrinks the candidate set), never a corpus
+    scan.  Position arrays are doc-length-bounded.  Deterministic
+    output: (n_occurrences DESC, doc_id), optional top-k."""
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    meta = read_text_index_manifest(index_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            f"text index at {index_dir} stores no positions — rebuild with "
+            "build_text_index to get positional postings"
+        )
+    qt = [t.lower() for t in phrase_terms]
+    tb = sorted({_term_bucket_py(t, meta["buckets"]) for t in set(qt)})
+    post, _, _ = _tix_paths(index_dir)
+    posts = (
+        spark.read.parquet(post)
+        .where(F.col("tbucket").isin(tb) & F.col("term").isin(sorted(set(qt))))
+        .select("doc_id", "term", "positions")
+    )
+    acc = None
+    for i, t in enumerate(qt):
+        shifted = F.transform(F.col("positions"), lambda p: p - i)
+        p_i = posts.where(F.col("term") == t).select("doc_id", shifted.alias("_s"))
+        if acc is None:
+            acc = p_i.withColumnRenamed("_s", "anchors")
+        else:
+            acc = (
+                acc.join(p_i, "doc_id")
+                .select(
+                    "doc_id", F.array_intersect("anchors", "_s").alias("anchors")
+                )
+                .where(F.size("anchors") > 0)
+            )
+    out = (
+        acc.select("doc_id", F.size("anchors").alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+    )
+    return out.limit(k) if k is not None else out
 
 
 def hybrid_topk_from_indexes(

@@ -191,6 +191,90 @@ def test_text_index_compaction_bounds_files_and_preserves_results(
     docs.unpersist()
 
 
+def test_phrase_match_from_index_twin_and_overlaps(spark, sf_dir, tmp_path, ducks):
+    """Positional phrase search: (a) a handcrafted micro-corpus pins
+    the anchor algebra — multi-occurrence counts, OVERLAPPING
+    occurrences of a self-repeating phrase, repeated terms at
+    different offsets, near-miss non-matches; (b) on the fixture
+    corpus the result equals a full independent DuckDB recomputation
+    from raw text (tokenize → anchor scan); (c) the plan reads no
+    text, no tf, and prunes to the phrase terms' buckets; (d) BM25
+    over the positional index still never reads positions bytes."""
+    crafted = spark.createDataFrame(
+        [
+            (10**6 + 1, "the quick fox and the quick fox again"),
+            (10**6 + 2, "quick the fox"),          # terms present, order wrong
+            (10**6 + 3, "a a a a"),                # overlapping self-phrase
+            (10**6 + 4, "the quick brown fox"),    # gap breaks the phrase
+            (10**6 + 5, "prefix the quick fox"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").union(crafted)
+    idx = str(tmp_path / "tix_pos")
+    retrieval.build_text_index(docs, idx, buckets=16)
+
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in retrieval.phrase_match_from_index(
+            spark, idx, ["the", "quick", "fox"]
+        ).collect()
+    }
+    assert got[10**6 + 1] == 2
+    assert got[10**6 + 5] == 1
+    assert 10**6 + 2 not in got and 10**6 + 4 not in got
+
+    overlaps = {
+        r.doc_id: r.n_occurrences
+        for r in retrieval.phrase_match_from_index(spark, idx, ["a", "a"]).collect()
+        if r.doc_id == 10**6 + 3
+    }
+    assert overlaps == {10**6 + 3: 3}
+
+    # independent DuckDB recomputation from raw text over the fixture
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs_pos"))
+    phrase = ["the", "quick", "fox"]
+    conds = " and ".join(
+        f"toks[p + {j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    want = dict(
+        ducks.execute(f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM '{tmp_path}/docs_pos/*.parquet'
+)
+SELECT * FROM (
+  SELECT doc_id,
+         len([p for p in generate_series(1, len(toks) - {len(phrase) - 1}) if {conds}]) AS n
+  FROM d
+) WHERE n > 0
+""").fetchall()
+    )
+    assert got == want
+
+    plan = plan_string(retrieval.phrase_match_from_index(spark, idx, phrase))
+    assert "explode" not in plan.lower() and "tbucket" in plan
+    import re
+
+    for m_ in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in m_.group(1) and "tf" not in m_.group(1)
+
+    # the ranking path conversely never reads positions bytes
+    bplan = plan_string(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=5))
+    for m_ in re.finditer(r"ReadSchema: struct<([^>]*)>", bplan):
+        assert "positions" not in m_.group(1), m_.group(1)
+
+    # a positionless index refuses loudly
+    meta = retrieval.read_text_index_manifest(idx)
+    meta2 = dict(meta)
+    meta2.pop("positions")
+    retrieval._write_tix_manifest(idx, meta2)
+    with pytest.raises(ValueError, match="positions"):
+        retrieval.phrase_match_from_index(spark, idx, phrase)
+    retrieval._write_tix_manifest(idx, meta)
+
+
 def test_hybrid_topk_from_indexes_equals_componentwise_fusion(
     spark, sf_dir, tmp_path
 ):
