@@ -245,6 +245,66 @@ def pii_redact(documents: DataFrame, keep_text: bool = False) -> DataFrame:
     return documents.select(*cols)
 
 
+def bigram_logprob_score(documents: DataFrame, lam: float = 0.7) -> DataFrame:
+    """Per-document mean negative log-probability under a
+    Jelinek-Mercer-interpolated bigram language model estimated from
+    the corpus itself — the next rung above
+    :func:`unigram_logprob_score` on the LM-quality-filter ladder:
+    word-ORDER coherence.  Scrambled or boilerplate-stitched text has
+    plausible unigrams but improbable transitions, so it scores high
+    here and unremarkable there.
+
+        p(w_i | w_{i-1}) = λ · c(w_{i-1}, w_i) / c(w_{i-1})
+                         + (1 − λ) · c(w_i) / N
+
+    (Jelinek & Mercer 1980 interpolation; every bigram in scope was
+    observed at least once, the unigram term guards the λ→1 edge and
+    smooths rare continuations.)
+
+    Scale shape: the bigram table is built map-side from each doc's
+    token array (``zip_with`` of the two shifted slices — no
+    self-join), then three additive aggregations (bigram counts,
+    unigram counts, total N) and equi-joins keyed on the bigram /
+    unigram — the same token-sized shuffle family as TF-IDF, all
+    combinable.  Docs with fewer than 2 tokens have no transitions
+    and are absent from the output (same contract as the unigram
+    scorer for tokenless docs).  Rounded 6dp; DuckDB-twinned in
+    tests/test_consolidated.py."""
+    t = F.filter(tokens(F.col("text")), lambda x: x != "")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = documents.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = documents.select(F.explode(tokens(F.col("text"))).alias("term")).where(
+        F.col("term") != ""
+    )
+    uni_counts = uni.groupBy("term").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.count("*").alias("n_total"))
+    bi_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    p = F.lit(lam) * F.col("cb").cast("double") / F.col("c1").cast("double") + F.lit(
+        1.0 - lam
+    ) * F.col("c2").cast("double") / F.col("n_total").cast("double")
+    return (
+        big.join(bi_counts, ["w1", "w2"])
+        .join(uni_counts, F.col("w1") == F.col("term"))
+        .drop("term")
+        .join(
+            uni_counts.select(F.col("term").alias("_t2"), F.col("c1").alias("c2")),
+            F.col("w2") == F.col("_t2"),
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("mean_neg_logp2"),
+        )
+    )
+
+
 def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     """Per-document mean unigram negative log-probability — the
     information-theoretic quality/novelty signal (a document of rare

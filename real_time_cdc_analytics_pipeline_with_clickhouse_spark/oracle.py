@@ -1403,6 +1403,41 @@ CROSS JOIN (
 GROUP BY 1
 """)
 
+# per-doc mean interpolated-bigram -log p
+# (quality.bigram_logprob_score twin; λ = 0.7, and the unigram weight
+# is spelled (1.0 - 0.7) so both engines produce the identical IEEE
+# double)
+ORACLE["bigram_logprob"] = q("""
+, uq AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(toks) AS t FROM doc_toks) WHERE t <> ''
+),
+uqc AS (SELECT term, count(*) AS c1 FROM uq GROUP BY 1),
+uqn AS (SELECT count(*) AS n_total FROM uq),
+tkf AS (SELECT doc_id, list_filter(toks, x -> x <> '') AS tk FROM doc_toks),
+bgp AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= 2
+                THEN [{'w1': tk[i], 'w2': tk[i+1]} for i in generate_series(1, len(tk)-1)]
+                ELSE [] END) AS pr
+  FROM tkf
+),
+bg AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM bgp),
+bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-ln(
+         0.7 * CAST(cb AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+         + (1.0 - 0.7) * CAST(u2.c1 AS DOUBLE) / CAST(n_total AS DOUBLE)
+       )), 6) AS mean_neg_logp2
+FROM bg
+JOIN bc USING (w1, w2)
+JOIN uqc u1 ON bg.w1 = u1.term
+JOIN uqc u2 ON bg.w2 = u2.term
+CROSS JOIN uqn
+GROUP BY 1
+""")
+
 # hamming<=3 SimHash pairs via 4×15-bit banded search
 # (dedup.simhash_near_pairs twin: agree on ≥1 band → candidate, verify
 # true hamming with bit_count)

@@ -322,6 +322,16 @@ def test_unigram_logprob(spark, sf_dir, ducks):
     _check(sdf, ORACLE["unigram_logprob"], ducks)
 
 
+def test_bigram_logprob(spark, sf_dir, ducks):
+    """Mean interpolated-bigram -log p (word-order coherence signal),
+    DuckDB-twinned — scrambled text has plausible unigrams but
+    improbable transitions."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import quality
+
+    sdf = quality.bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+    _check(sdf, ORACLE["bigram_logprob"], ducks)
+
+
 def test_simhash_near_pairs(spark, sf_dir, ducks):
     """Banded SimHash hamming≤3 search (4×15-bit bands, verified
     hamming), DuckDB-twinned; must be a superset of the hamming-0
