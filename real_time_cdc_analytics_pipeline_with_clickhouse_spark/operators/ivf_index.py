@@ -145,17 +145,24 @@ def fit_pq_codebooks(
         raise ValueError(f"embedding dim {dim} not divisible by pq_m={m}")
     dsub = dim // m
     spark = embeddings.sparkSession
-    rows = []
-    for sub in range(m):
+    # the m fits are independent Spark jobs — submit them concurrently
+    # (the scheduler interleaves their stages across the executor pool;
+    # sequential fits leave most of the cluster idle per iteration)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit(sub: int):
         vecs = embeddings.select(
             array_to_vector(
                 F.slice(F.col("embedding").cast("array<double>"), sub * dsub + 1, dsub)
             ).alias("features")
         )
         model = KMeans(k=ks, seed=seed + sub, maxIter=10).fit(vecs)
-        rows += [
+        return [
             (sub, i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as ex:
+        rows = [r for chunk in ex.map(fit, range(m)) for r in chunk]
     return spark.createDataFrame(
         rows, "sub_id int, code_id int, sub_centroid array<double>"
     )
