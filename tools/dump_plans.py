@@ -84,6 +84,68 @@ def _shuffle_shard(spark, sf):
     return corpus.shuffle_shard_by_tokens(load_table(spark, sf, "documents"))
 
 
+def _text_index(spark, sf):
+    import tempfile
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import retrieval
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    idx = tempfile.mkdtemp(prefix="graft_plans_tix_")
+    retrieval.build_text_index(load_table(spark, sf, "documents"), idx, buckets=16)
+    return idx
+
+
+def _bm25_index_query(spark, sf):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import retrieval
+
+    return retrieval.bm25_topk_from_index(
+        spark, _text_index(spark, sf), ["spark", "vector", "window"], k=10
+    )
+
+
+def _phrase_query(spark, sf):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import retrieval
+
+    return retrieval.phrase_match_from_index(
+        spark, _text_index(spark, sf), ["spark", "vector"], k=10
+    )
+
+
+def _pq_query(spark, sf):
+    import tempfile
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+        similarity,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    idx = tempfile.mkdtemp(prefix="graft_plans_pq_")
+    ivf_index.build_ivf_index(emb, idx, n_centroids=8, pq_m=8, pq_ks=16)
+    return ivf_index.ivf_index_topk_pq(spark, similarity.default_queries(emb), idx)
+
+
+def _classifier_score(spark, sf):
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        classifier,
+        quality,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    labels = quality.quality_signals_ppm(docs).select(
+        "doc_id", F.col("quality_ok").cast("double").alias("label")
+    )
+    md = tempfile.mkdtemp(prefix="graft_plans_qc_")
+    classifier.train_quality_classifier(docs, labels, md, n_buckets=256)
+    return classifier.score_quality_from_model(spark, docs, md)
+
+
 # operators outside the driver gate, built directly
 EXTRA = [
     (
@@ -111,6 +173,34 @@ EXTRA = [
         "cross-document repeated-passage detection: CDC chunk digests, one "
         "combinable digest-keyed support shuffle, digest equi-join back",
         _passages,
+    ),
+    (
+        "bm25_topk_from_index",
+        "index-backed BM25: no tokenization in the plan; postings scan "
+        "statically pruned to the query terms' tbucket partitions, df "
+        "recounted from the pruned read, stats from the manifest",
+        _bm25_index_query,
+    ),
+    (
+        "phrase_match_from_index",
+        "positional phrase search: anchor algebra over the pruned "
+        "(doc_id, term, positions) read — |phrase|-1 strictly-shrinking "
+        "doc_id equi-joins, positions bytes never read by the BM25 path",
+        _phrase_query,
+    ),
+    (
+        "ivf_index_topk_pq",
+        "IVF-PQ ADC: probed cells read (vec_id, codes, nrm) only — the "
+        "float embedding column never leaves disk; per-query LUT built "
+        "broadcast-side, pq_m array lookups per candidate",
+        _pq_query,
+    ),
+    (
+        "score_quality_from_model",
+        "hashed linear quality classifier scoring: no pyspark.ml in the "
+        "plan — broadcast weight join + one combinable per-doc sum + "
+        "sigmoid expression",
+        _classifier_score,
     ),
 ]
 
