@@ -330,6 +330,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    require_all: bool = False,
 ) -> DataFrame:
     """BM25 top-k off the stored index: no tokenization anywhere in
     the plan — the postings scan statically prunes to the query
@@ -337,7 +338,15 @@ def bm25_topk_from_index(
     md5 hash the build used), corpus stats come from the manifest,
     and document frequencies are recounted from the pruned postings.
     Same corpus, same params → identical rows to ``bm25_topk``
-    (tested)."""
+    (tested).
+
+    ``require_all=True`` switches OR semantics to conjunctive
+    (must-match-every-term) retrieval — the boolean AND filter of a
+    search engine's default mode: one extra combinable per-doc
+    distinct-term count over the already-pruned postings, a semi-join
+    shaped restriction BEFORE ranking, so scoring work only ever
+    shrinks.  df stays the OR-candidate count (the document frequency
+    of the term in the corpus, which conjunction does not change)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     meta = read_text_index_manifest(index_dir)
@@ -350,6 +359,14 @@ def bm25_topk_from_index(
         .select("doc_id", "term", "tf")
     )
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if require_all:
+        full = (
+            tf.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .where(F.col("_nt") == len(qt))
+            .select("doc_id")
+        )
+        tf = tf.join(full, "doc_id", "left_semi")
     dlen = spark.read.parquet(lens).select("doc_id", "dl")
     n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
     idf = F.log(

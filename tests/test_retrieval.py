@@ -275,6 +275,43 @@ SELECT * FROM (
     retrieval._write_tix_manifest(idx, meta)
 
 
+def test_bm25_require_all_is_the_conjunctive_restriction(spark, sf_dir, tmp_path):
+    """Must-match retrieval: require_all=True returns EXACTLY the OR
+    ranking restricted to docs containing every query term — same
+    scores (conjunction must not change df/idf), no term-missing doc
+    admitted, no all-terms doc lost."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "tix_and")
+    retrieval.build_text_index(docs, idx, buckets=16)
+    big_k = 10**6
+    or_rows = {
+        r.doc_id: r.bm25
+        for r in retrieval.bm25_topk_from_index(spark, idx, TERMS, k=big_k).collect()
+    }
+    and_rows = {
+        r.doc_id: r.bm25
+        for r in retrieval.bm25_topk_from_index(
+            spark, idx, TERMS, k=big_k, require_all=True
+        ).collect()
+    }
+    # ground truth membership from the raw text
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
+    has_all = {
+        r.doc_id
+        for r in docs.where(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(t) for t in TERMS])))
+            == len(TERMS)
+        ).collect()
+    }
+    assert set(and_rows) == has_all and and_rows
+    assert set(and_rows) < set(or_rows)
+    for d, s in and_rows.items():
+        assert s == or_rows[d], (d, s, or_rows[d])
+
+
 def test_hybrid_topk_from_indexes_equals_componentwise_fusion(
     spark, sf_dir, tmp_path
 ):
