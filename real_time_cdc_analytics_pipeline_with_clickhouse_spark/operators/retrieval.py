@@ -459,6 +459,8 @@ def hybrid_topk_from_indexes(
     k_each: int = 10,
     n_probe: int = 4,
     c: int = 60,
+    use_pq: bool = False,
+    pq_rerank: int = 50,
 ) -> DataFrame:
     """End-to-end hybrid retrieval entirely off the STORED artifacts —
     the serving-path composition of ``bm25_topk_from_index`` (inverted
@@ -469,17 +471,27 @@ def hybrid_topk_from_indexes(
     index reads plus list-sized fusion, which is what a query node
     would run per request at 100 TB.  One query per call (RRF ranks
     are per-query); batch callers loop — each call is index-pruned
-    and bounded, not corpus-sized."""
-    from .ivf_index import ivf_index_topk
+    and bounded, not corpus-sized.
+
+    ``use_pq=True`` routes the semantic leg through the IVF-PQ/ADC
+    tier (``ivf_index_topk_pq`` with exact reranking of the top
+    ``pq_rerank``): probed cells are scanned through their 1-byte
+    codes instead of float vectors — the memory-bound serving
+    configuration; requires an index built with ``pq_m=...``."""
+    from .ivf_index import ivf_index_topk, ivf_index_topk_pq
 
     lex = bm25_topk_from_index(spark, text_index_dir, query_terms, k=k_each)
     queries = spark.createDataFrame(
         [(-1, [float(x) for x in query_vec])],
         "query_id long, query_vec array<double>",
     )
-    sem = ivf_index_topk(spark, queries, ivf_index_dir, k=k_each, n_probe=n_probe).select(
-        F.col("neighbor_id").alias("doc_id"), "cos_sim"
-    )
+    if use_pq:
+        sem = ivf_index_topk_pq(
+            spark, queries, ivf_index_dir, k=k_each, n_probe=n_probe, rerank=pq_rerank
+        )
+    else:
+        sem = ivf_index_topk(spark, queries, ivf_index_dir, k=k_each, n_probe=n_probe)
+    sem = sem.select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
     return rrf_fuse(lex, sem, k=k, c=c)
 
 

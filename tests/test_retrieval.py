@@ -350,6 +350,32 @@ def test_hybrid_topk_from_indexes_equals_componentwise_fusion(
     assert "tbucket" in plan
 
 
+def test_hybrid_use_pq_with_full_rerank_equals_float_path(spark, sf_dir, tmp_path):
+    """The memory-bound hybrid configuration (semantic leg through
+    IVF-PQ/ADC) must equal the float-index hybrid when the rerank
+    depth covers every candidate — PQ changes scan bytes, not the
+    achievable answer, and that guarantee must survive the fusion."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tix, vix = str(tmp_path / "tix"), str(tmp_path / "vix")
+    retrieval.build_text_index(docs, tix, buckets=16)
+    ivf_index.build_ivf_index(emb, vix, n_centroids=8, seed=7, pq_m=8, pq_ks=16)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    got = _rows(
+        retrieval.hybrid_topk_from_indexes(
+            spark, tix, vix, TERMS, qvec, k=20, use_pq=True, pq_rerank=10**6
+        )
+    )
+    want = _rows(
+        retrieval.hybrid_topk_from_indexes(spark, tix, vix, TERMS, qvec, k=20)
+    )
+    assert got == want and got
+
+
 def test_hybrid_retrieval_rrf_over_bm25_and_ann(spark, sf_dir):
     """End-to-end hybrid retrieval: the BM25 lexical list and an
     ANN semantic list (brute-force cosine for one query vector,
