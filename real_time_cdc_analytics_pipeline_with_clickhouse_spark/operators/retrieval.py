@@ -385,6 +385,132 @@ def bm25_topk_from_index(
     )
 
 
+def bm25_topk_batch_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    require_all: bool = False,
+) -> DataFrame:
+    """Per-query BM25 top-k for a whole QUERY SET in one job — the
+    throughput form of ``bm25_topk_from_index``: at serving scale you
+    run one Spark job for a million queries, not a million jobs.
+
+    ``queries`` is (query_id, terms array<string>).  The (query_id,
+    term) map is bounded by the broadcast contract (it is collected
+    once to drive static ``tbucket`` pruning for the UNION of all
+    query terms, then broadcast into the scoring join).  Per-term df
+    and per-doc length are computed ONCE and shared across queries —
+    df is a property of the term, not the query — so each query's
+    rows are exactly what its solo call would produce (tested:
+    batch ≡ per-query loop).  Output: (query_id, doc_id, bm25),
+    top-k per query under the same (score DESC, doc_id) total
+    order."""
+    meta = read_text_index_manifest(index_dir)
+    qmap = queries.select(
+        "query_id",
+        F.explode(F.transform("terms", lambda t: F.lower(t))).alias("term"),
+    ).distinct()
+    qt = sorted({r["term"] for r in qmap.collect()})
+    if not qt:
+        raise ValueError("queries must carry at least one term")
+    tb = sorted({_term_bucket_py(t, meta["buckets"]) for t in qt})
+    post, lens, _ = _tix_paths(index_dir)
+    tf = (
+        spark.read.parquet(post)
+        .where(F.col("tbucket").isin(tb) & F.col("term").isin(qt))
+        .select("doc_id", "term", "tf")
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(qmap), "term")
+    if require_all:
+        qn = queries.select(
+            "query_id",
+            F.size(
+                F.array_distinct(F.transform("terms", lambda t: F.lower(t)))
+            ).alias("_qn"),
+        )
+        ok = (
+            scored.groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .join(F.broadcast(qn), "query_id")
+            .where(F.col("_nt") == F.col("_qn"))
+            .select("query_id", "doc_id")
+        )
+        scored = scored.join(ok, ["query_id", "doc_id"], "left_semi")
+    dlen = spark.read.parquet(lens).select("doc_id", "dl")
+    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    part = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    out = (
+        scored.join(F.broadcast(dft), "term")
+        .join(dlen, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * part), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("query_id", "doc_id", "bm25")
+    )
+
+
+def hybrid_topk_batch_from_indexes(
+    spark,
+    text_index_dir: str,
+    ivf_index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int = 10,
+    n_probe: int = 4,
+    c: int = 60,
+) -> DataFrame:
+    """Batch hybrid retrieval off the two stored artifacts — one job
+    for the whole query set: the lexical leg is
+    ``bm25_topk_batch_from_index`` (one pruned postings read for the
+    union of query terms), the semantic leg is the already-batched
+    ``ivf_index.ivf_index_topk`` (one pruned inverted-list read for
+    the union of probed cells), and RRF fusion runs per query under
+    one query-partitioned window — never a per-query Spark job.
+    ``queries`` is (query_id, terms array<string>, query_vec).
+    Query ids matching corpus vec_ids self-exclude on the semantic
+    leg (the ``default_queries`` convention); use ids outside the
+    corpus id space for external queries.  Per query, rows equal the
+    one-query ``hybrid_topk_from_indexes`` (tested)."""
+    from .ivf_index import ivf_index_topk
+
+    lex = bm25_topk_batch_from_index(
+        spark, text_index_dir, queries.select("query_id", "terms"), k=k_each
+    )
+    sem = ivf_index_topk(
+        spark,
+        queries.select(
+            "query_id", F.col("query_vec").cast("array<double>").alias("query_vec")
+        ),
+        ivf_index_dir,
+        k=k_each,
+        n_probe=n_probe,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "cos_sim")
+    lw = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    sw = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "doc_id")
+    both = lex.select("query_id", "doc_id", F.row_number().over(lw).alias("r")).unionByName(
+        sem.select("query_id", "doc_id", F.row_number().over(sw).alias("r"))
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        both.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(1.0 / (c + F.col("r"))), 6).alias("rrf"))
+        .withColumn("_r", F.row_number().over(fw))
+        .where(F.col("_r") <= k)
+        .select("query_id", "doc_id", "rrf")
+    )
+
+
 def phrase_match_from_index(
     spark,
     index_dir: str,

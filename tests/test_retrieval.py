@@ -376,6 +376,67 @@ def test_hybrid_use_pq_with_full_rerank_equals_float_path(spark, sf_dir, tmp_pat
     assert got == want and got
 
 
+def test_batch_hybrid_equals_per_query_loop(spark, sf_dir, tmp_path):
+    """One job for the whole query set must return, per query, exactly
+    what the one-query serving call returns — for BOTH legs and the
+    fusion: different term lists, different vectors, one query whose
+    terms miss the corpus entirely (semantic-only fusion)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tix, vix = str(tmp_path / "tix"), str(tmp_path / "vix")
+    retrieval.build_text_index(docs, tix, buckets=16)
+    ivf_index.build_ivf_index(emb, vix, n_centroids=8, seed=7)
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin([0, 50, 100])).collect()
+    }
+    qdefs = [
+        (-1, ["spark", "vector", "window"], vecs[0]),
+        (-2, ["data", "query"], vecs[50]),
+        (-3, ["zzzznotaterm"], vecs[100]),  # lexical leg empty
+    ]
+    queries = spark.createDataFrame(
+        qdefs, "query_id long, terms array<string>, query_vec array<double>"
+    )
+    batch = retrieval.hybrid_topk_batch_from_indexes(
+        spark, tix, vix, queries, k=15, k_each=10, n_probe=3
+    )
+    got = {
+        qid: sorted((r.doc_id, r.rrf) for r in batch.where(F.col("query_id") == qid).collect())
+        for qid, _, _ in qdefs
+    }
+    for qid, terms, vec in qdefs:
+        want = sorted(
+            (r.doc_id, r.rrf)
+            for r in retrieval.hybrid_topk_from_indexes(
+                spark, tix, vix, terms, vec, k=15, k_each=10, n_probe=3
+            ).collect()
+        )
+        assert got[qid] == want and want, qid
+
+    # batch lexical leg alone: per-query identity incl. require_all
+    blex = retrieval.bm25_topk_batch_from_index(
+        spark, tix, queries.select("query_id", "terms").where(F.col("query_id") != -3),
+        k=10, require_all=True,
+    )
+    for qid, terms, _ in qdefs[:2]:
+        want = sorted(
+            (r.doc_id, r.bm25)
+            for r in retrieval.bm25_topk_from_index(
+                spark, tix, terms, k=10, require_all=True
+            ).collect()
+        )
+        gotl = sorted(
+            (r.doc_id, r.bm25)
+            for r in blex.where(F.col("query_id") == qid).collect()
+        )
+        assert gotl == want, qid
+
+
 def test_hybrid_retrieval_rrf_over_bm25_and_ann(spark, sf_dir):
     """End-to-end hybrid retrieval: the BM25 lexical list and an
     ANN semantic list (brute-force cosine for one query vector,
