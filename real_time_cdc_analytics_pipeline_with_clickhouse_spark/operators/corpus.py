@@ -416,6 +416,8 @@ def prepare_training_corpus(
     jaccard_threshold: float = 0.5,
     val_pct: int = 5,
     test_pct: int = 5,
+    quality_model_dir: str | None = None,
+    quality_threshold: float = 0.5,
 ) -> DataFrame:
     """The full corpus-prep flow a pretraining pipeline runs, composed
     from the engine's stages:
@@ -439,13 +441,31 @@ def prepare_training_corpus(
     keep/drop flag is bit-identical to the DuckDB twin — the 6dp
     double form can disagree with integer floor division exactly at a
     threshold boundary.
+
+    ``quality_model_dir`` swaps the heuristic gate for the TRAINED
+    hashed linear classifier (``classifier.score_quality_from_model``,
+    keep = prob ≥ ``quality_threshold``) — the production progression:
+    heuristics label a sample, the model distills them, the corpus
+    gate runs the model (a broadcast weight join instead of a
+    histogram aggregation).  Survivor token counts still come from
+    the ppm signals so downstream columns are unchanged.
     """
     from .dedup import fuzzy_dedup_keep, hash_split
     from .quality import pii_redact, quality_signals_ppm
 
-    keep_quality = quality_signals_ppm(documents).where(F.col("quality_ok")).select(
-        "doc_id", F.col("n_tokens")
-    )
+    sig = quality_signals_ppm(documents)
+    if quality_model_dir is not None:
+        from .classifier import score_quality_from_model
+
+        keep_ids = score_quality_from_model(
+            documents.sparkSession,
+            documents,
+            quality_model_dir,
+            threshold=quality_threshold,
+        ).where(F.col("quality_keep")).select("doc_id")
+        keep_quality = sig.join(keep_ids, "doc_id").select("doc_id", "n_tokens")
+    else:
+        keep_quality = sig.where(F.col("quality_ok")).select("doc_id", "n_tokens")
     gated = documents.join(keep_quality, "doc_id")
     kept = fuzzy_dedup_keep(gated, threshold=jaccard_threshold).select("doc_id")
     survivors = gated.join(kept, "doc_id")

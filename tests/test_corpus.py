@@ -499,6 +499,38 @@ def test_mix_corpus_matches_python_model_and_hits_targets(spark, sf_dir, ducks):
     assert any(rep == 2 for _d, s, _n, rep in got if s == "src0")
 
 
+def test_corpus_prep_with_distilled_quality_model(spark, sf_dir, tmp_path):
+    """Model-gated corpus prep: train the hashed linear classifier on
+    the heuristic teacher over this corpus (it distills its teacher
+    exactly on the training set — verified first), then
+    prepare_training_corpus(quality_model_dir=...) must return
+    EXACTLY the heuristic-gated flow — same survivors, same columns —
+    with the gate now a broadcast weight join."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        classifier,
+        quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    labels = quality.quality_signals_ppm(docs).select(
+        "doc_id", F.col("quality_ok").cast("double").alias("label")
+    )
+    md = str(tmp_path / "qprep_model")
+    classifier.train_quality_classifier(docs, labels, md, n_buckets=1024)
+    flags = (
+        classifier.score_quality_from_model(spark, docs, md)
+        .join(labels, "doc_id")
+        .where(F.col("quality_keep").cast("double") != F.col("label"))
+        .count()
+    )
+    assert flags == 0, "model failed to distill its teacher on the train set"
+
+    got = sorted(map(tuple, corpus.prepare_training_corpus(docs, quality_model_dir=md).collect()))
+    want = sorted(map(tuple, corpus.prepare_training_corpus(docs).collect()))
+    assert got == want and got
+    docs.unpersist()
+
+
 def test_mix_corpus_temperature_recipe_and_limits(spark, sf_dir):
     """Temperature mixing: the derived recipe must be the p^α law over
     the empirical token shares — α=1 reproduces natural proportions
