@@ -826,6 +826,50 @@ def start_embedding_index_sink(
     )
 
 
+def start_quality_scoring_sink(
+    docs_stream: DataFrame,
+    model_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Live model-based quality scoring — each document micro-batch
+    is scored against the STORED classifier artifact
+    (``classifier.score_quality_from_model``: broadcast weight join,
+    no pyspark.ml in the plan) and lands as its own
+    ``batch=<epoch>`` parquet dir under ``out_dir``.
+
+    The model is FROZEN (retrain = new artifact dir, the same
+    contract as the IVF centroids), so scoring is deterministic and a
+    crash-replayed epoch rewrites byte-identical content — this is
+    the simplest exactly-once sink in the engine: no additive state,
+    no manifest fold, just deterministic per-epoch overwrites plus
+    the ``last_epoch`` marker to skip clean replays.  Readers see the
+    scored corpus as ``spark.read.parquet(out_dir)``; streamed ≡
+    batch scoring of the union (tested)."""
+    from ..operators import classifier
+
+    meta_dir = out_dir + "_sinkmeta"
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        scored = classifier.score_quality_from_model(
+            batch.sparkSession, batch, model_dir, threshold=threshold
+        )
+        scored.write.mode("overwrite").parquet(f"{out_dir}/batch={epoch}")
+        _record_epoch(meta_dir, epoch, checkpoint)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_text_index_sink(
     docs_stream: DataFrame,
     index_dir: str,

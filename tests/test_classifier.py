@@ -138,6 +138,56 @@ def test_scoring_plan_is_ml_free_and_featureless_docs_survive(
     assert abs(row[0].quality_prob - round(1 / (1 + math.exp(-bias)), 6)) <= 1e-6
 
 
+def test_streaming_quality_scoring_sink(spark, sf_dir, tmp_path):
+    """Streamed scoring ≡ batch scoring of the union, and a
+    crash-window replay of an epoch (data committed, marker not)
+    rewrites identical content — the frozen model makes per-epoch
+    scoring deterministic."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = _signal_corpus(spark, sf_dir).select("doc_id", "text").persist()
+    md = str(tmp_path / "qmodel_stream")
+    classifier.train_quality_classifier(
+        docs, _signal_corpus(spark, sf_dir).select("doc_id", "label"), md,
+        n_buckets=N_BUCKETS,
+    )
+    feed = str(tmp_path / "qfeed")
+    os.makedirs(feed)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/f{i}.parquet")
+    out = str(tmp_path / "scored")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q_ = sp.start_quality_scoring_sink(stream, md, out, str(tmp_path / "ck_q"))
+    q_.processAllAvailable()
+    q_.stop()
+
+    got = sorted(map(tuple, spark.read.parquet(out).select(
+        "doc_id", "quality_prob", "quality_keep").collect()))
+    want = sorted(map(tuple, classifier.score_quality_from_model(
+        spark, docs, md).collect()))
+    assert got == want and got
+
+    # crash-window replay of epoch 2: rewrite is byte-equivalent
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    classifier.score_quality_from_model(spark, b2, md).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=2")
+    again = sorted(map(tuple, spark.read.parquet(out).select(
+        "doc_id", "quality_prob", "quality_keep").collect()))
+    assert again == got
+    docs.unpersist()
+
+
 def test_missing_model_fails_loudly(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(FileNotFoundError, match="train_quality_classifier"):
