@@ -279,6 +279,27 @@ def main() -> None:
                     best = dt if best is None else min(best, dt)
                 timings[f"_scale10x_{name}"] = round(best, 3)
 
+            # recall@5 vs exact brute force on a 50-query slice —
+            # the speed numbers above are meaningless without the
+            # quality they buy; tracked per-round like the timings
+            qr = SIM.default_queries(emb10, every=1000)
+            bf = {
+                (r.query_id, r.neighbor_id)
+                for r in SIM.brute_force_topk(emb10, qr, k=5).collect()
+            }
+            ivs = {
+                (r.query_id, r.neighbor_id)
+                for r in IVFX.ivf_index_topk(spark, qr, idx_dir, k=5, n_probe=4).collect()
+            }
+            pqs = {
+                (r.query_id, r.neighbor_id)
+                for r in IVFX.ivf_index_topk_pq(
+                    spark, qr, idx_pq, k=5, n_probe=4, rerank=50
+                ).collect()
+            }
+            timings["_recall10x_ivf_topk"] = round(len(ivs & bf) / len(bf), 3)
+            timings["_recall10x_ivf_pq_topk"] = round(len(pqs & bf) / len(bf), 3)
+
             # stored inverted text index at 10×: the build pays the
             # tokenize once; the BM25 query must then be pruned-scan
             # fast (term-bucket partition pruning, no tokenization in
