@@ -300,6 +300,7 @@ def mix_corpus(
     recipe: dict[str, int],
     min_tokens: int = 5,
     denom: int = 10_000,
+    totals: dict[str, int] | None = None,
 ) -> DataFrame:
     """Data-mixture recipe: hit a TARGET TOKEN COUNT per source — the
     "data recipe" step (cf. the mixture weights of the Pile/LLaMA-style
@@ -337,10 +338,16 @@ def mix_corpus(
         .where(F.col("n_tokens") >= min_tokens)
         .where(F.col("source").isin(list(recipe)))
     )
-    totals = {
-        r["source"]: r["t"]
-        for r in base.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
-    }
+    if totals is None:
+        totals = {
+            r["source"]: r["t"]
+            for r in base.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+    else:
+        # caller-supplied per-source token totals (same min_tokens
+        # gate!) — lets mix_corpus_temperature reuse its share
+        # aggregation instead of paying a second corpus scan
+        totals = {s: t for s, t in totals.items() if s in recipe}
     whole = None
     thr = None
     for src, target in recipe.items():
@@ -408,7 +415,8 @@ def mix_corpus_temperature(
     powed = {s: (t / grand) ** alpha for s, t in totals.items()}
     z = sum(powed.values())
     recipe = {s: int(round(total_tokens * p / z)) for s, p in powed.items()}
-    return mix_corpus(documents, recipe, min_tokens, denom)
+    # hand the delegate our totals — one corpus scan, not two
+    return mix_corpus(documents, recipe, min_tokens, denom, totals=totals)
 
 
 def prepare_training_corpus(

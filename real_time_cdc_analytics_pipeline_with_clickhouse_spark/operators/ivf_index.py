@@ -129,18 +129,20 @@ def _int8_col():
 
 
 def fit_pq_codebooks(
-    embeddings: DataFrame, m: int, ks: int, seed: int = 7
+    embeddings: DataFrame, m: int, ks: int, seed: int = 7, dim: int | None = None
 ) -> DataFrame:
     """Fit the ``m`` per-subspace codebooks (``ks`` k-means centers
     over each ``dim/m``-wide slice of the embedding) and return them as
     (sub_id, code_id, sub_centroid array<double>) — m × ks rows, the
     always-broadcastable artifact PQ revolves around.  Like
     ``kmeans_centroids``, fit on a sample at corpus scale: codebook
-    quality needs the distribution's shape, not every vector."""
+    quality needs the distribution's shape, not every vector.  Pass
+    ``dim`` if the caller already knows it (skips a scalar job)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = embeddings.select(F.size("embedding")).first()[0]
+    if dim is None:
+        dim = embeddings.select(F.size("embedding")).first()[0]
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by pq_m={m}")
     dsub = dim // m
@@ -261,7 +263,7 @@ def build_ivf_index(
     pq_dim = None
     if pq_m is not None:
         pq_dim = embeddings.select(F.size("embedding")).first()[0]
-        codebooks = fit_pq_codebooks(embeddings, pq_m, pq_ks, seed)
+        codebooks = fit_pq_codebooks(embeddings, pq_m, pq_ks, seed, dim=pq_dim)
         codebooks.write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
         assigned = _with_pq_codes(assigned, codebooks, pq_m, pq_dim // pq_m, pq_ks)
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")

@@ -135,6 +135,18 @@ def read_text_index_manifest(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _require_positional(index_dir: str, meta: dict) -> None:
+    """Refuse to mix schemas: an index persisted before postings grew
+    the ``positions`` column must be rebuilt, not appended to or
+    compacted — a mixed-schema postings tree would crash or silently
+    null-fill depending on which footer drives schema inference."""
+    if not meta.get("positions"):
+        raise ValueError(
+            f"text index at {index_dir} predates positional postings — "
+            "rebuild with build_text_index before updating or compacting"
+        )
+
+
 def _postings(documents: DataFrame, buckets: int) -> DataFrame:
     """(doc_id, term, tf, positions, tbucket) — POSITIONAL postings:
     ``positions`` holds the term's 1-based token offsets (sorted), so
@@ -242,6 +254,7 @@ def update_text_index(
     import os
 
     meta = read_text_index_manifest(index_dir)
+    _require_positional(index_dir, meta)
     if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
     post, lens, _ = _tix_paths(index_dir)
@@ -298,7 +311,7 @@ def compact_text_index(spark, index_dir: str) -> None:
     re-layout: queries identical before/after, manifest untouched
     (``last_epoch`` survives, so replayed old epochs stay inert)."""
     post, lens, _ = _tix_paths(index_dir)
-    read_text_index_manifest(index_dir)
+    _require_positional(index_dir, read_text_index_manifest(index_dir))
     stage = post + "__stage"
     (
         spark.read.parquet(post)
@@ -323,97 +336,25 @@ def compact_text_index(spark, index_dir: str) -> None:
     _swap_tree(lstage, lens)
 
 
-def bm25_topk_from_index(
+def _bm25_batch_core(
     spark,
     index_dir: str,
-    query_terms: list[str],
-    k: int = 10,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    require_all: bool = False,
+    qpairs: list[tuple[int, str]],
+    k: int,
+    k1: float,
+    b: float,
+    require_all: bool,
 ) -> DataFrame:
-    """BM25 top-k off the stored index: no tokenization anywhere in
-    the plan — the postings scan statically prunes to the query
-    terms' ``tbucket`` partitions (driver-computed from the same
-    md5 hash the build used), corpus stats come from the manifest,
-    and document frequencies are recounted from the pruned postings.
-    Same corpus, same params → identical rows to ``bm25_topk``
-    (tested).
-
-    ``require_all=True`` switches OR semantics to conjunctive
-    (must-match-every-term) retrieval — the boolean AND filter of a
-    search engine's default mode: one extra combinable per-doc
-    distinct-term count over the already-pruned postings, a semi-join
-    shaped restriction BEFORE ranking, so scoring work only ever
-    shrinks.  df stays the OR-candidate count (the document frequency
-    of the term in the corpus, which conjunction does not change)."""
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
+    """Shared index-backed BM25 engine for the solo and batch entry
+    points: ``qpairs`` is the driver-side (query_id, lowered term)
+    list (bounded by the broadcast contract).  One pruned postings
+    read for the union of terms; per-term df and per-doc length are
+    computed ONCE and shared — df is a property of the term, not the
+    query.  Returns (query_id, doc_id, bm25), top-k per query under
+    the (score DESC, doc_id) total order."""
     meta = read_text_index_manifest(index_dir)
-    qt = sorted({t.lower() for t in query_terms})
-    tb = sorted({_term_bucket_py(t, meta["buckets"]) for t in qt})
-    post, lens, _ = _tix_paths(index_dir)
-    tf = (
-        spark.read.parquet(post)
-        .where(F.col("tbucket").isin(tb) & F.col("term").isin(qt))
-        .select("doc_id", "term", "tf")
-    )
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    if require_all:
-        full = (
-            tf.groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("_nt"))
-            .where(F.col("_nt") == len(qt))
-            .select("doc_id")
-        )
-        tf = tf.join(full, "doc_id", "left_semi")
-    dlen = spark.read.parquet(lens).select("doc_id", "dl")
-    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
-    idf = F.log(
-        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    part = F.col("tf") * (k1 + 1.0) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    )
-    return (
-        tf.join(F.broadcast(dft), "term")
-        .join(dlen, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * part), 4).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(k)
-    )
-
-
-def bm25_topk_batch_from_index(
-    spark,
-    index_dir: str,
-    queries: DataFrame,
-    k: int = 10,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    require_all: bool = False,
-) -> DataFrame:
-    """Per-query BM25 top-k for a whole QUERY SET in one job — the
-    throughput form of ``bm25_topk_from_index``: at serving scale you
-    run one Spark job for a million queries, not a million jobs.
-
-    ``queries`` is (query_id, terms array<string>).  The (query_id,
-    term) map is bounded by the broadcast contract (it is collected
-    once to drive static ``tbucket`` pruning for the UNION of all
-    query terms, then broadcast into the scoring join).  Per-term df
-    and per-doc length are computed ONCE and shared across queries —
-    df is a property of the term, not the query — so each query's
-    rows are exactly what its solo call would produce (tested:
-    batch ≡ per-query loop).  Output: (query_id, doc_id, bm25),
-    top-k per query under the same (score DESC, doc_id) total
-    order."""
-    meta = read_text_index_manifest(index_dir)
-    qmap = queries.select(
-        "query_id",
-        F.explode(F.transform("terms", lambda t: F.lower(t))).alias("term"),
-    ).distinct()
-    qt = sorted({r["term"] for r in qmap.collect()})
+    qpairs = sorted(set(qpairs))
+    qt = sorted({t for _, t in qpairs})
     if not qt:
         raise ValueError("queries must carry at least one term")
     tb = sorted({_term_bucket_py(t, meta["buckets"]) for t in qt})
@@ -424,14 +365,13 @@ def bm25_topk_batch_from_index(
         .select("doc_id", "term", "tf")
     )
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qmap = spark.createDataFrame(qpairs, "query_id long, term string")
     scored = tf.join(F.broadcast(qmap), "term")
     if require_all:
-        qn = queries.select(
-            "query_id",
-            F.size(
-                F.array_distinct(F.transform("terms", lambda t: F.lower(t)))
-            ).alias("_qn"),
-        )
+        counts: dict[int, int] = {}
+        for qid, _ in qpairs:
+            counts[qid] = counts.get(qid, 0) + 1
+        qn = spark.createDataFrame(sorted(counts.items()), "query_id long, _qn int")
         ok = (
             scored.groupBy("query_id", "doc_id")
             .agg(F.count_distinct("term").alias("_nt"))
@@ -458,6 +398,77 @@ def bm25_topk_batch_from_index(
         .where(F.col("_r") <= k)
         .select("query_id", "doc_id", "bm25")
     )
+
+
+def bm25_topk_from_index(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    require_all: bool = False,
+) -> DataFrame:
+    """BM25 top-k off the stored index: no tokenization anywhere in
+    the plan — the postings scan statically prunes to the query
+    terms' ``tbucket`` partitions (driver-computed from the same
+    md5 hash the build used), corpus stats come from the manifest,
+    and document frequencies are recounted from the pruned postings.
+    Same corpus, same params → identical rows to ``bm25_topk``
+    (tested).  The one-query case of ``_bm25_batch_core`` — the term
+    list is already driver-side, so no collect job precedes the plan.
+
+    ``require_all=True`` switches OR semantics to conjunctive
+    (must-match-every-term) retrieval — the boolean AND filter of a
+    search engine's default mode: one extra combinable per-doc
+    distinct-term count over the already-pruned postings, a semi-join
+    shaped restriction BEFORE ranking, so scoring work only ever
+    shrinks.  df stays the OR-candidate count (the document frequency
+    of the term in the corpus, which conjunction does not change)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    out = _bm25_batch_core(
+        spark,
+        index_dir,
+        [(0, t.lower()) for t in query_terms],
+        k,
+        k1,
+        b,
+        require_all,
+    )
+    return out.select("doc_id", "bm25").orderBy(F.col("bm25").desc(), "doc_id")
+
+
+def bm25_topk_batch_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    require_all: bool = False,
+) -> DataFrame:
+    """Per-query BM25 top-k for a whole QUERY SET in one job — the
+    throughput form of ``bm25_topk_from_index``: at serving scale you
+    run one Spark job for a million queries, not a million jobs.
+
+    ``queries`` is (query_id, terms array<string>).  The (query_id,
+    term) map is bounded by the broadcast contract — it is collected
+    once to drive static ``tbucket`` pruning for the UNION of all
+    query terms, then broadcast into the scoring join of
+    ``_bm25_batch_core`` (shared with the solo path, so the two can
+    never drift).  Output: (query_id, doc_id, bm25), top-k per query
+    (tested: batch ≡ per-query loop, incl. require_all)."""
+    qpairs = [
+        (r["query_id"], r["term"])
+        for r in queries.select(
+            "query_id",
+            F.explode(F.transform("terms", lambda t: F.lower(t))).alias("term"),
+        )
+        .distinct()
+        .collect()
+    ]
+    return _bm25_batch_core(spark, index_dir, qpairs, k, k1, b, require_all)
 
 
 def hybrid_topk_batch_from_indexes(
@@ -496,19 +507,7 @@ def hybrid_topk_batch_from_indexes(
         k=k_each,
         n_probe=n_probe,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "cos_sim")
-    lw = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
-    sw = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "doc_id")
-    both = lex.select("query_id", "doc_id", F.row_number().over(lw).alias("r")).unionByName(
-        sem.select("query_id", "doc_id", F.row_number().over(sw).alias("r"))
-    )
-    fw = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
-    return (
-        both.groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(1.0 / (c + F.col("r"))), 6).alias("rrf"))
-        .withColumn("_r", F.row_number().over(fw))
-        .where(F.col("_r") <= k)
-        .select("query_id", "doc_id", "rrf")
-    )
+    return _rrf_core(lex, sem, k, c, keys=["query_id"])
 
 
 def phrase_match_from_index(
@@ -615,6 +614,11 @@ def hybrid_topk_from_indexes(
         sem = ivf_index_topk_pq(
             spark, queries, ivf_index_dir, k=k_each, n_probe=n_probe, rerank=pq_rerank
         )
+        if not pq_rerank:
+            # RRF consumes ranks, not scores, so the un-reranked ADC
+            # ordering fuses just as well — surface it under the
+            # column name the fusion contract expects
+            sem = sem.withColumnRenamed("adc_cos", "cos_sim")
     else:
         sem = ivf_index_topk(spark, queries, ivf_index_dir, k=k_each, n_probe=n_probe)
     sem = sem.select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
@@ -636,14 +640,34 @@ def rrf_fuse(
     (doc_id, cos_sim) — both already top-n lists, so everything here
     is list-sized; ranks come from one window per list with the same
     deterministic tie-break the producers use."""
-    lw = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    sw = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
-    lr = lexical.select("doc_id", F.row_number().over(lw).alias("r"))
-    sr = semantic.select("doc_id", F.row_number().over(sw).alias("r"))
-    both = lr.unionByName(sr)
+    return _rrf_core(lexical, semantic, k, c, keys=[])
+
+
+def _rrf_core(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k: int,
+    c: int,
+    keys: list[str],
+) -> DataFrame:
+    """Shared RRF engine for the solo (keys=[]) and batch
+    (keys=["query_id"]) fusers: rank each list per key group under
+    its producer's deterministic tie-break, union, fold
+    Σ 1/(c + rank), keep the top k per group.  Everything here is
+    list-sized (both inputs are already top-n lists)."""
+    lw = Window.partitionBy(*keys).orderBy(F.col("bm25").desc(), "doc_id")
+    sw = Window.partitionBy(*keys).orderBy(F.col("cos_sim").desc(), "doc_id")
+    both = lexical.select(*keys, "doc_id", F.row_number().over(lw).alias("r")).unionByName(
+        semantic.select(*keys, "doc_id", F.row_number().over(sw).alias("r"))
+    )
+    fused = both.groupBy(*keys, "doc_id").agg(
+        F.round(F.sum(1.0 / (c + F.col("r"))), 6).alias("rrf")
+    )
+    if not keys:
+        return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+    fw = Window.partitionBy(*keys).orderBy(F.col("rrf").desc(), "doc_id")
     return (
-        both.groupBy("doc_id")
-        .agg(F.round(F.sum(1.0 / (c + F.col("r"))), 6).alias("rrf"))
-        .orderBy(F.col("rrf").desc(), "doc_id")
-        .limit(k)
+        fused.withColumn("_r", F.row_number().over(fw))
+        .where(F.col("_r") <= k)
+        .select(*keys, "doc_id", "rrf")
     )
