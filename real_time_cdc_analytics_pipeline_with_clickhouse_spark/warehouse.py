@@ -23,11 +23,17 @@ from pyspark.sql import DataFrame, SparkSession
 MONTH_COL = "event_month"
 
 
+SAMPLE_COL = "_skey"
+SAMPLE_DENOM = 10_000
+_SAMPLE_SEED = "smp:"
+
+
 def write_warehouse(
     enriched: DataFrame,
     path: str,
     mode: str = "overwrite",
     bloom_cols: list[str] | None = None,
+    sample_by: str | None = None,
 ) -> None:
     """Write the enriched-events table monthly-partitioned, key-sorted.
 
@@ -42,9 +48,31 @@ def write_warehouse(
     are set: this parquet build ignores the per-column form (verified
     by byte-identical output), so requesting ANY bloom column enables
     blooms for the whole file — the per-column keys are kept for
-    parquet versions that honor the finer grain."""
+    parquet versions that honor the finer grain.
+
+    ``sample_by``: store a SAMPLING KEY — the ClickHouse ``SAMPLE BY``
+    analog: ``_skey = portable_hash64(sample_by) mod 10000`` written
+    with the data, so ``sample_scan(fraction)`` later reads a
+    deterministic hash-range slice with the predicate PUSHED into the
+    parquet scan.  Key properties inherited from the hash-range
+    construction (both tested): the same fraction always selects the
+    same rows, and samples NEST (``SAMPLE 0.1 ⊂ SAMPLE 0.2``) —
+    ClickHouse's consistency guarantees.  Sample by a user-ish key for
+    per-entity all-or-nothing semantics (cohort math stays valid), by
+    event_id for row-level sampling."""
+    from .functions.scalar import portable_hash64
+
+    base = enriched
+    if sample_by:
+        base = base.withColumn(
+            SAMPLE_COL,
+            F.pmod(
+                portable_hash64(F.col(sample_by).cast("string"), seed=_SAMPLE_SEED),
+                F.lit(SAMPLE_DENOM),
+            ).cast("int"),
+        )
     w = (
-        enriched.withColumn(MONTH_COL, F.date_format("event_ts", "yyyyMM"))
+        base.withColumn(MONTH_COL, F.date_format("event_ts", "yyyyMM"))
         .repartition(F.col(MONTH_COL))
         .sortWithinPartitions("event_id")
         .write.mode(mode)
@@ -58,6 +86,44 @@ def write_warehouse(
 
 def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def sample_scan(spark: SparkSession, path: str, fraction: float) -> DataFrame:
+    """``SELECT ... SAMPLE <fraction>`` — read the deterministic
+    hash-range slice of a warehouse written with ``sample_by``: rows
+    whose stored sampling key falls under ``fraction`` of the key
+    space.  The ``_skey < N`` predicate reaches the parquet scan
+    (PushedFilters — row groups whose min exceeds the cut are never
+    decoded), so a 1% sample of a 100 TB table reads ~1% of it.
+    Deterministic and NESTED across fractions: every query over the
+    same fraction sees the same rows, and smaller samples are subsets
+    of larger ones — the two guarantees ClickHouse's SAMPLE BY gives
+    analysts.  Fails loudly on a table stored without a sampling
+    key."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    df = read_warehouse(spark, path)
+    if SAMPLE_COL not in df.columns:
+        raise ValueError(
+            f"warehouse at {path} stores no sampling key — write with "
+            "write_warehouse(..., sample_by=...) to enable SAMPLE reads"
+        )
+    cut = int(round(fraction * SAMPLE_DENOM))
+    return df.where(F.col(SAMPLE_COL) < cut)
+
+
+def sampled_counts(
+    spark: SparkSession, path: str, fraction: float, keys: list[str]
+) -> DataFrame:
+    """Estimate per-key event counts from a SAMPLE read, scaled by
+    1/fraction (the ClickHouse ``count() * any(_sample_factor)``
+    idiom): grouped count over the pruned slice, one combinable
+    aggregation.  Unbiased when the sampling key is uniform over the
+    grouped domain; all-or-nothing per sampling entity."""
+    sample = sample_scan(spark, path, fraction)
+    return sample.groupBy(*keys).agg(
+        F.round(F.count("*") / fraction).cast("long").alias("est_count")
+    )
 
 
 def month_slice(spark: SparkSession, path: str, yyyymm: str) -> DataFrame:

@@ -513,3 +513,70 @@ def test_bloom_filter_skip_index_analog(spark, tmp_path):
     assert "PushedFilters" in plan and "EqualTo(user_id,5)" in plan
     want = df.where(F.col("user_id") == 5).count()
     assert lookup.count() == want and want > 0
+
+
+def test_sample_by_deterministic_nested_and_pushed(spark, sf_dir, tmp_path, ducks):
+    """SAMPLE BY analog: the stored sampling key must reproduce the
+    portable hash exactly (DuckDB recomputation over the written
+    parquet), sample reads must be deterministic and NESTED
+    (0.1 ⊂ 0.25 ⊂ full), the cut predicate must reach the parquet
+    scan, scaled count estimates must land near truth, and a table
+    stored without a key must refuse loudly."""
+    import pytest
+
+    path = str(tmp_path / "wh_sample")
+    enr = _enriched(spark, sf_dir)
+    warehouse.write_warehouse(enr, path, sample_by="user_id")
+
+    # stored key ≡ independent DuckDB recomputation of the same hash
+    mism = ducks.execute(f"""
+        SELECT count(*) FROM '{path}/*/*.parquet'
+        WHERE _skey <> ('0x' || substr(md5('smp:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+    """).fetchone()[0]
+    assert mism == 0
+
+    s10 = {r.event_id for r in warehouse.sample_scan(spark, path, 0.10).collect()}
+    s10_again = {r.event_id for r in warehouse.sample_scan(spark, path, 0.10).collect()}
+    s25 = {r.event_id for r in warehouse.sample_scan(spark, path, 0.25).collect()}
+    full = warehouse.read_warehouse(spark, path).count()
+    assert s10 == s10_again and s10
+    assert s10 < s25 and len(s25) < full
+
+    # all-or-nothing per sampling entity: a user is fully in or out
+    by_user = (
+        warehouse.sample_scan(spark, path, 0.25)
+        .select("user_id")
+        .distinct()
+        .join(
+            warehouse.read_warehouse(spark, path).groupBy("user_id").count(),
+            "user_id",
+        )
+        .collect()
+    )
+    sampled_users = {r.user_id for r in by_user}
+    total_in_sample = sum(r["count"] for r in by_user)
+    assert total_in_sample == len(s25)
+    assert sampled_users < {
+        r.user_id for r in warehouse.read_warehouse(spark, path).select("user_id").distinct().collect()
+    }
+
+    plan = plan_string(warehouse.sample_scan(spark, path, 0.10))
+    assert "PushedFilters" in plan and "_skey" in plan
+
+    est = {
+        r.event_type: r.est_count
+        for r in warehouse.sampled_counts(spark, path, 0.25, ["event_type"]).collect()
+    }
+    truth = {
+        r.event_type: r["count"]
+        for r in warehouse.read_warehouse(spark, path).groupBy("event_type").count().collect()
+    }
+    for t, c in est.items():
+        assert abs(c - truth[t]) / truth[t] < 0.5, (t, c, truth[t])
+
+    nokey = str(tmp_path / "wh_nokey")
+    warehouse.write_warehouse(enr, nokey)
+    with pytest.raises(ValueError, match="sampling key"):
+        warehouse.sample_scan(spark, nokey, 0.1)
+    with pytest.raises(ValueError, match="fraction"):
+        warehouse.sample_scan(spark, path, 0.0)
