@@ -357,6 +357,29 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_hybrid_from_indexes"] = round(best, 3)
 
+            # batch serving: 8 hybrid queries in ONE job vs the
+            # per-request loop above — the throughput shape a query
+            # node runs at scale (compare 8 × hybrid_from_indexes)
+            qids = [0, 100, 200, 300, 400, 500, 600, 700]
+            qvecs = {
+                r["vec_id"]: [float(x) for x in r["embedding"]]
+                for r in emb10.where(F.col("vec_id").isin(qids)).collect()
+            }
+            qbatch = spark.createDataFrame(
+                [(-(i + 1), ["spark", "vector", "window"], qvecs[q])
+                 for i, q in enumerate(qids)],
+                "query_id long, terms array<string>, query_vec array<double>",
+            )
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                RETR.hybrid_topk_batch_from_indexes(
+                    spark, docs10_idx, idx_dir, qbatch, k=20
+                ).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_hybrid_batch8"] = round(best, 3)
+
             # deterministic shuffle + token-balanced sharding over the
             # 10× corpus: the two-level distributed prefix sum must
             # stay flat — a single-partition global window would
