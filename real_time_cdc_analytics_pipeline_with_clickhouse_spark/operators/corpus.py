@@ -487,6 +487,32 @@ def prepare_training_corpus(
     )
 
 
+def corpus_diff(old_documents: DataFrame, new_documents: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions — the incremental
+    work-list for every downstream artifact (indexes fold in `added`,
+    dedup/TTL drop `removed`, `changed` docs re-run the prep flow):
+    (doc_id, change ∈ added | removed | changed), unchanged docs
+    excluded.
+
+    Scale shape: each side reduces to its (doc_id, content digest)
+    projection — column-pruned scans, no text leaves the mapper — and
+    the diff is ONE full-outer equi-join of digest tables keyed by
+    doc_id.  Content equality by md5, so a byte-identical re-ingest
+    diffs to nothing regardless of row order or partition layout."""
+    o = old_documents.select("doc_id", F.md5(F.col("text")).alias("_od"))
+    n = new_documents.select("doc_id", F.md5(F.col("text")).alias("_nd"))
+    change = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select("doc_id", change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )
+
+
 def heavy_hitter_terms(documents: DataFrame, support: float = 0.02) -> DataFrame:
     """Approximate corpus-level heavy hitters: terms appearing in more
     than ``support`` fraction of term occurrences, via Spark's

@@ -499,6 +499,53 @@ def test_mix_corpus_matches_python_model_and_hits_targets(spark, sf_dir, ducks):
     assert any(rep == 2 for _d, s, _n, rep in got if s == "src0")
 
 
+def test_corpus_diff_twin_and_identity(spark, sf_dir, ducks):
+    """Snapshot diff: (a) a byte-identical re-ingest diffs to nothing
+    even under a different partition layout; (b) a mutated snapshot
+    (drops, edits, additions) diffs exactly as DuckDB computes it from
+    the same two frames."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert corpus.corpus_diff(docs, docs.repartition(7)).count() == 0
+
+    new = (
+        docs.where(F.col("doc_id") % 10 != 3)  # drop residue-3 docs
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 4, F.concat(F.col("text"), F.lit(" EDITED"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.orderBy("doc_id")
+            .limit(5)
+            .select((F.col("doc_id") + 10**9).alias("doc_id"), "text")
+        )
+    )
+    got = sorted((r.doc_id, r.change) for r in corpus.corpus_diff(docs, new).collect())
+    want = sorted(
+        ducks.execute(
+            """
+WITH o AS (SELECT doc_id, md5(text) AS d FROM documents),
+n AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 4 THEN text || ' EDITED' ELSE text END) AS d
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000000, md5(text)
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.d IS NULL THEN 'added'
+            WHEN n.d IS NULL THEN 'removed'
+            WHEN o.d <> n.d THEN 'changed' END AS change
+FROM o FULL OUTER JOIN n USING (doc_id)
+WHERE (o.d IS NULL OR n.d IS NULL OR o.d <> n.d)
+"""
+        ).fetchall()
+    )
+    assert got == want and got
+
+
 def test_end_to_end_training_data_pipeline(spark, sf_dir, tmp_path):
     """Capstone composition: curate → split → temperature-mix →
     shuffle-shard → materialize, chained end-to-end the way a
