@@ -312,6 +312,43 @@ def test_bm25_require_all_is_the_conjunctive_restriction(spark, sf_dir, tmp_path
         assert s == or_rows[d], (d, s, or_rows[d])
 
 
+def test_phrase_match_randomized_against_python_reference(spark, tmp_path):
+    """Adversarial sweep of the anchor algebra: 60 docs over a
+    4-letter alphabet (maximal term repetition and overlap), one
+    index, 12 random phrases of length 1-4 — every result must equal
+    a brute-force Python scan, including occurrence counts."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = ["a", "b", "c", "d"]
+    docs_py = {
+        i: [rng.choice(alpha) for _ in range(rng.randint(0, 30))] for i in range(60)
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "tix_rand")
+    retrieval.build_text_index(docs, idx, buckets=8)
+
+    def py_count(toks, phrase):
+        n = 0
+        for p in range(len(toks) - len(phrase) + 1):
+            if toks[p:p + len(phrase)] == phrase:
+                n += 1
+        return n
+
+    for _ in range(12):
+        phrase = [rng.choice(alpha) for _ in range(rng.randint(1, 4))]
+        got = {
+            r.doc_id: r.n_occurrences
+            for r in retrieval.phrase_match_from_index(spark, idx, phrase).collect()
+        }
+        want = {
+            i: c for i, t in docs_py.items() if (c := py_count(t, phrase)) > 0
+        }
+        assert got == want, (phrase, got, want)
+
+
 def test_hybrid_topk_from_indexes_equals_componentwise_fusion(
     spark, sf_dir, tmp_path
 ):
