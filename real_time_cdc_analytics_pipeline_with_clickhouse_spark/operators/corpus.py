@@ -497,13 +497,18 @@ def corpus_diff(old_documents: DataFrame, new_documents: DataFrame) -> DataFrame
     Scale shape: each side reduces to its (doc_id, content digest)
     projection — column-pruned scans, no text leaves the mapper — and
     the diff is ONE full-outer equi-join of digest tables keyed by
-    doc_id.  Content equality by md5, so a byte-identical re-ingest
-    diffs to nothing regardless of row order or partition layout."""
-    o = old_documents.select("doc_id", F.md5(F.col("text")).alias("_od"))
-    n = new_documents.select("doc_id", F.md5(F.col("text")).alias("_nd"))
+    doc_id.  Content equality by md5 over a null-coalesced text (a
+    NULL-text doc digests to a sentinel, NOT to NULL — row presence
+    is tracked by a separate marker, so a doc whose text is NULL in
+    both snapshots correctly diffs to nothing, and NULL↔non-NULL
+    edits report as ``changed``).  A byte-identical re-ingest diffs
+    to nothing regardless of row order or partition layout."""
+    digest = F.md5(F.coalesce(F.col("text"), F.lit("\u0000<null>")))
+    o = old_documents.select("doc_id", digest.alias("_od"), F.lit(True).alias("_op"))
+    n = new_documents.select("doc_id", digest.alias("_nd"), F.lit(True).alias("_np"))
     change = (
-        F.when(F.col("_od").isNull(), F.lit("added"))
-        .when(F.col("_nd").isNull(), F.lit("removed"))
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
         .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
     )
     return (

@@ -110,16 +110,26 @@ def similar_activity_topk(
     stats = series.select(
         "entity", "series", "n_events", h.alias("hh"), mean.alias("mu"), std.alias("sd")
     ).where(F.col("sd") > 0)
-    q = stats.where(F.col("entity") == query_entity).select(
-        F.col("series").alias("qs"), F.col("mu").alias("qmu"), F.col("sd").alias("qsd")
+    # resolve the query row eagerly: an absent or zero-variance query
+    # must fail LOUDLY, not return an empty frame that reads as "no
+    # similar entities" — and inlining its (grid-sized, bounded)
+    # series as literals keeps the scored plan to a single pass over
+    # the stats lineage instead of re-aggregating it broadcast-side
+    qrows = stats.where(F.col("entity") == query_entity).collect()
+    if not qrows:
+        raise ValueError(
+            f"query entity {query_entity!r} is absent or has zero-variance "
+            "activity — correlation is undefined; pick an entity with events "
+            "in at least two distinct buckets"
+        )
+    qs = [float(x) for x in qrows[0]["series"]]
+    qmu, qsd = float(qrows[0]["mu"]), float(qrows[0]["sd"])
+    qcol = F.array(*[F.lit(x) for x in qs])
+    corr = (dot(F.col("series"), qcol) - F.col("hh") * F.col("mu") * F.lit(qmu)) / (
+        F.col("hh") * F.col("sd") * F.lit(qsd)
     )
-    corr = (dot(F.col("series"), F.col("qs")) - F.col("hh") * F.col("mu") * F.col("qmu")) / (
-        F.col("hh") * F.col("sd") * F.col("qsd")
-    )
-    scored = (
-        stats.where(F.col("entity") != query_entity)
-        .crossJoin(F.broadcast(q))
-        .select("entity", "n_events", F.round(corr, 6).alias("corr"))
+    scored = stats.where(F.col("entity") != query_entity).select(
+        "entity", "n_events", F.round(corr, 6).alias("corr")
     )
     w = Window.orderBy(F.col("corr").desc(), "entity")
     return (

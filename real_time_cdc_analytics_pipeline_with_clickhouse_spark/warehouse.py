@@ -64,11 +64,14 @@ def write_warehouse(
 
     base = enriched
     if sample_by:
+        # NULL keys hash a sentinel instead of propagating NULL — a
+        # NULL _skey would silently fall out of every sample,
+        # including SAMPLE 1.0
+        key = F.coalesce(F.col(sample_by).cast("string"), F.lit("\u0000"))
         base = base.withColumn(
             SAMPLE_COL,
             F.pmod(
-                portable_hash64(F.col(sample_by).cast("string"), seed=_SAMPLE_SEED),
-                F.lit(SAMPLE_DENOM),
+                portable_hash64(key, seed=_SAMPLE_SEED), F.lit(SAMPLE_DENOM)
             ).cast("int"),
         )
     w = (
@@ -100,29 +103,45 @@ def sample_scan(spark: SparkSession, path: str, fraction: float) -> DataFrame:
     of larger ones — the two guarantees ClickHouse's SAMPLE BY gives
     analysts.  Fails loudly on a table stored without a sampling
     key."""
-    if not (0.0 < fraction <= 1.0):
-        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    cut = _sample_cut(fraction)
     df = read_warehouse(spark, path)
     if SAMPLE_COL not in df.columns:
         raise ValueError(
             f"warehouse at {path} stores no sampling key — write with "
             "write_warehouse(..., sample_by=...) to enable SAMPLE reads"
         )
-    cut = int(round(fraction * SAMPLE_DENOM))
     return df.where(F.col(SAMPLE_COL) < cut)
+
+
+def _sample_cut(fraction: float) -> int:
+    """Key-space cut for a requested fraction; refuses fractions the
+    key resolution cannot represent (a silent cut of 0 would return
+    an empty sample that reads as 'no data')."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    cut = int(round(fraction * SAMPLE_DENOM))
+    if cut == 0:
+        raise ValueError(
+            f"fraction {fraction} is below the sampling resolution "
+            f"1/{SAMPLE_DENOM} — re-write with a finer key space or sample more"
+        )
+    return cut
 
 
 def sampled_counts(
     spark: SparkSession, path: str, fraction: float, keys: list[str]
 ) -> DataFrame:
-    """Estimate per-key event counts from a SAMPLE read, scaled by
-    1/fraction (the ClickHouse ``count() * any(_sample_factor)``
-    idiom): grouped count over the pruned slice, one combinable
-    aggregation.  Unbiased when the sampling key is uniform over the
-    grouped domain; all-or-nothing per sampling entity."""
+    """Estimate per-key event counts from a SAMPLE read, scaled by the
+    EFFECTIVE fraction ``cut/SAMPLE_DENOM`` (the ClickHouse
+    ``count() * any(_sample_factor)`` idiom) — scaling by the raw
+    request would bias every estimate whenever rounding moved the
+    cut.  Grouped count over the pruned slice, one combinable
+    aggregation; unbiased when the sampling key is uniform over the
+    grouped domain, all-or-nothing per sampling entity."""
+    effective = _sample_cut(fraction) / SAMPLE_DENOM
     sample = sample_scan(spark, path, fraction)
     return sample.groupBy(*keys).agg(
-        F.round(F.count("*") / fraction).cast("long").alias("est_count")
+        F.round(F.count("*") / effective).cast("long").alias("est_count")
     )
 
 

@@ -546,6 +546,20 @@ WHERE (o.d IS NULL OR n.d IS NULL OR o.d <> n.d)
     assert got == want and got
 
 
+def test_corpus_diff_null_text_semantics(spark):
+    """NULL text is content, not absence: NULL-in-both diffs to
+    nothing, NULL↔text edits report as changed (not added/removed)."""
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "y")], "doc_id long, text string"
+    )
+    got = sorted((r.doc_id, r.change) for r in corpus.corpus_diff(old, new).collect())
+    assert got == [(2, "changed"), (3, "changed")]
+    assert corpus.corpus_diff(old, old).count() == 0
+
+
 def test_end_to_end_training_data_pipeline(spark, sf_dir, tmp_path):
     """Capstone composition: curate → split → temperature-mix →
     shuffle-shard → materialize, chained end-to-end the way a

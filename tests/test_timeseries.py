@@ -94,3 +94,13 @@ def test_bad_bucket_rejected(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="bucket"):
         timeseries.similar_activity_topk(events, QUERY, bucket="week")
+
+
+def test_absent_or_degenerate_query_entity_fails_loudly(spark, sf_dir):
+    """A missing or zero-variance query entity must raise, not return
+    an empty frame that reads as 'no similar entities'."""
+    import pytest
+
+    events = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="absent or has zero-variance"):
+        timeseries.similar_activity_topk(events, 10**9)

@@ -580,3 +580,37 @@ def test_sample_by_deterministic_nested_and_pushed(spark, sf_dir, tmp_path, duck
         warehouse.sample_scan(spark, nokey, 0.1)
     with pytest.raises(ValueError, match="fraction"):
         warehouse.sample_scan(spark, path, 0.0)
+
+
+def test_sample_null_keys_and_resolution_guard(spark, tmp_path):
+    """NULL sampling keys hash a sentinel — SAMPLE 1.0 must equal the
+    full table even with NULL keys — and sub-resolution fractions
+    refuse loudly; estimates scale by the EFFECTIVE cut, not the raw
+    request."""
+    import pytest
+
+    rows = [(i, "2024-01-05 10:00:00", None if i % 4 == 0 else i % 7, "view")
+            for i in range(400)]
+    enr = spark.createDataFrame(
+        rows, "event_id long, event_ts string, user_id long, event_type string"
+    ).withColumn("event_ts", F.to_timestamp("event_ts"))
+    path = str(tmp_path / "wh_null")
+    warehouse.write_warehouse(enr, path, sample_by="user_id")
+
+    assert warehouse.sample_scan(spark, path, 1.0).count() == 400
+    # all-or-nothing holds for the NULL group too (one sentinel key)
+    nulls_in = warehouse.sample_scan(spark, path, 0.5).where(
+        F.col("user_id").isNull()
+    ).count()
+    assert nulls_in in (0, 100)
+
+    with pytest.raises(ValueError, match="resolution"):
+        warehouse.sample_scan(spark, path, 0.00004)
+
+    # effective-fraction scaling: 0.00015 rounds to cut=2 (eff 2e-4)
+    est = warehouse.sampled_counts(spark, path, 0.00015, ["event_type"])
+    # scale factor must be 1/0.0002, not 1/0.00015 — verify via the
+    # identity total: rows_in_sample / effective == est
+    n_in = warehouse.sample_scan(spark, path, 0.00015).count()
+    got_total = sum(r.est_count for r in est.collect())
+    assert got_total == round(n_in / 0.0002)
