@@ -487,6 +487,78 @@ def prepare_training_corpus(
     )
 
 
+def build_vocab(
+    documents: DataFrame, max_size: int = 32768, min_count: int = 1
+) -> DataFrame:
+    """Frequency-ranked vocabulary over the normalized token stream —
+    (token_id, term, n_occurrences), ids 1..max_size by (count DESC,
+    term) so the assignment is deterministic across runs and engines;
+    id 0 is reserved for OOV/UNK (``encode_tokens``).
+
+    Scale shape: one combinable term-count aggregation, then the
+    max_size cut runs as a distributed top-k
+    (``orderBy().limit()`` → TakeOrderedAndProject — per-partition
+    heaps, no global sort), and the ranking window touches only the
+    BOUNDED max_size survivors.  The full distinct-term table is
+    never single-partitioned."""
+    counts = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "term").limit(max_size)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "term")
+    return top.select(
+        F.row_number().over(w).alias("token_id"), "term", "n_occurrences"
+    )
+
+
+def encode_tokens(documents: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map each document to its token-id sequence under a built
+    vocabulary — the tokenize step that makes the shard handoff
+    (``shuffle_shard_by_tokens`` → ``write_training_shards``) carry
+    model-ready ids instead of raw text.  Out-of-vocabulary tokens
+    encode as 0 (the reserved UNK id); docs whose text normalizes to
+    nothing surface with an EMPTY array rather than vanishing.
+
+    Scale shape: posexplode → broadcast vocab join (the vocabulary is
+    bounded by construction — always broadcastable) → one doc-keyed
+    reassembly agg (``array_sort`` over (pos, id) structs restores
+    token order without a sort shuffle).  Returns (doc_id, token_ids
+    array<int>, n_tokens)."""
+    pos_toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    ).where(F.col("term") != "")
+    joined = pos_toks.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    )
+    enc = joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos", F.coalesce("token_id", F.lit(0)).cast("int").alias("tid")
+                    )
+                )
+            ),
+            lambda s: s["tid"],
+        ).alias("token_ids")
+    )
+    return (
+        documents.select("doc_id")
+        .join(enc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("token_ids"), F.array().cast("array<int>")).alias(
+                "token_ids"
+            ),
+        )
+        .withColumn("n_tokens", F.size("token_ids"))
+    )
+
+
 def corpus_diff(old_documents: DataFrame, new_documents: DataFrame) -> DataFrame:
     """Snapshot diff between two corpus versions — the incremental
     work-list for every downstream artifact (indexes fold in `added`,

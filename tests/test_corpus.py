@@ -499,6 +499,65 @@ def test_mix_corpus_matches_python_model_and_hits_targets(spark, sf_dir, ducks):
     assert any(rep == 2 for _d, s, _n, rep in got if s == "src0")
 
 
+def test_vocab_and_encode_match_duckdb(spark, sf_dir, ducks, tmp_path):
+    """Vocabulary + token-id encoding: both the ranked vocab (ids by
+    count DESC, term) and every document's id sequence must equal an
+    independent DuckDB recomputation; OOV terms encode as 0 (checked
+    with a truncated vocab), and an empty-normalizing doc surfaces
+    with an empty array."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame([(10**9, "!!!")], "doc_id long, text string")
+    docs = docs.union(extra)
+    max_size = 20  # below the fixture's distinct-term count -> real OOV
+    dpath = str(tmp_path / "vocab_docs")
+    docs.write.mode("overwrite").parquet(dpath)
+
+    ctes = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM '{dpath}/*.parquet'
+),
+cnt AS (
+  SELECT t AS term, count(*) AS n FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1
+),
+v AS (
+  SELECT row_number() OVER (ORDER BY n DESC, term) AS token_id, term, n
+  FROM cnt ORDER BY n DESC, term LIMIT {max_size}
+)
+"""
+    vocab = corpus.build_vocab(docs, max_size=max_size).persist()
+    got_vocab = sorted(map(tuple, vocab.collect()))
+    want_vocab = sorted(ducks.execute(ctes + "SELECT * FROM v").fetchall())
+    assert got_vocab == want_vocab and len(got_vocab) == max_size
+
+    enc = corpus.encode_tokens(docs, vocab)
+    got = {r.doc_id: (list(r.token_ids), r.n_tokens) for r in enc.collect()}
+    want = dict(
+        (r[0], (r[1] or [], r[2]))
+        for r in ducks.execute(ctes + """
+, pt AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS term FROM d
+),
+j AS (
+  SELECT pt.doc_id, pt.pos, coalesce(v.token_id, 0) AS tid
+  FROM pt LEFT JOIN v USING (term)
+),
+e AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM j GROUP BY doc_id)
+SELECT d.doc_id, e.ids, len(toks) AS n
+FROM d LEFT JOIN e USING (doc_id)
+""").fetchall()
+    )
+    assert set(got) == set(want)
+    for did in got:
+        assert got[did] == want[did], (did, got[did], want[did])
+    # OOV really happened under the truncated vocab
+    assert any(0 in ids for ids, _n in got.values())
+    assert got[10**9] == ([], 0)
+    vocab.unpersist()
+
+
 def test_corpus_diff_twin_and_identity(spark, sf_dir, ducks):
     """Snapshot diff: (a) a byte-identical re-ingest diffs to nothing
     even under a different partition layout; (b) a mutated snapshot
