@@ -302,7 +302,7 @@ def compact_text_index(spark, index_dir: str) -> None:
     have (``lsh_index.compact_minhash_index``): after N streamed
     epochs the postings tree holds N ``batch=`` dirs × buckets files
     and every query pays N× the footer overhead.  Rewrite all batches
-    into a single ``batch=-1`` tree, one file per ``tbucket``
+    into a single fresh-batch tree, one file per ``tbucket``
     partition (the batch level must survive — partition discovery
     needs a uniform directory depth, and later updates keep landing
     as ``batch=<epoch>`` siblings).  Batches hold disjoint doc_ids
@@ -311,12 +311,27 @@ def compact_text_index(spark, index_dir: str) -> None:
     re-layout: queries identical before/after, manifest untouched
     (``last_epoch`` survives, so replayed old epochs stay inert)."""
     post, lens, _ = _tix_paths(index_dir)
-    _require_positional(index_dir, read_text_index_manifest(index_dir))
+    meta = read_text_index_manifest(index_dir)
+    _require_positional(index_dir, meta)
+    # the compacted tree gets a FRESH batch id below every existing
+    # one — never reusing a batch a tombstone might reference, so a
+    # changed-then-re-added doc's surviving rows can't be killed by a
+    # stale tombstone in any crash window (stale rows go inert the
+    # moment their batch dir vanishes in the swap)
+    newb = min(_live_batches(post) + [-1]) - 1
+    tomb = _read_live_tombstones(spark, index_dir)
+    posts_df = spark.read.parquet(post).select(
+        "doc_id", "term", "tf", "positions", "tbucket", "batch"
+    )
+    lens_df = spark.read.parquet(lens).select("doc_id", "dl", "batch")
+    if tomb is not None:
+        pairs = F.broadcast(tomb.select("doc_id", "batch"))
+        posts_df = posts_df.join(pairs, ["doc_id", "batch"], "left_anti")
+        lens_df = lens_df.join(pairs, ["doc_id", "batch"], "left_anti")
     stage = post + "__stage"
     (
-        spark.read.parquet(post)
-        .select("doc_id", "term", "tf", "positions", "tbucket")
-        .withColumn("batch", F.lit(-1))
+        posts_df.drop("batch")
+        .withColumn("batch", F.lit(newb))
         .repartition(F.col("tbucket"))
         .write.mode("overwrite")
         .partitionBy("batch", "tbucket")
@@ -325,15 +340,130 @@ def compact_text_index(spark, index_dir: str) -> None:
     _swap_tree(stage, post)
     lstage = lens + "__stage"
     (
-        spark.read.parquet(lens)
-        .select("doc_id", "dl")
-        .withColumn("batch", F.lit(-1))
+        lens_df.drop("batch")
+        .withColumn("batch", F.lit(newb))
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite")
         .partitionBy("batch")
         .parquet(lstage)
     )
     _swap_tree(lstage, lens)
+    # ground-truth stats from the compacted lengths (tombstoned mass
+    # now physically gone); between a crashed swap and this retryable
+    # write, queries use slightly-stale stats — never wrong candidates
+    row = spark.read.parquet(lens).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).first()
+    meta["n_docs"], meta["sum_dl"] = int(row["n"]), int(row["s"] or 0)
+    _write_tix_manifest(index_dir, meta)
+    import shutil
+
+    shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
+
+
+def _tomb_path(index_dir: str) -> str:
+    return f"{index_dir}/tombstones"
+
+
+def _live_batches(post_dir: str) -> list[int]:
+    import os
+
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(post_dir)
+        if d.startswith("batch=") and os.path.isdir(os.path.join(post_dir, d))
+    )
+
+
+def _read_live_tombstones(spark, index_dir: str):
+    """Tombstone rows whose victim batch dir still exists — rows
+    referencing compacted-away batches are INERT by construction (they
+    can match no posting and must not adjust stats), which is what
+    makes every compaction crash window consistent without a
+    multi-directory atomic commit."""
+    import os
+
+    p = _tomb_path(index_dir)
+    if not os.path.isdir(p):
+        return None
+    post, _, _ = _tix_paths(index_dir)
+    live = _live_batches(post)
+    t = spark.read.parquet(p).where(F.col("batch").isin(live))
+    return t
+
+
+def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
+    """Delete documents from the stored text index by TOMBSTONE — the
+    one commit is an atomic swap of the tombstones table, so a crash
+    leaves either the old or the new delete set, never a half-delete.
+
+    A tombstone row is an exact victim: (doc_id, batch, dl) for each
+    LIVE posting batch the doc currently occupies.  Queries anti-join
+    the pairs out of the pruned postings read AND net the (count, Σdl)
+    out of the manifest's gross corpus stats, so BM25 df/idf/avgdl
+    behave exactly as if the index were rebuilt without the docs
+    (tested: delete ≡ rebuild).  Batch-scoping is what lets a CHANGED
+    doc be deleted and re-added: the re-add lands in a NEWER batch the
+    tombstone does not reference.  Idempotent — re-deleting an already
+    tombstoned or unknown doc adds no victim.  Tombstones accumulate
+    only between compactions; ``compact_text_index`` removes the
+    victims physically and retires the table.
+
+    ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
+    column."""
+    import os
+
+    meta = read_text_index_manifest(index_dir)
+    _require_positional(index_dir, meta)
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    ids = doc_ids.select("doc_id").distinct()
+    _, lens, _ = _tix_paths(index_dir)
+    lengths = spark.read.parquet(lens).select("doc_id", "batch", "dl")
+    tomb = _read_live_tombstones(spark, index_dir)
+    stale = spark.read.parquet(_tomb_path(index_dir)) if tomb is not None else None
+    live = (
+        lengths.join(tomb.select("doc_id", "batch"), ["doc_id", "batch"], "left_anti")
+        if tomb is not None
+        else lengths
+    )
+    victims = live.join(F.broadcast(ids), "doc_id", "left_semi")
+    new_tomb = stale.unionByName(victims) if stale is not None else victims
+    stage = _tomb_path(index_dir) + "__stage"
+    new_tomb.coalesce(1).write.mode("overwrite").parquet(stage)
+    if os.path.isdir(_tomb_path(index_dir)):
+        _swap_tree(stage, _tomb_path(index_dir))
+    else:
+        os.rename(stage, _tomb_path(index_dir))
+
+
+def refresh_text_index_from_diff(
+    spark,
+    index_dir: str,
+    old_documents: DataFrame,
+    new_documents: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """Fold a corpus-snapshot transition into the stored index using
+    ``corpus_diff``'s work-list — never a rebuild: removed and changed
+    docs tombstone their old postings, added and changed docs append
+    as a normal update batch.  The result answers EXACTLY like an
+    index built fresh on the new snapshot (tested — scores included,
+    because the tombstones net the old versions out of the corpus
+    stats while the update batch folds the new ones in)."""
+    from .corpus import corpus_diff
+
+    diff = corpus_diff(old_documents, new_documents)
+    gone = diff.where(F.col("change").isin("removed", "changed")).select("doc_id")
+    if not gone.isEmpty():
+        delete_from_text_index(spark, index_dir, gone)
+    fresh = new_documents.join(
+        diff.where(F.col("change").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    if not fresh.isEmpty():
+        update_text_index(fresh, index_dir, epoch=epoch)
 
 
 def _bm25_batch_core(
@@ -362,8 +492,24 @@ def _bm25_batch_core(
     tf = (
         spark.read.parquet(post)
         .where(F.col("tbucket").isin(tb) & F.col("term").isin(qt))
-        .select("doc_id", "term", "tf")
+        .select("doc_id", "term", "tf", "batch")
     )
+    dlen = spark.read.parquet(lens).select("doc_id", "dl", "batch")
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    tomb = _read_live_tombstones(spark, index_dir)
+    if tomb is not None:
+        # net the tombstoned victims out of candidates, df, lengths,
+        # and the gross corpus stats — scores then equal a rebuild
+        # without the deleted docs (tested)
+        adj = tomb.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+        if adj["n"]:
+            n_docs -= int(adj["n"])
+            sum_dl -= int(adj["s"])
+        pairs = F.broadcast(tomb.select("doc_id", "batch"))
+        tf = tf.join(pairs, ["doc_id", "batch"], "left_anti")
+        dlen = dlen.join(pairs, ["doc_id", "batch"], "left_anti")
+    tf = tf.drop("batch")
+    dlen = dlen.drop("batch")
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     qmap = spark.createDataFrame(qpairs, "query_id long, term string")
     scored = tf.join(F.broadcast(qmap), "term")
@@ -380,8 +526,7 @@ def _bm25_batch_core(
             .select("query_id", "doc_id")
         )
         scored = scored.join(ok, ["query_id", "doc_id"], "left_semi")
-    dlen = spark.read.parquet(lens).select("doc_id", "dl")
-    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    avgdl = sum_dl / n_docs
     idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     part = F.col("tf") * (k1 + 1.0) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
@@ -550,8 +695,14 @@ def phrase_match_from_index(
     posts = (
         spark.read.parquet(post)
         .where(F.col("tbucket").isin(tb) & F.col("term").isin(sorted(set(qt))))
-        .select("doc_id", "term", "positions")
+        .select("doc_id", "term", "positions", "batch")
     )
+    tomb = _read_live_tombstones(spark, index_dir)
+    if tomb is not None:
+        posts = posts.join(
+            F.broadcast(tomb.select("doc_id", "batch")), ["doc_id", "batch"], "left_anti"
+        )
+    posts = posts.drop("batch")
     acc = None
     for i, t in enumerate(qt):
         shifted = F.transform(F.col("positions"), lambda p: p - i)
