@@ -340,6 +340,114 @@ def update_ivf_index(
     _write_manifest(index_dir, meta)
 
 
+def _ivf_tomb_path(index_dir: str) -> str:
+    return f"{index_dir}/tombstones"
+
+
+def _read_ivf_tombstones(spark: SparkSession, index_dir: str):
+    """Tombstone rows whose victim ``batch`` dir still exists — rows
+    referencing compacted-away batches are inert by construction
+    (same crash-window argument as the text index's tombstones)."""
+    if not os.path.isdir(_ivf_tomb_path(index_dir)):
+        return None
+    live = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{index_dir}/assignments")
+        if d.startswith("batch=")
+    }
+    return spark.read.parquet(_ivf_tomb_path(index_dir)).where(
+        F.col("batch").isin(sorted(live))
+    )
+
+
+def _live_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The assignments read every query path uses: inverted lists with
+    tombstoned victims anti-joined out (broadcast — the tombstone set
+    is bounded between compactions)."""
+    df = spark.read.parquet(f"{index_dir}/assignments")
+    tomb = _read_ivf_tombstones(spark, index_dir)
+    if tomb is not None:
+        df = df.join(
+            F.broadcast(tomb.select("vec_id", "batch")), ["vec_id", "batch"], "left_anti"
+        )
+    return df
+
+
+def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
+    """Delete vectors from the stored IVF index by TOMBSTONE — one
+    atomic swap of the tombstone table commits the delete; every query
+    path (float, int8, PQ, index-backed SemDeDup, cluster-balanced
+    sampling) anti-joins the exact (vec_id, batch) victims out of its
+    pruned inverted-list read, so a deleted vector can neither rank
+    nor pair.  Batch-scoped victims let an updated vector delete its
+    old version and re-append via ``update_ivf_index``.  Idempotent;
+    unknown ids are no-ops.  ``compact_ivf_index`` purges victims
+    physically and retires the table.
+
+    ``vec_ids``: a list of ids or a DataFrame with a ``vec_id``
+    column."""
+    from .retrieval import _swap_tree
+
+    read_manifest(index_dir)
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
+    ids = vec_ids.select("vec_id").distinct()
+    rows = spark.read.parquet(f"{index_dir}/assignments").select("vec_id", "batch")
+    tomb = _read_ivf_tombstones(spark, index_dir)
+    stale = (
+        spark.read.parquet(_ivf_tomb_path(index_dir)) if tomb is not None else None
+    )
+    live = (
+        rows.join(tomb.select("vec_id", "batch"), ["vec_id", "batch"], "left_anti")
+        if tomb is not None
+        else rows
+    )
+    victims = live.join(F.broadcast(ids), "vec_id", "left_semi")
+    new_tomb = stale.unionByName(victims) if stale is not None else victims
+    stage = _ivf_tomb_path(index_dir) + "__stage"
+    new_tomb.coalesce(1).write.mode("overwrite").parquet(stage)
+    if os.path.isdir(_ivf_tomb_path(index_dir)):
+        _swap_tree(stage, _ivf_tomb_path(index_dir))
+    else:
+        os.rename(stage, _ivf_tomb_path(index_dir))
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
+    """Small-file + tombstone compaction for the inverted lists: purge
+    tombstoned victims physically and re-lay everything as one file
+    per ``centroid_id`` cell under a FRESH batch id below every
+    existing one (never reusing a batch a tombstone references — the
+    same inert-stale-tombstone construction as the text index, so
+    every crash window stays consistent).  The manifest's ``n_rows``
+    and ``lsh_bits`` are then recomputed from the compacted ground
+    truth and the tombstone table retired."""
+    import shutil
+
+    meta = read_manifest(index_dir)
+    root = f"{index_dir}/assignments"
+    live = [
+        int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")
+    ]
+    newb = min(live + [-1]) - 1
+    df = _live_assignments(spark, index_dir)
+    stage = root + "__stage"
+    (
+        df.drop("batch")
+        .withColumn("batch", F.lit(newb))
+        .repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("batch", "centroid_id")
+        .parquet(stage)
+    )
+    from .retrieval import _swap_tree
+
+    _swap_tree(stage, root)
+    n = spark.read.parquet(root).count()
+    meta.update({"n_rows": n, "lsh_bits": lsh_bits_for(n)})
+    _write_manifest(index_dir, meta)
+    shutil.rmtree(_ivf_tomb_path(index_dir), ignore_errors=True)
+
+
 def ivf_index_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -370,7 +478,7 @@ def ivf_index_topk(
     # re-deriving probes later inside the main plan costs the same
     # small cross-join again, far less than caching plumbing
     cells = [r[0] for r in probes.select("centroid_id").distinct().collect()]
-    corpus = spark.read.parquet(f"{index_dir}/assignments").where(
+    corpus = _live_assignments(spark, index_dir).where(
         F.col("centroid_id").isin(cells)
     )
     return _rank_topk(corpus.join(F.broadcast(probes), "centroid_id"), k)
@@ -413,7 +521,7 @@ def ivf_index_topk_quantized(
     )
     cells = [r[0] for r in probes.select("centroid_id").distinct().collect()]
     corpus = (
-        spark.read.parquet(f"{index_dir}/assignments")
+        _live_assignments(spark, index_dir)
         .where(F.col("centroid_id").isin(cells))
         .select("vec_id", "centroid_id", "qv")
     )
@@ -499,7 +607,7 @@ def ivf_index_topk_pq(
     )
     cells = [r[0] for r in probes.select("centroid_id").distinct().collect()]
     corpus = (
-        spark.read.parquet(f"{index_dir}/assignments")
+        _live_assignments(spark, index_dir)
         .where(F.col("centroid_id").isin(cells))
         .select("vec_id", "centroid_id", "codes", "nrm")
     )
@@ -531,7 +639,7 @@ def ivf_index_topk_pq(
         )
     cands = ranked.where(F.col("rnk") <= max(rerank, k)).select("query_id", "neighbor_id")
     floats = (
-        spark.read.parquet(f"{index_dir}/assignments")
+        _live_assignments(spark, index_dir)
         .where(F.col("centroid_id").isin(cells))
         .select("vec_id", "embedding", "nrm")
     )
@@ -556,7 +664,7 @@ def near_dup_pairs_from_index(
     pairs equal the fit-per-call flow (same seed → same fit → same
     cells; tested)."""
     read_manifest(index_dir)
-    assigned = spark.read.parquet(f"{index_dir}/assignments")
+    assigned = _live_assignments(spark, index_dir)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,
@@ -582,7 +690,7 @@ def semantic_dedup_keep_from_index(
     from the stored index — no fit, no re-assignment."""
     pairs = near_dup_pairs_from_index(spark, index_dir, threshold)
     drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
-    corpus = spark.read.parquet(f"{index_dir}/assignments").select("vec_id", "embedding")
+    corpus = _live_assignments(spark, index_dir).select("vec_id", "embedding")
     return corpus.join(drops, "vec_id", "left_anti")
 
 
@@ -611,7 +719,7 @@ def cluster_balanced_sample(
     if per_cluster < 1:
         raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
     read_manifest(index_dir)
-    assigned = spark.read.parquet(f"{index_dir}/assignments").select(
+    assigned = _live_assignments(spark, index_dir).select(
         "vec_id", "centroid_id"
     )
     ranked = assigned.withColumn(

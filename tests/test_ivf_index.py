@@ -358,6 +358,85 @@ def test_pq_topk_adc_pruning_and_rerank_equivalence(spark, sf_dir, tmp_path):
     emb.unpersist()
 
 
+def test_delete_readd_and_compact_ivf_index(spark, sf_dir, tmp_path):
+    """IVF tombstones: after deleting a slice, every query path must
+    answer exactly like a frozen-centroid assignment of the REMAINING
+    vectors; deleted vectors never rank, pair, or sample; a re-append
+    of the same ids restores the full-corpus answers (batch-scoped
+    victims don't kill the new version); compaction purges victims
+    physically, retires the tombstones, and fixes the manifest."""
+    import os
+
+    emb = _emb(spark, sf_dir).persist()
+    idx = str(tmp_path / "ivf_del")
+    ivf_index.build_ivf_index(emb, idx, N_CENTROIDS, SEED)
+    victims = [r.vec_id for r in emb.where(F.col("vec_id") % 9 == 0).collect()]
+    ivf_index.delete_from_ivf_index(spark, idx, victims + [10**12])
+    remaining = emb.where(~F.col("vec_id").isin(victims))
+    q = similarity.default_queries(emb, every=50)
+    centroids = spark.read.parquet(f"{idx}/centroids")
+
+    def frozen_topk(corpus_df):
+        assigned = ivf_index._assign(corpus_df, centroids)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d2").asc(), F.col("centroid_id")
+        )
+        probes = F.broadcast(
+            q.crossJoin(F.broadcast(centroids))
+            .withColumn("_d2", ivf_index._d2("query_vec"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= N_PROBE)
+            .select(
+                "query_id", "query_vec", "centroid_id",
+                norm(F.col("query_vec")).alias("qnrm"),
+            )
+        )
+        return _topk_rows(
+            similarity._rank_topk(assigned.join(probes, "centroid_id"), k=5)
+        )
+
+    got = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+    assert got == frozen_topk(remaining) and got
+    assert not {n for _q, n, _r, _c in got} & set(victims)
+
+    pairs = ivf_index.near_dup_pairs_from_index(spark, idx, threshold=-1.0)
+    touched = {r.vec_a for r in pairs.collect()} | {r.vec_b for r in pairs.collect()}
+    assert not touched & set(victims) and touched
+    samp = {r.vec_id for r in ivf_index.cluster_balanced_sample(spark, idx, 10**6).collect()}
+    assert not samp & set(victims)
+    assert samp == {r.vec_id for r in remaining.select("vec_id").collect()}
+
+    # idempotent
+    ivf_index.delete_from_ivf_index(spark, idx, victims)
+    assert _topk_rows(
+        ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE)
+    ) == got
+
+    # re-append the deleted vectors: new batch, frozen centroids —
+    # answers must return to the FULL-corpus frozen assignment
+    ivf_index.update_ivf_index(emb.where(F.col("vec_id").isin(victims)), idx)
+    assert _topk_rows(
+        ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE)
+    ) == frozen_topk(emb)
+
+    # delete again, then compact: answers unchanged, victims gone
+    # physically, tombstones retired, manifest ground-truthed
+    ivf_index.delete_from_ivf_index(spark, idx, victims)
+    before = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+    ivf_index.compact_ivf_index(spark, idx)
+    after = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+    assert after == before == frozen_topk(remaining)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert (
+        spark.read.parquet(f"{idx}/assignments")
+        .where(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+    assert ivf_index.read_manifest(idx)["n_rows"] == remaining.count()
+    emb.unpersist()
+
+
 def test_missing_index_fails_loudly(spark, sf_dir, tmp_path):
     import pytest
 
