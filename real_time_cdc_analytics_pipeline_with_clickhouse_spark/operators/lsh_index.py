@@ -100,6 +100,50 @@ def parquet_file_count(path: str) -> int:
     return total
 
 
+def _lsh_tomb_ids(spark: SparkSession, index_dir: str):
+    p = f"{index_dir}/tombstones"
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
+
+
+def delete_from_minhash_index(spark: SparkSession, index_dir: str, doc_ids) -> None:
+    """Remove documents from the dedup index by TOMBSTONE — the
+    takedown / right-to-be-forgotten path: a deleted doc stops acting
+    as dedup PRECEDENT immediately (``dedup_against_index`` anti-joins
+    its bands and shingles out of the corpus side), and the next
+    ``compact_minhash_index`` purges its rows physically and retires
+    the tombstones.  One atomic tombstone-table swap commits the
+    delete; idempotent, unknown ids are no-ops.
+
+    Contract: the band/shingle tables carry no batch lineage (plain
+    set-semantic appends), so a tombstone kills EVERY row of the
+    doc_id — re-adding a deleted doc_id only takes effect after a
+    compaction has retired its tombstone.  Takedowns don't re-add;
+    an edited re-ingest should compact first (or use a fresh id).
+
+    ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
+    column."""
+    from .retrieval import _swap_tree
+
+    if not os.path.isdir(f"{index_dir}/bands"):
+        raise FileNotFoundError(
+            f"no MinHash index at {index_dir} — run build_minhash_index first"
+        )
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    ids = doc_ids.select("doc_id").distinct()
+    existing = _lsh_tomb_ids(spark, index_dir)
+    new_tomb = ids if existing is None else existing.unionByName(ids).distinct()
+    p = f"{index_dir}/tombstones"
+    stage = p + "__stage"
+    new_tomb.coalesce(1).write.mode("overwrite").parquet(stage)
+    if os.path.isdir(p):
+        _swap_tree(stage, p)
+    else:
+        os.rename(stage, p)
+
+
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     """Small-file compaction for the appended index — the MergeTree
     background-merge analog ``warehouse.compact_warehouse`` applies to
@@ -113,14 +157,26 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     distinct's before counting), so the rewrite also ``distinct``s:
     logical content is unchanged (tested: dedup results identical
     before/after) and any crash-replay append residue is squashed."""
+    import shutil
+
     from ..warehouse import _stage_swap
 
-    bands = spark.read.parquet(f"{index_dir}/bands").distinct()
+    tomb = _lsh_tomb_ids(spark, index_dir)
+
+    def _purged(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(tomb), "doc_id", "left_anti") if tomb is not None else df
+        )
+
+    bands = _purged(spark.read.parquet(f"{index_dir}/bands")).distinct()
     _stage_swap(bands, f"{index_dir}/bands", partition_by="band_id",
                 sort_within=["band_id", "band_key"])
-    sh = spark.read.parquet(f"{index_dir}/shingles").distinct()
+    sh = _purged(spark.read.parquet(f"{index_dir}/shingles")).distinct()
     _stage_swap(sh.repartition(spark.sparkContext.defaultParallelism),
                 f"{index_dir}/shingles")
+    # tombstones retire only after BOTH swaps — in any crash window the
+    # surviving tombstones still anti-join whatever table wasn't purged
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
 
 
 def _verified(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float) -> DataFrame:
@@ -192,6 +248,11 @@ def dedup_against_index(
     new_sh = _shingle_rows(new_documents, n)
     idx_bands = spark.read.parquet(f"{index_dir}/bands")
     idx_sh = spark.read.parquet(f"{index_dir}/shingles")
+    tomb = _lsh_tomb_ids(spark, index_dir)
+    if tomb is not None:
+        # tombstoned (taken-down) docs stop acting as dedup precedent
+        idx_bands = idx_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
+        idx_sh = idx_sh.join(F.broadcast(tomb), "doc_id", "left_anti")
 
     # batch × index candidates: indexed doc is always doc_a (precedent).
     # doc_a < doc_b ENFORCES the module contract (indexed docs precede

@@ -185,3 +185,52 @@ def test_ingest_compaction_bounds_files_and_preserves_results(spark, sf_dir, tmp
     assert lsh_index.parquet_file_count(ca) < lsh_index.parquet_file_count(cb)
     assert lsh_index.parquet_file_count(ca) <= par + 1
     assert lsh_index.parquet_file_count(ia) < lsh_index.parquet_file_count(ib)
+
+
+def test_takedown_delete_then_compact(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten on the dedup index: after deleting doc A,
+    an arriving exact copy of A SURVIVES dedup (A no longer acts as
+    precedent) while copies of undeleted docs still drop; compaction
+    purges A's bands and shingles physically, retires the tombstones,
+    and changes no verdict; the delete is idempotent."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    idx = str(tmp_path / "idx_del")
+    lsh_index.build_minhash_index(docs, idx)
+
+    # the fixture contains built-in near-dup groups — pick victims and
+    # controls among docs with NO other ≥0.5 partner, so a copy's
+    # verdict depends ONLY on its own source's presence
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    paired = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    lone = sorted(
+        r.doc_id for r in docs.select("doc_id").collect() if r.doc_id not in paired
+    )
+    assert len(lone) >= 6, "fixture too dup-heavy for this test"
+    victims, controls = lone[:3], lone[3:6]
+    lsh_index.delete_from_minhash_index(spark, idx, victims + [10**12])
+    lsh_index.delete_from_minhash_index(spark, idx, victims)  # idempotent
+
+    # a batch of exact copies (higher ids) of victims AND controls
+    batch = docs.where(F.col("doc_id").isin(victims + controls)).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    kept = {
+        r.doc_id for r in lsh_index.dedup_against_index(spark, batch, idx).collect()
+    }
+    assert kept == {v + 10**6 for v in victims}, kept
+
+    lsh_index.compact_minhash_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    for table in ("bands", "shingles"):
+        left = (
+            spark.read.parquet(f"{idx}/{table}")
+            .where(F.col("doc_id").isin(victims))
+            .count()
+        )
+        assert left == 0, table
+    kept2 = {
+        r.doc_id for r in lsh_index.dedup_against_index(spark, batch, idx).collect()
+    }
+    assert kept2 == kept
