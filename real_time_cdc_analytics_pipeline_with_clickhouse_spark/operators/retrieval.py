@@ -437,6 +437,23 @@ def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
         os.rename(stage, _tomb_path(index_dir))
 
 
+def upsert_text_index(
+    spark, index_dir: str, documents: DataFrame, epoch: int | None = None
+) -> None:
+    """UPSERT semantics for the stored text index — the move a
+    CDC-maintained search index needs when it can't know which
+    arriving docs are new and which replace an indexed version:
+    tombstone ANY live postings under the batch's doc_ids (a no-op
+    for genuinely-new ids — ``delete_from_text_index`` finds no
+    victims), then append the batch normally.  The new postings land
+    in a batch NEWER than every tombstone, so they survive the
+    anti-join; answers equal a rebuild where each doc appears once in
+    its latest version (tested).  Crash-safe in both orders: the
+    delete is idempotent and the append carries the ``epoch`` stamp."""
+    delete_from_text_index(spark, index_dir, documents.select("doc_id"))
+    update_text_index(documents, index_dir, epoch=epoch)
+
+
 def refresh_text_index_from_diff(
     spark,
     index_dir: str,

@@ -876,6 +876,7 @@ def start_text_index_sink(
     checkpoint: str,
     buckets: int = 64,
     compact_every: int | None = None,
+    op_col: str | None = None,
 ):
     """Live inverted-index ingestion — the lexical twin of
     ``start_embedding_index_sink``: the first micro-batch BUILDS the
@@ -906,6 +907,17 @@ def start_text_index_sink(
             return
         if _epoch_already_applied(meta_dir, epoch, checkpoint):
             return
+        # op_col = the CDC-maintained-index mode: the index follows the
+        # SOURCE TABLE, not an append log — op != 'd' UPSERTs (tombstone
+        # any live version, append the new), op = 'd' DELETEs, deletes
+        # applied after upserts within a batch (written-then-deleted
+        # nets to deleted).  Replay-safe: upserts carry the epoch stamp
+        # and deletes are idempotent tombstones.
+        spark_b = batch.sparkSession
+        ups, dels = batch, None
+        if op_col is not None:
+            ups = batch.where(F.col(op_col) != "d").drop(op_col)
+            dels = batch.where(F.col(op_col) == "d").select("doc_id")
         built_by = None
         if os.path.isfile(build_marker):
             with open(build_marker) as fh:
@@ -914,11 +926,15 @@ def start_text_index_sink(
             os.makedirs(meta_dir, exist_ok=True)
             with open(build_marker, "w") as fh:
                 fh.write(str(epoch))
-            retrieval.build_text_index(batch, index_dir, buckets=buckets)
+            retrieval.build_text_index(ups, index_dir, buckets=buckets)
+        elif op_col is not None:
+            retrieval.upsert_text_index(spark_b, index_dir, ups, epoch=epoch)
         else:
-            retrieval.update_text_index(batch, index_dir, epoch=epoch)
+            retrieval.update_text_index(ups, index_dir, epoch=epoch)
+        if dels is not None and not dels.isEmpty():
+            retrieval.delete_from_text_index(spark_b, index_dir, dels)
         if compact_every and epoch % compact_every == compact_every - 1:
-            retrieval.compact_text_index(batch.sparkSession, index_dir)
+            retrieval.compact_text_index(spark_b, index_dir)
         _record_epoch(meta_dir, epoch, checkpoint)
 
     return (

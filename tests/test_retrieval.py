@@ -399,6 +399,106 @@ def test_diff_refresh_equals_rebuild(spark, sf_dir, tmp_path):
     assert gb == wb
 
 
+def test_upsert_text_index_equals_latest_version_rebuild(spark, sf_dir, tmp_path):
+    """UPSERT: without knowing which docs are new vs replacing, the
+    upserted index must answer exactly like a rebuild where every doc
+    appears once in its LATEST version."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "tix_ups")
+    retrieval.build_text_index(docs, idx, buckets=16)
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 4)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" spark window upsert")))
+        .unionByName(
+            docs.orderBy("doc_id")
+            .limit(4)
+            .select((F.col("doc_id") + 10**9).alias("doc_id"), "text")
+        )
+    )
+    retrieval.upsert_text_index(spark, idx, batch)
+
+    latest = docs.where(F.col("doc_id") % 10 != 4).unionByName(batch)
+    ref = str(tmp_path / "tix_ups_ref")
+    retrieval.build_text_index(latest, ref, buckets=16)
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    want = _rows(retrieval.bm25_topk_from_index(spark, ref, TERMS, k=10**6))
+    assert got == want and got
+
+
+def test_cdc_maintained_text_index_sink(spark, sf_dir, tmp_path):
+    """The CDC-maintained-index mode: a stream of Debezium-style
+    (doc_id, text, op) rows — creates, updates, deletes across three
+    micro-batches — must leave the index answering exactly like one
+    built fresh on the net final table."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    base = docs.where(F.col("doc_id") < 60)
+    b1 = base.withColumn("op", F.lit("c"))
+    b2 = (
+        base.where(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" updated spark vector")))
+        .withColumn("op", F.lit("u"))
+        .unionByName(
+            docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 70)).withColumn(
+                "op", F.lit("c")
+            )
+        )
+    )
+    b3 = (
+        base.where(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.lit(""))
+        .withColumn("op", F.lit("d"))
+        .unionByName(
+            base.where(F.col("doc_id") == 1)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" twice updated")))
+            .withColumn("op", F.lit("u"))
+        )
+    )
+    feed = str(tmp_path / "cdcfeed")
+    os.makedirs(feed)
+    for i, b in enumerate([b1, b2, b3]):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{i}.parquet")
+    idx = str(tmp_path / "tix_cdc")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q_ = sp.start_text_index_sink(
+        stream, idx, str(tmp_path / "ck_cdc"), buckets=16, op_col="op"
+    )
+    q_.processAllAvailable()
+    q_.stop()
+
+    # net final table: base minus %7 deletes, with %5 updates applied
+    # (doc 1 carries its b3 re-update — latest wins), plus 60-69
+    upd5 = {r.doc_id for r in base.where(F.col("doc_id") % 5 == 0).collect()}
+    dead = {r.doc_id for r in base.where(F.col("doc_id") % 7 == 0).collect()}
+    final = (
+        base.where(~F.col("doc_id").isin(sorted(dead | upd5 | {1})))
+        .unionByName(b2.drop("op").where(~F.col("doc_id").isin(sorted(dead | {1}))))
+        .unionByName(
+            base.where(F.col("doc_id") == 1).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" twice updated"))
+            )
+        )
+    )
+    ref = str(tmp_path / "tix_cdc_ref")
+    retrieval.build_text_index(final, ref, buckets=16)
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    want = _rows(retrieval.bm25_topk_from_index(spark, ref, TERMS, k=10**6))
+    assert got == want and got
+    gp = _rows(retrieval.phrase_match_from_index(spark, idx, ["updated", "spark"]))
+    wp = _rows(retrieval.phrase_match_from_index(spark, ref, ["updated", "spark"]))
+    assert gp == wp and gp
+    docs.unpersist()
+
+
 def test_phrase_match_randomized_against_python_reference(spark, tmp_path):
     """Adversarial sweep of the anchor algebra: 60 docs over a
     4-letter alphabet (maximal term repetition and overlap), one
