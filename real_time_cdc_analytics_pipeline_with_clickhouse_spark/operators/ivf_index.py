@@ -288,7 +288,11 @@ def build_ivf_index(
     )
 
 
-def _next_batch_id(index_dir: str) -> int:
+def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
+    """Self-allocated batch ids must exceed every existing batch AND
+    every batch a surviving tombstone references — a compaction crash
+    can leave tombstones outliving their batch dirs, and reusing such
+    an id would resurrect the tombstone against the new rows."""
     pre = "batch="
     root = f"{index_dir}/assignments"
     ids = [
@@ -296,6 +300,14 @@ def _next_batch_id(index_dir: str) -> int:
         for d in os.listdir(root)
         if d.startswith(pre) and os.path.isdir(os.path.join(root, d))
     ]
+    if spark is not None and os.path.isdir(_ivf_tomb_path(index_dir)):
+        ids += [
+            r["batch"]
+            for r in spark.read.parquet(_ivf_tomb_path(index_dir))
+            .select("batch")
+            .distinct()
+            .collect()
+        ]
     return (max(ids) + 1) if ids else 0
 
 
@@ -331,7 +343,7 @@ def update_ivf_index(
             meta["pq_dim"] // meta["pq_m"],
             meta["pq_ks"],
         )
-    b = _next_batch_id(index_dir) if epoch is None else int(epoch)
+    b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{index_dir}/assignments/batch={b}"
     )
@@ -386,12 +398,10 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
 
     ``vec_ids``: a list of ids or a DataFrame with a ``vec_id``
     column."""
-    from .retrieval import _swap_tree
+    from .retrieval import _commit_tombstones, _ids_frame
 
     read_manifest(index_dir)
-    if not isinstance(vec_ids, DataFrame):
-        vec_ids = spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
-    ids = vec_ids.select("vec_id").distinct()
+    ids = _ids_frame(spark, vec_ids, "vec_id")
     rows = spark.read.parquet(f"{index_dir}/assignments").select("vec_id", "batch")
     tomb = _read_ivf_tombstones(spark, index_dir)
     stale = (
@@ -404,12 +414,7 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
     )
     victims = live.join(F.broadcast(ids), "vec_id", "left_semi")
     new_tomb = stale.unionByName(victims) if stale is not None else victims
-    stage = _ivf_tomb_path(index_dir) + "__stage"
-    new_tomb.coalesce(1).write.mode("overwrite").parquet(stage)
-    if os.path.isdir(_ivf_tomb_path(index_dir)):
-        _swap_tree(stage, _ivf_tomb_path(index_dir))
-    else:
-        os.rename(stage, _ivf_tomb_path(index_dir))
+    _commit_tombstones(new_tomb, _ivf_tomb_path(index_dir))
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:

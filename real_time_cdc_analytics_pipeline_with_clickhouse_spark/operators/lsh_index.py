@@ -124,24 +124,16 @@ def delete_from_minhash_index(spark: SparkSession, index_dir: str, doc_ids) -> N
 
     ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
     column."""
-    from .retrieval import _swap_tree
+    from .retrieval import _commit_tombstones, _ids_frame
 
     if not os.path.isdir(f"{index_dir}/bands"):
         raise FileNotFoundError(
             f"no MinHash index at {index_dir} — run build_minhash_index first"
         )
-    if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
-    ids = doc_ids.select("doc_id").distinct()
+    ids = _ids_frame(spark, doc_ids, "doc_id")
     existing = _lsh_tomb_ids(spark, index_dir)
     new_tomb = ids if existing is None else existing.unionByName(ids).distinct()
-    p = f"{index_dir}/tombstones"
-    stage = p + "__stage"
-    new_tomb.coalesce(1).write.mode("overwrite").parquet(stage)
-    if os.path.isdir(p):
-        _swap_tree(stage, p)
-    else:
-        os.rename(stage, p)
+    _commit_tombstones(new_tomb, f"{index_dir}/tombstones")
 
 
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:

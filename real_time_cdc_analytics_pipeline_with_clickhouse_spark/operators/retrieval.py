@@ -235,7 +235,7 @@ def _write_tix_batch(
         .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
         .first()
     )
-    return int(row["n"]), int(row["s"])
+    return int(row["n"] or 0), int(row["s"] or 0)
 
 
 def update_text_index(
@@ -261,17 +261,26 @@ def update_text_index(
     if epoch is not None:
         bid = epoch
     else:
-        bid = (
-            max(
-                [
-                    int(d.split("=", 1)[1])
-                    for d in os.listdir(post)
-                    if d.startswith("batch=")
-                ],
-                default=-1,
-            )
-            + 1
-        )
+        # self-allocated ids must exceed every existing batch AND every
+        # batch a surviving tombstone references — a compaction crash
+        # can leave tombstones outliving their batch dirs, and reusing
+        # such an id would resurrect the tombstone against the new rows
+        taken = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(post)
+            if d.startswith("batch=")
+        ]
+        if os.path.isdir(_tomb_path(index_dir)):
+            taken += [
+                r["batch"]
+                for r in new_documents.sparkSession.read.parquet(
+                    _tomb_path(index_dir)
+                )
+                .select("batch")
+                .distinct()
+                .collect()
+            ]
+        bid = max(taken, default=-1) + 1
     n, s = _write_tix_batch(new_documents, post, lens, bid, meta["buckets"])
     meta["n_docs"] += n
     meta["sum_dl"] += s
@@ -365,6 +374,28 @@ def _tomb_path(index_dir: str) -> str:
     return f"{index_dir}/tombstones"
 
 
+def _ids_frame(spark, ids, col: str) -> DataFrame:
+    """Normalize a list-of-ids or DataFrame into a distinct one-column
+    frame — shared by every delete entry point."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{col} long")
+    return ids.select(col).distinct()
+
+
+def _commit_tombstones(df: DataFrame, path: str) -> None:
+    """The one atomic commit every tombstone table uses: stage the new
+    set, then a single directory swap (or rename on first delete) —
+    a crash leaves the old or the new set, never a half-delete."""
+    import os
+
+    stage = path + "__stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    if os.path.isdir(path):
+        _swap_tree(stage, path)
+    else:
+        os.rename(stage, path)
+
+
 def _live_batches(post_dir: str) -> list[int]:
     import os
 
@@ -380,16 +411,23 @@ def _read_live_tombstones(spark, index_dir: str):
     referencing compacted-away batches are INERT by construction (they
     can match no posting and must not adjust stats), which is what
     makes every compaction crash window consistent without a
-    multi-directory atomic commit."""
+    multi-directory atomic commit.
+
+    Liveness is the UNION of the postings and lengths trees: a
+    compaction crash between the two swaps leaves the old lengths
+    batches on disk, and their tombstones must stay live so the
+    retry still purges the victims' dl rows (postings-side anti-joins
+    of such rows match nothing — harmless)."""
     import os
 
     p = _tomb_path(index_dir)
     if not os.path.isdir(p):
         return None
-    post, _, _ = _tix_paths(index_dir)
-    live = _live_batches(post)
-    t = spark.read.parquet(p).where(F.col("batch").isin(live))
-    return t
+    post, lens, _ = _tix_paths(index_dir)
+    live = sorted(
+        set(_live_batches(post)) | set(_live_batches(lens) if os.path.isdir(lens) else [])
+    )
+    return spark.read.parquet(p).where(F.col("batch").isin(live))
 
 
 def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
@@ -411,13 +449,9 @@ def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
 
     ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
     column."""
-    import os
-
     meta = read_text_index_manifest(index_dir)
     _require_positional(index_dir, meta)
-    if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
-    ids = doc_ids.select("doc_id").distinct()
+    ids = _ids_frame(spark, doc_ids, "doc_id")
     _, lens, _ = _tix_paths(index_dir)
     lengths = spark.read.parquet(lens).select("doc_id", "batch", "dl")
     tomb = _read_live_tombstones(spark, index_dir)
@@ -429,12 +463,7 @@ def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
     )
     victims = live.join(F.broadcast(ids), "doc_id", "left_semi")
     new_tomb = stale.unionByName(victims) if stale is not None else victims
-    stage = _tomb_path(index_dir) + "__stage"
-    new_tomb.coalesce(1).write.mode("overwrite").parquet(stage)
-    if os.path.isdir(_tomb_path(index_dir)):
-        _swap_tree(stage, _tomb_path(index_dir))
-    else:
-        os.rename(stage, _tomb_path(index_dir))
+    _commit_tombstones(new_tomb, _tomb_path(index_dir))
 
 
 def upsert_text_index(
@@ -448,8 +477,15 @@ def upsert_text_index(
     victims), then append the batch normally.  The new postings land
     in a batch NEWER than every tombstone, so they survive the
     anti-join; answers equal a rebuild where each doc appears once in
-    its latest version (tested).  Crash-safe in both orders: the
-    delete is idempotent and the append carries the ``epoch`` stamp."""
+    its latest version (tested).  Replay-safe: the ``epoch`` stamp is
+    checked BEFORE the delete, so a crash-replayed epoch whose append
+    already committed is a FULL no-op — guarding only the append
+    would let the replayed delete tombstone the very rows the first
+    run appended (tested)."""
+    if epoch is not None and read_text_index_manifest(index_dir).get(
+        "last_epoch", -1
+    ) >= epoch:
+        return
     delete_from_text_index(spark, index_dir, documents.select("doc_id"))
     update_text_index(documents, index_dir, epoch=epoch)
 
@@ -470,17 +506,24 @@ def refresh_text_index_from_diff(
     stats while the update batch folds the new ones in)."""
     from .corpus import corpus_diff
 
-    diff = corpus_diff(old_documents, new_documents)
-    gone = diff.where(F.col("change").isin("removed", "changed")).select("doc_id")
-    if not gone.isEmpty():
-        delete_from_text_index(spark, index_dir, gone)
-    fresh = new_documents.join(
-        diff.where(F.col("change").isin("added", "changed")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
-    if not fresh.isEmpty():
-        update_text_index(fresh, index_dir, epoch=epoch)
+    # persist the diff: the work-list feeds four consumers (two
+    # emptiness probes, the delete's victim scan, the update's write)
+    # and recomputing the full-snapshot comparison per consumer would
+    # quadruple the dominant cost
+    diff = corpus_diff(old_documents, new_documents).persist()
+    try:
+        gone = diff.where(F.col("change").isin("removed", "changed")).select("doc_id")
+        if not gone.isEmpty():
+            delete_from_text_index(spark, index_dir, gone)
+        fresh = new_documents.join(
+            diff.where(F.col("change").isin("added", "changed")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        if not fresh.isEmpty():
+            update_text_index(fresh, index_dir, epoch=epoch)
+    finally:
+        diff.unpersist()
 
 
 def _bm25_batch_core(
@@ -527,6 +570,10 @@ def _bm25_batch_core(
         dlen = dlen.join(pairs, ["doc_id", "batch"], "left_anti")
     tf = tf.drop("batch")
     dlen = dlen.drop("batch")
+    if n_docs <= 0:
+        # a full takedown leaves nothing to rank — empty result, not
+        # a division by zero
+        return spark.createDataFrame([], "query_id long, doc_id long, bm25 double")
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     qmap = spark.createDataFrame(qpairs, "query_id long, term string")
     scored = tf.join(F.broadcast(qmap), "term")

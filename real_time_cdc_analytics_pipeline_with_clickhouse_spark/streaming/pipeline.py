@@ -19,7 +19,7 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..lakehouse import (
     delta_available,
@@ -877,6 +877,7 @@ def start_text_index_sink(
     buckets: int = 64,
     compact_every: int | None = None,
     op_col: str | None = None,
+    seq_col: str | None = None,
 ):
     """Live inverted-index ingestion — the lexical twin of
     ``start_embedding_index_sink``: the first micro-batch BUILDS the
@@ -916,24 +917,59 @@ def start_text_index_sink(
         spark_b = batch.sparkSession
         ups, dels = batch, None
         if op_col is not None:
+            if seq_col is not None:
+                # latest-wins per doc_id: Debezium routinely packs
+                # several ops for one key into a micro-batch; only the
+                # highest-sequence row may act (a c+u pair would merge
+                # both texts' postings, a d-then-c would wrongly delete
+                # the re-created doc)
+                w = Window.partitionBy("doc_id").orderBy(F.col(seq_col).desc())
+                batch = (
+                    batch.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn", seq_col)
+                )
+            else:
+                # without an ordering column, several ops per key are
+                # unresolvable — fail loudly instead of merging texts
+                dup = (
+                    batch.groupBy("doc_id").count().where(F.col("count") > 1).limit(1)
+                )
+                if dup.count():
+                    raise ValueError(
+                        "micro-batch carries multiple ops for one doc_id and no "
+                        "seq_col was given — pass seq_col so latest-wins can be "
+                        "resolved deterministically"
+                    )
             ups = batch.where(F.col(op_col) != "d").drop(op_col)
             dels = batch.where(F.col(op_col) == "d").select("doc_id")
         built_by = None
         if os.path.isfile(build_marker):
             with open(build_marker) as fh:
                 built_by = int(fh.read().strip() or -1)
+        ups_empty = ups.isEmpty()
         if not os.path.isdir(f"{index_dir}/postings") or built_by == epoch:
-            os.makedirs(meta_dir, exist_ok=True)
-            with open(build_marker, "w") as fh:
-                fh.write(str(epoch))
-            retrieval.build_text_index(ups, index_dir, buckets=buckets)
+            # a bootstrap batch of pure deletes indexes nothing —
+            # record the epoch and wait for content
+            if not ups_empty:
+                os.makedirs(meta_dir, exist_ok=True)
+                with open(build_marker, "w") as fh:
+                    fh.write(str(epoch))
+                retrieval.build_text_index(ups, index_dir, buckets=buckets)
+        elif ups_empty:
+            pass  # pure-delete batch: nothing to append
         elif op_col is not None:
             retrieval.upsert_text_index(spark_b, index_dir, ups, epoch=epoch)
         else:
             retrieval.update_text_index(ups, index_dir, epoch=epoch)
-        if dels is not None and not dels.isEmpty():
+        if (
+            dels is not None
+            and os.path.isdir(f"{index_dir}/postings")
+            and not dels.isEmpty()
+        ):
             retrieval.delete_from_text_index(spark_b, index_dir, dels)
-        if compact_every and epoch % compact_every == compact_every - 1:
+        if (compact_every and epoch % compact_every == compact_every - 1
+                and os.path.isdir(f"{index_dir}/postings")):
             retrieval.compact_text_index(spark_b, index_dir)
         _record_epoch(meta_dir, epoch, checkpoint)
 

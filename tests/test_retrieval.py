@@ -499,6 +499,197 @@ def test_cdc_maintained_text_index_sink(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_cdc_sink_seq_col_latest_wins_and_pure_delete_batch(
+    spark, sf_dir, tmp_path
+):
+    """Multi-op-per-key micro-batches: with seq_col, only the
+    highest-sequence row per doc acts — a c+u pair must NOT merge both
+    texts' postings, a d-then-c must keep the re-created doc — and a
+    pure-delete batch must not crash the sink."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 40)
+    b1 = base.select("doc_id", "text", F.lit("c").alias("op"), F.lit(1).alias("seq"))
+    # b2: doc 2 gets c-then-u (u wins), doc 3 gets d-then-c (c wins)
+    b2 = spark.createDataFrame(
+        [
+            (2, "first version of two", "u", 2),
+            (2, "second version spark vector window", "u", 3),
+            (3, "", "d", 2),
+            (3, "recreated three spark window", "c", 3),
+        ],
+        "doc_id long, text string, op string, seq int",
+    )
+    # b3: pure deletes
+    b3 = spark.createDataFrame(
+        [(5, "", "d", 4), (7, "", "d", 4)], "doc_id long, text string, op string, seq int"
+    )
+    feed = str(tmp_path / "seqfeed")
+    os.makedirs(feed)
+    for i, b in enumerate([b1, b2, b3]):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{i}.parquet")
+    idx = str(tmp_path / "tix_seq")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q_ = sp.start_text_index_sink(
+        stream, idx, str(tmp_path / "ck_seq"), buckets=16, op_col="op", seq_col="seq"
+    )
+    q_.processAllAvailable()
+    q_.stop()
+
+    final = (
+        base.where(~F.col("doc_id").isin([2, 3, 5, 7]))
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (2, "second version spark vector window"),
+                    (3, "recreated three spark window"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    ref = str(tmp_path / "tix_seq_ref")
+    retrieval.build_text_index(final, ref, buckets=16)
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    want = _rows(retrieval.bm25_topk_from_index(spark, ref, TERMS, k=10**6))
+    assert got == want and got
+
+    # without seq_col, an ambiguous multi-op batch fails loudly
+    idx2 = str(tmp_path / "tix_noseq")
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q2 = sp.start_text_index_sink(
+        stream2, idx2, str(tmp_path / "ck_noseq"), buckets=16, op_col="op"
+    )
+    with pytest.raises(Exception, match="seq_col"):
+        q2.processAllAvailable()
+    q2.stop()
+
+
+def test_upsert_replayed_epoch_is_full_noop(spark, sf_dir, tmp_path):
+    """Crash-before-marker replay of an upsert epoch: the epoch stamp
+    must gate the DELETE too — guarding only the append would let the
+    replayed delete tombstone the rows the first run appended."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "tix_replay")
+    retrieval.build_text_index(docs.where(F.col("doc_id") < 50), idx, buckets=16)
+    batch = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    retrieval.upsert_text_index(spark, idx, batch, epoch=5)
+    want = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    retrieval.upsert_text_index(spark, idx, batch, epoch=5)  # the replay
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    assert got == want
+    batch_hits = {d for d, _ in got} & {r.doc_id for r in batch.collect()}
+    assert batch_hits, "replay deleted the appended batch"
+
+
+def test_delete_everything_returns_empty_not_error(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    idx = str(tmp_path / "tix_all")
+    retrieval.build_text_index(docs, idx, buckets=8)
+    retrieval.delete_from_text_index(spark, idx, docs.select("doc_id"))
+    assert retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10).count() == 0
+    assert retrieval.phrase_match_from_index(spark, idx, ["data", "scan"]).count() == 0
+
+
+def test_compact_crash_between_swaps_then_retry(spark, sf_dir, tmp_path, monkeypatch):
+    """Injected crash after the postings swap but before the lengths
+    swap: tombstone liveness keys off BOTH trees, so the retry must
+    still purge the victims' dl rows and land exactly the
+    rebuild-without-victims stats."""
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "tix_crash")
+    retrieval.build_text_index(docs, idx, buckets=16)
+    victims = [r.doc_id for r in docs.where(F.col("doc_id") % 6 == 0).collect()]
+    retrieval.delete_from_text_index(spark, idx, victims)
+
+    orig = retrieval._swap_tree
+    calls = {"n": 0}
+
+    def flaky(stage, target):
+        orig(stage, target)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after postings swap")
+
+    monkeypatch.setattr(retrieval, "_swap_tree", flaky)
+    with _pytest.raises(RuntimeError, match="injected"):
+        retrieval.compact_text_index(spark, idx)
+    monkeypatch.setattr(retrieval, "_swap_tree", orig)
+
+    # mid-crash state must still answer correctly (victims invisible)
+    mid = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    assert not {d for d, _ in mid} & set(victims)
+
+    retrieval.compact_text_index(spark, idx)  # the retry
+    remaining = docs.where(~F.col("doc_id").isin(victims))
+    ref = str(tmp_path / "tix_crash_ref")
+    retrieval.build_text_index(remaining, ref, buckets=16)
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    want = _rows(retrieval.bm25_topk_from_index(spark, ref, TERMS, k=10**6))
+    assert got == want and got
+    mi, mr = (
+        retrieval.read_text_index_manifest(idx),
+        retrieval.read_text_index_manifest(ref),
+    )
+    assert (mi["n_docs"], mi["sum_dl"]) == (mr["n_docs"], mr["sum_dl"])
+    lens_left = (
+        spark.read.parquet(f"{idx}/lengths").where(F.col("doc_id").isin(victims)).count()
+    )
+    assert lens_left == 0
+
+
+def test_stale_tombstone_cannot_resurrect_against_new_batch(
+    spark, sf_dir, tmp_path
+):
+    """Compaction crash before the tombstone rmtree leaves the table
+    on disk; a later self-allocated update batch must pick an id NO
+    surviving tombstone references — otherwise the re-added doc's
+    rows would be anti-joined away."""
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "tix_res")
+    retrieval.build_text_index(docs, idx, buckets=16)
+    victim = 0
+    retrieval.delete_from_text_index(spark, idx, [victim])
+    # simulate crash-before-rmtree: preserve the tombstone table
+    shutil.copytree(f"{idx}/tombstones", str(tmp_path / "tomb_copy"))
+    retrieval.compact_text_index(spark, idx)
+    shutil.copytree(str(tmp_path / "tomb_copy"), f"{idx}/tombstones")
+
+    # re-add the victim via a self-allocated (epoch=None) batch;
+    # the claim is presence in the tombstone-visible doc set
+    retrieval.update_text_index(docs.where(F.col("doc_id") == victim), idx)
+    dlen = spark.read.parquet(f"{idx}/lengths")
+    tomb = retrieval._read_live_tombstones(spark, idx)
+    readded = dlen.where(F.col("doc_id") == victim)
+    kill = (
+        readded.join(
+            F.broadcast(tomb.select("doc_id", "batch")), ["doc_id", "batch"], "left_semi"
+        ).count()
+        if tomb is not None
+        else 0
+    )
+    assert readded.count() == 1 and kill == 0, (
+        "stale tombstone resurrected against the re-added batch"
+    )
+
+
 def test_phrase_match_randomized_against_python_reference(spark, tmp_path):
     """Adversarial sweep of the anchor algebra: 60 docs over a
     4-letter alphabet (maximal term repetition and overlap), one
