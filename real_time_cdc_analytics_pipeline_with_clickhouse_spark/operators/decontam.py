@@ -1,0 +1,248 @@
+"""Cross-corpus decontamination — keeping evaluation data out of the
+training corpus at 100 TB scale.
+
+Document-level n-gram overlap (``dedup.decontaminate``) catches exact
+phrase leakage; this module adds the two harder production flows:
+
+- **fuzzy decontamination** — a training doc that is a *near*-dup of a
+  benchmark doc (reworded, reformatted, partially quoted) shares few
+  exact n-grams but a high MinHash-Jaccard.  ``fuzzy_decontaminate``
+  runs the same banded-LSH candidate generation the dedup family uses,
+  but *across* corpora: train bands equi-join benchmark bands, exact
+  Jaccard verifies candidates, and every training doc gets a
+  ``contaminated`` verdict.  The benchmark side is small by
+  construction (eval sets are thousands of docs, not billions), so its
+  band table broadcasts and the 100 TB training side never shuffles —
+  candidate cost ∝ collisions, never |train|×|bench|.
+- **index-backed decontamination** — benchmarks are a curated artifact
+  that changes rarely; ``decontaminate_against_index`` answers the
+  same question off a persisted MinHash index
+  (``lsh_index.build_minhash_index`` over the benchmark corpus), so a
+  streaming ingest can gate every arriving batch without re-hashing
+  the benchmark, and benchmark takedowns (tombstones) stop acting as
+  contamination precedent immediately.
+- **span excision** — dropping a whole 50 kB document over one leaked
+  question wastes data; the surgical alternative (the Lee et al. /
+  GPT-3-appendix style n-gram decontamination) removes only the token
+  spans covered by a benchmark n-gram.  ``excise_contaminated_spans``
+  finds every training-token position opening a benchmark n-gram,
+  merges the covered windows JVM-side, and rebuilds the surviving
+  token stream — one broadcast join plus one doc-keyed aggregation,
+  no Python in the row path.
+
+Reference parity note: the reference pipeline (ESJ enrichment +
+ClickHouse rollups) has no training-data surface; this family is part
+of the repo's mandated LLM-pipeline extension set, built on the same
+shingle/MinHash primitives as the dedup operators so the DuckDB-twinned
+hash family is shared end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import shingles, tokens
+from .dedup import BAND_SIZE, N_MINHASH, _doc_shingles
+from .lsh_index import _verified, minhash_band_entries
+
+
+def _cross_verified(
+    doc_bands: DataFrame,
+    bench_bands: DataFrame,
+    doc_sh: DataFrame,
+    bench_sh: DataFrame,
+    threshold: float,
+    broadcast_benchmark: bool,
+) -> DataFrame:
+    """Verified (doc_id, bench_id) near-dup pairs across two corpora.
+
+    Candidates are the banded equi-join; when the benchmark side is
+    broadcast the training side stays map-side for candidate
+    generation (its only shuffles are the per-pair verification aggs,
+    cost ∝ candidates).  Ids may collide across the two tables — the
+    verification keeps the sides in separate columns/frames
+    throughout, so a train doc 5 never aliases bench doc 5."""
+    bb = bench_bands.select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_key"
+    )
+    if broadcast_benchmark:
+        bb = F.broadcast(bb)
+    cand = (
+        doc_bands.join(bb, ["band_id", "band_key"])
+        .select(F.col("doc_id").alias("doc_a"), F.col("bench_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verified(
+        cand,
+        doc_sh.select("doc_id", "shingle"),
+        bench_sh.select("doc_id", "shingle"),
+        threshold,
+    ).select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("bench_id"))
+
+
+def _flag(documents: DataFrame, verified: DataFrame) -> DataFrame:
+    hits = verified.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("n_bench_matches")
+    )
+    return (
+        documents.select("doc_id", "lang", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+            (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    threshold: float = 0.5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training docs that are MinHash near-dups of any benchmark
+    doc: banded-LSH candidates across corpora, exact-Jaccard verified.
+
+    Returns every input doc with ``n_bench_matches`` (distinct verified
+    benchmark near-dups) and ``contaminated``.  Soundness is exact —
+    a flagged doc really has Jaccard ≥ ``threshold`` with a benchmark
+    doc; recall is the LSH band-collision guarantee (certain at
+    Jaccard 1.0, tunable via k/band).  Set
+    ``broadcast_benchmark=False`` for an unusually large eval corpus —
+    candidates then come from a shuffle equi-join on the band key."""
+    ex_d = _doc_shingles(documents, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    ex_b = _doc_shingles(benchmark, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    verified = _cross_verified(
+        minhash_band_entries(documents, n, k, band),
+        minhash_band_entries(benchmark, n, k, band),
+        ex_d,
+        ex_b,
+        threshold,
+        broadcast_benchmark,
+    )
+    return _flag(documents, verified)
+
+
+def decontaminate_against_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    index_dir: str,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``fuzzy_decontaminate`` against a PERSISTED benchmark MinHash
+    index (``lsh_index.build_minhash_index``): per-batch cost ∝ batch,
+    the benchmark is never re-shingled, and tombstoned (taken-down)
+    benchmark docs stop flagging immediately.
+
+    The index side joins by (band_id, band_key) without a broadcast —
+    the artifact is already partitioned by band_id, and an index can
+    outgrow the driver even when one benchmark snapshot wouldn't.
+    Equivalence with the fit-per-call flow is tested exactly
+    (flags ≡ ``fuzzy_decontaminate(documents, benchmark)``)."""
+    import os
+
+    from .lsh_index import _lsh_tomb_ids, _shingle_rows
+
+    if not os.path.isdir(f"{index_dir}/bands"):
+        raise FileNotFoundError(
+            f"no MinHash index at {index_dir} — run build_minhash_index first"
+        )
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    idx_sh = spark.read.parquet(f"{index_dir}/shingles")
+    tomb = _lsh_tomb_ids(spark, index_dir)
+    if tomb is not None:
+        idx_bands = idx_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
+        idx_sh = idx_sh.join(F.broadcast(tomb), "doc_id", "left_anti")
+    verified = _cross_verified(
+        minhash_band_entries(documents, n, k, band),
+        idx_bands,
+        _shingle_rows(documents, n),
+        idx_sh,
+        threshold,
+        broadcast_benchmark=False,
+    )
+    return _flag(documents, verified)
+
+
+def excise_contaminated_spans(
+    documents: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Remove ONLY the benchmark-overlapping token spans from each
+    training document, keeping the rest — the surgical alternative to
+    dropping whole docs (the n-gram decontamination of the GPT-3
+    appendix / Lee et al., with window merging instead of doc drops).
+
+    A position ``p`` in a doc's normalized token stream is *covered*
+    when some benchmark n-gram equals tokens ``[p, p+n)`` for a window
+    opening at or before it; overlapping windows merge by position-set
+    union.  Returns (doc_id, lang, source, text, n_removed_tokens)
+    where ``text`` is the surviving NORMALIZED token stream (same
+    normalization contract as ``remove_repeated_passages``) — empty
+    when the whole doc is benchmark material.
+
+    Caveat (inherent to excision, documented by Lee et al.): splicing
+    the prefix and suffix of a removed span can in principle mint a
+    NEW benchmark n-gram at the junction; run the overlap detector
+    after excision when a hard guarantee is needed.
+
+    Scale shape: the benchmark n-gram set is distinct'd and broadcast
+    (eval-corpus-sized); per-doc work is one generate-grams projection,
+    the broadcast equi-join, a doc-keyed covered-position aggregation,
+    and a doc-keyed rebuild join — the 100 TB side shuffles once, on
+    its own doc_id."""
+    bench_grams = (
+        benchmark.select(F.explode(shingles(F.col("text"), n)).alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct()
+    )
+    tok = tokens(F.col("text"))
+    grams = (
+        documents.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    F.size(tok) >= n, shingles(F.col("text"), n)
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "gram"),
+        )
+    )
+    covered = (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+                    )
+                )
+            ).alias("covered")
+        )
+    )
+    kept = F.filter(tok, lambda t, i: ~F.array_contains(F.col("covered"), i))
+    return (
+        documents.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("covered").isNull(), F.concat_ws(" ", tok))
+            .otherwise(F.concat_ws(" ", kept))
+            .alias("text"),
+            F.coalesce(F.size("covered"), F.lit(0)).alias("n_removed_tokens"),
+        )
+    )

@@ -403,25 +403,21 @@ def training_data_prep(documents: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_dedup_keep(
+def fuzzy_near_dup_pairs(
     documents: DataFrame,
     n: int = 3,
     k: int = N_MINHASH,
     band: int = BAND_SIZE,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """The production near-dedup flow end-to-end: MinHash → banded LSH
-    candidate pairs → exact Jaccard verification on candidates only →
-    greedy keeper selection (a doc is dropped iff it is the higher id
-    of a verified near-dup pair).
+    """Exact-Jaccard-VERIFIED near-dup pairs (doc_a < doc_b): banded
+    LSH candidates (``minhash_lsh_pairs``) filtered by true shingle
+    Jaccard ≥ ``threshold`` — the shared core of every fuzzy-dedup
+    keeper policy.
 
     Scale shape: candidate generation is the sub-quadratic banded
-    equi-join (``minhash_lsh_pairs``); the exact-Jaccard step joins the
-    shingle table only against the candidate pairs (cost ∝ candidates,
-    not corpus²); the final drop is one anti-join.  This is the fuzzy
-    upgrade of ``training_data_prep``'s exact dedup — the composition
-    a 100 TB corpus pipeline runs (cf. MinHash-LSH dedup in the
-    RefinedWeb/SlimPajama-style pipelines).
+    equi-join; the exact-Jaccard step joins the shingle table only
+    against the candidate pairs (cost ∝ candidates, not corpus²).
     """
     cand = minhash_lsh_pairs(documents, n, k, band)
     ex = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
@@ -434,7 +430,7 @@ def fuzzy_dedup_keep(
         .agg(F.count("*").alias("n_common"))
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    verified = (
+    return (
         common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .where(
@@ -442,8 +438,77 @@ def fuzzy_dedup_keep(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
             >= threshold
         )
+        .select("doc_a", "doc_b")
     )
+
+
+def fuzzy_dedup_keep(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dedup flow end-to-end: MinHash → banded LSH
+    candidate pairs → exact Jaccard verification on candidates only →
+    greedy keeper selection (a doc is dropped iff it is the higher id
+    of a verified near-dup pair).
+
+    Scale shape: ``fuzzy_near_dup_pairs`` plus one anti-join.  This is
+    the fuzzy upgrade of ``training_data_prep``'s exact dedup — the
+    composition a 100 TB corpus pipeline runs (cf. MinHash-LSH dedup
+    in the RefinedWeb/SlimPajama-style pipelines).  Note the greedy
+    pairwise policy keeps MORE than one doc per transitive near-dup
+    component when some member pairs with neither extreme — use
+    ``fuzzy_dedup_keep_by`` for one-survivor-per-component semantics.
+    """
+    verified = fuzzy_near_dup_pairs(documents, n, k, band, threshold)
     drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def fuzzy_dedup_keep_by(
+    documents: DataFrame,
+    priority: str,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware fuzzy dedup: connected components over the
+    VERIFIED near-dup pairs, keeping the single highest-``priority``
+    doc per component (tie → smallest doc_id) — the curation policy
+    real pipelines want ("keep the best copy", not "keep the first
+    crawled"), with ``priority`` any numeric column of ``documents``
+    (a quality score, a length, a source weight).
+
+    Differs from ``fuzzy_dedup_keep`` in two ways: transitive copies
+    collapse to ONE survivor per component (the greedy pairwise rule
+    can keep several), and the survivor is chosen by merit, not id.
+
+    Scale shape: verification as in ``fuzzy_near_dup_pairs``;
+    components via the large-star/small-star min-label iteration
+    (edges-sized shuffles); keeper choice is one combinable ``max_by``
+    per component; the final drop is one anti-join.
+    """
+    verified = fuzzy_near_dup_pairs(documents, n, k, band, threshold)
+    comp = connected_components(verified)
+    pri = documents.select("doc_id", F.col(priority).alias("_pri"))
+    keepers = (
+        comp.join(pri, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("_pri"), (-F.col("doc_id")).alias("_tie")),
+            ).alias("keep_id")
+        )
+    )
+    drops = (
+        comp.join(keepers, "label")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
     return documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 

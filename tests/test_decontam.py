@@ -1,0 +1,223 @@
+"""Cross-corpus decontamination + quality-aware dedup keeper tests.
+
+Ground truth comes from planted contamination (exact and mutated
+copies of benchmark docs inside the training corpus) plus a Python
+brute-force exact-Jaccard reference computed on the collected shingle
+sets — small enough to enumerate, strong enough to prove soundness
+(every flag the operator raises is a true ≥-threshold near-dup)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+    decontam,
+    dedup,
+    lsh_index,
+)
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def _shingle_sets(df):
+    rows = dedup._doc_shingles(df, 3).collect()
+    return {r["doc_id"]: set(r["sh"]) for r in rows}
+
+
+def _jacc(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+@pytest.fixture(scope="module")
+def corpora(spark, sf_dir):
+    """bench = 20 real docs; train = 100 disjoint real docs + planted
+    exact copies (ids 9xx) + planted near-copies (ids 8xx, last three
+    tokens dropped) + an ID-COLLIDING clean doc (train doc_id 0 is a
+    different text than bench doc_id 0 — id aliasing across corpora
+    must not flag it)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    bench = docs.where(F.col("doc_id") < 20).persist()
+    clean = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    collide = docs.where(F.col("doc_id") == 300).withColumn("doc_id", F.lit(0))
+    exact = (
+        bench.where(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 900)
+    )
+    near = (
+        bench.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .withColumn("doc_id", F.col("doc_id") + 800)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.col("text"), " "),
+                    1,
+                    F.greatest(F.size(F.split(F.col("text"), " ")) - 3, F.lit(1)),
+                ),
+            ),
+        )
+    )
+    train = clean.unionByName(collide).unionByName(exact).unionByName(near).persist()
+    yield bench, train
+    bench.unpersist()
+    train.unpersist()
+
+
+def test_fuzzy_decontaminate_planted_and_sound(spark, corpora):
+    bench, train = corpora
+    out = decontam.fuzzy_decontaminate(train, bench, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == train.count()  # every input doc verdict'd
+
+    flagged = {d for d, r in rows.items() if r["contaminated"]}
+    planted = {900, 901, 902, 903, 904, 805, 806, 807, 808, 809}
+    missing = planted - flagged
+    assert not missing, f"planted contamination missed: {sorted(missing)}"
+    # the id-colliding clean doc must not alias bench doc 0
+    assert 0 not in flagged
+    for d in [900, 901, 902]:
+        assert rows[d]["n_bench_matches"] >= 1
+
+    # soundness: every flag is a true exact-Jaccard >= 0.5 near-dup
+    tsh, bsh = _shingle_sets(train), _shingle_sets(bench)
+    for d in flagged:
+        best = max(_jacc(tsh[d], s) for s in bsh.values())
+        assert best >= 0.5, f"doc {d} flagged at max jaccard {best}"
+    # and unflagged docs are below threshold OR an LSH miss — clean
+    # reals must be unflagged here (vocabulary overlap stays < 0.5)
+    for d in flagged:
+        assert d in planted, f"unexpected flag on {d}"
+
+
+def test_decontaminate_against_index_equiv_and_takedown(
+    spark, corpora, tmp_path
+):
+    bench, train = corpora
+    idx = str(tmp_path / "bench_idx")
+    lsh_index.build_minhash_index(bench, idx)
+
+    live = decontam.decontaminate_against_index(spark, train, idx, threshold=0.5)
+    fit = decontam.fuzzy_decontaminate(train, bench, threshold=0.5)
+    assert sorted(map(tuple, live.collect())) == sorted(map(tuple, fit.collect()))
+
+    # benchmark takedown: tombstoned bench docs stop flagging
+    lsh_index.delete_from_minhash_index(spark, idx, [0, 1, 2, 3, 4])
+    after = {
+        r["doc_id"]
+        for r in decontam.decontaminate_against_index(
+            spark, train, idx, threshold=0.5
+        ).collect()
+        if r["contaminated"]
+    }
+    for d in [900, 901, 902, 903, 904]:
+        assert d not in after, "takedown victim still acting as precedent"
+    for d in [805, 806, 807, 808, 809]:
+        assert d in after  # their bench sources (5..9) stay live
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "synth") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_excise_contaminated_spans_exact_construction(spark):
+    """A benchmark sentence spliced into a training doc: exactly the
+    spliced token span disappears, the surrounding text survives, and
+    untouched docs round-trip (normalized)."""
+    sent = " ".join(f"leak{i}" for i in range(10))  # 10 distinctive tokens
+    body_a = " ".join(f"alpha{i}" for i in range(12))
+    body_b = " ".join(f"beta{i}" for i in range(12))
+    bench = _mk_docs(spark, [(100, sent)])
+    train = _mk_docs(
+        spark,
+        [
+            (1, f"{body_a} {sent} {body_b}"),  # contaminated in the middle
+            (2, f"{body_a} {body_b}"),  # clean
+            (3, sent),  # entirely benchmark material
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontam.excise_contaminated_spans(train, bench, n=8).collect()}
+    assert out[1]["text"] == f"{body_a} {body_b}"
+    assert out[1]["n_removed_tokens"] == 10
+    assert out[2]["text"] == f"{body_a} {body_b}" and out[2]["n_removed_tokens"] == 0
+    assert out[3]["text"] == "" and out[3]["n_removed_tokens"] == 10
+
+    # closed loop: the overlap detector finds nothing after excision
+    cleaned = _mk_docs(spark, [(d, r["text"]) for d, r in out.items()])
+    recheck = dedup.decontaminate(cleaned, bench, n=8, min_overlap=1)
+    assert all(not r["contaminated"] for r in recheck.collect())
+
+
+def test_excise_merges_overlapping_windows(spark):
+    """Two bench n-grams overlapping in the train doc cover the UNION
+    of their windows, not double-count it."""
+    toks = [f"w{i}" for i in range(14)]
+    bench = _mk_docs(
+        spark,
+        [(100, " ".join(toks[0:9])), (101, " ".join(toks[4:13]))],
+    )  # 9-token sentences; n=8 grams overlap on w4..w8
+    train = _mk_docs(spark, [(1, "pre0 pre1 " + " ".join(toks) + " post0 post1")])
+    out = decontam.excise_contaminated_spans(train, bench, n=8).collect()[0]
+    # covered: positions of w0..w8 and w4..w12 → w0..w12 (13 tokens);
+    # w13 survives (no gram containing it matches entirely)
+    assert out["n_removed_tokens"] == 13
+    assert out["text"] == "pre0 pre1 w13 post0 post1"
+
+
+def test_fuzzy_dedup_keep_by_cluster_canonical(spark):
+    """Exact-copy cluster: the max-priority member survives (not the
+    min id); tie breaks to the smaller id; singletons all survive."""
+    t = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"uniq{i}" for i in range(30))
+    docs = _mk_docs(
+        spark, [(11, t), (12, t), (13, t), (50, other)]
+    ).withColumn(
+        "score",
+        F.when(F.col("doc_id") == 12, 9.0)
+        .when(F.col("doc_id") == 13, 7.0)
+        .otherwise(5.0),
+    )
+    kept = {r["doc_id"] for r in dedup.fuzzy_dedup_keep_by(docs, "score").collect()}
+    assert kept == {12, 50}
+    # greedy baseline keeps the min id instead
+    greedy = {r["doc_id"] for r in dedup.fuzzy_dedup_keep(docs).collect()}
+    assert greedy == {11, 50}
+    # tie on priority → smaller id
+    tied = docs.withColumn("score", F.lit(1.0))
+    assert {r["doc_id"] for r in dedup.fuzzy_dedup_keep_by(tied, "score").collect()} == {11, 50}
+
+
+def test_fuzzy_dedup_keep_by_transitive_component_one_survivor(spark):
+    """A~C and B~C verified but A≁B: greedy pairwise keeps both A and
+    B; the component keeper collapses the chain to ONE survivor — the
+    max-priority member, even when it is not in every pair."""
+    a_blk = [f"a{i}" for i in range(50)]
+    b_blk = [f"b{i}" for i in range(50)]
+    m_blk = [f"m{i}" for i in range(50)]
+    A = " ".join(a_blk + m_blk)
+    B = " ".join(m_blk + b_blk)
+    C = " ".join(a_blk[:25] + m_blk + b_blk[:25])
+    docs = _mk_docs(spark, [(1, A), (5, B), (9, C), (70, " ".join(f"z{i}" for i in range(40)))]).withColumn(
+        "score",
+        F.when(F.col("doc_id") == 5, 9.0).otherwise(1.0),
+    )
+    # band=1 (16 one-hash bands) so ~0.57-Jaccard pairs are caught
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.fuzzy_near_dup_pairs(docs, band=1, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 9), (5, 9)}  # the chain, no A~B edge
+    kept = {
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_keep_by(docs, "score", band=1, threshold=0.5).collect()
+    }
+    assert kept == {5, 70}
+    greedy = {
+        r["doc_id"] for r in dedup.fuzzy_dedup_keep(docs, band=1, threshold=0.5).collect()
+    }
+    assert greedy == {1, 5, 70}  # under-drops the transitive copy
