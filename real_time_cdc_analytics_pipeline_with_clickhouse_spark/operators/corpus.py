@@ -426,12 +426,14 @@ def prepare_training_corpus(
     test_pct: int = 5,
     quality_model_dir: str | None = None,
     quality_threshold: float = 0.5,
+    benchmark: DataFrame | None = None,
+    decontam_threshold: float = 0.5,
 ) -> DataFrame:
     """The full corpus-prep flow a pretraining pipeline runs, composed
     from the engine's stages:
 
-        quality filter → PII redaction → fuzzy (MinHash-LSH) dedup →
-        content-hash split
+        quality filter → [benchmark decontamination] → PII redaction →
+        fuzzy (MinHash-LSH) dedup → content-hash split
 
     Returns one row per *surviving* document: doc_id, lang, split,
     n_tokens, redacted_md5.
@@ -457,6 +459,13 @@ def prepare_training_corpus(
     gate runs the model (a broadcast weight join instead of a
     histogram aggregation).  Survivor token counts still come from
     the ppm signals so downstream columns are unchanged.
+
+    ``benchmark`` adds the eval-leakage gate (``decontam.
+    fuzzy_decontaminate``): quality survivors that MinHash-near-dup a
+    benchmark doc are dropped BEFORE dedup — decontamination first, so
+    a contaminated doc can never be the dedup keeper that suppressed
+    its clean near-copy.  The benchmark side broadcasts; the corpus
+    side pays only its own (already-required) shingle/minhash pass.
     """
     from .dedup import fuzzy_dedup_keep, hash_split
     from .quality import pii_redact, quality_signals_ppm
@@ -475,6 +484,15 @@ def prepare_training_corpus(
     else:
         keep_quality = sig.where(F.col("quality_ok")).select("doc_id", "n_tokens")
     gated = documents.join(keep_quality, "doc_id")
+    if benchmark is not None:
+        from .decontam import fuzzy_decontaminate
+
+        clean = (
+            fuzzy_decontaminate(gated, benchmark, threshold=decontam_threshold)
+            .where(~F.col("contaminated"))
+            .select("doc_id")
+        )
+        gated = gated.join(clean, "doc_id", "left_semi")
     kept = fuzzy_dedup_keep(gated, threshold=jaccard_threshold).select("doc_id")
     survivors = gated.join(kept, "doc_id")
     red = pii_redact(survivors).select("doc_id", "redacted_md5")

@@ -1071,6 +1071,8 @@ def start_corpus_ingest_sink(
     checkpoint: str,
     threshold: float = 0.5,
     compact_every: int | None = 16,
+    benchmark_index_dir: str | None = None,
+    decontam_threshold: float = 0.5,
 ):
     """Live training-corpus ingestion with FUZZY dedup: per micro-batch,
     new documents dedup against the persistent MinHash-LSH index
@@ -1116,8 +1118,17 @@ def start_corpus_ingest_sink(
     (tested); the epoch marker lives in a ``_meta`` sibling dir so no
     rewrite can clobber it.  ``None`` disables index compaction and
     degrades the corpus to one dir per epoch (still exactly-once).
+
+    ``benchmark_index_dir`` adds the eval-leakage gate at the TOP of
+    every micro-batch (``decontam.decontaminate_against_index``):
+    docs that MinHash-near-dup a benchmark doc are dropped as if they
+    never arrived — they neither enter the corpus nor become dedup
+    precedent in the corpus index.  Replay stays deterministic as long
+    as the benchmark index is not mutated while the stream runs
+    (benchmark updates/takedowns between runs are fine — verdicts are
+    a pure function of batch × benchmark artifact).
     """
-    from ..operators import dedup as dd
+    from ..operators import decontam, dedup as dd
     from ..operators import lsh_index
 
     meta_dir = corpus_dir + "_meta"
@@ -1134,6 +1145,18 @@ def start_corpus_ingest_sink(
             F.lit("und").alias("lang") if "lang" not in batch.columns else F.col("lang"),
             F.lit("stream").alias("source") if "source" not in batch.columns else F.col("source"),
         )
+        if benchmark_index_dir is not None:
+            clean = (
+                decontam.decontaminate_against_index(
+                    sp_, docs, benchmark_index_dir, threshold=decontam_threshold
+                )
+                .where(~F.col("contaminated"))
+                .select("doc_id")
+            )
+            docs = docs.join(clean, "doc_id", "left_semi")
+            if docs.isEmpty():
+                _record_epoch(meta_dir, epoch, checkpoint)
+                return
         if not os.path.isdir(f"{index_dir}/bands"):
             # bootstrap: no corpus yet — within-batch fuzzy dedup only
             kept_ids = dd.fuzzy_dedup_keep(docs, threshold=threshold)

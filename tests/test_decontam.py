@@ -169,6 +169,75 @@ def test_excise_merges_overlapping_windows(spark):
     assert out["text"] == "pre0 pre1 w13 post0 post1"
 
 
+def test_prepare_training_corpus_benchmark_gate(spark, corpora):
+    """The composed corpus-prep flow with a benchmark drops exactly the
+    contaminated docs and leaves every other verdict untouched."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    bench, train = corpora
+    without = {r["doc_id"]: r for r in corpus.prepare_training_corpus(train).collect()}
+    withb = {
+        r["doc_id"]: r
+        for r in corpus.prepare_training_corpus(train, benchmark=bench).collect()
+    }
+    planted = {900, 901, 902, 903, 904, 805, 806, 807, 808, 809}
+    assert not planted & set(withb)
+    assert set(withb) == set(without) - planted
+    for d, r in withb.items():
+        assert tuple(r) == tuple(without[d])  # untouched verdicts identical
+
+
+def test_corpus_ingest_sink_benchmark_gate(spark, tmp_path):
+    """Streaming ingest with the eval-leakage gate: contaminated docs
+    never reach the corpus, never become dedup precedent, and a
+    pure-contamination micro-batch still records its epoch."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    bench_sent = " ".join(f"bm{i}" for i in range(40))
+    bench = _mk_docs(spark, [(0, bench_sent)])
+    bidx = str(tmp_path / "bench_idx")
+    lsh_index.build_minhash_index(bench, bidx)
+
+    mk = lambda i: " ".join(f"c{i}x{j}" for j in range(40))
+    b1 = _mk_docs(spark, [(1, mk(1)), (2, mk(2)), (10, bench_sent)])
+    # 101 = dup of 1 (dedup drop), 11 = near-copy of the benchmark
+    b2 = _mk_docs(
+        spark,
+        [(3, mk(3)), (101, mk(1)), (11, " ".join(bench_sent.split()[:37]))],
+    )
+    b3 = _mk_docs(spark, [(12, bench_sent)])  # pure contamination
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    corpus_dir, idx = str(tmp_path / "corpus"), str(tmp_path / "cidx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/*.parquet")
+    )
+    q = sp.start_corpus_ingest_sink(
+        stream, corpus_dir, idx, str(tmp_path / "ck"), benchmark_index_dir=bidx
+    )
+    for i, b in enumerate([b1, b2, b3]):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{i}.parquet")
+        q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus_dir).collect())
+    assert got == [1, 2, 3]
+    # contaminated docs are not dedup precedent either
+    idx_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{idx}/bands").select("doc_id").collect()
+    }
+    assert not idx_ids & {10, 11, 12}
+    # the pure-contamination epoch was applied (no replay later)
+    assert sp._epoch_already_applied(corpus_dir + "_meta", 2)
+
+
 def test_fuzzy_dedup_keep_by_cluster_canonical(spark):
     """Exact-copy cluster: the max-priority member survives (not the
     min id); tie breaks to the smaller id; singletons all survive."""
