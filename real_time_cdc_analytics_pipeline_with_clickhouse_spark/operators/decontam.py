@@ -233,7 +233,14 @@ def excise_contaminated_spans(
             ).alias("covered")
         )
     )
-    kept = F.filter(tok, lambda t, i: ~F.array_contains(F.col("covered"), i))
+    # rebuild via array_except (hashed right side, O(tokens+covered)
+    # per row — a per-token array_contains would be O(tokens×covered),
+    # quadratic on a fully-covered long doc); positions are unique so
+    # array_except's left-dedup is a no-op, and it preserves left order
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size(tok) - 1), F.col("covered")
+    )
+    kept = F.transform(kept_pos, lambda p: F.element_at(tok, (p + 1).cast("int")))
     return (
         documents.join(covered, "doc_id", "left")
         .select(
