@@ -155,3 +155,26 @@ def test_shuffle_count_within_budget(name, spark, sf_dir):
     assert n <= SHUFFLE_BUDGET[name], (
         f"{name}: {n} exchanges, budget {SHUFFLE_BUDGET[name]} — a shuffle crept in"
     )
+
+
+def test_decontam_plans_no_cartesian_and_broadcast_benchmark(spark, sf_dir):
+    """The cross-corpus decontamination family must candidate-join on
+    the band key (never a cartesian), and the benchmark side of the
+    fit-per-call flow must be a broadcast — the 100 TB training side
+    may not shuffle to meet an eval-set-sized table."""
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import decontam
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    bench = docs.where(F.col("doc_id") < 20)
+    train = docs.where(F.col("doc_id") >= 100)
+    for df in [
+        decontam.fuzzy_decontaminate(train, bench),
+        decontam.excise_contaminated_spans(train, bench),
+    ]:
+        plan = plan_string(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # the benchmark side broadcasts
