@@ -1,0 +1,210 @@
+"""Distributed BPE tokenizer training — learning the merge table of a
+byte-pair-encoding tokenizer (Sennrich et al. 2016, the GPT-2-family
+construction) over a corpus too large to fit one machine.
+
+The trick that makes corpus-scale BPE tractable is the same one every
+production trainer uses: pair statistics depend only on the WORD
+FREQUENCY table, not the raw text.  One corpus pass aggregates
+(word, freq) — a single combinable shuffle over the 100 TB side — and
+every subsequent merge iteration runs over that table, whose size is
+the vocabulary of the corpus (millions of rows), not its token count
+(trillions).  Each iteration is one exploded-pair aggregation plus a
+map-side greedy fold; the corpus is never rescanned.
+
+Semantics (pinned, and mirrored exactly by the pure-Python reference
+in tests/test_bpe.py):
+
+- words are the engine-wide normalized whitespace tokens
+  (``functions.text.tokens`` — same family as shingles/minhash, so
+  the tokenizer is trained on exactly the text every other corpus
+  operator sees);
+- initial symbols are single characters;
+- a pair's frequency counts EVERY adjacent occurrence, overlaps
+  included ("aaa" contributes (a,a) twice), weighted by word freq;
+- ties break deterministically: highest freq, then lexicographically
+  smallest (left, right);
+- a merge applies greedily LEFT-TO-RIGHT within each word
+  ("aaaa" + (a,a) → [aa, aa]);
+- training stops after ``n_merges`` or when the best pair's frequency
+  falls below ``min_freq``.
+
+Encoding re-applies the learned merges in rank order (equivalent to
+the usual lowest-rank-first loop: a merge's constituents are created
+only by strictly earlier ranks, so rank order never strands an
+applicable earlier merge).  The scale shape is vocabulary-style:
+DISTINCT words are encoded once (an Arrow-batched pandas UDF over the
+word table — Python cost ∝ |vocabulary|, never ∝ corpus) and the
+corpus side only pays a join against the word→pieces map.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import tokens
+
+_EMPTY_PAIRS = "array<struct<l:string,r:string>>"
+
+
+def _word_freqs(documents: DataFrame) -> DataFrame:
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _adjacent_pairs(seq_col):
+    """Every adjacent symbol pair of ``seq_col``, overlaps included.
+    ``sequence`` DESCENDS when its bounds invert, so the < 2-symbol
+    case must short-circuit to an empty array."""
+    return F.when(
+        F.size(seq_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(seq_col) - 1),
+            lambda i: F.struct(
+                F.element_at(seq_col, i.cast("int")).alias("l"),
+                F.element_at(seq_col, (i + 1).cast("int")).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast(_EMPTY_PAIRS))
+
+
+def _apply_merge(seq_col, left, right):
+    """Greedy left-to-right merge of the (left, right) pair via a
+    single JVM-side fold: the accumulator's last symbol merges with the
+    incoming one exactly when they spell the pair — which reproduces
+    the standard leftmost-first non-overlapping application
+    ("aaaa" + (a,a) → [aa, aa], not [aa, a, a])."""
+
+    def step(acc, s):
+        last = F.when(F.size(acc) > 0, F.element_at(acc, -1))
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(left, right))
+        )
+        return F.when((last == left) & (s == right), merged).otherwise(
+            F.concat(acc, F.array(s))
+        )
+
+    return F.aggregate(seq_col, F.array().cast("array<string>"), step)
+
+
+def train_bpe(
+    documents: DataFrame, n_merges: int, min_freq: int = 2
+) -> DataFrame:
+    """Learn the BPE merge table.  Returns (rank, left, right, merged,
+    pair_freq) — rank 0 first; ``merged = left || right``.
+
+    Scale shape: ONE corpus-wide shuffle (the word-frequency
+    aggregation), then ``n_merges`` iterations over the persisted word
+    table — each one exploded-pair aggregation (combinable, keyed on
+    the pair) sized by ``_iteration_shuffle``, one 1-row argmax
+    collect, one map-side fold.  ``localCheckpoint`` truncates the
+    per-iteration lineage exactly as the connected-components loop
+    does.  For vocabularies of tens of thousands of merges, batch
+    several training runs coarse-to-fine or checkpoint the word table
+    and resume — each iteration is corpus-size-independent either way.
+    """
+    from .dedup import _iteration_shuffle
+
+    spark = documents.sparkSession
+    words = _word_freqs(documents).withColumn("seq", F.split("word", ""))
+    words = words.localCheckpoint()
+    n_words = words.count()
+    merges: list[tuple[int, str, str, int]] = []
+    with _iteration_shuffle(spark, n_words):
+        for rank in range(n_merges):
+            best = (
+                words.select(F.explode(_adjacent_pairs(F.col("seq"))).alias("p"), "freq")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("f"))
+                .orderBy(F.desc("f"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["f"] < min_freq:
+                break
+            l, r, f = best[0]["l"], best[0]["r"], int(best[0]["f"])
+            merges.append((rank, l, r, f))
+            nxt = words.withColumn(
+                "seq", _apply_merge(F.col("seq"), F.lit(l), F.lit(r))
+            ).localCheckpoint()
+            words.unpersist()
+            words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        [(rank, l, r, l + r, f) for rank, l, r, f in merges],
+        "rank int, left string, right string, merged string, pair_freq long",
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """The classic lowest-rank-first encode over one word — shared by
+    the pandas UDF and the test reference."""
+    seq = list(word)
+    while len(seq) > 1:
+        best, best_rank = None, None
+        for pair in zip(seq, seq[1:]):
+            rk = ranks.get(pair)
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best, best_rank = pair, rk
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                out.append(seq[i] + seq[i + 1])
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
+    """Encode every document into BPE pieces with a learned merge
+    table.  Returns (doc_id, pieces array<string>, n_pieces).
+
+    Scale shape: the merge table is a driver-bounded artifact
+    (``n_merges`` rows) collected into the encode closure; Python runs
+    ONLY over the DISTINCT-word table (Arrow-batched pandas UDF —
+    cost ∝ |vocabulary|); the corpus side is a posexploded token join
+    against the word→pieces map plus one doc-keyed order-restoring
+    reassembly, both plain shuffles.  Piece concatenation reproduces
+    each word exactly (round-trip tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges.select("rank", "left", "right").collect()
+    }
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _encode_word(w, ranks))
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    ).where(F.col("word") != "")
+    vocab = toks.select("word").distinct().withColumn("pieces", enc("word"))
+    return (
+        toks.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos").alias("i"), F.col("pieces").alias("p"))
+                        )
+                    ),
+                    lambda x: x["p"],
+                )
+            ).alias("pieces")
+        )
+        .select("doc_id", "pieces", F.size("pieces").alias("n_pieces"))
+    )

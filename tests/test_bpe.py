@@ -1,0 +1,111 @@
+"""Distributed BPE trainer vs an exact pure-Python reference.
+
+The reference mirrors the module's pinned semantics (overlap-counted
+pairs, freq-then-lexicographic tie-break, greedy left-to-right
+application) over the SAME word-frequency table, so every merge and
+every final segmentation must match exactly — no tolerance."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import bpe
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def _ref_train(word_freqs: dict, n_merges: int, min_freq: int = 2):
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for pair in zip(s, s[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        (l, r), f = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if f < min_freq:
+            break
+        merges.append((rank, l, r, l + r, f))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_train_bpe_matches_reference_exactly(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    wf = {r["word"]: r["freq"] for r in bpe._word_freqs(docs).collect()}
+    assert wf  # the corpus tokenizes
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in bpe.train_bpe(docs, n_merges=25).orderBy("rank").collect()
+    ]
+    want, ref_seqs = _ref_train(wf, 25)
+    assert got == want and len(got) == 25
+
+    # encode: training words segment exactly as training left them,
+    # doc pieces are the in-order concatenation, and pieces round-trip
+    merges = bpe.train_bpe(docs, n_merges=25)
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, r in enc.items():
+        words = [w for w in __import__("re").sub(r"[^a-z0-9]+", " ", texts[d].lower()).strip().split() if w]
+        expect = [p for w in words for p in ref_seqs[w]]
+        assert r["pieces"] == expect
+        assert "".join(r["pieces"]) == "".join(words)  # round-trip
+        assert r["n_pieces"] == len(r["pieces"])
+    assert set(enc) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_train_bpe_min_freq_stop_and_tie_break(spark):
+    # "ab" x3 and "cd" x3 tie at freq 3 → lexicographic (a,b) first;
+    # then (c,d); then the only remaining pairs are inside "xyz" (freq
+    # 1 each) → min_freq=2 stops training at exactly 2 merges
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "cd cd ab xyz")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe.train_bpe(docs, n_merges=10, min_freq=2).orderBy("rank").collect()
+    ]
+    assert got == [(0, "a", "b", 3), (1, "c", "d", 3)]
+
+    # encoding with the learned table: merged words collapse to one
+    # piece, unseen-structure words fall back to finer pieces
+    merges = bpe.train_bpe(docs, n_merges=10, min_freq=2)
+    enc = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    assert enc[1] == ["ab", "ab", "cd"]
+    assert enc[2] == ["cd", "cd", "ab", "x", "y", "z"]
+
+
+def test_bpe_encode_unseen_words_and_empty_merges(spark):
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "ll ll ll")], "doc_id long, text string")
+    merges = bpe.train_bpe(train, n_merges=1)
+    enc = bpe.bpe_encode(docs, merges).collect()
+    by = {r["doc_id"]: r["pieces"] for r in enc}
+    # the (l,l) merge applies inside the unseen word "hello": h e ll o
+    assert by[1] == ["h", "e", "ll", "o", "w", "o", "r", "l", "d"]
+
+    empty = bpe.train_bpe(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        n_merges=5,
+        min_freq=2,
+    )
+    assert empty.count() == 0  # nothing reaches min_freq
+    enc2 = bpe.bpe_encode(docs, empty).collect()[0]["pieces"]
+    assert enc2 == list("hello") + list("world")  # char fallback
