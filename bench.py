@@ -419,6 +419,30 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_fuzzy_decontaminate"] = round(best, 3)
+
+            # BPE: training cost is per-merge over the WORD table
+            # (corpus-size-independent after the one freq shuffle);
+            # encoding pays Python only on the distinct vocabulary and
+            # a join on the 10× corpus side
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                bpe as BPE,
+            )
+
+            t0 = time.time()
+            bpe_merges = BPE.train_bpe(docs10, n_merges=15)
+            bpe_merges = bpe_merges.persist()
+            bpe_merges.count()
+            timings["_scale10x_bpe_train15"] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                BPE.bpe_encode(docs10, bpe_merges).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_bpe_encode"] = round(best, 3)
+            bpe_merges.unpersist()
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 
