@@ -191,7 +191,7 @@ def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
     ).where(F.col("word") != "")
     vocab = toks.select("word").distinct().withColumn("pieces", enc("word"))
-    return (
+    encoded = (
         toks.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
@@ -206,5 +206,16 @@ def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
                 )
             ).alias("pieces")
         )
-        .select("doc_id", "pieces", F.size("pieces").alias("n_pieces"))
+    )
+    # LEFT join back: a null/empty-text doc has no token rows but must
+    # still surface (pieces=[]) — silently losing rows would corrupt
+    # downstream counts (same contract as quality_signals)
+    return (
+        documents.select("doc_id")
+        .join(encoded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
+            F.coalesce(F.size("pieces"), F.lit(0)).alias("n_pieces"),
+        )
     )

@@ -109,3 +109,12 @@ def test_bpe_encode_unseen_words_and_empty_merges(spark):
     assert empty.count() == 0  # nothing reaches min_freq
     enc2 = bpe.bpe_encode(docs, empty).collect()[0]["pieces"]
     assert enc2 == list("hello") + list("world")  # char fallback
+
+    # tokenless docs still surface with pieces=[] — never silently lost
+    with_empty = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bpe.bpe_encode(with_empty, merges).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["pieces"] == [] and rows[2]["n_pieces"] == 0
+    assert rows[3]["pieces"] == [] and rows[3]["n_pieces"] == 0
