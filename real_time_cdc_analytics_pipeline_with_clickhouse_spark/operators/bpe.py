@@ -219,3 +219,90 @@ def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
             F.coalesce(F.size("pieces"), F.lit(0)).alias("n_pieces"),
         )
     )
+
+
+BASE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def bpe_vocab(merges: DataFrame, base_alphabet: str = BASE_ALPHABET) -> DataFrame:
+    """The CLOSED id table a trained BPE tokenizer ships with:
+    (token_id, piece, kind) — ids 1..len(base) are the base characters
+    in alphabet order, merged symbols follow at ``len(base)+1+rank``.
+    Id 0 stays reserved (contract symmetry with ``build_vocab`` /
+    ``encode_tokens``), but normalized text is [a-z0-9] by
+    construction, so BPE encoding can never actually produce an
+    out-of-vocabulary piece — every piece decomposes to base chars.
+
+    Ids are a pure function of (alphabet order, merge rank): stable
+    across runs, engines and corpora — the property checkpointed
+    tokenizers need."""
+    spark = merges.sparkSession
+    base = spark.createDataFrame(
+        [(i + 1, c, "base") for i, c in enumerate(base_alphabet)],
+        "token_id int, piece string, kind string",
+    )
+    merged = merges.select(
+        (F.col("rank") + len(base_alphabet) + 1).cast("int").alias("token_id"),
+        F.col("merged").alias("piece"),
+        F.lit("merged").alias("kind"),
+    )
+    return base.unionByName(merged)
+
+
+def bpe_encode_ids(
+    documents: DataFrame, merges: DataFrame, base_alphabet: str = BASE_ALPHABET
+) -> DataFrame:
+    """``bpe_encode`` straight to model-ready ids — (doc_id, token_ids
+    array<int>, n_pieces).  Same scale shape as ``bpe_encode`` (Python
+    cost ∝ distinct vocabulary, corpus pays one join + reassembly);
+    the piece→id map is the closed ``bpe_vocab`` table held in the
+    encode closure, so the id assignment is the checkpointable one.
+    A character outside the base alphabet cannot survive
+    normalization, but the encoder still maps it to the reserved 0
+    rather than crashing (defense in depth, tested via a custom
+    alphabet)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges.select("rank", "left", "right").collect()
+    }
+    ids = {c: i + 1 for i, c in enumerate(base_alphabet)}
+    for (l, r), rk in ranks.items():
+        ids[l + r] = len(base_alphabet) + 1 + rk
+
+    @pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda w: [ids.get(p, 0) for p in _encode_word(w, ranks)]
+        )
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    ).where(F.col("word") != "")
+    vocab = toks.select("word").distinct().withColumn("wids", enc("word"))
+    encoded = (
+        toks.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos").alias("i"), F.col("wids").alias("p"))
+                        )
+                    ),
+                    lambda x: x["p"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(encoded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+            F.coalesce(F.size("token_ids"), F.lit(0)).alias("n_pieces"),
+        )
+    )

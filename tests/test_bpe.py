@@ -118,3 +118,31 @@ def test_bpe_encode_unseen_words_and_empty_merges(spark):
     assert set(rows) == {1, 2, 3}
     assert rows[2]["pieces"] == [] and rows[2]["n_pieces"] == 0
     assert rows[3]["pieces"] == [] and rows[3]["n_pieces"] == 0
+
+
+def test_bpe_vocab_and_id_encoding_consistent(spark, sf_dir):
+    """Ids are a pure function of (alphabet order, merge rank); the id
+    stream equals the piece stream mapped through the vocab; empty
+    docs survive; every id is positive (the closed vocabulary can't
+    go OOV on normalized text)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    merges = bpe.train_bpe(docs, n_merges=12)
+    vocab = {r["piece"]: r["token_id"] for r in bpe.bpe_vocab(merges).collect()}
+    assert vocab["a"] == 1 and vocab["0"] == 27  # alphabet order pinned
+    m0 = merges.orderBy("rank").first()
+    assert vocab[m0["merged"]] == 37  # first merge follows the base block
+
+    pieces = {r["doc_id"]: r["pieces"] for r in bpe.bpe_encode(docs, merges).collect()}
+    ids = {r["doc_id"]: r for r in bpe.bpe_encode_ids(docs, merges).collect()}
+    assert set(pieces) == set(ids)
+    for d, r in ids.items():
+        assert r["token_ids"] == [vocab[p] for p in pieces[d]]
+        assert r["n_pieces"] == len(pieces[d])
+        assert all(i > 0 for i in r["token_ids"])
+
+    # defense in depth: a custom alphabet missing a char maps it to 0
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    out = bpe.bpe_encode_ids(
+        tiny, bpe.train_bpe(tiny, n_merges=0), base_alphabet="a"
+    ).collect()[0]
+    assert out["token_ids"] == [1, 0]
