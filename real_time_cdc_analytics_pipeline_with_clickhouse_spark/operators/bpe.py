@@ -222,6 +222,41 @@ def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
 
 
 BASE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+_MANIFEST = "_bpe_manifest.json"
+
+
+def save_bpe_model(
+    merges: DataFrame, model_dir: str, base_alphabet: str = BASE_ALPHABET
+) -> None:
+    """Persist a trained tokenizer as a frozen artifact (merges
+    parquet + manifest) — the same retrain-is-a-new-dir contract as
+    the quality classifier and the IVF centroids, so every consumer
+    (batch encode, streaming sink) is deterministic against it."""
+    import json
+    import os
+
+    merges.coalesce(1).write.mode("overwrite").parquet(f"{model_dir}/merges")
+    tmp = os.path.join(model_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"n_merges": merges.count(), "base_alphabet": base_alphabet}, fh
+        )
+    os.replace(tmp, os.path.join(model_dir, _MANIFEST))
+
+
+def load_bpe_model(spark, model_dir: str) -> tuple[DataFrame, str]:
+    """(merges, base_alphabet) of a saved tokenizer; loud when absent."""
+    import json
+    import os
+
+    p = os.path.join(model_dir, _MANIFEST)
+    if not os.path.isfile(p):
+        raise FileNotFoundError(
+            f"no BPE model at {model_dir} — run train_bpe + save_bpe_model first"
+        )
+    with open(p) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(f"{model_dir}/merges"), meta["base_alphabet"]
 
 
 def bpe_vocab(merges: DataFrame, base_alphabet: str = BASE_ALPHABET) -> DataFrame:

@@ -870,6 +870,51 @@ def start_quality_scoring_sink(
     )
 
 
+def start_bpe_encode_sink(
+    docs_stream: DataFrame,
+    model_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Live tokenization — each document micro-batch encodes to
+    model-ready BPE ids against the STORED tokenizer artifact
+    (``bpe.save_bpe_model``; merges collected once per run, Python
+    only over the batch's distinct words) and lands as its own
+    ``batch=<epoch>`` parquet dir under ``out_dir``.
+
+    The tokenizer is FROZEN (retrain = new artifact dir), so encoding
+    is deterministic and a crash-replayed epoch rewrites byte-identical
+    content — the same simplest-exactly-once shape as the quality
+    scoring sink: deterministic per-epoch overwrites plus the
+    ``last_epoch`` marker to skip clean replays.  Streamed ≡ batch
+    encoding of the union (tested)."""
+    from ..operators import bpe
+
+    meta_dir = out_dir + "_sinkmeta"
+    state: dict = {}
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        if "merges" not in state:
+            merges, alphabet = bpe.load_bpe_model(batch.sparkSession, model_dir)
+            state["merges"], state["alphabet"] = merges.persist(), alphabet
+        encoded = bpe.bpe_encode_ids(
+            batch, state["merges"], base_alphabet=state["alphabet"]
+        )
+        encoded.write.mode("overwrite").parquet(f"{out_dir}/batch={epoch}")
+        _record_epoch(meta_dir, epoch, checkpoint)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_text_index_sink(
     docs_stream: DataFrame,
     index_dir: str,

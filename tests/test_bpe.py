@@ -146,3 +146,52 @@ def test_bpe_vocab_and_id_encoding_consistent(spark, sf_dir):
         tiny, bpe.train_bpe(tiny, n_merges=0), base_alphabet="a"
     ).collect()[0]
     assert out["token_ids"] == [1, 0]
+
+
+def test_bpe_model_artifact_and_streaming_sink(spark, sf_dir, tmp_path):
+    """save/load round-trips the tokenizer; the streaming encode sink
+    against the frozen artifact equals batch encoding of the union;
+    loading a missing model is loud."""
+    import os
+
+    import pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    merges = bpe.train_bpe(docs, n_merges=10)
+    mdir = str(tmp_path / "bpe_model")
+    bpe.save_bpe_model(merges, mdir)
+    loaded, alphabet = bpe.load_bpe_model(spark, mdir)
+    assert sorted(map(tuple, loaded.collect())) == sorted(map(tuple, merges.collect()))
+    assert alphabet == bpe.BASE_ALPHABET
+    with pytest.raises(FileNotFoundError, match="no BPE model"):
+        bpe.load_bpe_model(spark, str(tmp_path / "nope"))
+
+    b1 = docs.where(F.col("doc_id") < 40).select("doc_id", "text")
+    b2 = docs.where(F.col("doc_id") >= 40).select("doc_id", "text")
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    out = str(tmp_path / "encoded")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/*.parquet")
+    )
+    q = sp.start_bpe_encode_sink(stream, mdir, out, str(tmp_path / "ck"))
+    for i, b in enumerate([b1, b2]):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{i}.parquet")
+        q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["doc_id"], tuple(r["token_ids"]), r["n_pieces"])
+        for r in spark.read.parquet(out).select("doc_id", "token_ids", "n_pieces").collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["token_ids"]), r["n_pieces"])
+        for r in bpe.bpe_encode_ids(docs.select("doc_id", "text"), merges).collect()
+    )
+    assert got == want and got
