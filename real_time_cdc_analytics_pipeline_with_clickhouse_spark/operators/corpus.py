@@ -428,6 +428,7 @@ def prepare_training_corpus(
     quality_threshold: float = 0.5,
     benchmark: DataFrame | None = None,
     decontam_threshold: float = 0.5,
+    benchmark_excise_n: int | None = None,
 ) -> DataFrame:
     """The full corpus-prep flow a pretraining pipeline runs, composed
     from the engine's stages:
@@ -466,10 +467,29 @@ def prepare_training_corpus(
     a contaminated doc can never be the dedup keeper that suppressed
     its clean near-copy.  The benchmark side broadcasts; the corpus
     side pays only its own (already-required) shingle/minhash pass.
+
+    ``benchmark_excise_n`` (with ``benchmark``) additionally runs the
+    SURGICAL pass first: exact benchmark n-gram spans are excised from
+    every document (``decontam.excise_contaminated_spans``) before any
+    gating, so a mostly-clean doc keeps its clean prose instead of
+    dying whole — the two passes compose the production policy (cut
+    exact leakage, then fuzzy-drop what still near-dups a benchmark
+    doc).  Quality is judged on the EXCISED text (a doc that was 90 %
+    benchmark should not pass on benchmark prose), and every text
+    consumer downstream already normalizes, so the rewritten
+    normalized text is semantics-preserving.
     """
     from .dedup import fuzzy_dedup_keep, hash_split
     from .quality import pii_redact, quality_signals_ppm
 
+    if benchmark_excise_n is not None:
+        if benchmark is None:
+            raise ValueError("benchmark_excise_n requires a benchmark corpus")
+        from .decontam import excise_contaminated_spans
+
+        documents = excise_contaminated_spans(
+            documents, benchmark, n=benchmark_excise_n
+        ).select("doc_id", "text", "lang", "source")
     sig = quality_signals_ppm(documents)
     if quality_model_dir is not None:
         from .classifier import score_quality_from_model

@@ -290,3 +290,44 @@ def test_fuzzy_dedup_keep_by_transitive_component_one_survivor(spark):
         r["doc_id"] for r in dedup.fuzzy_dedup_keep(docs, band=1, threshold=0.5).collect()
     }
     assert greedy == {1, 5, 70}  # under-drops the transitive copy
+
+
+def test_prepare_training_corpus_excise_mode_saves_spliced_docs(spark):
+    """With benchmark_excise_n, a mostly-clean doc that spliced in a
+    benchmark passage keeps its clean prose (drop-mode would kill the
+    whole doc); a fully-benchmark doc still dies (quality judges the
+    excised text); requesting excision without a benchmark is loud."""
+    import pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    bench_sent = " ".join(f"bmkt{i:02d}" for i in range(40))
+    clean_a = " ".join(f"worda{i:02d}" for i in range(20))
+    clean_c = " ".join(f"wordc{i:02d}" for i in range(25))
+    bench = _mk_docs(spark, [(0, bench_sent)])
+    docs = _mk_docs(
+        spark,
+        [
+            (1, f"{clean_a} {bench_sent}"),  # spliced: fuzzy-contaminated whole
+            (2, bench_sent),  # pure benchmark
+            (3, clean_c),  # clean
+        ],
+    )
+
+    dropped = {
+        r["doc_id"]
+        for r in corpus.prepare_training_corpus(docs, benchmark=bench).collect()
+    }
+    assert dropped == {3}  # drop-mode kills the spliced doc whole
+
+    excised = {
+        r["doc_id"]: r
+        for r in corpus.prepare_training_corpus(
+            docs, benchmark=bench, benchmark_excise_n=8
+        ).collect()
+    }
+    assert set(excised) == {1, 3}  # spliced doc survives, pure-benchmark dies
+    assert excised[1]["n_tokens"] == 20  # exactly the clean prose remains
+
+    with pytest.raises(ValueError, match="requires a benchmark"):
+        corpus.prepare_training_corpus(docs, benchmark_excise_n=8)
