@@ -78,8 +78,23 @@ def deterministic_sample(
     )
 
 
+def _doc_len(length_col):
+    """Length expression the packing/sharding family sizes docs with:
+    whitespace token count of the text by default, or a caller-supplied
+    column (e.g. ``n_pieces`` from ``bpe_encode_ids``) so placement
+    budgets count the MODEL's tokens, not whitespace ones."""
+    return (
+        F.size(tokens(F.col("text")))
+        if length_col is None
+        else F.col(length_col).cast("int")
+    )
+
+
 def pack_sequences(
-    documents: DataFrame, capacity: int = PACK_CAPACITY, shards: int = PACK_SHARDS
+    documents: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+    length_col: str | None = None,
 ) -> DataFrame:
     """Greedy whole-document packing into fixed token windows.
 
@@ -99,7 +114,7 @@ def pack_sequences(
     docs = documents.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        _doc_len(length_col).alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,7 +137,10 @@ def pack_sequences(
 
 
 def pack_sequences_ffd(
-    documents: DataFrame, capacity: int = PACK_CAPACITY, shards: int = PACK_SHARDS
+    documents: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+    length_col: str | None = None,
 ) -> DataFrame:
     """First-fit-decreasing sequence packing — the padding-efficiency
     upgrade over ``pack_sequences``' next-fit fold: docs are placed
@@ -147,7 +165,7 @@ def pack_sequences_ffd(
     docs = documents.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        _doc_len(length_col).alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -179,6 +197,7 @@ def shuffle_shard_by_tokens(
     target_tokens: int = 2048,
     seed: str = "shuf:",
     buckets: int = 64,
+    length_col: str | None = None,
 ) -> DataFrame:
     """Deterministic global corpus shuffle + token-balanced sharding —
     the step that turns a curated corpus into what a dataloader
@@ -217,7 +236,7 @@ def shuffle_shard_by_tokens(
         raise ValueError(f"buckets must be a power of two, got {buckets}")
     docs = documents.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        _doc_len(length_col).alias("n_tokens"),
         portable_hash64(F.col("doc_id").cast("string"), seed=seed).alias("order_key"),
     ).withColumn("_b", F.shiftright(F.col("order_key"), 60 - k).cast("int"))
     docs.persist()

@@ -195,3 +195,30 @@ def test_bpe_model_artifact_and_streaming_sink(spark, sf_dir, tmp_path):
         for r in bpe.bpe_encode_ids(docs.select("doc_id", "text"), merges).collect()
     )
     assert got == want and got
+
+
+def test_pack_and_shard_by_bpe_piece_counts(spark, sf_dir):
+    """The model-ready handoff: pack/shard budgets count the
+    tokenizer's pieces (length_col) instead of whitespace tokens —
+    placement equals running the default path on a frame whose
+    whitespace token count IS the piece count."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    merges = bpe.train_bpe(docs, n_merges=10)
+    ids = bpe.bpe_encode_ids(docs, merges)
+    sized = docs.join(ids.select("doc_id", "n_pieces"), "doc_id")
+
+    # a synthetic twin whose whitespace token count equals n_pieces
+    twin = sized.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.col("n_pieces")), lambda i: F.lit("x"))).alias("text"),
+    )
+    for fn in [corpus.pack_sequences, corpus.pack_sequences_ffd]:
+        got = sorted(map(tuple, fn(sized, capacity=256, length_col="n_pieces").collect()))
+        want = sorted(map(tuple, fn(twin, capacity=256).collect()))
+        assert got == want and got
+
+    got = sorted(map(tuple, corpus.shuffle_shard_by_tokens(sized, target_tokens=512, length_col="n_pieces").collect()))
+    want = sorted(map(tuple, corpus.shuffle_shard_by_tokens(twin, target_tokens=512).collect()))
+    assert got == want and got
