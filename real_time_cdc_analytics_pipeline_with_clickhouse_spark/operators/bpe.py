@@ -270,16 +270,24 @@ def bpe_vocab(merges: DataFrame, base_alphabet: str = BASE_ALPHABET) -> DataFram
 
     Ids are a pure function of (alphabet order, merge rank): stable
     across runs, engines and corpora — the property checkpointed
-    tokenizers need."""
+    tokenizers need.  Two DISTINCT merges can spell the same string
+    (e.g. (a,bc) and (ab,c) both yield "abc"); the table keeps one row
+    per piece with the FIRST rank's id — the same first-wins rule
+    ``bpe_encode_ids`` applies — so piece is a real key and the two
+    consumers can never disagree."""
     spark = merges.sparkSession
     base = spark.createDataFrame(
         [(i + 1, c, "base") for i, c in enumerate(base_alphabet)],
         "token_id int, piece string, kind string",
     )
-    merged = merges.select(
-        (F.col("rank") + len(base_alphabet) + 1).cast("int").alias("token_id"),
-        F.col("merged").alias("piece"),
-        F.lit("merged").alias("kind"),
+    merged = (
+        merges.select(
+            (F.col("rank") + len(base_alphabet) + 1).cast("int").alias("token_id"),
+            F.col("merged").alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.min("token_id").alias("token_id"))
+        .select("token_id", "piece", F.lit("merged").alias("kind"))
     )
     return base.unionByName(merged)
 
@@ -303,8 +311,10 @@ def bpe_encode_ids(
         for r in merges.select("rank", "left", "right").collect()
     }
     ids = {c: i + 1 for i, c in enumerate(base_alphabet)}
-    for (l, r), rk in ranks.items():
-        ids[l + r] = len(base_alphabet) + 1 + rk
+    # first rank wins when two merges spell the same string — matches
+    # the bpe_vocab dedup rule so the id table and the encoder agree
+    for (l, r), rk in sorted(ranks.items(), key=lambda kv: kv[1]):
+        ids.setdefault(l + r, len(base_alphabet) + 1 + rk)
 
     @pandas_udf("array<int>")
     def enc(col: pd.Series) -> pd.Series:

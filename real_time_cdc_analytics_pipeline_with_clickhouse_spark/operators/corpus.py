@@ -494,9 +494,12 @@ def prepare_training_corpus(
     dying whole — the two passes compose the production policy (cut
     exact leakage, then fuzzy-drop what still near-dups a benchmark
     doc).  Quality is judged on the EXCISED text (a doc that was 90 %
-    benchmark should not pass on benchmark prose), and every text
-    consumer downstream already normalizes, so the rewritten
-    normalized text is semantics-preserving.
+    benchmark should not pass on benchmark prose).  Because excision
+    rewrites docs to their NORMALIZED token stream — which strips the
+    punctuation the PII patterns match on — PII is scrubbed from the
+    RAW text BEFORE excision in this mode (redaction placeholders
+    normalize like ordinary tokens); the downstream ``pii_redact``
+    then hashes the final already-scrubbed text.
     """
     from .dedup import fuzzy_dedup_keep, hash_split
     from .quality import pii_redact, quality_signals_ppm
@@ -506,6 +509,10 @@ def prepare_training_corpus(
             raise ValueError("benchmark_excise_n requires a benchmark corpus")
         from .decontam import excise_contaminated_spans
 
+        scrubbed = pii_redact(documents, keep_text=True).select(
+            "doc_id", F.col("redacted").alias("text")
+        )
+        documents = documents.drop("text").join(scrubbed, "doc_id")
         documents = excise_contaminated_spans(
             documents, benchmark, n=benchmark_excise_n
         ).select("doc_id", "text", "lang", "source")

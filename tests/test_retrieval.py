@@ -896,3 +896,179 @@ def test_hybrid_retrieval_rrf_over_bm25_and_ann(spark, sf_dir):
         )
     want = sorted(exp.items(), key=lambda t: (-t[1], t[0]))[:20]
     assert [(r["doc_id"], r["rrf"]) for r in fused] == want and fused
+
+
+def test_upsert_crash_before_manifest_then_replay(spark, sf_dir, tmp_path, monkeypatch):
+    """The OTHER upsert crash point: batch dir written, manifest write
+    crashed.  The replayed epoch must not tombstone the crashed
+    attempt's own batch rows — updated docs must surface in their new
+    version, equal to a clean upsert."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 50)
+    newv = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).withColumn(
+        "text", F.concat(F.lit("updated spark vector window "), F.col("text"))
+    )
+
+    idx = str(tmp_path / "tix_crash2")
+    retrieval.build_text_index(base, idx, buckets=16)
+    orig = retrieval._write_tix_manifest
+    calls = {"n": 0}
+
+    def flaky(d, m):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before manifest")
+        orig(d, m)
+
+    monkeypatch.setattr(retrieval, "_write_tix_manifest", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        retrieval.upsert_text_index(spark, idx, newv, epoch=7)
+    monkeypatch.setattr(retrieval, "_write_tix_manifest", orig)
+    retrieval.upsert_text_index(spark, idx, newv, epoch=7)  # the replay
+
+    twin = str(tmp_path / "tix_crash2_twin")
+    retrieval.build_text_index(base, twin, buckets=16)
+    retrieval.upsert_text_index(spark, twin, newv, epoch=7)
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    want = _rows(retrieval.bm25_topk_from_index(spark, twin, TERMS, k=10**6))
+    assert got == want and got
+    # the updated docs are visible in their NEW version
+    upd = _rows(retrieval.bm25_topk_from_index(spark, idx, ["updated"], k=100))
+    assert {d for d, _ in upd} == set(range(20, 40))
+
+
+def test_delete_inside_half_compacted_window_no_zombie(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A delete issued between compaction's two tree swaps must not
+    stamp victims against the stale lengths batch while the postings
+    already moved — the delete read-repairs (finishes the compaction)
+    so the victim dies everywhere, including phrase search."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "tix_zombie")
+    retrieval.build_text_index(docs, idx, buckets=16)
+    # an earlier delete so the compaction has victims to purge
+    retrieval.delete_from_text_index(spark, idx, [3])
+
+    orig = retrieval._swap_tree
+    calls = {"n": 0}
+
+    def flaky(stage, target):
+        orig(stage, target)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after postings swap")
+
+    monkeypatch.setattr(retrieval, "_swap_tree", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        retrieval.compact_text_index(spark, idx)
+    monkeypatch.setattr(retrieval, "_swap_tree", orig)
+
+    # the window: postings live under the compacted batch, lengths
+    # under the old ones — now delete a different doc
+    victim = 12
+    first = docs.where(F.col("doc_id") == victim).select("text").first()["text"]
+    phrase = [w for w in first.lower().split()[:2]]
+    retrieval.delete_from_text_index(spark, idx, [victim])
+
+    hits = {
+        r["doc_id"]
+        for r in retrieval.phrase_match_from_index(spark, idx, phrase).collect()
+    }
+    assert victim not in hits, "zombie postings survived the windowed delete"
+
+    retrieval.compact_text_index(spark, idx)
+    remaining = docs.where(~F.col("doc_id").isin([3, victim]))
+    ref = str(tmp_path / "tix_zombie_ref")
+    retrieval.build_text_index(remaining, ref, buckets=16)
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    want = _rows(retrieval.bm25_topk_from_index(spark, ref, TERMS, k=10**6))
+    assert got == want and got
+    assert (
+        spark.read.parquet(f"{idx}/postings")
+        .where(F.col("doc_id").isin([3, victim]))
+        .count()
+        == 0
+    )
+
+
+def test_cdc_sink_rejects_tied_sequences(spark, tmp_path):
+    """Two ops for one doc tied on seq_col are as ambiguous as no
+    sequence at all — the sink must refuse, not resolve arbitrarily."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    b = spark.createDataFrame(
+        [(7, "version one text here", "u", 4), (7, "version two text here", "u", 4)],
+        "doc_id long, text string, op string, seq int",
+    )
+    feed = str(tmp_path / "tiefeed")
+    os.makedirs(feed)
+    b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q = sp.start_text_index_sink(
+        stream, str(tmp_path / "tix_tie"), str(tmp_path / "ck_tie"),
+        buckets=8, op_col="op", seq_col="seq",
+    )
+    with pytest.raises(Exception, match="TIED"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_partial_update_crash_does_not_trigger_bake_in(spark, sf_dir, tmp_path, monkeypatch):
+    """The OTHER tree disagreement: an update crashed between its
+    postings write and its lengths write leaves a postings-only batch.
+    A delete must NOT read-repair (compacting would bake the partial
+    batch in); the epoch replay overwrites it deterministically and
+    the final index equals the clean twin."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 50)
+    batch = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 70))
+    idx = str(tmp_path / "tix_partial")
+    retrieval.build_text_index(base, idx, buckets=16)
+
+    orig = retrieval._write_tix_batch
+
+    def flaky(documents, post, lens, batch_id, buckets):
+        sp_ = documents.sparkSession
+        from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.retrieval import (
+            _postings,
+        )
+
+        (
+            _postings(documents, buckets)
+            .select("doc_id", "term", "tf", "positions", "tbucket")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(f"{post}/batch={batch_id}")
+        )
+        raise RuntimeError("injected crash before lengths write")
+
+    monkeypatch.setattr(retrieval, "_write_tix_batch", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        retrieval.update_text_index(batch, idx, epoch=3)
+    monkeypatch.setattr(retrieval, "_write_tix_batch", orig)
+
+    # a delete in this state must not promote the partial batch
+    retrieval.delete_from_text_index(spark, idx, [5])
+    posts_batches = {
+        int(d.split("=", 1)[1])
+        for d in __import__("os").listdir(f"{idx}/postings")
+        if d.startswith("batch=")
+    }
+    assert posts_batches == {-1, 3}  # build batch intact, no compaction ran
+
+    retrieval.update_text_index(batch, idx, epoch=3)  # the replay
+    twin = str(tmp_path / "tix_partial_twin")
+    retrieval.build_text_index(base.where(F.col("doc_id") != 5), twin, buckets=16)
+    retrieval.update_text_index(batch, twin, epoch=3)
+    got = _rows(retrieval.bm25_topk_from_index(spark, idx, TERMS, k=10**6))
+    want = _rows(retrieval.bm25_topk_from_index(spark, twin, TERMS, k=10**6))
+    assert got == want and got
