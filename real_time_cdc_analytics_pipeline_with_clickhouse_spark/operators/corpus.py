@@ -539,6 +539,15 @@ def prepare_training_corpus(
             .select("doc_id")
         )
         gated = gated.join(clean, "doc_id", "left_semi")
+    # cut the lineage before the self-joining dedup: the MinHash-LSH
+    # band self-join and the Jaccard verification each embed MULTIPLE
+    # copies of their input plan, so an unpersisted gate subplan
+    # (quality agg + optional decontamination, itself self-joining)
+    # re-evaluates combinatorially — measured ~5k stages on a 120-doc
+    # fixture.  One materialization of the gated survivors is the
+    # checkpoint a 100 TB run would write anyway (same trade as
+    # shuffle_shard_by_tokens' persisted projection).
+    gated = gated.persist()
     kept = fuzzy_dedup_keep(gated, threshold=jaccard_threshold).select("doc_id")
     survivors = gated.join(kept, "doc_id")
     red = pii_redact(survivors).select("doc_id", "redacted_md5")

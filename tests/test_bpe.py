@@ -246,3 +246,51 @@ def test_bpe_vocab_dedups_colliding_merged_strings(spark):
     out = bpe.bpe_encode_ids(docs, merges).collect()[0]
     # encode path: (b,c) then (a,bc) -> piece 'abc' -> the SAME id
     assert out["token_ids"] == [by_piece["abc"]]
+
+
+def test_end_to_end_tokenizer_handoff(spark, sf_dir, tmp_path):
+    """Capstone: curate (benchmark-decontaminated) → train BPE on the
+    survivors → save/load the artifact → encode to ids → pack by TRUE
+    piece counts.  Seam invariants: no contaminated doc is ever
+    tokenized, loaded-artifact encoding ≡ in-memory encoding, every
+    pack respects capacity in piece units."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120).persist()
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") >= 300) & (F.col("doc_id") < 310))
+        .unionByName(docs.where(F.col("doc_id") < 5))  # planted overlap
+    )
+    prep = corpus.prepare_training_corpus(docs, benchmark=bench)
+    keep = prep.where(F.col("split") == "train").select("doc_id")
+    survivors = docs.join(keep, "doc_id").persist()
+    assert not {r.doc_id for r in survivors.select("doc_id").collect()} & set(range(5))
+
+    merges = bpe.train_bpe(survivors, n_merges=12)
+    mdir = str(tmp_path / "tokenizer")
+    bpe.save_bpe_model(merges, mdir)
+    loaded, alphabet = bpe.load_bpe_model(spark, mdir)
+    ids = bpe.bpe_encode_ids(survivors, loaded, base_alphabet=alphabet).persist()
+    twin = bpe.bpe_encode_ids(survivors, merges)
+    assert sorted(
+        (r["doc_id"], tuple(r["token_ids"])) for r in ids.collect()
+    ) == sorted((r["doc_id"], tuple(r["token_ids"])) for r in twin.collect())
+
+    sized = survivors.join(ids.select("doc_id", "n_pieces"), "doc_id")
+    placed = corpus.pack_sequences_ffd(sized, capacity=300, length_col="n_pieces")
+    rows = placed.collect()
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in survivors.select("doc_id").collect()
+    }
+    fills: dict = {}
+    by_id = {r["doc_id"]: r["n_pieces"] for r in ids.collect()}
+    for r in rows:
+        key = (r["shard"], r["pack_id"])
+        fills[key] = fills.get(key, 0) + by_id[r["doc_id"]]
+    oversize = {d for d, n in by_id.items() if n > 300}
+    for (sh, pid), fill in fills.items():
+        members = [r for r in rows if (r["shard"], r["pack_id"]) == (sh, pid)]
+        if not any(r["doc_id"] in oversize for r in members):
+            assert fill <= 300, f"pack ({sh},{pid}) overflows piece capacity"
+    docs.unpersist(), survivors.unpersist(), ids.unpersist()
