@@ -178,6 +178,53 @@ def decontaminate_against_index(
     return _flag(documents, verified)
 
 
+_GRAMS_MANIFEST = "_ngrams_manifest.json"
+
+
+def build_benchmark_ngrams(
+    benchmark: DataFrame, ngram_dir: str, n: int = 8
+) -> None:
+    """Persist a benchmark's distinct n-gram set as a frozen artifact
+    (grams parquet + manifest pinning ``n``) — the excision analog of
+    the benchmark MinHash index, so a streaming ingest can excise
+    every arriving batch without re-tokenizing the benchmark."""
+    import json
+    import os
+
+    grams = (
+        benchmark.select(F.explode(shingles(F.col("text"), n)).alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct()
+    )
+    grams.coalesce(1).write.mode("overwrite").parquet(f"{ngram_dir}/grams")
+    tmp = os.path.join(ngram_dir, _GRAMS_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"n": int(n)}, fh)
+    os.replace(tmp, os.path.join(ngram_dir, _GRAMS_MANIFEST))
+
+
+def excise_from_ngram_index(
+    spark: SparkSession, documents: DataFrame, ngram_dir: str
+) -> DataFrame:
+    """``excise_contaminated_spans`` against a persisted benchmark
+    n-gram artifact (``build_benchmark_ngrams``): the benchmark is
+    never re-tokenized, and ``n`` comes from the artifact manifest so
+    the window math can't drift from the stored gram set.  Proven ≡
+    the fit-per-call operator."""
+    import json
+    import os
+
+    p = os.path.join(ngram_dir, _GRAMS_MANIFEST)
+    if not os.path.isfile(p):
+        raise FileNotFoundError(
+            f"no benchmark n-gram set at {ngram_dir} — run "
+            "build_benchmark_ngrams first"
+        )
+    with open(p) as fh:
+        n = json.load(fh)["n"]
+    return _excise(documents, spark.read.parquet(f"{ngram_dir}/grams"), n)
+
+
 def excise_contaminated_spans(
     documents: DataFrame, benchmark: DataFrame, n: int = 8
 ) -> DataFrame:
@@ -209,6 +256,13 @@ def excise_contaminated_spans(
         .where(F.col("gram") != "")
         .distinct()
     )
+    return _excise(documents, bench_grams, n)
+
+
+def _excise(documents: DataFrame, bench_grams: DataFrame, n: int) -> DataFrame:
+    """The excision core over an already-materialized benchmark gram
+    frame — shared by the fit-per-call and artifact-backed entry
+    points."""
     tok = tokens(F.col("text"))
     grams = (
         documents.select(

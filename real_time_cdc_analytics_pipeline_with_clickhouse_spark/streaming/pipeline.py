@@ -1137,6 +1137,7 @@ def start_corpus_ingest_sink(
     compact_every: int | None = 16,
     benchmark_index_dir: str | None = None,
     decontam_threshold: float = 0.5,
+    benchmark_ngram_dir: str | None = None,
 ):
     """Live training-corpus ingestion with FUZZY dedup: per micro-batch,
     new documents dedup against the persistent MinHash-LSH index
@@ -1191,6 +1192,15 @@ def start_corpus_ingest_sink(
     as the benchmark index is not mutated while the stream runs
     (benchmark updates/takedowns between runs are fine — verdicts are
     a pure function of batch × benchmark artifact).
+
+    ``benchmark_ngram_dir`` adds the SURGICAL pass before the fuzzy
+    gate (``decontam.excise_from_ngram_index`` against the persisted
+    benchmark n-gram set): exact benchmark spans are cut from every
+    arriving doc, so a mostly-clean doc contributes its clean prose
+    instead of dying whole — the same compose-both policy as
+    ``prepare_training_corpus(benchmark_excise_n=...)``.  Dedup and
+    indexing then run on the excised text (deterministic, so replays
+    rewrite identical content).
     """
     from ..operators import decontam, dedup as dd
     from ..operators import lsh_index
@@ -1209,6 +1219,10 @@ def start_corpus_ingest_sink(
             F.lit("und").alias("lang") if "lang" not in batch.columns else F.col("lang"),
             F.lit("stream").alias("source") if "source" not in batch.columns else F.col("source"),
         )
+        if benchmark_ngram_dir is not None:
+            docs = decontam.excise_from_ngram_index(
+                sp_, docs, benchmark_ngram_dir
+            ).select("doc_id", "text", "lang", "source")
         gated = False
         if benchmark_index_dir is not None:
             clean = (

@@ -363,3 +363,55 @@ def test_excise_mode_still_scrubs_pii(spark):
 
     raw = docs.collect()[0]["text"]
     assert "bob@example.com" in raw  # sanity: PII was in the input
+
+
+def test_ngram_artifact_and_streaming_excision(spark, tmp_path):
+    """The persisted benchmark n-gram set answers excision identically
+    to fit-per-call; the ingest sink with benchmark_ngram_dir lands
+    the excised prose (spliced span gone, clean docs whole); a missing
+    artifact is loud."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    sent = " ".join(f"leakb{i:02d}" for i in range(12))
+    bench = _mk_docs(spark, [(0, sent)])
+    gdir = str(tmp_path / "bench_grams")
+    decontam.build_benchmark_ngrams(bench, gdir, n=8)
+
+    body_a = " ".join(f"alpha{i}" for i in range(15))
+    body_b = " ".join(f"beta{i}" for i in range(15))
+    train = _mk_docs(
+        spark, [(1, f"{body_a} {sent} {body_b}"), (2, body_a), (3, body_b)]
+    )
+    live = sorted(
+        map(tuple, decontam.excise_from_ngram_index(spark, train, gdir).collect())
+    )
+    fit = sorted(
+        map(tuple, decontam.excise_contaminated_spans(train, bench, n=8).collect())
+    )
+    assert live == fit and live
+
+    with pytest.raises(FileNotFoundError, match="n-gram set"):
+        decontam.excise_from_ngram_index(spark, train, str(tmp_path / "nope"))
+
+    feed = str(tmp_path / "xfeed")
+    os.makedirs(feed)
+    train.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0.parquet")
+    corpus_dir, idx = str(tmp_path / "xcorpus"), str(tmp_path / "xcidx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/*.parquet")
+    )
+    q = sp.start_corpus_ingest_sink(
+        stream, corpus_dir, idx, str(tmp_path / "xck"), benchmark_ngram_dir=gdir
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == f"{body_a} {body_b}"  # span excised in-stream
+    assert "leakb00" not in rows[1]
