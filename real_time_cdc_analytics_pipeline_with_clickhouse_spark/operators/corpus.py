@@ -448,6 +448,7 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     decontam_threshold: float = 0.5,
     benchmark_excise_n: int | None = None,
+    dedup_policy: str = "greedy",
 ) -> DataFrame:
     """The full corpus-prep flow a pretraining pipeline runs, composed
     from the engine's stages:
@@ -548,7 +549,22 @@ def prepare_training_corpus(
     # checkpoint a 100 TB run would write anyway (same trade as
     # shuffle_shard_by_tokens' persisted projection).
     gated = gated.persist()
-    kept = fuzzy_dedup_keep(gated, threshold=jaccard_threshold).select("doc_id")
+    if dedup_policy == "greedy":
+        kept = fuzzy_dedup_keep(gated, threshold=jaccard_threshold).select("doc_id")
+    elif dedup_policy == "cluster_best":
+        # one survivor per verified near-dup COMPONENT, chosen by
+        # content mass (n_tokens; ties → smallest id) — the
+        # keep-the-best-copy policy.  For model-scored merit, call
+        # dedup.fuzzy_dedup_keep_by directly with the score column.
+        from .dedup import fuzzy_dedup_keep_by
+
+        kept = fuzzy_dedup_keep_by(
+            gated, "n_tokens", threshold=jaccard_threshold
+        ).select("doc_id")
+    else:
+        raise ValueError(
+            f"unknown dedup_policy {dedup_policy!r} — use 'greedy' or 'cluster_best'"
+        )
     survivors = gated.join(kept, "doc_id")
     red = pii_redact(survivors).select("doc_id", "redacted_md5")
     split = hash_split(survivors, val_pct=val_pct, test_pct=test_pct).select("doc_id", "split")

@@ -286,3 +286,51 @@ def dedup_against_index(
 
     drops = drops_cross.unionByName(drops_within).distinct()
     return new_documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def refresh_minhash_index_from_diff(
+    spark: SparkSession,
+    index_dir: str,
+    old_documents: DataFrame,
+    new_documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+) -> None:
+    """Fold a corpus-snapshot transition into the stored MinHash index
+    from ``corpus_diff``'s work-list — the same incremental contract
+    as ``retrieval.refresh_text_index_from_diff``: removed/changed
+    docs tombstone out (they stop acting as dedup/decontamination
+    precedent), added/changed docs append their bands+shingles, and
+    the result answers ``dedup_against_index`` /
+    ``decontaminate_against_index`` exactly as a fresh build on the
+    new snapshot (tested).  Cost ∝ diff, never a re-LSH of the corpus.
+
+    MinHash tombstones are doc-id-scoped (not batch-scoped), so the
+    order here matters: the DELETE commits first and the re-ADD of
+    changed docs lands after ``compact_minhash_index`` retires the
+    tombstones — callers running without compaction should treat
+    changed docs as takedown-until-compact (the documented MinHash
+    re-add rule).  This helper therefore compacts between the two
+    halves when any changed doc must re-enter."""
+    from .corpus import corpus_diff
+
+    diff = corpus_diff(old_documents, new_documents).persist()
+    try:
+        gone = diff.where(F.col("change").isin("removed", "changed")).select("doc_id")
+        changed = diff.where(F.col("change") == "changed").select("doc_id")
+        fresh = new_documents.join(
+            diff.where(F.col("change").isin("added", "changed")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        if not gone.isEmpty():
+            delete_from_minhash_index(spark, index_dir, gone)
+            if not changed.isEmpty():
+                # doc-id-scoped tombstones would kill the re-add too —
+                # compact first so changed docs can re-enter cleanly
+                compact_minhash_index(spark, index_dir)
+        if not fresh.isEmpty():
+            update_minhash_index(fresh, index_dir, n, k, band)
+    finally:
+        diff.unpersist()

@@ -415,3 +415,69 @@ def test_ngram_artifact_and_streaming_excision(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert rows[1] == f"{body_a} {body_b}"  # span excised in-stream
     assert "leakb00" not in rows[1]
+
+
+def test_refresh_minhash_index_from_diff_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Diff-driven MinHash index maintenance: after an add/remove/
+    change transition, the refreshed index answers dedup AND
+    decontamination exactly as a fresh build on the new snapshot."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    old = docs.where(F.col("doc_id") < 60)
+    # transition: 0..9 removed, 20 changed, 200..219 added
+    new = (
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 60) & (F.col("doc_id") != 20))
+        .unionByName(
+            docs.where(F.col("doc_id") == 20).withColumn(
+                "text", F.concat(F.lit("changed prose "), F.col("text"))
+            )
+        )
+        .unionByName(docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 220)))
+    )
+
+    live_idx = str(tmp_path / "mh_live")
+    lsh_index.build_minhash_index(old, live_idx)
+    lsh_index.refresh_minhash_index_from_diff(spark, live_idx, old, new)
+    fresh_idx = str(tmp_path / "mh_fresh")
+    lsh_index.build_minhash_index(new, fresh_idx)
+
+    batch = (
+        docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 330))
+        .unionByName(new.where(F.col("doc_id") == 15))  # dup of an indexed doc
+    )
+    got = sorted(r["doc_id"] for r in lsh_index.dedup_against_index(spark, batch, live_idx).collect())
+    want = sorted(r["doc_id"] for r in lsh_index.dedup_against_index(spark, batch, fresh_idx).collect())
+    assert got == want and got
+
+    g2 = sorted(map(tuple, decontam.decontaminate_against_index(spark, batch, live_idx).collect()))
+    w2 = sorted(map(tuple, decontam.decontaminate_against_index(spark, batch, fresh_idx).collect()))
+    assert g2 == w2
+
+
+def test_prepare_training_corpus_cluster_best_policy(spark):
+    """dedup_policy='cluster_best' keeps the content-richest member of
+    a near-dup component (greedy keeps the smallest id); unknown
+    policies are loud."""
+    import pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+
+    base = [f"tok{i:02d}" for i in range(40)]
+    short = " ".join(base[:30])   # near-dup, less content
+    longer = " ".join(base)       # superset, more content
+    other = " ".join(f"uniq{i:02d}" for i in range(25))
+    docs = _mk_docs(spark, [(1, short), (2, longer), (3, other)])
+
+    greedy = {r["doc_id"] for r in corpus.prepare_training_corpus(docs, val_pct=0, test_pct=0).collect()}
+    best = {
+        r["doc_id"]
+        for r in corpus.prepare_training_corpus(
+            docs, val_pct=0, test_pct=0, dedup_policy="cluster_best"
+        ).collect()
+    }
+    assert greedy == {1, 3}  # smallest id survives
+    assert best == {2, 3}  # content-richest survives
+
+    with pytest.raises(ValueError, match="dedup_policy"):
+        corpus.prepare_training_corpus(docs, dedup_policy="nope")
