@@ -178,3 +178,25 @@ def test_decontam_plans_no_cartesian_and_broadcast_benchmark(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan  # the benchmark side broadcasts
+
+
+def test_bpe_encode_python_only_on_vocab_side(spark, sf_dir):
+    """bpe_encode_ids must run Python exactly once — the Arrow-batched
+    UDF over the DISTINCT-word table — never per corpus row: one
+    ArrowEvalPython node in the plan, and no row-at-a-time
+    BatchEvalPython anywhere."""
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import bpe
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    merges = bpe.train_bpe(docs, n_merges=3)
+    import re
+
+    plan = plan_string(bpe.bpe_encode_ids(docs, merges))
+    # formatted plans print each node twice (tree + detail) — count
+    # unique node entries
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
