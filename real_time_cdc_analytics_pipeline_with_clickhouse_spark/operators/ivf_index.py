@@ -736,3 +736,76 @@ def cluster_balanced_sample(
         .where(F.col("pick") <= per_cluster)
         .select("vec_id", "centroid_id", "pick")
     )
+
+
+def embedding_diff(old_embeddings: DataFrame, new_embeddings: DataFrame) -> DataFrame:
+    """Snapshot diff between two embedding corpora — the vector twin
+    of ``corpus.corpus_diff``: (vec_id, change ∈ added | removed |
+    changed), unchanged vectors excluded.  Content identity is an md5
+    of the JVM-rendered coordinate string (bit-exact floats from
+    parquet render identically), null-safe via a presence sentinel.
+    One full-outer digest join over (vec_id, digest) projections —
+    the embedding payload itself never shuffles."""
+    def dig(df):
+        return df.select(
+            "vec_id",
+            F.md5(
+                F.coalesce(
+                    F.concat_ws(
+                        ",", F.transform(F.col("embedding"), lambda x: x.cast("string"))
+                    ),
+                    F.lit("␀null"),
+                )
+            ).alias("_dg"),
+        )
+
+    o = dig(old_embeddings).withColumn("_po", F.lit(1))
+    n = dig(new_embeddings).withColumn("_pn", F.lit(1))
+    j = o.withColumnRenamed("_dg", "_dgo").join(
+        n.withColumnRenamed("_dg", "_dgn"), "vec_id", "full_outer"
+    )
+    return (
+        j.select(
+            "vec_id",
+            F.when(F.col("_po").isNull(), F.lit("added"))
+            .when(F.col("_pn").isNull(), F.lit("removed"))
+            .when(F.col("_dgo") != F.col("_dgn"), F.lit("changed"))
+            .alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+    )
+
+
+def refresh_ivf_index_from_diff(
+    spark: SparkSession,
+    index_dir: str,
+    old_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """Fold an embedding-snapshot transition into the stored IVF index
+    from ``embedding_diff``'s work-list — never a refit, never a full
+    reassignment: removed/changed vectors tombstone out
+    (``delete_from_ivf_index``), added/changed vectors assign map-side
+    against the FROZEN centroids (``update_ivf_index``).  IVF
+    tombstones are batch-scoped, so a changed vector's re-add lands in
+    a newer batch the tombstone does not reference — no compaction
+    needed between the halves (unlike the MinHash refresh).  The
+    refreshed index answers top-k exactly as a frozen-centroid full
+    assignment of the new snapshot (tested)."""
+    diff = embedding_diff(old_embeddings, new_embeddings).persist()
+    try:
+        gone = diff.where(F.col("change").isin("removed", "changed")).select(
+            F.col("vec_id")
+        )
+        if not gone.isEmpty():
+            delete_from_ivf_index(spark, index_dir, gone)
+        fresh = new_embeddings.join(
+            diff.where(F.col("change").isin("added", "changed")).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        if not fresh.isEmpty():
+            update_ivf_index(fresh, index_dir, epoch=epoch)
+    finally:
+        diff.unpersist()

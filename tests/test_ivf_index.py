@@ -493,3 +493,57 @@ SELECT vec_id, centroid_id, pick FROM (
     # scan prunes to (vec_id, centroid_id) — embedding bytes untouched
     assert "embedding" not in plan_string(sdf)
     emb.unpersist()
+
+
+def test_refresh_from_diff_equals_frozen_centroid_assignment(spark, sf_dir, tmp_path):
+    """Diff-driven IVF maintenance: after a remove/change/add
+    transition the refreshed index answers top-k exactly as a
+    frozen-centroid full assignment of the NEW snapshot — no refit,
+    no full reassignment ever ran."""
+    emb = _emb(spark, sf_dir).persist()
+    old = emb.where(F.col("vec_id") < 300)
+    # transition: 0..39 removed, 100 changed, 300+ added
+    new = (
+        emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 300) & (F.col("vec_id") != 100))
+        .unionByName(
+            old.where(F.col("vec_id") == 100).select(
+                "vec_id",
+                F.transform(F.col("embedding"), lambda x: x + F.lit(0.25)).alias(
+                    "embedding"
+                ),
+            )
+        )
+        .unionByName(emb.where(F.col("vec_id") >= 300))
+    )
+
+    d = {r["change"] for r in ivf_index.embedding_diff(old, new).collect()}
+    assert d == {"added", "removed", "changed"}
+
+    idx = str(tmp_path / "ivf_diff")
+    ivf_index.build_ivf_index(old, idx, N_CENTROIDS, SEED)
+    ivf_index.refresh_ivf_index_from_diff(spark, idx, old, new)
+
+    q = similarity.default_queries(emb, every=50)
+    got = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    assigned = ivf_index._assign(new, centroids)
+    w = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    wq = F.broadcast(
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", ivf_index._d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= N_PROBE)
+        .select(
+            "query_id", "query_vec", "centroid_id", norm(F.col("query_vec")).alias("qnrm")
+        )
+    )
+    want = _topk_rows(similarity._rank_topk(assigned.join(wq, "centroid_id"), k=5))
+    assert got == want and got
+
+    # identity transition: refresh is a no-op verdict-wise
+    before = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+    ivf_index.refresh_ivf_index_from_diff(spark, idx, new, new)
+    after = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
+    assert before == after
+    emb.unpersist()
