@@ -1220,9 +1220,17 @@ def start_corpus_ingest_sink(
             F.lit("stream").alias("source") if "source" not in batch.columns else F.col("source"),
         )
         if benchmark_ngram_dir is not None:
-            docs = decontam.excise_from_ngram_index(
-                sp_, docs, benchmark_ngram_dir
-            ).select("doc_id", "text", "lang", "source")
+            # a doc excised to NOTHING was pure benchmark material —
+            # drop it here: the fuzzy gate downstream can't see it
+            # (an empty text has no shingles to candidate on)
+            docs = (
+                decontam.excise_from_ngram_index(sp_, docs, benchmark_ngram_dir)
+                .where(F.col("text") != "")
+                .select("doc_id", "text", "lang", "source")
+            )
+            if docs.isEmpty():
+                _record_epoch(meta_dir, epoch, checkpoint)
+                return
         gated = False
         if benchmark_index_dir is not None:
             clean = (

@@ -481,3 +481,55 @@ def test_prepare_training_corpus_cluster_best_policy(spark):
 
     with pytest.raises(ValueError, match="dedup_policy"):
         corpus.prepare_training_corpus(docs, dedup_policy="nope")
+
+
+def test_ingest_sink_composes_excision_and_fuzzy_gate(spark, tmp_path):
+    """Both benchmark gates in one sink: exact spans excised first
+    (mostly-clean docs keep their prose), docs excised to NOTHING
+    (pure benchmark) drop, and reworded near-copies the excision
+    can't see still die at the fuzzy gate."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    bench_sent = " ".join(f"bq{i:02d}" for i in range(40))
+    bench = _mk_docs(spark, [(0, bench_sent)])
+    gdir, bidx = str(tmp_path / "grams"), str(tmp_path / "bidx")
+    decontam.build_benchmark_ngrams(bench, gdir, n=8)
+    lsh_index.build_minhash_index(bench, bidx)
+
+    body = " ".join(f"cl{i:02d}" for i in range(30))
+    batch = _mk_docs(
+        spark,
+        [
+            (1, f"{body} {bench_sent}"),  # spliced → excised, prose kept
+            (2, bench_sent),  # pure benchmark → excised to nothing, drops
+            (3, f"{bench_sent} rem00 rem01 rem02"),  # excised to its remnant
+            (4, body),  # clean twin of 1's POST-excision prose
+        ],
+    )
+    feed = str(tmp_path / "bothfeed")
+    os.makedirs(feed)
+    batch.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0.parquet")
+    corpus_dir, idx = str(tmp_path / "bothcorpus"), str(tmp_path / "bothidx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/*.parquet")
+    )
+    q = sp.start_corpus_ingest_sink(
+        stream, corpus_dir, idx, str(tmp_path / "bothck"),
+        benchmark_index_dir=bidx, benchmark_ngram_dir=gdir,
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(corpus_dir).collect()}
+    # doc 1 kept its prose; doc 2 (pure benchmark) died at the empty
+    # guard; doc 3 kept only its remnant; doc 4 is doc 1's exact twin
+    # AFTER excision, so within-batch dedup keeps the smaller id only
+    assert set(rows) == {1, 3}
+    assert rows[1] == body
+    assert rows[3] == "rem00 rem01 rem02"
+    assert "bq00" not in " ".join(rows.values())
