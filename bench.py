@@ -443,6 +443,25 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_bpe_encode"] = round(best, 3)
             bpe_merges.unpersist()
+
+            # DSIR selection at 10×: two bounded bucket histograms +
+            # one broadcast-joined weight pass over the raw side +
+            # a TakeOrderedAndProject cut — the raw corpus shuffles
+            # only its (doc_id, logw) pairs
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                dsir as DSIR,
+            )
+
+            tgt = docs.where(F.col("lang") == "en").select("doc_id", "text")
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                DSIR.dsir_select(
+                    docs10, tgt, k=1000, n_buckets=4096, temperature=0.5
+                ).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_dsir_select"] = round(best, 3)
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 

@@ -1,0 +1,202 @@
+"""DSIR importance resampling (operators/dsir.py).
+
+The weight math (hashed-n-gram bucket models → smoothed log-ratio →
+per-doc logw → Gumbel-noised score) is recomputed end-to-end by
+DuckDB from the raw parquet — the same twin discipline as the quality
+classifier, sharing its featurization SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dsir
+
+N_BUCKETS = 512
+SEED = "dsir:"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _twin_sql(docs_glob: str, target_pred: str, alpha: float, n_buckets: int) -> str:
+    """DuckDB recomputation of dsir_weights over the same parquet:
+    normalize → tokenize → unigrams+bigrams → md5 bucket (the
+    classifier-twin featurization) → smoothed bucket log-ratio →
+    per-doc occurrence-summed logw."""
+    feats = f"""
+d AS (
+  SELECT doc_id, {target_pred} AS is_target,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM '{docs_glob}'
+),
+dfeat AS (
+  SELECT doc_id, is_target,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+                ELSE CAST([] AS VARCHAR[]) END) AS feats
+  FROM d
+),
+occ AS (
+  SELECT doc_id, is_target,
+         (('0x' || substr(md5('{SEED}' || unnest(feats)), 1, 15))::BIGINT % {n_buckets})::INT AS bucket
+  FROM dfeat
+),
+dom AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS bucket),
+tc AS (SELECT bucket, count(*)::DOUBLE AS t_cnt FROM occ WHERE is_target GROUP BY 1),
+rc AS (SELECT bucket, count(*)::DOUBLE AS r_cnt FROM occ GROUP BY 1),
+ratio AS (
+  SELECT dom.bucket,
+         ln((coalesce(t_cnt, 0) + {alpha}) / ((SELECT sum(t_cnt) FROM tc) + {alpha} * {n_buckets}))
+       - ln((coalesce(r_cnt, 0) + {alpha}) / ((SELECT sum(r_cnt) FROM rc) + {alpha} * {n_buckets}))
+         AS log_ratio
+  FROM dom LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+),
+wsum AS (
+  SELECT o.doc_id, sum(r.log_ratio) AS logw, count(*) AS n_feats
+  FROM occ o JOIN ratio r USING (bucket)
+  GROUP BY 1
+)
+"""
+    return feats
+
+
+def test_weights_match_duckdb_twin(spark, sf_dir, ducks):
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    got = {
+        r.doc_id: (r.logw, r.n_feats)
+        for r in dsir.dsir_weights(docs, target, n_buckets=N_BUCKETS).collect()
+    }
+    sql = (
+        "WITH "
+        + _twin_sql(f"{sf_dir}/documents.parquet", "lang = 'en'", 1.0, N_BUCKETS)
+        + """
+SELECT d.doc_id, coalesce(w.logw, 0.0), coalesce(w.n_feats, 0)
+FROM d LEFT JOIN wsum w USING (doc_id)
+"""
+    )
+    want = {r[0]: (r[1], r[2]) for r in ducks.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for doc_id, (logw, n_feats) in got.items():
+        assert n_feats == want[doc_id][1], doc_id
+        assert logw == pytest.approx(want[doc_id][0], rel=1e-9, abs=1e-9), doc_id
+
+
+def test_select_scores_match_duckdb_twin(spark, sf_dir, ducks):
+    """The FULL selection path — weights, hash-Gumbel noise,
+    temperature, top-k cut — replayed by DuckDB picks the same docs
+    with the same scores."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    k, temp = 40, 0.7
+    got = {
+        r.doc_id: r.score
+        for r in dsir.dsir_select(
+            docs, target, k=k, n_buckets=N_BUCKETS, temperature=temp
+        ).collect()
+    }
+    assert len(got) == k
+    sql = (
+        "WITH "
+        + _twin_sql(f"{sf_dir}/documents.parquet", "lang = 'en'", 1.0, N_BUCKETS)
+        + f"""
+, scored AS (
+  SELECT d.doc_id,
+         coalesce(w.logw, 0.0) / {temp}
+         - ln(-ln(((('0x' || substr(md5('dsir-g:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                    % {1 << 52}) + 0.5) / {float(1 << 52)}))
+         AS score
+  FROM d LEFT JOIN wsum w USING (doc_id)
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+    want = {r[0]: r[1] for r in ducks.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for doc_id, s in got.items():
+        assert s == pytest.approx(want[doc_id], rel=1e-9, abs=1e-9), doc_id
+
+
+def test_selection_skews_toward_target_distribution(spark, sf_dir):
+    """Target = the English slice; DSIR-selected raw docs should be
+    English far beyond the base rate (the paper's headline effect)."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    base = docs.where(F.col("lang") == "en").count() / docs.count()
+    sel = dsir.dsir_select(docs, target, k=50, n_buckets=N_BUCKETS, temperature=0.25)
+    frac_en = sel.where(F.col("lang") == "en").count() / 50
+    assert frac_en >= min(1.0, base + 0.3), (frac_en, base)
+    # deterministic top-k mode is at least as concentrated
+    sel_det = dsir.dsir_select(docs, target, k=50, n_buckets=N_BUCKETS, temperature=None)
+    frac_det = sel_det.where(F.col("lang") == "en").count() / 50
+    assert frac_det >= frac_en - 0.1, (frac_det, frac_en)
+
+
+def test_deterministic_topk_equals_exact_sort_and_replays(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source") == "src0")
+    w = dsir.dsir_weights(docs, target, n_buckets=N_BUCKETS)
+    want = [
+        r.doc_id
+        for r in w.orderBy(F.col("logw").desc(), "doc_id").limit(15).collect()
+    ]
+    sel = dsir.dsir_select(docs, target, k=15, n_buckets=N_BUCKETS, temperature=None)
+    got = sorted(r.doc_id for r in sel.collect())
+    assert got == sorted(want)
+    # sampled mode replays identically under the same seed, differs
+    # under another (the noise is hash-derived, not RNG state)
+    a = {r.doc_id for r in dsir.dsir_select(docs, target, k=15, n_buckets=N_BUCKETS).collect()}
+    b = {r.doc_id for r in dsir.dsir_select(docs, target, k=15, n_buckets=N_BUCKETS).collect()}
+    c = {
+        r.doc_id
+        for r in dsir.dsir_select(
+            docs, target, k=15, n_buckets=N_BUCKETS, gumbel_seed="dsir-g2:"
+        ).collect()
+    }
+    assert a == b
+    assert a != c
+
+
+def test_featureless_docs_survive_and_everything_is_finite(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(30).union(
+        _docs(spark, sf_dir)
+        .sparkSession.createDataFrame(
+            [(10_001, "", "en", "srcX", 0), (10_002, "!!! ???", "en", "srcX", 7)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    target = docs.where(F.col("doc_id") < 10)
+    rows = dsir.dsir_weights(docs, target, n_buckets=N_BUCKETS).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 32
+    for probe in (10_001, 10_002):
+        assert by_id[probe].n_feats == 0 and by_id[probe].logw == 0.0
+    assert all(math.isfinite(r.logw) for r in rows)
+    # smoothing keeps buckets unseen in the target finite too
+    lr = dsir.dsir_log_ratio(target, docs, n_buckets=N_BUCKETS).collect()
+    assert len(lr) == N_BUCKETS
+    assert all(math.isfinite(r.log_ratio) for r in lr)
+
+
+def test_validation_and_plan_shape(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    with pytest.raises(ValueError, match="alpha"):
+        dsir.dsir_log_ratio(target, docs, alpha=0.0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir.dsir_select(docs, target, k=5, temperature=-1.0)
+    with pytest.raises(ValueError, match="k must"):
+        dsir.dsir_select(docs, target, k=0)
+    sel = dsir.dsir_select(docs, target, k=10, n_buckets=N_BUCKETS)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
