@@ -449,6 +449,10 @@ def prepare_training_corpus(
     decontam_threshold: float = 0.5,
     benchmark_excise_n: int | None = None,
     dedup_policy: str = "greedy",
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_temperature: float | None = 0.5,
+    dsir_buckets: int = 1024,
 ) -> DataFrame:
     """The full corpus-prep flow a pretraining pipeline runs, composed
     from the engine's stages:
@@ -501,6 +505,14 @@ def prepare_training_corpus(
     RAW text BEFORE excision in this mode (redaction placeholders
     normalize like ordinary tokens); the downstream ``pii_redact``
     then hashes the final already-scrubbed text.
+
+    ``dsir_target`` + ``dsir_k`` append the data-SELECTION stage
+    (``dsir.dsir_select``): importance-resample a ``dsir_k``-document
+    budget, weighted toward the target corpus's hashed-n-gram
+    distribution, from the deduped clean survivors — last in the
+    flow, so duplicates and contaminated docs can never spend the
+    budget.  ``dsir_temperature=None`` makes the cut deterministic
+    top-k by weight.
     """
     from .dedup import fuzzy_dedup_keep, hash_split
     from .quality import pii_redact, quality_signals_ppm
@@ -566,6 +578,22 @@ def prepare_training_corpus(
             f"unknown dedup_policy {dedup_policy!r} — use 'greedy' or 'cluster_best'"
         )
     survivors = gated.join(kept, "doc_id")
+    if dsir_target is not None:
+        # importance-resample the doc BUDGET from the already-clean
+        # survivors — selection runs LAST so near-dup clusters and
+        # contaminated docs can never spend it (a 50-copy cluster
+        # would otherwise fill the top-k with one document's text).
+        if dsir_k is None:
+            raise ValueError("dsir_target requires dsir_k (the selection budget)")
+        from .dsir import dsir_select
+
+        survivors = dsir_select(
+            survivors,
+            dsir_target,
+            k=dsir_k,
+            n_buckets=dsir_buckets,
+            temperature=dsir_temperature,
+        ).drop("logw", "score")
     red = pii_redact(survivors).select("doc_id", "redacted_md5")
     split = hash_split(survivors, val_pct=val_pct, test_pct=test_pct).select("doc_id", "split")
     return (

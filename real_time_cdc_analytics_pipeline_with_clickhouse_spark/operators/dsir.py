@@ -31,8 +31,11 @@ Spark-first shape, sized for the 100 TB raw side:
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..functions.scalar import portable_hash64
 from .classifier import feature_buckets
@@ -186,3 +189,229 @@ def dsir_select(
         .limit(k)
     )
     return raw.join(F.broadcast(sel), "doc_id")
+
+
+# --- persisted DSIR model artifact ------------------------------------------
+#
+# Same artifact discipline as the quality classifier / lsh_index /
+# ivf_index (versioned data + manifest commit), with one property the
+# classifier cannot have: the model IS two count histograms, and
+# counts are ADDITIVE — so incremental updates are EXACT, not an
+# approximation of retraining.  update ≡ rebuild-on-the-union is a
+# tested identity.
+
+_MANIFEST = "_dsir_manifest.json"
+
+
+def save_dsir_model(
+    target: DataFrame,
+    raw: DataFrame,
+    model_dir: str,
+    n_buckets: int = 1024,
+    seed: str = "dsir:",
+    alpha: float = 1.0,
+) -> None:
+    """Persist the bucket histograms: ``counts_v1/`` parquet (bucket,
+    t_cnt, r_cnt — only buckets either side observed) + a manifest
+    (n_buckets, seed, alpha, totals, version).  The manifest write is
+    the commit: a crash mid-write leaves the previous version live."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 for finite smoothing, got {alpha}")
+    t = hashed_ngram_counts(target, n_buckets, seed).withColumnRenamed("cnt", "t_cnt")
+    r = hashed_ngram_counts(raw, n_buckets, seed).withColumnRenamed("cnt", "r_cnt")
+    counts = (
+        t.join(r, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_cnt", F.lit(0)).cast("long").alias("t_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).cast("long").alias("r_cnt"),
+        )
+    )
+    _commit_counts(target.sparkSession, counts, model_dir, 1, n_buckets, seed, alpha)
+
+
+def _commit_counts(
+    spark: SparkSession,
+    counts: DataFrame,
+    model_dir: str,
+    version: int,
+    n_buckets: int,
+    seed: str,
+    alpha: float,
+    last_epoch: int | None = None,
+    epoch_checkpoint: str | None = None,
+) -> None:
+    counts = counts.coalesce(1)  # ≤ n_buckets rows by construction
+    counts.write.mode("overwrite").parquet(f"{model_dir}/counts_v{version}")
+    tot = counts.agg(
+        F.sum("t_cnt").alias("t"), F.sum("r_cnt").alias("r")
+    ).first()
+    manifest = {
+        "n_buckets": n_buckets,
+        "seed": seed,
+        "alpha": alpha,
+        "t_total": int(tot.t or 0),
+        "r_total": int(tot.r or 0),
+        "version": version,
+    }
+    if last_epoch is not None:
+        manifest["last_epoch"] = last_epoch
+    if epoch_checkpoint is not None:
+        manifest["epoch_checkpoint"] = epoch_checkpoint
+    os.makedirs(model_dir, exist_ok=True)
+    tmp = os.path.join(model_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(model_dir, _MANIFEST))
+
+
+def read_dsir_manifest(model_dir: str) -> dict:
+    p = os.path.join(model_dir, _MANIFEST)
+    if not os.path.isfile(p):
+        raise FileNotFoundError(
+            f"no DSIR model at {model_dir} — run save_dsir_model first"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _model_counts(spark: SparkSession, model_dir: str, meta: dict) -> DataFrame:
+    return spark.read.parquet(f"{model_dir}/counts_v{meta['version']}")
+
+
+def update_dsir_model(
+    spark: SparkSession,
+    model_dir: str,
+    target_batch: DataFrame | None = None,
+    raw_batch: DataFrame | None = None,
+    epoch: int | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Fold new documents into the stored histograms additively —
+    EXACTLY the model a from-scratch rebuild on the unioned corpora
+    would produce (tested identity).  Featurization params come from
+    the manifest, so a batch can never be hashed under a different
+    scheme than the history.  The new counts land in ``counts_v{N+1}``
+    and the manifest flip commits them — a crash leaves v{N} live and
+    the update retryable.
+
+    ``epoch`` makes the fold idempotent for streaming replays: the
+    manifest stamps ``last_epoch`` IN the same commit as the counts
+    flip, so a replayed epoch ≤ the stamp is a no-op, and a crash
+    between the counts write and the flip refolds from the still-live
+    previous version (identical content, additive state applied once
+    — the engine's standard two-layer exactly-once contract)."""
+    if target_batch is None and raw_batch is None:
+        raise ValueError("update_dsir_model needs a target_batch and/or raw_batch")
+    meta = read_dsir_manifest(model_dir)
+    if epoch is not None:
+        stored_ck = meta.get("epoch_checkpoint")
+        if checkpoint is not None and stored_ck is not None and (
+            os.path.abspath(checkpoint) != stored_ck
+        ):
+            # epoch ids are only comparable within one checkpoint —
+            # same loud-refusal contract as the sink epoch markers
+            raise RuntimeError(
+                f"DSIR model at {model_dir} was stamped by checkpoint "
+                f"{stored_ck!r} but this query uses "
+                f"{os.path.abspath(checkpoint)!r}; reuse the original "
+                "checkpoint to resume, or rebuild the model to reprocess"
+            )
+        if meta.get("last_epoch", -1) >= epoch:
+            return
+    nb, seed = meta["n_buckets"], meta["seed"]
+    counts = _model_counts(spark, model_dir, meta)
+    zero = F.lit(0).cast("long")
+    for df, col in ((target_batch, "t_cnt"), (raw_batch, "r_cnt")):
+        if df is None:
+            continue
+        other = "r_cnt" if col == "t_cnt" else "t_cnt"
+        delta = hashed_ngram_counts(df, nb, seed).select(
+            "bucket", F.col("cnt").cast("long").alias(col), zero.alias(other)
+        )
+        counts = (
+            counts.unionByName(delta)
+            .groupBy("bucket")
+            .agg(F.sum("t_cnt").alias("t_cnt"), F.sum("r_cnt").alias("r_cnt"))
+        )
+    stamp = epoch if epoch is not None else meta.get("last_epoch")
+    ck = (
+        os.path.abspath(checkpoint)
+        if checkpoint is not None
+        else meta.get("epoch_checkpoint")
+    )
+    _commit_counts(
+        spark, counts, model_dir, meta["version"] + 1, nb, seed, meta["alpha"],
+        last_epoch=stamp, epoch_checkpoint=ck,
+    )
+
+
+def dsir_log_ratio_from_model(
+    spark: SparkSession, model_dir: str, alpha: float | None = None
+) -> DataFrame:
+    """(bucket, log_ratio) over the full domain, from the stored
+    histograms — no corpus scan.  ``alpha`` defaults to the manifest's
+    (the smoothing is a read-time choice; the stored counts are raw)."""
+    meta = read_dsir_manifest(model_dir)
+    a = meta["alpha"] if alpha is None else alpha
+    if a <= 0:
+        raise ValueError(f"alpha must be > 0 for finite smoothing, got {a}")
+    nb = meta["n_buckets"]
+    dom = spark.range(nb).select(F.col("id").cast("int").alias("bucket"))
+    c = _model_counts(spark, model_dir, meta)
+    denom = float(a) * nb
+    return (
+        dom.join(c, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("t_cnt", F.lit(0)).cast("double") + F.lit(float(a)))
+                    / F.lit(meta["t_total"] + denom)
+                )
+                - F.log(
+                    (F.coalesce("r_cnt", F.lit(0)).cast("double") + F.lit(float(a)))
+                    / F.lit(meta["r_total"] + denom)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_weights_from_model(
+    raw: DataFrame, model_dir: str, alpha: float | None = None
+) -> DataFrame:
+    """Score a corpus (or a stream batch) off the stored model — the
+    per-batch path: NO target scan, NO raw-history scan, just the
+    broadcast log-ratio join + one doc-keyed combinable sum."""
+    meta = read_dsir_manifest(model_dir)
+    lr = dsir_log_ratio_from_model(raw.sparkSession, model_dir, alpha)
+    return dsir_weights(
+        raw, raw, meta["n_buckets"], meta["seed"], meta["alpha"], log_ratio=lr
+    )
+
+
+def dsir_select_from_model(
+    raw: DataFrame,
+    model_dir: str,
+    k: int,
+    temperature: float | None = 1.0,
+    gumbel_seed: str = "dsir-g:",
+    alpha: float | None = None,
+) -> DataFrame:
+    """``dsir_select`` off the stored model (see ``dsir_select`` for
+    the sampling semantics) — selection without re-deriving either
+    histogram."""
+    meta = read_dsir_manifest(model_dir)
+    lr = dsir_log_ratio_from_model(raw.sparkSession, model_dir, alpha)
+    return dsir_select(
+        raw,
+        raw,
+        k,
+        meta["n_buckets"],
+        meta["seed"],
+        meta["alpha"],
+        temperature=temperature,
+        gumbel_seed=gumbel_seed,
+        log_ratio=lr,
+    )

@@ -915,6 +915,44 @@ def start_bpe_encode_sink(
     )
 
 
+def start_dsir_model_sink(
+    docs_stream: DataFrame,
+    model_dir: str,
+    checkpoint: str,
+):
+    """Live DSIR raw-model maintenance — each document micro-batch
+    folds into the STORED raw-corpus histogram
+    (``dsir.update_dsir_model(raw_batch=..., epoch=...)``; the target
+    histogram stays frozen), so selection weights track the growing
+    corpus without ever rescanning history: per-batch cost is one
+    bounded bucket aggregation.
+
+    Bootstrap the artifact first with ``dsir.save_dsir_model(target,
+    initial_raw, model_dir)`` (``initial_raw`` may be empty — the
+    histograms are additive from zero).  Exactly-once through the
+    crash window: the ``last_epoch`` stamp commits IN the manifest
+    flip that publishes the counts, so a replayed epoch is a no-op
+    and a crash between the counts write and the flip refolds
+    identical content from the still-live previous version.  Streamed
+    ≡ one batch update on the union (tested)."""
+    from ..operators import dsir
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        dsir.update_dsir_model(
+            batch.sparkSession, model_dir, raw_batch=batch, epoch=epoch,
+            checkpoint=checkpoint,
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_text_index_sink(
     docs_stream: DataFrame,
     index_dir: str,

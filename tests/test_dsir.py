@@ -186,6 +186,156 @@ def test_featureless_docs_survive_and_everything_is_finite(spark, sf_dir):
     assert all(math.isfinite(r.log_ratio) for r in lr)
 
 
+def test_model_update_equals_rebuild_exactly(spark, sf_dir, tmp_path):
+    """Bucket counts are additive, so folding a batch into the stored
+    model must equal rebuilding on the union EXACTLY — integer counts,
+    not an approximation."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    prefix = docs.where(F.col("doc_id") % 3 != 0)
+    suffix = docs.where(F.col("doc_id") % 3 == 0)
+
+    inc = str(tmp_path / "m_inc")
+    dsir.save_dsir_model(target, prefix, inc, n_buckets=N_BUCKETS)
+    dsir.update_dsir_model(spark, inc, raw_batch=suffix)
+    full = str(tmp_path / "m_full")
+    dsir.save_dsir_model(target, docs, full, n_buckets=N_BUCKETS)
+
+    mi, mf = dsir.read_dsir_manifest(inc), dsir.read_dsir_manifest(full)
+    assert mi["version"] == 2 and mf["version"] == 1
+    assert (mi["t_total"], mi["r_total"]) == (mf["t_total"], mf["r_total"])
+    ci = {
+        r.bucket: (r.t_cnt, r.r_cnt)
+        for r in spark.read.parquet(f"{inc}/counts_v2").collect()
+    }
+    cf = {
+        r.bucket: (r.t_cnt, r.r_cnt)
+        for r in spark.read.parquet(f"{full}/counts_v1").collect()
+    }
+    assert ci == cf
+    # and a crashed NEXT update (data dir written, manifest not
+    # flipped) leaves the committed version live
+    spark.range(1).selectExpr(
+        "1 as bucket", "cast(999 as long) as t_cnt", "cast(999 as long) as r_cnt"
+    ).write.mode("overwrite").parquet(f"{inc}/counts_v3")
+    wa = {r.doc_id: r.logw for r in dsir.dsir_weights_from_model(docs, inc).collect()}
+    wb = {r.doc_id: r.logw for r in dsir.dsir_weights_from_model(docs, full).collect()}
+    assert wa == pytest.approx(wb, rel=1e-12)
+
+
+def test_model_scoring_matches_inline_operator(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    md = str(tmp_path / "m_twin")
+    dsir.save_dsir_model(target, docs, md, n_buckets=N_BUCKETS)
+    got = {r.doc_id: r.logw for r in dsir.dsir_weights_from_model(docs, md).collect()}
+    want = {
+        r.doc_id: r.logw
+        for r in dsir.dsir_weights(docs, target, n_buckets=N_BUCKETS).collect()
+    }
+    assert set(got) == set(want)
+    for d, w in got.items():
+        assert w == pytest.approx(want[d], rel=1e-9, abs=1e-12), d
+    sel_m = {
+        r.doc_id
+        for r in dsir.dsir_select_from_model(docs, md, k=20, temperature=0.5).collect()
+    }
+    sel_i = {
+        r.doc_id
+        for r in dsir.dsir_select(
+            docs, target, k=20, n_buckets=N_BUCKETS, temperature=0.5
+        ).collect()
+    }
+    assert sel_m == sel_i
+    with pytest.raises(FileNotFoundError, match="no DSIR model"):
+        dsir.dsir_weights_from_model(docs, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="target_batch and/or raw_batch"):
+        dsir.update_dsir_model(spark, md)
+
+
+def test_corpus_prep_dsir_budget_gate(spark, sf_dir):
+    """prepare_training_corpus(dsir_target=, dsir_k=) selects the doc
+    budget from the deduped survivors: a subset of the no-DSIR run,
+    exactly k rows, same output schema."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import corpus
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    base = corpus.prepare_training_corpus(docs).persist()
+    base_rows = {
+        (r.doc_id, r.split, r.redacted_md5): r for r in base.collect()
+    }
+    k = max(5, len(base_rows) // 3)
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    sel = corpus.prepare_training_corpus(
+        docs, dsir_target=target, dsir_k=k, dsir_buckets=N_BUCKETS
+    )
+    rows = sel.collect()
+    assert sel.columns == base.columns == [
+        "doc_id", "lang", "split", "n_tokens", "redacted_md5"
+    ]
+    assert len(rows) == min(k, len(base_rows))
+    for r in rows:
+        assert (r.doc_id, r.split, r.redacted_md5) in base_rows
+    with pytest.raises(ValueError, match="dsir_k"):
+        corpus.prepare_training_corpus(docs, dsir_target=target)
+    base.unpersist()
+
+
+def test_streaming_model_sink_folds_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed raw-histogram maintenance ≡ one batch update on the
+    union; a replayed epoch is a no-op (the last_epoch stamp commits
+    WITH the counts); a different checkpoint refuses loudly."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").persist()
+    target = _docs(spark, sf_dir).where(F.col("lang") == "en").select("doc_id", "text")
+    empty = docs.where(F.lit(False))
+
+    md = str(tmp_path / "dsir_stream")
+    dsir.save_dsir_model(target, empty, md, n_buckets=N_BUCKETS)
+    feed = str(tmp_path / "dfeed")
+    os.makedirs(feed)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/f{i}.parquet")
+    ck = str(tmp_path / "ck_dsir")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q = sp.start_dsir_model_sink(stream, md, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    ref = str(tmp_path / "dsir_ref")
+    dsir.save_dsir_model(target, docs, ref, n_buckets=N_BUCKETS)
+    ms, mr = dsir.read_dsir_manifest(md), dsir.read_dsir_manifest(ref)
+    assert (ms["t_total"], ms["r_total"]) == (mr["t_total"], mr["r_total"])
+    ws = {r.doc_id: r.logw for r in dsir.dsir_weights_from_model(docs, md).collect()}
+    wr = {r.doc_id: r.logw for r in dsir.dsir_weights_from_model(docs, ref).collect()}
+    assert ws == pytest.approx(wr, rel=1e-12)
+
+    # replayed final epoch: stamped → no-op (totals unchanged)
+    last = docs.where(F.col("doc_id") % 3 == 2)
+    dsir.update_dsir_model(
+        spark, md, raw_batch=last, epoch=ms["last_epoch"], checkpoint=ck
+    )
+    assert dsir.read_dsir_manifest(md)["r_total"] == ms["r_total"]
+    # a different checkpoint's epochs are not comparable — loud refusal
+    with pytest.raises(RuntimeError, match="stamped by checkpoint"):
+        dsir.update_dsir_model(
+            spark, md, raw_batch=last, epoch=0, checkpoint=str(tmp_path / "ck_other")
+        )
+    docs.unpersist()
+
+
 def test_validation_and_plan_shape(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     target = docs.where(F.col("lang") == "en")
