@@ -462,6 +462,15 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_dsir_select"] = round(best, 3)
+            # selection quality next to its timing (the recall@5
+            # precedent): English-target selection should beat the
+            # corpus base rate by a wide margin
+            sel = DSIR.dsir_select(
+                docs10, tgt, k=1000, n_buckets=4096, temperature=0.5
+            )
+            timings["_scale10x_dsir_en_frac"] = round(
+                sel.where(F.col("lang") == "en").count() / 1000.0, 3
+            )
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 

@@ -243,9 +243,14 @@ def _commit_counts(
 ) -> None:
     counts = counts.coalesce(1)  # ≤ n_buckets rows by construction
     counts.write.mode("overwrite").parquet(f"{model_dir}/counts_v{version}")
-    tot = counts.agg(
-        F.sum("t_cnt").alias("t"), F.sum("r_cnt").alias("r")
-    ).first()
+    # totals from the WRITTEN file (bounded read), not the lineage —
+    # recomputing the counts plan would scan the corpus a second time,
+    # and the manifest must describe the stored bytes in any case
+    tot = (
+        spark.read.parquet(f"{model_dir}/counts_v{version}")
+        .agg(F.sum("t_cnt").alias("t"), F.sum("r_cnt").alias("r"))
+        .first()
+    )
     manifest = {
         "n_buckets": n_buckets,
         "seed": seed,
