@@ -146,6 +146,17 @@ def _classifier_score(spark, sf):
     return classifier.score_quality_from_model(spark, docs, md)
 
 
+def _dsir_select(spark, sf):
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dsir
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir.dsir_select(docs, target, k=50, n_buckets=512, temperature=0.5)
+
+
 # operators outside the driver gate, built directly
 EXTRA = [
     (
@@ -201,6 +212,14 @@ EXTRA = [
         "plan — broadcast weight join + one combinable per-doc sum + "
         "sigmoid expression",
         _classifier_score,
+    ),
+    (
+        "dsir_select",
+        "DSIR importance resampling: two n_buckets-bounded histogram aggs "
+        "feed a broadcast log-ratio join on the map-side feature explode; "
+        "one doc-keyed combinable weight sum; Gumbel top-k cut is "
+        "TakeOrderedAndProject — the raw corpus shuffles only (doc_id, logw)",
+        _dsir_select,
     ),
 ]
 
