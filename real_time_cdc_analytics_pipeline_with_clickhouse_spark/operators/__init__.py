@@ -1,1 +1,1 @@
-from . import cdc, dedup, dsir, enrich, multimodal, relational, rollups, similarity  # noqa: F401
+from . import cdc, dedup, dsir, embedder, enrich, multimodal, relational, rollups, similarity  # noqa: F401
