@@ -471,6 +471,23 @@ def main() -> None:
             timings["_scale10x_dsir_en_frac"] = round(
                 sel.where(F.col("lang") == "en").count() / 1000.0, 3
             )
+
+            # feature-hashing embedder at 10×: map-side tokenize +
+            # two doc-keyed combinable aggs — no Python, no corpus
+            # text shuffle beyond the (doc_id, bucket) pairs
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                embedder as EMB,
+            )
+
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                EMB.embed_documents(docs10, dim=64).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_embed_documents"] = round(best, 3)
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 

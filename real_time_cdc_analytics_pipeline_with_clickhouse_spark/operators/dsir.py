@@ -77,13 +77,25 @@ def dsir_log_ratio(
     table (never over a corpus)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 for finite smoothing, got {alpha}")
-    spark = target.sparkSession
+    t = hashed_ngram_counts(target, n_buckets, seed)
+    r = hashed_ngram_counts(raw, n_buckets, seed)
+    return _log_ratio_from_counts(target.sparkSession, t, r, n_buckets, alpha)
+
+
+def _log_ratio_from_counts(
+    spark: SparkSession,
+    t_hist: DataFrame,
+    r_hist: DataFrame,
+    n_buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """Smoothed per-bucket log-ratio from two (bucket, cnt) histograms
+    — the totals fold in with a window over the BOUNDED (≤ n_buckets)
+    joined table, never over a corpus."""
     dom = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    t = hashed_ngram_counts(target, n_buckets, seed).withColumnRenamed("cnt", "t_cnt")
-    r = hashed_ngram_counts(raw, n_buckets, seed).withColumnRenamed("cnt", "r_cnt")
     j = (
-        dom.join(t, "bucket", "left")
-        .join(r, "bucket", "left")
+        dom.join(t_hist.withColumnRenamed("cnt", "t_cnt"), "bucket", "left")
+        .join(r_hist.withColumnRenamed("cnt", "r_cnt"), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("t_cnt", F.lit(0)).cast("double").alias("t_cnt"),
@@ -118,16 +130,34 @@ def dsir_weights(
 
     Pass a precomputed ``log_ratio`` to amortize the model across
     calls (e.g. scoring shards of the same raw corpus)."""
-    if log_ratio is None:
-        log_ratio = dsir_log_ratio(target, raw, n_buckets, seed, alpha)
-    occ = raw.select(
-        "doc_id",
-        F.explode(feature_buckets(F.col("text"), n_buckets, seed)).alias("bucket"),
+    occ_cnt = (
+        raw.select(
+            "doc_id",
+            F.explode(feature_buckets(F.col("text"), n_buckets, seed)).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
     )
+    if log_ratio is None:
+        # featurize the raw corpus ONCE: the per-doc (doc_id, bucket,
+        # cnt) table feeds BOTH the raw histogram and the weight sum —
+        # without the persist, each consumer would re-run the md5
+        # featurization over the full corpus (measured ~2× on the 10×
+        # bench probe).  This is the checkpoint a 100 TB run would
+        # write anyway before reusing a featurization.
+        occ_cnt = occ_cnt.persist()
+        r_hist = occ_cnt.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+        t_hist = hashed_ngram_counts(target, n_buckets, seed)
+        log_ratio = _log_ratio_from_counts(
+            raw.sparkSession, t_hist, r_hist, n_buckets, alpha
+        )
     sums = (
-        occ.join(F.broadcast(log_ratio), "bucket")
+        occ_cnt.join(F.broadcast(log_ratio), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("log_ratio").alias("logw"), F.count("*").alias("n_feats"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("logw"),
+            F.sum("cnt").alias("n_feats"),
+        )
     )
     return raw.select("doc_id").join(sums, "doc_id", "left").select(
         "doc_id",
