@@ -797,13 +797,35 @@ def start_embedding_index_sink(
     written before the build starts, routes it)."""
     from ..operators import ivf_index
 
+    sink = _ivf_fold_sink(index_dir, checkpoint, n_centroids, seed)
+    return (
+        emb_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def _ivf_fold_sink(index_dir: str, checkpoint: str, n_centroids: int, seed: int):
+    """The build-on-first-batch / frozen-fold-after foreachBatch body
+    shared by the embedding-stream and document-stream index sinks
+    (see ``start_embedding_index_sink`` for the crash-window
+    contract).  ``transform`` maps the arriving batch to the
+    (vec_id, embedding) rows to index — it must be DETERMINISTIC, so
+    a replayed epoch rewrites identical bytes."""
+    from ..operators import ivf_index
+
     meta_dir = index_dir + "_sinkmeta"
     build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
 
-    def sink(batch: DataFrame, epoch: int) -> None:
+    def sink(batch: DataFrame, epoch: int, transform=None) -> None:
         if batch.isEmpty():
             return
         if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        vecs = batch if transform is None else transform(batch)
+        if transform is not None and vecs.isEmpty():
+            _record_epoch(meta_dir, epoch, checkpoint)  # nothing to index
             return
         built_by = None
         if os.path.isfile(build_marker):
@@ -813,13 +835,52 @@ def start_embedding_index_sink(
             os.makedirs(meta_dir, exist_ok=True)
             with open(build_marker, "w") as fh:  # before the build: a
                 fh.write(str(epoch))  # crash mid-build replays as a rebuild
-            ivf_index.build_ivf_index(batch, index_dir, n_centroids, seed)
+            ivf_index.build_ivf_index(vecs, index_dir, n_centroids, seed)
         else:
-            ivf_index.update_ivf_index(batch, index_dir, epoch=epoch)
+            ivf_index.update_ivf_index(vecs, index_dir, epoch=epoch)
         _record_epoch(meta_dir, epoch, checkpoint)
 
+    return sink
+
+
+def start_document_embedding_index_sink(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    dim: int = 64,
+    n_centroids: int = 16,
+    seed: int = 7,
+):
+    """Live semantic indexing of a RAW DOCUMENT stream — the
+    composition the feature-hashing embedder exists for: each
+    micro-batch embeds map-side (``embedder.embed_documents``,
+    deterministic — same text, same vector) and folds into the
+    persistent IVF index exactly like ``start_embedding_index_sink``
+    (build on first batch, frozen-centroid map-side assignment
+    after; same exactly-once contract, since the embed step keeps
+    per-epoch content deterministic).  Tokenless docs are dropped
+    before indexing — a zero vector can never rank, pair, or sample.
+
+    ANN queries, index-backed SemDeDup and cluster-balanced sampling
+    see each document batch as soon as its append commits — a
+    semantic search/dedup surface maintained straight off the
+    document firehose, no external embedding service in the loop."""
+    from ..operators import embedder
+
+    fold = _ivf_fold_sink(index_dir, checkpoint, n_centroids, seed)
+
+    def transform(batch: DataFrame) -> DataFrame:
+        return (
+            embedder.embed_documents(batch, dim=dim)
+            .where(F.col("n_tokens") > 0)
+            .select("vec_id", "embedding")
+        )
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        fold(batch, epoch, transform=transform)
+
     return (
-        emb_stream.writeStream.outputMode("append")
+        docs_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
         .start()

@@ -122,6 +122,86 @@ def test_embed_to_ivf_index_semantic_dedup_end_to_end(spark, sf_dir, tmp_path):
     assert planted <= pairs, planted - pairs
 
 
+def test_streaming_document_index_sink(spark, sf_dir, tmp_path):
+    """Docs stream → embed → persistent IVF index: the sink-built
+    index answers identically to build-on-first-batch + frozen-fold
+    of the SAME embedded corpus, planted duplicates are findable from
+    the index, and a crash-window replay of an epoch changes
+    nothing."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = dedup.with_exact_duplicates(_docs(spark, sf_dir).limit(90)).select(
+        "doc_id", "text"
+    ).persist()
+    feed = str(tmp_path / "docfeed")
+    os.makedirs(feed)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/f{i}.parquet")
+    idx = str(tmp_path / "doc_ivf")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q = sp.start_document_embedding_index_sink(
+        stream, idx, str(tmp_path / "ck_demb"), dim=DIM, n_centroids=4
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emb = embedder.embed_documents(docs, dim=DIM).where(F.col("n_tokens") > 0)
+    assert ivf_index.read_manifest(idx)["n_rows"] == emb.count()
+    # stored assignments ≡ frozen-centroid assignment of the full
+    # embedded corpus under the sink's own centroids
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_index._assign(
+            emb.select("vec_id", "embedding"), centroids
+        ).select("vec_id", "centroid_id").collect()
+    }
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert got == want
+    # planted duplicate pairs visible straight off the live index
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_index.near_dup_pairs_from_index(
+            spark, idx, threshold=0.9999
+        ).collect()
+    }
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    planted = {(d, d + 100_000) for d in ids if d < 100_000 and d + 100_000 in ids}
+    assert planted and planted <= pairs
+    # crash-window replay of epoch 2: deterministic embed → identical
+    # batch dir, answers unchanged
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    emb2 = embedder.embed_documents(b2, dim=DIM).where(F.col("n_tokens") > 0)
+    ivf_index.update_ivf_index(emb2.select("vec_id", "embedding"), idx, epoch=2)
+    assert ivf_index.read_manifest(idx)["n_rows"] == emb.count()
+    again = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_index.near_dup_pairs_from_index(
+            spark, idx, threshold=0.9999
+        ).collect()
+    }
+    assert again == pairs
+    docs.unpersist()
+
+
 def test_validation_and_plan_is_python_free(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(50)
     with pytest.raises(ValueError, match="dim"):
