@@ -19,9 +19,10 @@ Spark-first shape, sized for the 100 TB raw side:
   bounded by ``n_buckets`` (the raw corpus reduces to ≤ n_buckets
   rows before anything joins); the log-ratio table is therefore
   always broadcastable, like classifier weights.
-- Per-doc weights are map-side explode → broadcast log-ratio join →
-  ONE doc-keyed combinable sum.  The raw corpus never shuffles its
-  text.
+- The raw corpus is featurized ONCE: the persisted per-doc
+  (doc_id, bucket, cnt) table feeds both the raw histogram and the
+  weight sum (broadcast log-ratio join + doc-keyed combinable aggs).
+  The corpus never shuffles its text.
 - Selection is Gumbel top-k (the without-replacement sampling trick:
   argmax_k of logw/temperature + Gumbel noise samples ∝ w^(1/T)),
   with hash-derived noise so runs are deterministic and the oracle
@@ -88,10 +89,14 @@ def _log_ratio_from_counts(
     r_hist: DataFrame,
     n_buckets: int,
     alpha: float,
+    t_total: int | None = None,
+    r_total: int | None = None,
 ) -> DataFrame:
     """Smoothed per-bucket log-ratio from two (bucket, cnt) histograms
-    — the totals fold in with a window over the BOUNDED (≤ n_buckets)
-    joined table, never over a corpus."""
+    — the ONE place the smoothing formula lives (the stored-model path
+    passes its manifest totals; the inline path folds totals with a
+    window over the BOUNDED ≤ n_buckets joined table, never over a
+    corpus)."""
     dom = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     j = (
         dom.join(t_hist.withColumnRenamed("cnt", "t_cnt"), "bucket", "left")
@@ -104,11 +109,13 @@ def _log_ratio_from_counts(
     )
     w = Window.partitionBy(F.lit(1))
     denom = float(alpha) * n_buckets
+    t_tot = F.lit(float(t_total)) if t_total is not None else F.sum("t_cnt").over(w)
+    r_tot = F.lit(float(r_total)) if r_total is not None else F.sum("r_cnt").over(w)
     return j.select(
         "bucket",
         (
-            F.log((F.col("t_cnt") + F.lit(float(alpha))) / (F.sum("t_cnt").over(w) + denom))
-            - F.log((F.col("r_cnt") + F.lit(float(alpha))) / (F.sum("r_cnt").over(w) + denom))
+            F.log((F.col("t_cnt") + F.lit(float(alpha))) / (t_tot + denom))
+            - F.log((F.col("r_cnt") + F.lit(float(alpha))) / (r_tot + denom))
         ).alias("log_ratio"),
     )
 
@@ -391,25 +398,15 @@ def dsir_log_ratio_from_model(
     a = meta["alpha"] if alpha is None else alpha
     if a <= 0:
         raise ValueError(f"alpha must be > 0 for finite smoothing, got {a}")
-    nb = meta["n_buckets"]
-    dom = spark.range(nb).select(F.col("id").cast("int").alias("bucket"))
     c = _model_counts(spark, model_dir, meta)
-    denom = float(a) * nb
-    return (
-        dom.join(c, "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce("t_cnt", F.lit(0)).cast("double") + F.lit(float(a)))
-                    / F.lit(meta["t_total"] + denom)
-                )
-                - F.log(
-                    (F.coalesce("r_cnt", F.lit(0)).cast("double") + F.lit(float(a)))
-                    / F.lit(meta["r_total"] + denom)
-                )
-            ).alias("log_ratio"),
-        )
+    return _log_ratio_from_counts(
+        spark,
+        c.select("bucket", F.col("t_cnt").alias("cnt")),
+        c.select("bucket", F.col("r_cnt").alias("cnt")),
+        meta["n_buckets"],
+        a,
+        t_total=meta["t_total"],
+        r_total=meta["r_total"],
     )
 
 
