@@ -915,3 +915,104 @@ def _rrf_core(
         .where(F.col("_r") <= k)
         .select(*keys, "doc_id", "rrf")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    score_col: str = "rrf",
+    keys: list[str] | None = None,
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification of a retrieval
+    result list (Carbonell & Goldstein, SIGIR 1998): greedily pick
+    argmax ``lam·rel − (1−lam)·max_cos_to_already_selected`` so the
+    top-k answers are RELEVANT AND MUTUALLY DISTINCT — the standard
+    fix for near-duplicate documents crowding a result page, riding
+    on the same embeddings the ANN leg already uses.
+
+    ``candidates``: (keys…, doc_id, ``score_col``) — any producer's
+    top-n list (``bm25_topk*``, ``rrf_fuse``, ``hybrid_*``); pass
+    ``keys=["query_id"]`` for batch lists.  ``vectors``: (vec_id,
+    embedding).  Relevance is min-max normalized per group (cosine
+    and BM25/RRF scores are not commensurable; ranks within the list
+    are); similarity is cosine.  Candidates with no vector (or a
+    zero vector, e.g. a tokenless doc under ``embed_documents``)
+    never collide with anything — they diversify for free.  All ties
+    break to the smaller doc_id, so the output is deterministic.
+
+    Scale shape: the greedy loop is inherently sequential, but only
+    over the BOUNDED candidate list — Python runs per list
+    (``applyInPandas``, the engine's custom-operator tier), never per
+    corpus row; the corpus-sized ``vectors`` table is touched by one
+    broadcast-pruned equi-join that ships just the candidates'
+    vectors.  Returns (keys…, doc_id, ``score_col``, mmr_score 6dp,
+    mmr_rank 1..k)."""
+    import numpy as np
+    import pandas as pd
+
+    if k <= 0:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    keys = list(keys or [])
+    cand = candidates.select(*keys, "doc_id", score_col)
+    # corpus side: ONE inner equi-join against the broadcast candidate
+    # id list prunes map-side (the corpus never shuffles); the small
+    # result then broadcast-left-joins back so vectorless candidates
+    # survive
+    cand_vecs = vectors.select(
+        F.col(vec_id_col).alias("doc_id"), F.col("embedding").alias("_v")
+    ).join(F.broadcast(cand.select("doc_id").distinct()), "doc_id")
+    withv = cand.join(F.broadcast(cand_vecs), "doc_id", "left")
+    grp = keys or [F.lit(1).alias("_g")]
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in candidates.select(*keys).schema.fields
+    )
+    out_schema = (key_fields + ", " if key_fields else "") + (
+        f"doc_id long, {score_col} double, mmr_score double, mmr_rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id"]).reset_index(drop=True)
+        n = len(pdf)
+        rel = pdf[score_col].astype(float).to_numpy()
+        lo, hi = rel.min(), rel.max()
+        rel = np.ones(n) if hi == lo else (rel - lo) / (hi - lo)
+        dim = next((len(v) for v in pdf["_v"] if v is not None), 1)
+        V = np.zeros((n, dim))
+        for i, v in enumerate(pdf["_v"]):
+            if v is not None:
+                V[i] = np.asarray(v, dtype=float)
+        nrm = np.linalg.norm(V, axis=1)
+        nz = nrm > 0
+        V[nz] = V[nz] / nrm[nz, None]
+        out: list[dict] = []
+        max_sim = np.zeros(n)
+        remaining = list(range(n))
+        while remaining and len(out) < k:
+            mmr = lam * rel - (1 - lam) * max_sim
+            best = min(remaining, key=lambda i: (-mmr[i], pdf["doc_id"][i]))
+            remaining.remove(best)
+            max_sim = np.maximum(max_sim, V @ V[best])
+            row = {
+                "doc_id": int(pdf["doc_id"][best]),
+                score_col: float(pdf[score_col][best]),
+                "mmr_score": round(float(mmr[best]), 6),
+                "mmr_rank": len(out) + 1,
+            }
+            for kcol in keys:
+                row[kcol] = pdf[kcol][best]
+            out.append(row)
+        return pd.DataFrame(
+            out, columns=keys + ["doc_id", score_col, "mmr_score", "mmr_rank"]
+        )
+
+    return (
+        withv.groupBy(*grp)
+        .applyInPandas(pick, schema=out_schema)
+        .select(*keys, "doc_id", score_col, "mmr_score", "mmr_rank")
+    )
