@@ -578,13 +578,19 @@ def prepare_training_corpus(
             f"unknown dedup_policy {dedup_policy!r} — use 'greedy' or 'cluster_best'"
         )
     survivors = gated.join(kept, "doc_id")
+    if (dsir_target is None) != (dsir_k is None):
+        # symmetric validation: a budget without a target (or vice
+        # versa) silently skipping selection would ship an unselected
+        # corpus believing the budget was applied
+        raise ValueError(
+            "dsir_target and dsir_k must be passed together (the selection "
+            "target and its document budget)"
+        )
     if dsir_target is not None:
         # importance-resample the doc BUDGET from the already-clean
         # survivors — selection runs LAST so near-dup clusters and
         # contaminated docs can never spend it (a 50-copy cluster
         # would otherwise fill the top-k with one document's text).
-        if dsir_k is None:
-            raise ValueError("dsir_target requires dsir_k (the selection budget)")
         from .dsir import dsir_select
 
         survivors = dsir_select(
@@ -594,6 +600,10 @@ def prepare_training_corpus(
             n_buckets=dsir_buckets,
             temperature=dsir_temperature,
         ).drop("logw", "score")
+        # three consumers below (redact, split, final select) — one
+        # materialization, same re-evaluation hazard the `gated`
+        # persist above documents
+        survivors = survivors.persist()
     red = pii_redact(survivors).select("doc_id", "redacted_md5")
     split = hash_split(survivors, val_pct=val_pct, test_pct=test_pct).select("doc_id", "split")
     return (

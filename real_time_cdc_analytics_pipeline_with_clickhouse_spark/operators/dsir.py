@@ -34,12 +34,13 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..functions.scalar import portable_hash64
-from .classifier import feature_buckets
+from .classifier import _occurrences
 
 # 2^52: portable_hash64 is 60-bit; mod 2^52 keeps every intermediate
 # exactly representable as a double in BOTH engines (< 2^53), so the
@@ -52,11 +53,12 @@ def hashed_ngram_counts(
 ) -> DataFrame:
     """(bucket, cnt) — occurrence counts of hashed unigram+bigram
     features over a corpus.  One combinable shuffle; the result is
-    bounded by ``n_buckets`` regardless of corpus size."""
+    bounded by ``n_buckets`` regardless of corpus size.  The
+    featurization IS the classifier's ``_occurrences`` — one plan to
+    keep in lockstep, which is what makes every number here
+    DuckDB-recomputable under the classifier twin's SQL."""
     return (
-        documents.select(
-            F.explode(feature_buckets(F.col("text"), n_buckets, seed)).alias("bucket")
-        )
+        _occurrences(documents, n_buckets, seed)
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -138,10 +140,7 @@ def dsir_weights(
     Pass a precomputed ``log_ratio`` to amortize the model across
     calls (e.g. scoring shards of the same raw corpus)."""
     occ_cnt = (
-        raw.select(
-            "doc_id",
-            F.explode(feature_buckets(F.col("text"), n_buckets, seed)).alias("bucket"),
-        )
+        _occurrences(raw, n_buckets, seed)
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -386,6 +385,19 @@ def update_dsir_model(
         spark, counts, model_dir, meta["version"] + 1, nb, seed, meta["alpha"],
         last_epoch=stamp, epoch_checkpoint=ck,
     )
+    # prune superseded versions so a long-running streaming sink does
+    # not grow the model dir by one directory per epoch forever.  The
+    # just-superseded version stays (a reader that loaded the previous
+    # manifest may still be scanning it, and it is the crash-window
+    # refold source); anything older is unreachable.
+    for name in os.listdir(model_dir):
+        if name.startswith("counts_v"):
+            try:
+                v = int(name[len("counts_v"):])
+            except ValueError:
+                continue
+            if v < meta["version"]:
+                shutil.rmtree(os.path.join(model_dir, name), ignore_errors=True)
 
 
 def dsir_log_ratio_from_model(

@@ -795,8 +795,6 @@ def start_embedding_index_sink(
     epoch re-runs the build — itself a full overwrite — rather than
     appending its vectors a second time (the ``_BUILD_EPOCH`` marker,
     written before the build starts, routes it)."""
-    from ..operators import ivf_index
-
     sink = _ivf_fold_sink(index_dir, checkpoint, n_centroids, seed)
     return (
         emb_stream.writeStream.outputMode("append")
@@ -824,9 +822,15 @@ def _ivf_fold_sink(index_dir: str, checkpoint: str, n_centroids: int, seed: int)
         if _epoch_already_applied(meta_dir, epoch, checkpoint):
             return
         vecs = batch if transform is None else transform(batch)
-        if transform is not None and vecs.isEmpty():
-            _record_epoch(meta_dir, epoch, checkpoint)  # nothing to index
-            return
+        if transform is not None:
+            # isEmpty() executes the transform's aggregations; persist
+            # so build/update below reuses that work instead of
+            # re-running the whole embed plan per micro-batch
+            vecs = vecs.persist()
+            if vecs.isEmpty():
+                vecs.unpersist()
+                _record_epoch(meta_dir, epoch, checkpoint)  # nothing to index
+                return
         built_by = None
         if os.path.isfile(build_marker):
             with open(build_marker) as fh:
@@ -839,6 +843,8 @@ def _ivf_fold_sink(index_dir: str, checkpoint: str, n_centroids: int, seed: int)
         else:
             ivf_index.update_ivf_index(vecs, index_dir, epoch=epoch)
         _record_epoch(meta_dir, epoch, checkpoint)
+        if transform is not None:
+            vecs.unpersist()
 
     return sink
 

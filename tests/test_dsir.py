@@ -222,6 +222,18 @@ def test_model_update_equals_rebuild_exactly(spark, sf_dir, tmp_path):
     wb = {r.doc_id: r.logw for r in dsir.dsir_weights_from_model(docs, full).collect()}
     assert wa == pytest.approx(wb, rel=1e-12)
 
+    # version pruning: an update keeps the live + just-superseded
+    # versions and removes anything older (unbounded dir growth under
+    # a streaming sink otherwise)
+    import os
+
+    dsir.update_dsir_model(spark, inc, raw_batch=suffix.limit(5))
+    vs = sorted(n for n in os.listdir(inc) if n.startswith("counts_v"))
+    assert vs == ["counts_v2", "counts_v3"]  # v3 live, v2 kept, v1 pruned
+    # the crashed attempt's garbage v3 dir was overwritten by the
+    # committed retry — the manifest is ground truth
+    assert dsir.read_dsir_manifest(inc)["version"] == 3
+
 
 def test_model_scoring_matches_inline_operator(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
@@ -277,8 +289,12 @@ def test_corpus_prep_dsir_budget_gate(spark, sf_dir):
     assert len(rows) == min(k, len(base_rows))
     for r in rows:
         assert (r.doc_id, r.split, r.redacted_md5) in base_rows
-    with pytest.raises(ValueError, match="dsir_k"):
+    with pytest.raises(ValueError, match="together"):
         corpus.prepare_training_corpus(docs, dsir_target=target)
+    with pytest.raises(ValueError, match="together"):
+        # a budget without a target must refuse, not silently skip
+        # selection and ship the full corpus
+        corpus.prepare_training_corpus(docs, dsir_k=k)
     base.unpersist()
 
 
