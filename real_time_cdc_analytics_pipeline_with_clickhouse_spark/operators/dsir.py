@@ -113,12 +113,13 @@ def _log_ratio_from_counts(
     denom = float(alpha) * n_buckets
     t_tot = F.lit(float(t_total)) if t_total is not None else F.sum("t_cnt").over(w)
     r_tot = F.lit(float(r_total)) if r_total is not None else F.sum("r_cnt").over(w)
+    p_t = (F.col("t_cnt") + F.lit(float(alpha))) / (t_tot + denom)
+    p_r = (F.col("r_cnt") + F.lit(float(alpha))) / (r_tot + denom)
+    # p_t rides along for the KL diagnostic; weight consumers prune it
     return j.select(
         "bucket",
-        (
-            F.log((F.col("t_cnt") + F.lit(float(alpha))) / (t_tot + denom))
-            - F.log((F.col("r_cnt") + F.lit(float(alpha))) / (r_tot + denom))
-        ).alias("log_ratio"),
+        (F.log(p_t) - F.log(p_r)).alias("log_ratio"),
+        p_t.alias("p_t"),
     )
 
 
@@ -182,6 +183,27 @@ def gumbel_noise(doc_id: Column, seed: str = "dsir-g:") -> Column:
         + F.lit(0.5)
     ) / F.lit(float(_U_MOD))
     return -F.log(-F.log(u))
+
+
+def dsir_kl(
+    target: DataFrame,
+    other: DataFrame,
+    n_buckets: int = 1024,
+    seed: str = "dsir:",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """KL(p_target ‖ p_other) in nats over the smoothed hashed-n-gram
+    models — the DSIR paper's own evaluation: a selected corpus is
+    better the smaller its divergence from the target.  One row
+    (kl_nats); always finite under the shared smoothing, exactly 0
+    when ``other`` IS the target distribution.  Everything after the
+    two bounded histogram aggs is a closed-form fold over ≤ n_buckets
+    rows — use it to certify a selection:
+    ``dsir_kl(target, selected) < dsir_kl(target, raw)``."""
+    lr = dsir_log_ratio(target, other, n_buckets, seed, alpha)
+    return lr.agg(
+        F.sum(F.col("p_t") * F.col("log_ratio")).alias("kl_nats")
+    )
 
 
 def dsir_select(

@@ -298,6 +298,54 @@ def test_corpus_prep_dsir_budget_gate(spark, sf_dir):
     base.unpersist()
 
 
+def test_kl_diagnostic_certifies_selection(spark, sf_dir, ducks, tmp_path):
+    """dsir_kl: zero against itself, non-negative, numpy-exact from
+    DuckDB-recomputed histograms, and the paper's headline property —
+    the selected corpus diverges LESS from the target than raw."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+
+    self_kl = dsir.dsir_kl(target, target, n_buckets=N_BUCKETS).first().kl_nats
+    assert self_kl == 0.0
+
+    kl_raw = dsir.dsir_kl(target, docs, n_buckets=N_BUCKETS).first().kl_nats
+    assert kl_raw > 0.0
+
+    # numpy recomputation from DuckDB-derived histograms
+    docs.select("doc_id", "text", "lang").write.mode("overwrite").parquet(
+        str(tmp_path / "docs_kl")
+    )
+    sql = (
+        "WITH "
+        + _twin_sql(f"{tmp_path}/docs_kl/*.parquet", "lang = 'en'", 1.0, N_BUCKETS)
+        + "SELECT bucket, coalesce(t.t_cnt, 0), coalesce(r.r_cnt, 0) FROM dom "
+        + "LEFT JOIN tc t USING (bucket) LEFT JOIN rc r USING (bucket)"
+    )
+    rows = ducks.execute(sql).fetchall()
+    t = {b: tc for b, tc, _ in rows}
+    r = {b: rc for b, _, rc in rows}
+    tt, rt = sum(t.values()), sum(r.values())
+    want = 0.0
+    for b in range(N_BUCKETS):
+        pt = (t[b] + 1.0) / (tt + N_BUCKETS)
+        pr = (r[b] + 1.0) / (rt + N_BUCKETS)
+        want += pt * (math.log(pt) - math.log(pr))
+    assert kl_raw == pytest.approx(want, rel=1e-9)
+
+    # selection moves the distribution toward the target.  Compare
+    # against an EQUAL-SIZED random sample: a 100-doc histogram
+    # carries ~5× the add-alpha smoothing mass of the 500-doc raw
+    # corpus, so comparing across sizes measures sample sparsity, not
+    # distributional fit.
+    sel = dsir.dsir_select(docs, target, k=100, n_buckets=N_BUCKETS, temperature=0.25)
+    kl_sel = dsir.dsir_kl(
+        target, sel.select("doc_id", "text"), n_buckets=N_BUCKETS
+    ).first().kl_nats
+    rand = docs.where(F.col("doc_id") % 5 == 0)  # 100 docs, lang-agnostic
+    kl_rand = dsir.dsir_kl(target, rand, n_buckets=N_BUCKETS).first().kl_nats
+    assert 0.0 < kl_sel < kl_rand, (kl_sel, kl_rand)
+
+
 def test_streaming_model_sink_folds_exactly_once(spark, sf_dir, tmp_path):
     """Streamed raw-histogram maintenance ≡ one batch update on the
     union; a replayed epoch is a no-op (the last_epoch stamp commits
