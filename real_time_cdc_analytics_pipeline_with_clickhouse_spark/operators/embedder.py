@@ -17,7 +17,11 @@ vectors is a drop-in column replacement.
 Scale shape: tokenize/explode is map-side; the only shuffles are two
 doc-keyed combinable aggregations over (doc_id, bucket) pairs — the
 text itself never shuffles, and no row ever materializes more than
-its own ``dim``-length array.  No Python in the plan.
+its own ``dim``-length array.  No Python in the plan.  Wall-clock is
+dominated by the two md5 evaluations per token occurrence that buy
+DuckDB portability (``portable_hash64``); a production deployment
+that doesn't need the oracle twin swaps in ``xxhash64`` for the same
+geometry at a fraction of the hash cost.
 """
 
 from __future__ import annotations
