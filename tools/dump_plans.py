@@ -157,6 +157,28 @@ def _dsir_select(spark, sf):
     return dsir.dsir_select(docs, target, k=50, n_buckets=512, temperature=0.5)
 
 
+def _embed_docs(spark, sf):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import embedder
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    return embedder.embed_documents(load_table(spark, sf, "documents"), dim=64)
+
+
+def _mmr(spark, sf):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        embedder,
+        retrieval,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    vecs = embedder.embed_documents(docs, dim=64)
+    cand = spark.createDataFrame(
+        [(d, 1.0 - d / 100.0) for d in range(30)], "doc_id long, rrf double"
+    )
+    return retrieval.mmr_rerank(cand, vecs, k=10, lam=0.5)
+
+
 # operators outside the driver gate, built directly
 EXTRA = [
     (
@@ -220,6 +242,21 @@ EXTRA = [
         "one doc-keyed combinable weight sum; Gumbel top-k cut is "
         "TakeOrderedAndProject — the raw corpus shuffles only (doc_id, logw)",
         _dsir_select,
+    ),
+    (
+        "embed_documents",
+        "feature-hashing text embedder: map-side tokenize/explode, two "
+        "doc-keyed combinable aggs over (doc_id, bucket) pairs, dense fold "
+        "+ norm as pure array expressions — no Python anywhere",
+        _embed_docs,
+    ),
+    (
+        "mmr_rerank",
+        "MMR diversification: the corpus vector table pruned by one "
+        "broadcast equi-join on the candidate ids; exactly ONE "
+        "FlatMapGroupsInPandas over the bounded per-query lists runs the "
+        "greedy pick",
+        _mmr,
     ),
 ]
 
