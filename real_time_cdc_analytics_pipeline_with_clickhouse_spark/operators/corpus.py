@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.scalar import portable_hash64
-from ..functions.text import normalize_text, tokens
+from ..functions.text import normalize_text, token_count, tokens
 
 # Per-language keep rates for the stratified sampler: down-weight the
 # over-represented strata (the classic data-mixing move).  Absent
@@ -714,6 +714,43 @@ def corpus_diff(old_documents: DataFrame, new_documents: DataFrame) -> DataFrame
         o.join(n, "doc_id", "full_outer")
         .select("doc_id", change.alias("change"))
         .where(F.col("change").isNotNull())
+    )
+
+
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """The dataset-card summary a training pipeline publishes with
+    every corpus snapshot — one row per (source, lang): document and
+    token counts, EXACT-duplicate rate by normalized-content digest,
+    and token-length distribution (mean, exact interpolated p50/p95).
+
+    Scale shape: one projection computes (digest, n_tokens) map-side,
+    then ONE (source, lang)-keyed aggregation — count_distinct and the
+    exact percentiles are Spark's built-in partial-aggregating
+    implementations, and the group-key domain (sources × langs) is
+    bounded, so the result is always small.  Every number is
+    DuckDB-recomputable (md5 digest, count distinct, quantile_cont) —
+    twinned in tests/test_corpus_report.py.
+
+    ``dup_rate`` counts exact duplicates only (1 − distinct/docs);
+    near-dup rates come from the MinHash flow (``dedup_clusters``) —
+    this report is the cheap always-on observability pass, not the
+    dedup gate."""
+    proj = documents.select(
+        "source",
+        "lang",
+        F.md5(normalize_text(F.col("text"))).alias("digest"),
+        token_count(F.col("text")).alias("n_toks"),
+    )
+    return proj.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("digest").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("digest") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("n_toks"), 2).alias("mean_tokens"),
+        F.expr("percentile(n_toks, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_toks, 0.95)").alias("p95_tokens"),
     )
 
 
