@@ -492,6 +492,22 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_embed_documents"] = round(best, 3)
+
+            # dataset-card report at 10×: one projection + one
+            # bounded-domain agg — the always-on observability pass
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                corpus as CORP,
+            )
+
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                CORP.corpus_report(docs10).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_corpus_report"] = round(best, 3)
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 

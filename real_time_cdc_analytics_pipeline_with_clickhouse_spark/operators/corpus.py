@@ -717,6 +717,17 @@ def corpus_diff(old_documents: DataFrame, new_documents: DataFrame) -> DataFrame
     )
 
 
+def _report_projection(documents: DataFrame) -> DataFrame:
+    """(source, lang, digest, n_toks) — the map-side projection both
+    the one-shot report and the mergeable card state aggregate."""
+    return documents.select(
+        "source",
+        "lang",
+        F.md5(normalize_text(F.col("text"))).alias("digest"),
+        token_count(F.col("text")).alias("n_toks"),
+    )
+
+
 def corpus_report(documents: DataFrame) -> DataFrame:
     """The dataset-card summary a training pipeline publishes with
     every corpus snapshot — one row per (source, lang): document and
@@ -735,12 +746,7 @@ def corpus_report(documents: DataFrame) -> DataFrame:
     near-dup rates come from the MinHash flow (``dedup_clusters``) —
     this report is the cheap always-on observability pass, not the
     dedup gate."""
-    proj = documents.select(
-        "source",
-        "lang",
-        F.md5(normalize_text(F.col("text"))).alias("digest"),
-        token_count(F.col("text")).alias("n_toks"),
-    )
+    proj = _report_projection(documents)
     return proj.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"),
@@ -751,6 +757,94 @@ def corpus_report(documents: DataFrame) -> DataFrame:
         F.round(F.avg("n_toks"), 2).alias("mean_tokens"),
         F.expr("percentile(n_toks, 0.5)").alias("p50_tokens"),
         F.expr("percentile(n_toks, 0.95)").alias("p95_tokens"),
+    )
+
+
+def corpus_card_state(documents: DataFrame, lgk: int = 12) -> DataFrame:
+    """MERGEABLE form of the dataset card's scalar half — per
+    (source, lang): additive n_docs / n_tokens plus an HLL sketch of
+    the content digests (``dup_rate`` becomes an estimate at read
+    time).  HLL registers merge by max, so a union of per-batch
+    sketches is BIT-IDENTICAL to sketching the whole corpus at once —
+    the incremental card equals the one-shot card exactly (tested).
+    The token-length quantile half lives in a companion
+    ``sketches.log_histogram_state`` table (same keys)."""
+    return _report_projection(documents).groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.hll_sketch_agg("digest", F.lit(lgk)).alias("digest_state"),
+    )
+
+
+def merge_corpus_card_increment(
+    spark,
+    path: str,
+    documents: DataFrame,
+    lgk: int = 12,
+    epoch: int | None = None,
+) -> None:
+    """Fold a document batch into the stored card state — the same
+    AggregatingMergeTree insert-trigger shape as the uniq/quantile
+    states (bootstrap write, table-level ``last_epoch`` stamp, atomic
+    stage-swap commit; re-delivered epochs no-op)."""
+    import os
+
+    from ..warehouse import _stage_swap
+    from .sketches import _epoch_done, _epoch_stamp
+
+    state = corpus_card_state(documents, lgk)
+    if not os.path.isdir(path):
+        _epoch_stamp(state, epoch).write.mode("overwrite").parquet(path)
+        return
+    current = spark.read.parquet(path)
+    if _epoch_done(current, epoch):
+        return
+    merged = (
+        current.drop("last_epoch")
+        .unionByName(state)
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.hll_union_agg("digest_state").alias("digest_state"),
+        )
+    )
+    _stage_swap(_epoch_stamp(merged, epoch), path)
+
+
+def read_corpus_card(
+    spark, base_dir: str, qs: tuple[float, float] = (0.5, 0.95)
+) -> DataFrame:
+    """Read-time dataset card from the stored state pair
+    (``{base_dir}/card`` + ``{base_dir}/lenhist``): same columns as
+    the one-shot ``corpus_report``, with ``n_distinct``/``dup_rate``
+    as HLL estimates and the two quantiles within the log-histogram's
+    relative-error bound.  Everything here is state-cardinality work —
+    the corpus is never touched."""
+    from .sketches import log_histogram_quantiles
+
+    card = spark.read.parquet(f"{base_dir}/card").drop("last_epoch")
+    est = F.least(F.col("n_docs"), F.hll_sketch_estimate("digest_state"))
+    scal = card.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        est.cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - est / F.col("n_docs"), 6).alias("dup_rate"),
+        F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias("mean_tokens"),
+    )
+    hist = spark.read.parquet(f"{base_dir}/lenhist").drop("last_epoch")
+    qlo, qhi = float(qs[0]), float(qs[1])
+    quant = log_histogram_quantiles(hist, ["source", "lang"], [qlo, qhi])
+    lo = quant.where(F.col("q") == qlo).select(
+        "source", "lang", F.col("quantile").alias("p50_tokens")
+    )
+    hi = quant.where(F.col("q") == qhi).select(
+        "source", "lang", F.col("quantile").alias("p95_tokens")
+    )
+    return scal.join(lo, ["source", "lang"], "left").join(
+        hi, ["source", "lang"], "left"
     )
 
 

@@ -1020,6 +1020,58 @@ def start_dsir_model_sink(
     )
 
 
+def start_corpus_report_sink(
+    docs_stream: DataFrame,
+    base_dir: str,
+    checkpoint: str,
+    lgk: int = 12,
+):
+    """Live dataset card — each document micro-batch folds into the
+    two mergeable report states (``corpus.merge_corpus_card_increment``
+    for counts + the digest HLL; ``sketches.
+    merge_log_histogram_increment`` for the token-length quantile
+    state), so ``corpus.read_corpus_card`` answers the always-on
+    observability question (docs / tokens / dup rate / length
+    distribution per source × lang) at state-cardinality cost while
+    the corpus streams in.
+
+    Exactly-once: both state tables stamp ``last_epoch`` IN their
+    atomically-swapped commits (the shared AggregatingMergeTree
+    shape), so a crash anywhere between the two folds and the sink
+    marker replays as per-table no-ops; streamed ≡ one batch fold of
+    the union (tested — HLL registers merge by max, so the equality
+    is exact, not approximate)."""
+    from ..operators import corpus, sketches
+
+    meta_dir = base_dir + "_sinkmeta"
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        spark = batch.sparkSession
+        corpus.merge_corpus_card_increment(
+            spark, f"{base_dir}/card", batch, lgk=lgk, epoch=epoch
+        )
+        sketches.merge_log_histogram_increment(
+            spark,
+            f"{base_dir}/lenhist",
+            corpus._report_projection(batch),
+            "n_toks",
+            ["source", "lang"],
+            epoch=epoch,
+        )
+        _record_epoch(meta_dir, epoch, checkpoint)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_text_index_sink(
     docs_stream: DataFrame,
     index_dir: str,
