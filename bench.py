@@ -461,7 +461,7 @@ def main() -> None:
                 ).write.mode("overwrite").format("noop").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()  # dsir persists its featurization
+                DSIR.release_dsir_caches()  # dsir persists its featurization
             timings["_scale10x_dsir_select"] = round(best, 3)
             # selection quality next to its timing (the recall@5
             # precedent): the fixture langs share ONE vocabulary (lang
@@ -474,7 +474,7 @@ def main() -> None:
             timings["_scale10x_dsir_en_frac"] = round(
                 sel.where(F.col("lang") == "en").count() / 1000.0, 3
             )
-            spark.catalog.clearCache()  # drop the quality probe's cache too
+            DSIR.release_dsir_caches()  # drop the quality probe's cache too
 
             # feature-hashing embedder at 10×: map-side tokenize +
             # two doc-keyed combinable aggs — no Python, no corpus

@@ -69,18 +69,35 @@ def surrogate_event_key(event_id: Column) -> Column:
     )
 
 
-def portable_hash64(col: Column, seed: str = "") -> Column:
-    """Deterministic 60-bit hash computable identically in DuckDB.
+HASH_MODES = ("md5", "xxh64")
+
+
+def portable_hash64(col: Column, seed: str = "", mode: str = "md5") -> Column:
+    """Deterministic 60-bit non-negative hash, in one of two modes.
+
+    ``mode="md5"`` (default) is computable identically in DuckDB —
+    the ORACLE mode every gated/twinned path uses:
 
     Spark:  ``conv(substr(md5(seed||x), 1, 15), 16, 10)::long``
     DuckDB: ``('0x' || substr(md5(seed||x), 1, 15))::BIGINT``
 
-    Used by the MinHash/SimHash extension operators so their results
-    are oracle-checkable.  (At pure-production scale you'd use
-    ``xxhash64`` — cheaper — but it has no DuckDB twin.)
+    ``mode="xxh64"`` is the PRODUCTION mode: Spark's native
+    ``xxhash64`` (codegen'd, no hex round-trip — md5 is a first-order
+    CPU cost on hash-bound operators like the feature-hash embedder
+    and DSIR featurization).  Same contract — 60-bit non-negative
+    range (``shiftrightunsigned`` by 4 drops to 60 bits, so ``% d``
+    consumers never see a negative), NULL in → NULL out (xxhash64
+    alone would hash the seed for a NULL input) — so the two modes are
+    drop-in swaps that change VALUES, never geometry.  No DuckDB twin:
+    xxh-mode paths are invariant-tested, not value-twinned.
     """
-    payload = F.concat(F.lit(seed), col) if seed else col
-    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    if mode == "md5":
+        payload = F.concat(F.lit(seed), col) if seed else col
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    if mode == "xxh64":
+        h = F.xxhash64(F.lit(seed), col) if seed else F.xxhash64(col)
+        return F.when(col.isNotNull(), F.shiftrightunsigned(h, 4))
+    raise ValueError(f"unknown hash mode {mode!r}; expected one of {HASH_MODES}")
 
 
 def json_int(col: Column, path: str) -> Column:

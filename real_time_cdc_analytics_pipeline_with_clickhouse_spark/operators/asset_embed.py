@@ -1,0 +1,354 @@
+"""Media assets → the engine's vector/dedup stack (north star).
+
+``embedder.embed_documents`` proved the pattern for text: a
+deterministic, model-free embedder whose output rides the SAME
+(vec_id, embedding) contract as the ``embeddings`` table, so every
+downstream operator — sign-LSH near-dup, persistent IVF/PQ indexes,
+SemDeDup, cluster-balanced sampling — works unchanged.  This module
+is the multimodal leg of that bridge: image/audio/video payloads
+(``multimodal.decode_media`` output — real codec when importable,
+deterministic fallback otherwise) reduce to a fixed 8×8 CONTENT TILE
+per asset, which then feeds
+
+- ``embed_assets``     → mean-centered, L2-normalized 64-dim vectors
+  (cosine geometry: byte-identical assets embed identically,
+  small payload edits move the vector a little), and
+- ``perceptual_hashes`` → a 64-bit aHash-style fingerprint (bit b set
+  iff tile cell b is brighter than the tile mean — Average Hash, the
+  classic perceptual image fingerprint) with
+  ``phash_near_pairs`` as the image analog of
+  ``dedup.simhash_near_pairs``: banded hamming search, pigeonhole-
+  complete candidates, exact ``bit_count`` verification.
+
+The tile is the modality-agnostic canonical form:
+
+- image  → 8×8 block means of the decoded pixel raster (channels
+  averaged to gray first if a real codec returns RGB);
+- audio  → 64 window means over the decoded int16 samples;
+- video  → per-frame 8×8 tile of ≤16 evenly-sampled decoded frames,
+  averaged across frames.
+
+Decode/tile is Python (the engine's Arrow-batched custom-operator
+tier — ``mapInPandas``, bounded per-row work, no driver collect, no
+shuffle of payload bytes beyond the input scan); everything after
+the tile is the existing native stack.  Correctness twin: the tile
+math is byte-deterministic, so tests recompute embeddings and
+fingerprints EXACTLY with an independent pure-numpy reference
+(tests/test_asset_embed.py) — the multimodal analog of the DuckDB
+twins (DuckDB cannot decode media; numpy is the honest oracle here).
+
+Scale shape at 100 TB: the decode pass is embarrassingly parallel
+over assets (one scan, map-only); near-dup candidates come from
+(modality, band) equi-joins or the IVF index's centroid cells —
+never an all-pairs comparison; fingerprints are 8 bytes/asset and
+vectors 256 bytes/asset regardless of payload size, so the derived
+tables are ~4 orders of magnitude smaller than the corpus.
+
+Reference parity note: the reference pipeline (ESJ, clickhouse sql)
+has no media columns at all — this module, like embedder.py, is part
+of the training-data-pipeline surface the north-star brief adds on
+top of reference parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .multimodal import decode_media
+
+GRID = 8  # canonical tile is GRID×GRID → embedding dim GRID²
+TILE_DIM = GRID * GRID
+PHASH_BITS = 64  # one bit per tile cell
+PHASH_BANDS = 4  # 4 × 16-bit bands → pigeonhole-complete to hamming 3
+MAX_VIDEO_FRAMES = 16  # evenly-sampled frame budget per video
+
+
+def _block_bounds(n: int, parts: int) -> np.ndarray:
+    """parts+1 monotone boundaries splitting range(n) into ``parts``
+    nearly-equal segments (the same integer grid math as
+    ``multimodal.resize_images``); empty segments are legal for
+    n < parts and contribute 0 to the tile."""
+    return (np.arange(parts + 1, dtype=np.int64) * n) // parts
+
+
+def _tile_of(
+    modality: str,
+    payload: bytes,
+    width,
+    height,
+    sample_rate,
+    n_frames,
+) -> np.ndarray:
+    """The canonical GRID×GRID content tile (float64, flattened) of one
+    decoded asset — the single definition both the embedding and the
+    perceptual hash commit to."""
+    if modality == "image":
+        px = decode_media(
+            payload, "image", width=int(width), height=int(height)
+        ).astype(np.float64)
+        if px.ndim == 3:  # real-codec RGB(A): average channels to gray
+            px = px.mean(axis=2)
+        h, w = px.shape
+        rb, cb = _block_bounds(h, GRID), _block_bounds(w, GRID)
+        tile = np.zeros((GRID, GRID))
+        for i in range(GRID):
+            for j in range(GRID):
+                blk = px[rb[i]:rb[i + 1], cb[j]:cb[j + 1]]
+                if blk.size:
+                    tile[i, j] = blk.mean()
+        return tile.ravel()
+    if modality == "audio":
+        samples = decode_media(payload, "audio", sample_rate=sample_rate).astype(
+            np.float64
+        )
+        b = _block_bounds(samples.size, TILE_DIM)
+        tile = np.zeros(TILE_DIM)
+        for i in range(TILE_DIM):
+            seg = samples[b[i]:b[i + 1]]
+            if seg.size:
+                tile[i] = seg.mean()
+        return tile
+    if modality == "video":
+        frames = decode_media(payload, "video", n_frames=int(n_frames)).astype(
+            np.float64
+        )
+        step = max(1, frames.shape[0] // MAX_VIDEO_FRAMES)
+        sampled = frames[::step]
+        # fallback frames are already GRID×GRID; a real decoder's
+        # larger frames reduce by the image block-mean rule
+        if sampled.shape[1] == GRID and sampled.shape[2] == GRID:
+            return sampled.mean(axis=0).ravel()
+        h, w = sampled.shape[1], sampled.shape[2]
+        rb, cb = _block_bounds(h, GRID), _block_bounds(w, GRID)
+        tile = np.zeros((GRID, GRID))
+        mean_frame = sampled.mean(axis=0)
+        for i in range(GRID):
+            for j in range(GRID):
+                blk = mean_frame[rb[i]:rb[i + 1], cb[j]:cb[j + 1]]
+                if blk.size:
+                    tile[i, j] = blk.mean()
+        return tile.ravel()
+    raise ValueError(f"unknown modality {modality!r}")
+
+
+def _iter_tiles(pdf: pd.DataFrame) -> Iterator[tuple[int, str, np.ndarray]]:
+    for aid, modality, payload, w, h, sr, nf in zip(
+        pdf["asset_id"], pdf["modality"], pdf["payload"],
+        pdf["width"], pdf["height"], pdf["sample_rate"], pdf["n_frames"],
+    ):
+        yield int(aid), modality, _tile_of(modality, payload, w, h, sr, nf)
+
+
+ASSET_EMB_SCHEMA = "vec_id long, modality string, embedding array<float>"
+
+
+def embed_assets(assets: DataFrame) -> DataFrame:
+    """(vec_id, modality, embedding array<float>) — deterministic
+    content embeddings of media assets, ready for the vector stack:
+    the output feeds ``build_ivf_index`` / ``embedding_near_dup_pairs``
+    / ``semantic_dedup_keep`` / ``ann_*_topk`` unchanged (``vec_id`` =
+    ``asset_id``; the ``embeddings`` table contract, embedder.py:39's
+    multimodal twin).
+
+    Vector = the asset's 8×8 content tile, mean-centered then unit-L2
+    (float32).  Centering makes the geometry CONTENT-shaped: a global
+    brightness/DC offset cancels, so two assets differing only by a
+    constant shift embed identically, while byte-identical payloads
+    trivially do.  A constant tile (no content variation — e.g. an
+    empty payload decoding to all zeros) has norm 0 after centering
+    and surfaces as the ZERO vector, the same survival rule as
+    ``embed_documents`` for tokenless docs; filter those before
+    indexing (cosine 0 against everything).
+
+    Compare modalities separately downstream (``modality`` rides
+    along): an audio window-mean vector and an image block-mean vector
+    share a space only nominally."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mods, vecs = [], [], []
+            for aid, modality, tile in _iter_tiles(pdf):
+                centered = tile - tile.mean()
+                nrm = float(np.sqrt((centered * centered).sum()))
+                vec = centered / nrm if nrm > 0 else np.zeros(TILE_DIM)
+                ids.append(aid)
+                mods.append(modality)
+                vecs.append(vec.astype(np.float32))
+            yield pd.DataFrame(
+                {"vec_id": ids, "modality": mods, "embedding": vecs}
+            )
+
+    return assets.mapInPandas(batches, schema=ASSET_EMB_SCHEMA)
+
+
+PHASH_SCHEMA = "asset_id long, modality string, phash long"
+
+
+def perceptual_hashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, modality, phash) — 64-bit Average-Hash fingerprint:
+    bit b is set iff tile cell b is STRICTLY above the tile mean, so a
+    constant tile fingerprints as 0 and a brightness offset leaves the
+    fingerprint unchanged (same DC-invariance as the embedding).  The
+    long is the two's-complement view of the 64-bit pattern (bit 63
+    set ⇒ negative — ``bit_count``/XOR treat it correctly; band
+    extraction below uses unsigned shifts)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mods, fps = [], [], []
+            for aid, modality, tile in _iter_tiles(pdf):
+                mean = tile.mean()
+                v = 0
+                for b in range(TILE_DIM):
+                    if tile[b] > mean:
+                        v |= 1 << b
+                if v >= 1 << 63:  # two's-complement into int64
+                    v -= 1 << 64
+                ids.append(aid)
+                mods.append(modality)
+                fps.append(v)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": mods,
+                    "phash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    assets: DataFrame,
+    max_hamming: int = PHASH_BANDS - 1,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs at hamming ≤ ``max_hamming`` —
+    the image analog of ``dedup.simhash_near_pairs`` (dedup.py:226),
+    over perceptual fingerprints instead of token fingerprints.
+
+    Same banded-hamming construction: the 64-bit fingerprint splits
+    into ``n_bands`` equal bands; two fingerprints within hamming
+    ``n_bands − 1`` must agree exactly on ≥1 band (pigeonhole), so
+    the (modality, band_id, band_val) equi-join yields a COMPLETE
+    candidate set for that radius, then ``bit_count`` verifies the
+    true distance.  Pairs never cross modalities — an audio
+    fingerprint agreeing with an image fingerprint is meaningless.
+
+    Scale shape: the candidate join runs on the 8-byte fingerprint
+    table (never payloads), n_bands rows per asset, one equi-join,
+    no broadcast of anything corpus-sized, no cartesian."""
+    if PHASH_BITS % n_bands != 0:
+        raise ValueError(f"bits={PHASH_BITS} not divisible by n_bands={n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands (have {n_bands})"
+        )
+    width = PHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    fp = perceptual_hashes(assets)
+    bands = fp.select(
+        "asset_id",
+        "modality",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        # unsigned shift: bit 63 rides in band n_bands−1
+                        # and must not smear sign bits across bands
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "asset_id",
+        "modality",
+        "phash",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.modality") == F.col("b.modality"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.modality").alias("modality"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def asset_near_dup_pairs(
+    assets: DataFrame, threshold: float = 0.98
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs over assets, per modality —
+    ``dedup.embedding_near_dup_pairs`` semantics with the modality
+    fence built in: vectors bucket by (modality, sign-LSH bucket), so
+    candidates never cross modalities and each bucket stays small.
+    Zero vectors (constant tiles) are dropped up front — they cannot
+    exceed any positive threshold and would otherwise pile into one
+    degenerate bucket."""
+    from ..functions.vector import dot, norm
+    from .dedup import corpus_rows, lsh_bits_for, sign_lsh_bucket
+
+    emb = embed_assets(assets).where(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+        )
+        > 0
+    )
+    par = assets.sparkSession.sparkContext.defaultParallelism
+    # bits sized like embedding_near_dup_pairs (corpus_rows memoizes
+    # the sizing count per session)
+    e = emb.repartition(par).select(
+        "vec_id",
+        "modality",
+        "embedding",
+        sign_lsh_bucket("embedding", lsh_bits_for(corpus_rows(assets))).alias(
+            "bucket"
+        ),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.modality") == F.col("b.modality"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.modality").alias("modality"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

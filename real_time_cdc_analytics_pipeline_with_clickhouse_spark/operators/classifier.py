@@ -41,27 +41,37 @@ from ..functions.text import shingles_from_tokens, tokens
 _MANIFEST = "_model_manifest.json"
 
 
-def feature_buckets(text: Column, n_buckets: int, seed: str = "qc:") -> Column:
+def feature_buckets(
+    text: Column, n_buckets: int, seed: str = "qc:", hash_mode: str = "md5"
+) -> Column:
     """Hashed feature ids (array<int>) of a text column: non-empty
     unigrams + word bigrams, each mapped to ``portable_hash64(seed ||
     feature) mod n_buckets``.  One array expression per row — the
     tokenize/normalize runs once (bound as a higher-order-function
-    input, same trick as ``shingles``)."""
+    input, same trick as ``shingles``).  ``hash_mode="xxh64"`` swaps
+    in the production hash (same bucket geometry, different values,
+    no DuckDB twin — see ``portable_hash64``)."""
     toks = F.filter(tokens(text), lambda x: x != "")
     bound = F.transform(
         F.array(toks), lambda t: F.concat(t, shingles_from_tokens(t, 2))
     )
     feats = F.element_at(bound, 1)
     return F.transform(
-        feats, lambda f: (portable_hash64(f, seed=seed) % n_buckets).cast("int")
+        feats,
+        lambda f: (portable_hash64(f, seed=seed, mode=hash_mode) % n_buckets).cast("int"),
     )
 
 
-def _occurrences(documents: DataFrame, n_buckets: int, seed: str) -> DataFrame:
+def _occurrences(
+    documents: DataFrame, n_buckets: int, seed: str, hash_mode: str = "md5"
+) -> DataFrame:
     """(doc_id, bucket) — one row per feature OCCURRENCE (raw counts,
     the same featurization train and score must share)."""
     return documents.select(
-        "doc_id", F.explode(feature_buckets(F.col("text"), n_buckets, seed)).alias("bucket")
+        "doc_id",
+        F.explode(
+            feature_buckets(F.col("text"), n_buckets, seed, hash_mode)
+        ).alias("bucket"),
     )
 
 

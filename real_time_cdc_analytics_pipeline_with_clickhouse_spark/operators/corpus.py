@@ -794,7 +794,9 @@ def merge_corpus_card_increment(
 
     state = corpus_card_state(documents, lgk)
     if not os.path.isdir(path):
-        _epoch_stamp(state, epoch).write.mode("overwrite").parquet(path)
+        # stage-swap the bootstrap too: a crash mid-bootstrap must not
+        # leave a partial directory the next call merges on top of
+        _stage_swap(_epoch_stamp(state, epoch), path)
         return
     current = spark.read.parquet(path)
     if _epoch_done(current, epoch):

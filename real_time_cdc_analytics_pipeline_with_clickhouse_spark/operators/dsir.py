@@ -49,16 +49,20 @@ _U_MOD = 1 << 52
 
 
 def hashed_ngram_counts(
-    documents: DataFrame, n_buckets: int = 1024, seed: str = "dsir:"
+    documents: DataFrame,
+    n_buckets: int = 1024,
+    seed: str = "dsir:",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(bucket, cnt) — occurrence counts of hashed unigram+bigram
     features over a corpus.  One combinable shuffle; the result is
     bounded by ``n_buckets`` regardless of corpus size.  The
     featurization IS the classifier's ``_occurrences`` — one plan to
     keep in lockstep, which is what makes every number here
-    DuckDB-recomputable under the classifier twin's SQL."""
+    DuckDB-recomputable under the classifier twin's SQL (md5 mode;
+    ``hash_mode="xxh64"`` is the untwinned production hash)."""
     return (
-        _occurrences(documents, n_buckets, seed)
+        _occurrences(documents, n_buckets, seed, hash_mode)
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -70,6 +74,7 @@ def dsir_log_ratio(
     n_buckets: int = 1024,
     seed: str = "dsir:",
     alpha: float = 1.0,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(bucket, log_ratio) over the FULL bucket domain 0..n_buckets-1:
     ``ln p_target(b) − ln p_raw(b)`` under add-alpha smoothing
@@ -80,8 +85,8 @@ def dsir_log_ratio(
     table (never over a corpus)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 for finite smoothing, got {alpha}")
-    t = hashed_ngram_counts(target, n_buckets, seed)
-    r = hashed_ngram_counts(raw, n_buckets, seed)
+    t = hashed_ngram_counts(target, n_buckets, seed, hash_mode)
+    r = hashed_ngram_counts(raw, n_buckets, seed, hash_mode)
     return _log_ratio_from_counts(target.sparkSession, t, r, n_buckets, alpha)
 
 
@@ -123,6 +128,24 @@ def _log_ratio_from_counts(
     )
 
 
+# Persisted featurization handles from inline dsir_weights/dsir_select
+# calls — tracked so callers can release exactly these (and nothing
+# else) between repeated selections in one session.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_dsir_caches() -> int:
+    """Unpersist every featurization this module cached via inline
+    ``dsir_weights``/``dsir_select`` calls; returns how many were
+    released.  Safe to call at any time — downstream DataFrames just
+    recompute if re-executed."""
+    n = len(_LIVE_CACHES)
+    for df in _LIVE_CACHES:
+        df.unpersist()
+    _LIVE_CACHES.clear()
+    return n
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -130,6 +153,7 @@ def dsir_weights(
     seed: str = "dsir:",
     alpha: float = 1.0,
     log_ratio: DataFrame | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(doc_id, n_feats, logw) — per-document log importance weight
     ``Σ_occurrences log_ratio(bucket)`` (the bag-of-hashed-n-grams
@@ -139,9 +163,17 @@ def dsir_weights(
     under both models) instead of vanishing.
 
     Pass a precomputed ``log_ratio`` to amortize the model across
-    calls (e.g. scoring shards of the same raw corpus)."""
+    calls (e.g. scoring shards of the same raw corpus).
+
+    CACHE NOTE: when ``log_ratio`` is None this call ``persist()``s
+    the per-doc featurization so the raw histogram and the weight sum
+    share one featurization pass; the cache lives until
+    ``release_dsir_caches()`` (or session end).  Long-lived sessions
+    making repeated inline selections should call it between rounds —
+    it releases exactly the handles this module persisted, unlike
+    ``spark.catalog.clearCache()`` which drops unrelated caches too."""
     occ_cnt = (
-        _occurrences(raw, n_buckets, seed)
+        _occurrences(raw, n_buckets, seed, hash_mode)
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -153,8 +185,9 @@ def dsir_weights(
         # bench probe).  This is the checkpoint a 100 TB run would
         # write anyway before reusing a featurization.
         occ_cnt = occ_cnt.persist()
+        _LIVE_CACHES.append(occ_cnt)
         r_hist = occ_cnt.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
-        t_hist = hashed_ngram_counts(target, n_buckets, seed)
+        t_hist = hashed_ngram_counts(target, n_buckets, seed, hash_mode)
         log_ratio = _log_ratio_from_counts(
             raw.sparkSession, t_hist, r_hist, n_buckets, alpha
         )
@@ -191,6 +224,7 @@ def dsir_kl(
     n_buckets: int = 1024,
     seed: str = "dsir:",
     alpha: float = 1.0,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """KL(p_target ‖ p_other) in nats over the smoothed hashed-n-gram
     models — the DSIR paper's own evaluation: a selected corpus is
@@ -200,7 +234,7 @@ def dsir_kl(
     two bounded histogram aggs is a closed-form fold over ≤ n_buckets
     rows — use it to certify a selection:
     ``dsir_kl(target, selected) < dsir_kl(target, raw)``."""
-    lr = dsir_log_ratio(target, other, n_buckets, seed, alpha)
+    lr = dsir_log_ratio(target, other, n_buckets, seed, alpha, hash_mode)
     return lr.agg(
         F.sum(F.col("p_t") * F.col("log_ratio")).alias("kl_nats")
     )
@@ -216,6 +250,7 @@ def dsir_select(
     temperature: float | None = 1.0,
     gumbel_seed: str = "dsir-g:",
     log_ratio: DataFrame | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Select ``k`` raw documents by importance resampling: Gumbel
     top-k over ``logw / temperature`` draws a without-replacement
@@ -234,7 +269,9 @@ def dsir_select(
         raise ValueError(
             f"temperature must be > 0 (or None for deterministic top-k), got {temperature}"
         )
-    w = dsir_weights(raw, target, n_buckets, seed, alpha, log_ratio=log_ratio)
+    w = dsir_weights(
+        raw, target, n_buckets, seed, alpha, log_ratio=log_ratio, hash_mode=hash_mode
+    )
     if temperature is None:
         score = F.col("logw")
     else:
@@ -268,15 +305,23 @@ def save_dsir_model(
     n_buckets: int = 1024,
     seed: str = "dsir:",
     alpha: float = 1.0,
+    hash_mode: str = "md5",
 ) -> None:
     """Persist the bucket histograms: ``counts_v1/`` parquet (bucket,
     t_cnt, r_cnt — only buckets either side observed) + a manifest
-    (n_buckets, seed, alpha, totals, version).  The manifest write is
-    the commit: a crash mid-write leaves the previous version live."""
+    (n_buckets, seed, alpha, hash_mode, totals, version).  The
+    manifest write is the commit: a crash mid-write leaves the
+    previous version live.  ``hash_mode`` travels in the manifest so
+    every later fold/score hashes under the SAME scheme as the
+    history."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 for finite smoothing, got {alpha}")
-    t = hashed_ngram_counts(target, n_buckets, seed).withColumnRenamed("cnt", "t_cnt")
-    r = hashed_ngram_counts(raw, n_buckets, seed).withColumnRenamed("cnt", "r_cnt")
+    t = hashed_ngram_counts(target, n_buckets, seed, hash_mode).withColumnRenamed(
+        "cnt", "t_cnt"
+    )
+    r = hashed_ngram_counts(raw, n_buckets, seed, hash_mode).withColumnRenamed(
+        "cnt", "r_cnt"
+    )
     counts = (
         t.join(r, "bucket", "full_outer")
         .select(
@@ -285,7 +330,10 @@ def save_dsir_model(
             F.coalesce("r_cnt", F.lit(0)).cast("long").alias("r_cnt"),
         )
     )
-    _commit_counts(target.sparkSession, counts, model_dir, 1, n_buckets, seed, alpha)
+    _commit_counts(
+        target.sparkSession, counts, model_dir, 1, n_buckets, seed, alpha,
+        hash_mode=hash_mode,
+    )
 
 
 def _commit_counts(
@@ -298,6 +346,7 @@ def _commit_counts(
     alpha: float,
     last_epoch: int | None = None,
     epoch_checkpoint: str | None = None,
+    hash_mode: str = "md5",
 ) -> None:
     counts = counts.coalesce(1)  # ≤ n_buckets rows by construction
     counts.write.mode("overwrite").parquet(f"{model_dir}/counts_v{version}")
@@ -313,6 +362,7 @@ def _commit_counts(
         "n_buckets": n_buckets,
         "seed": seed,
         "alpha": alpha,
+        "hash_mode": hash_mode,
         "t_total": int(tot.t or 0),
         "r_total": int(tot.r or 0),
         "version": version,
@@ -383,13 +433,14 @@ def update_dsir_model(
         if meta.get("last_epoch", -1) >= epoch:
             return
     nb, seed = meta["n_buckets"], meta["seed"]
+    h_mode = meta.get("hash_mode", "md5")  # pre-mode manifests were md5
     counts = _model_counts(spark, model_dir, meta)
     zero = F.lit(0).cast("long")
     for df, col in ((target_batch, "t_cnt"), (raw_batch, "r_cnt")):
         if df is None:
             continue
         other = "r_cnt" if col == "t_cnt" else "t_cnt"
-        delta = hashed_ngram_counts(df, nb, seed).select(
+        delta = hashed_ngram_counts(df, nb, seed, h_mode).select(
             "bucket", F.col("cnt").cast("long").alias(col), zero.alias(other)
         )
         counts = (
@@ -405,7 +456,7 @@ def update_dsir_model(
     )
     _commit_counts(
         spark, counts, model_dir, meta["version"] + 1, nb, seed, meta["alpha"],
-        last_epoch=stamp, epoch_checkpoint=ck,
+        last_epoch=stamp, epoch_checkpoint=ck, hash_mode=h_mode,
     )
     # prune superseded versions so a long-running streaming sink does
     # not grow the model dir by one directory per epoch forever.  The
@@ -453,7 +504,8 @@ def dsir_weights_from_model(
     meta = read_dsir_manifest(model_dir)
     lr = dsir_log_ratio_from_model(raw.sparkSession, model_dir, alpha)
     return dsir_weights(
-        raw, raw, meta["n_buckets"], meta["seed"], meta["alpha"], log_ratio=lr
+        raw, raw, meta["n_buckets"], meta["seed"], meta["alpha"], log_ratio=lr,
+        hash_mode=meta.get("hash_mode", "md5"),
     )
 
 
@@ -480,4 +532,5 @@ def dsir_select_from_model(
         temperature=temperature,
         gumbel_seed=gumbel_seed,
         log_ratio=lr,
+        hash_mode=meta.get("hash_mode", "md5"),
     )

@@ -19,9 +19,11 @@ doc-keyed combinable aggregations over (doc_id, bucket) pairs — the
 text itself never shuffles, and no row ever materializes more than
 its own ``dim``-length array.  No Python in the plan.  Wall-clock is
 dominated by the two md5 evaluations per token occurrence that buy
-DuckDB portability (``portable_hash64``); a production deployment
-that doesn't need the oracle twin swaps in ``xxhash64`` for the same
-geometry at a fraction of the hash cost.
+DuckDB portability (``portable_hash64``); ``hash_mode="xxh64"``
+swaps in Spark's native xxhash64 for the same geometry at a fraction
+of the hash cost (production mode — no DuckDB twin, invariant-tested
+instead; the ``_scale10x_embed_documents_xxh`` bench probe records
+the gap).
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ def embed_documents(
     dim: int = 64,
     id_col: str = "doc_id",
     out_id_col: str = "vec_id",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(vec_id, embedding array<float>, n_tokens) — hashed bag-of-
     tokens embeddings, unit L2 norm for any doc with ≥1 token.
@@ -60,11 +63,13 @@ def embed_documents(
     )
     occ = toks.select(
         out_id_col,
-        (portable_hash64(F.col("term"), seed=EMB_SEED_BUCKET) % dim)
+        (portable_hash64(F.col("term"), seed=EMB_SEED_BUCKET, mode=hash_mode) % dim)
         .cast("int")
         .alias("bucket"),
         F.when(
-            portable_hash64(F.col("term"), seed=EMB_SEED_SIGN) % 2 == 0, F.lit(1.0)
+            portable_hash64(F.col("term"), seed=EMB_SEED_SIGN, mode=hash_mode) % 2
+            == 0,
+            F.lit(1.0),
         )
         .otherwise(F.lit(-1.0))
         .alias("sign"),

@@ -972,8 +972,13 @@ def mmr_rerank(
         f"{f.name} {f.dataType.simpleString()}"
         for f in candidates.select(*keys).schema.fields
     )
+    # doc_id / score types are the CALLER's, not hard-coded long/double:
+    # any producer's candidate list (int ids, float32 scores, …) passes
+    # through with its own types instead of failing or silently casting
+    cand_types = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
     out_schema = (key_fields + ", " if key_fields else "") + (
-        f"doc_id long, {score_col} double, mmr_score double, mmr_rank int"
+        f"doc_id {cand_types['doc_id']}, {score_col} {cand_types[score_col]}, "
+        "mmr_score double, mmr_rank int"
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -999,17 +1004,21 @@ def mmr_rerank(
             remaining.remove(best)
             max_sim = np.maximum(max_sim, V @ V[best])
             row = {
-                "doc_id": int(pdf["doc_id"][best]),
-                score_col: float(pdf[score_col][best]),
+                "doc_id": pdf["doc_id"][best],  # caller's dtype, uncoerced
+                score_col: pdf[score_col][best],
                 "mmr_score": round(float(mmr[best]), 6),
                 "mmr_rank": len(out) + 1,
             }
             for kcol in keys:
                 row[kcol] = pdf[kcol][best]
             out.append(row)
-        return pd.DataFrame(
+        res = pd.DataFrame(
             out, columns=keys + ["doc_id", score_col, "mmr_score", "mmr_rank"]
         )
+        if len(res):  # empty frames keep object dtype; Arrow accepts those
+            res["doc_id"] = res["doc_id"].astype(pdf["doc_id"].dtype)
+            res[score_col] = res[score_col].astype(pdf[score_col].dtype)
+        return res
 
     return (
         withv.groupBy(*grp)

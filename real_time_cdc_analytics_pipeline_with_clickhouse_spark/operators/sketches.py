@@ -122,9 +122,9 @@ def merge_uniques_increment(
     import os
 
     if not os.path.isdir(path):  # bootstrap: first batch creates the table
-        _epoch_stamp(hourly_uniques_state(new_enriched, lgk), epoch).write.mode(
-            "overwrite"
-        ).parquet(path)
+        # stage-swap so a crash mid-bootstrap can't leave a partial dir
+        # the next call treats as committed state
+        _stage_swap(_epoch_stamp(hourly_uniques_state(new_enriched, lgk), epoch), path)
         return
     current = spark.read.parquet(path)
     if _epoch_done(current, epoch):
@@ -302,10 +302,8 @@ def merge_topk_increment(
     stamp and a re-delivered epoch no-ops (crash-window safe)."""
     import os
 
-    if not os.path.isdir(path):
-        _epoch_stamp(topk_state(new_df, item_col, keys, m), epoch).write.mode(
-            "overwrite"
-        ).parquet(path)
+    if not os.path.isdir(path):  # atomic bootstrap (see uniques)
+        _stage_swap(_epoch_stamp(topk_state(new_df, item_col, keys, m), epoch), path)
         return
     current = spark.read.parquet(path)
     if _epoch_done(current, epoch):
@@ -518,10 +516,10 @@ def merge_log_histogram_increment(
     ``last_epoch`` stamp makes re-delivered epochs no-op."""
     import os
 
-    if not os.path.isdir(path):
-        _epoch_stamp(log_histogram_state(new_df, value_col, keys, alpha), epoch).write.mode(
-            "overwrite"
-        ).parquet(path)
+    if not os.path.isdir(path):  # atomic bootstrap (see uniques)
+        _stage_swap(
+            _epoch_stamp(log_histogram_state(new_df, value_col, keys, alpha), epoch), path
+        )
         return
     current = spark.read.parquet(path)
     if _epoch_done(current, epoch):

@@ -831,20 +831,25 @@ def _ivf_fold_sink(index_dir: str, checkpoint: str, n_centroids: int, seed: int)
                 vecs.unpersist()
                 _record_epoch(meta_dir, epoch, checkpoint)  # nothing to index
                 return
-        built_by = None
-        if os.path.isfile(build_marker):
-            with open(build_marker) as fh:
-                built_by = int(fh.read().strip() or -1)
-        if not os.path.isdir(f"{index_dir}/assignments") or built_by == epoch:
-            os.makedirs(meta_dir, exist_ok=True)
-            with open(build_marker, "w") as fh:  # before the build: a
-                fh.write(str(epoch))  # crash mid-build replays as a rebuild
-            ivf_index.build_ivf_index(vecs, index_dir, n_centroids, seed)
-        else:
-            ivf_index.update_ivf_index(vecs, index_dir, epoch=epoch)
-        _record_epoch(meta_dir, epoch, checkpoint)
-        if transform is not None:
-            vecs.unpersist()
+        try:
+            built_by = None
+            if os.path.isfile(build_marker):
+                with open(build_marker) as fh:
+                    built_by = int(fh.read().strip() or -1)
+            if not os.path.isdir(f"{index_dir}/assignments") or built_by == epoch:
+                os.makedirs(meta_dir, exist_ok=True)
+                with open(build_marker, "w") as fh:  # before the build: a
+                    fh.write(str(epoch))  # crash mid-build replays as a rebuild
+                ivf_index.build_ivf_index(vecs, index_dir, n_centroids, seed)
+            else:
+                ivf_index.update_ivf_index(vecs, index_dir, epoch=epoch)
+            _record_epoch(meta_dir, epoch, checkpoint)
+        finally:
+            # unpersist even when build/update raises: a retried
+            # micro-batch would otherwise stack a fresh cache per
+            # attempt across a long-running stream
+            if transform is not None:
+                vecs.unpersist()
 
     return sink
 

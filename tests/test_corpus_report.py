@@ -88,8 +88,6 @@ def test_incremental_card_equals_one_shot_and_tracks_exact(spark, sf_dir, tmp_pa
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).persist()
     inc, one = str(tmp_path / "inc"), str(tmp_path / "one")
-    for base in (inc, one):
-        pass
     corpus.merge_corpus_card_increment(spark, f"{one}/card", docs)
     sketches.merge_log_histogram_increment(
         spark, f"{one}/lenhist", corpus._report_projection(docs), "n_toks",
