@@ -76,6 +76,42 @@ def _block_bounds(n: int, parts: int) -> np.ndarray:
     return (np.arange(parts + 1, dtype=np.int64) * n) // parts
 
 
+def _grid_means_2d(px: np.ndarray) -> np.ndarray:
+    """GRID×GRID block means of a 2-D array, flattened — one
+    ``add.reduceat`` per axis instead of 64 Python-level slices (the
+    per-asset hot path: ~4× cheaper on a 1024×576 raster).  Integer
+    inputs accumulate in int64 along the contiguous axis first (both
+    exact AND the fast memory order); block means are then exact
+    float64 divisions, bit-identical to a float64 sequential sum
+    (every intermediate integer < 2^53).  Empty blocks (side < GRID)
+    contribute 0."""
+    h, w = px.shape
+    rb, cb = _block_bounds(h, GRID), _block_bounds(w, GRID)
+    acc = np.int64 if px.dtype.kind in "iub" else np.float64
+    c1 = np.add.reduceat(px, cb[:-1], axis=1, dtype=acc)
+    cs = np.add.reduceat(c1, rb[:-1], axis=0)
+    sizes = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    out = np.zeros((GRID, GRID))
+    nz = sizes > 0
+    out[nz] = cs[nz] / sizes[nz]
+    return out.ravel()
+
+
+def _seg_means_1d(x: np.ndarray, parts: int) -> np.ndarray:
+    """``parts`` segment means of a 1-D array (empty segments → 0;
+    same exact int64-accumulate rule as ``_grid_means_2d``)."""
+    if x.size == 0:
+        return np.zeros(parts)
+    b = _block_bounds(x.size, parts)
+    acc = np.int64 if x.dtype.kind in "iub" else np.float64
+    s = np.add.reduceat(x, b[:-1], dtype=acc)
+    sizes = np.diff(b)
+    out = np.zeros(parts)
+    nz = sizes > 0
+    out[nz] = s[nz] / sizes[nz]
+    return out
+
+
 def _tile_of(
     modality: str,
     payload: bytes,
@@ -88,31 +124,13 @@ def _tile_of(
     decoded asset — the single definition both the embedding and the
     perceptual hash commit to."""
     if modality == "image":
-        px = decode_media(
-            payload, "image", width=int(width), height=int(height)
-        ).astype(np.float64)
+        px = decode_media(payload, "image", width=int(width), height=int(height))
         if px.ndim == 3:  # real-codec RGB(A): average channels to gray
             px = px.mean(axis=2)
-        h, w = px.shape
-        rb, cb = _block_bounds(h, GRID), _block_bounds(w, GRID)
-        tile = np.zeros((GRID, GRID))
-        for i in range(GRID):
-            for j in range(GRID):
-                blk = px[rb[i]:rb[i + 1], cb[j]:cb[j + 1]]
-                if blk.size:
-                    tile[i, j] = blk.mean()
-        return tile.ravel()
+        return _grid_means_2d(px)
     if modality == "audio":
-        samples = decode_media(payload, "audio", sample_rate=sample_rate).astype(
-            np.float64
-        )
-        b = _block_bounds(samples.size, TILE_DIM)
-        tile = np.zeros(TILE_DIM)
-        for i in range(TILE_DIM):
-            seg = samples[b[i]:b[i + 1]]
-            if seg.size:
-                tile[i] = seg.mean()
-        return tile
+        samples = decode_media(payload, "audio", sample_rate=sample_rate)
+        return _seg_means_1d(samples, TILE_DIM)
     if modality == "video":
         frames = decode_media(payload, "video", n_frames=int(n_frames)).astype(
             np.float64
@@ -123,16 +141,7 @@ def _tile_of(
         # larger frames reduce by the image block-mean rule
         if sampled.shape[1] == GRID and sampled.shape[2] == GRID:
             return sampled.mean(axis=0).ravel()
-        h, w = sampled.shape[1], sampled.shape[2]
-        rb, cb = _block_bounds(h, GRID), _block_bounds(w, GRID)
-        tile = np.zeros((GRID, GRID))
-        mean_frame = sampled.mean(axis=0)
-        for i in range(GRID):
-            for j in range(GRID):
-                blk = mean_frame[rb[i]:rb[i + 1], cb[j]:cb[j + 1]]
-                if blk.size:
-                    tile[i, j] = blk.mean()
-        return tile.ravel()
+        return _grid_means_2d(sampled.mean(axis=0))
     raise ValueError(f"unknown modality {modality!r}")
 
 

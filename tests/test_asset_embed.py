@@ -43,15 +43,18 @@ def _bounds(n: int, parts: int) -> np.ndarray:
 
 
 def _block_means(px: np.ndarray) -> np.ndarray:
+    # reduceat summation order matches the operator so the float64
+    # block means are bit-identical (pairwise .mean() would differ in
+    # the last ulp on large blocks)
     h, w = px.shape
     rb, cb = _bounds(h, GRID), _bounds(w, GRID)
-    tile = np.zeros((GRID, GRID))
-    for i in range(GRID):
-        for j in range(GRID):
-            blk = px[rb[i]:rb[i + 1], cb[j]:cb[j + 1]]
-            if blk.size:
-                tile[i, j] = blk.mean()
-    return tile.ravel()
+    rs = np.add.reduceat(px, rb[:-1], axis=0)
+    cs = np.add.reduceat(rs, cb[:-1], axis=1)
+    sizes = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    out = np.zeros((GRID, GRID))
+    nz = sizes > 0
+    out[nz] = cs[nz] / sizes[nz]
+    return out.ravel()
 
 
 def _ref_tile(modality, payload, width=None, height=None, n_frames=None):
@@ -63,12 +66,14 @@ def _ref_tile(modality, payload, width=None, height=None, n_frames=None):
         if len(raw) % 2:
             raw += b"\x00"
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        if samples.size == 0:
+            return np.zeros(TILE_DIM)
         b = _bounds(samples.size, TILE_DIM)
+        s = np.add.reduceat(samples, b[:-1])
+        sizes = np.diff(b)
         tile = np.zeros(TILE_DIM)
-        for i in range(TILE_DIM):
-            seg = samples[b[i]:b[i + 1]]
-            if seg.size:
-                tile[i] = seg.mean()
+        nz = sizes > 0
+        tile[nz] = s[nz] / sizes[nz]
         return tile
     if modality == "video":
         n = int(n_frames)
