@@ -260,7 +260,12 @@ def phash_near_pairs(
         )
     width = PHASH_BITS // n_bands
     mask = (1 << width) - 1
-    fp = perceptual_hashes(assets)
+    # shuffle boundary AFTER the fingerprints: both self-join branches
+    # then hang off ONE identical Exchange, which AQE reuses — without
+    # it each branch re-runs the whole decode/tile MapInPandas stage
+    # (the expensive pass) independently (ReusedExchange-asserted)
+    par = assets.sparkSession.sparkContext.defaultParallelism
+    fp = perceptual_hashes(assets).repartition(par)
     bands = fp.select(
         "asset_id",
         "modality",
@@ -307,6 +312,60 @@ def phash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_assets(
+    assets: DataFrame,
+    max_hamming: int = PHASH_BANDS - 1,
+    n_bands: int = PHASH_BANDS,
+    priority: str | None = None,
+) -> DataFrame:
+    """Perceptual ASSET dedup end-to-end — the media analog of
+    ``dedup.fuzzy_dedup_keep_by`` (dedup.py:470): connected components
+    over the verified ``phash_near_pairs`` graph (components never
+    cross modalities because the pairs don't), ONE survivor per
+    component — the highest-``priority`` asset (any numeric column of
+    ``assets``; add a computed one with ``withColumn`` first), ties
+    and the default policy falling to the smallest asset_id.  Returns
+    the surviving rows with every input column.
+
+    Scale shape: pairs as in ``phash_near_pairs`` (fingerprint-table
+    joins), components via the large-star/small-star min-label
+    iteration (edge-sized shuffles — near-dup graphs are sparse),
+    keeper choice one combinable ``max_by`` per component, the final
+    drop one anti-join.  Null priorities rank below every real value
+    rather than poisoning the max."""
+    from .dedup import connected_components
+
+    pairs = phash_near_pairs(assets, max_hamming, n_bands).select(
+        F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)  # (doc_id, label)
+    if priority is None:
+        keepers = comp.groupBy("label").agg(F.min("doc_id").alias("keep_id"))
+    else:
+        pri = assets.select(
+            F.col("asset_id").alias("doc_id"),
+            F.coalesce(F.col(priority).cast("double"), F.lit(float("-inf"))).alias(
+                "_pri"
+            ),
+        )
+        keepers = (
+            comp.join(pri, "doc_id")
+            .groupBy("label")
+            .agg(
+                F.max_by(
+                    "doc_id",
+                    F.struct(F.col("_pri"), (-F.col("doc_id")).alias("_tie")),
+                ).alias("keep_id")
+            )
+        )
+    drops = (
+        comp.join(keepers, "label")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return assets.join(drops, "asset_id", "left_anti")
 
 
 def asset_near_dup_pairs(

@@ -349,6 +349,10 @@ def update_ivf_index(
     )
     n = spark.read.parquet(f"{index_dir}/assignments").count()
     meta.update({"n_rows": n, "lsh_bits": lsh_bits_for(n)})
+    if epoch is not None:
+        # the manifest write IS the commit: stamping the epoch in it
+        # lets upsert_ivf_index make a fully-committed replay a no-op
+        meta["last_epoch"] = int(epoch)
     _write_manifest(index_dir, meta)
 
 
@@ -385,7 +389,9 @@ def _live_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
     return df
 
 
-def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
+def delete_from_ivf_index(
+    spark: SparkSession, index_dir: str, vec_ids, exclude_batch: int | None = None
+) -> None:
     """Delete vectors from the stored IVF index by TOMBSTONE — one
     atomic swap of the tombstone table commits the delete; every query
     path (float, int8, PQ, index-backed SemDeDup, cluster-balanced
@@ -397,12 +403,17 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
     physically and retires the table.
 
     ``vec_ids``: a list of ids or a DataFrame with a ``vec_id``
-    column."""
+    column.  ``exclude_batch`` exempts one batch dir from
+    victimhood — ``upsert_ivf_index``'s replay guard (a crash-replayed
+    epoch must not tombstone the rows its own previous attempt
+    appended)."""
     from .retrieval import _commit_tombstones, _ids_frame
 
     read_manifest(index_dir)
     ids = _ids_frame(spark, vec_ids, "vec_id")
     rows = spark.read.parquet(f"{index_dir}/assignments").select("vec_id", "batch")
+    if exclude_batch is not None:
+        rows = rows.where(F.col("batch") != int(exclude_batch))
     tomb = _read_ivf_tombstones(spark, index_dir)
     stale = (
         spark.read.parquet(_ivf_tomb_path(index_dir)) if tomb is not None else None
@@ -415,6 +426,38 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
     victims = live.join(F.broadcast(ids), "vec_id", "left_semi")
     new_tomb = stale.unionByName(victims) if stale is not None else victims
     _commit_tombstones(new_tomb, _ivf_tomb_path(index_dir))
+
+
+def upsert_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """UPSERT semantics for the stored IVF index — the move a
+    CDC-maintained vector index needs when it can't know which
+    arriving vectors are new and which replace an indexed version
+    (retrieval.upsert_text_index's vector twin): tombstone ANY live
+    assignment under the batch's vec_ids (a no-op for genuinely-new
+    ids), then fold the batch in against the frozen centroids
+    (``update_ivf_index``).  The new rows land in a batch NEWER than
+    every tombstone, so they survive the anti-join; ANN answers equal
+    an index built fresh where each vector appears once in its latest
+    version (tested).
+
+    Replay-safe at BOTH crash points: the manifest's ``last_epoch``
+    stamp is checked BEFORE the delete, so a crash-replayed epoch
+    whose fold fully committed is a no-op; and the delete exempts
+    ``batch == epoch`` rows, so a replay after a crash BETWEEN the
+    batch-dir write and the manifest commit cannot tombstone the rows
+    the crashed attempt appended (the epoch's batch dir is rewritten
+    byte-identically)."""
+    if epoch is not None and read_manifest(index_dir).get("last_epoch", -1) >= epoch:
+        return
+    delete_from_ivf_index(
+        spark, index_dir, new_embeddings.select("vec_id"), exclude_batch=epoch
+    )
+    update_ivf_index(new_embeddings, index_dir, epoch=epoch)
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:

@@ -194,6 +194,12 @@ def test_phash_near_pairs_complete_vs_bruteforce(spark, sf_dir):
     plan = plan_string(asset_embed.phash_near_pairs(assets))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the decode/tile MapInPandas must run ONCE: both self-join
+    # branches read the same post-fingerprint exchange
+    df = asset_embed.phash_near_pairs(assets)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "(reused)" in executed
 
 
 def test_planted_duplicates_recovered_end_to_end_via_ivf(spark, sf_dir, tmp_path):
@@ -270,3 +276,129 @@ def test_banding_guards_refuse_unservable_radius(spark, sf_dir):
         asset_embed.phash_near_pairs(assets, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError):
         asset_embed.phash_near_pairs(assets, n_bands=5)  # 64 % 5 != 0
+
+
+def test_streaming_asset_index_sink_finds_planted_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Asset stream → decode/embed → persistent IVF index: the sink-
+    built index equals a build+frozen-fold of the same embedded
+    assets, planted duplicate assets are findable from it, and a
+    crash-window replay of an epoch changes nothing."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    assets = _with_planted(spark, _assets(spark, sf_dir, n=60), n_exact=12, n_near=0)
+    feed = str(tmp_path / "assetfeed")
+    os.makedirs(feed)
+    parts = [
+        assets.where(F.col("asset_id") % 3 == i) for i in range(3)
+    ]
+    schema = (
+        "asset_id long, modality string, payload binary, mime string, "
+        "width long, height long, sample_rate long, n_frames long"
+    )
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{i}.parquet")
+    idx = str(tmp_path / "asset_ivf_stream")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q = sp.start_asset_embedding_index_sink(
+        stream, idx, str(tmp_path / "ck_assets"), n_centroids=4
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emb = asset_embed.embed_assets(assets).where(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)) > 0
+    )
+    assert ivf_index.read_manifest(idx)["n_rows"] == emb.count()
+
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_index.near_dup_pairs_from_index(
+            spark, idx, threshold=0.9999
+        ).collect()
+    }
+    ids = {r.asset_id for r in assets.select("asset_id").collect()}
+    planted = {(a, a + 100_000) for a in ids if a + 100_000 in ids}
+    assert planted
+    # an exact-copy pair split across micro-batches still meets in the
+    # index — the cross-batch property the persistent artifact buys
+    cross_batch = {(a, b) for a, b in planted if a % 3 != b % 3}
+    assert cross_batch
+    assert planted <= pairs, planted - pairs
+
+    # crash-window replay of epoch 1: deterministic embed → identical
+    # batch dir bytes, count and pairs unchanged
+    n_before = ivf_index.read_manifest(idx)["n_rows"]
+    e1 = asset_embed.embed_assets(parts[1]).where(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)) > 0
+    ).select("vec_id", "embedding")
+    ivf_index.update_ivf_index(e1, idx, epoch=1)
+    assert ivf_index.read_manifest(idx)["n_rows"] == n_before
+    again = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_index.near_dup_pairs_from_index(
+            spark, idx, threshold=0.9999
+        ).collect()
+    }
+    assert again == pairs
+
+
+def test_dedup_assets_matches_union_find_reference(spark, sf_dir):
+    """Survivor selection over the perceptual graph ≡ an independent
+    Python union-find over the numpy-reference pair set, under both
+    the default smallest-id policy and a quality-priority policy."""
+    assets = _with_planted(spark, _assets(spark, sf_dir, n=50))
+    rows = _asset_rows(assets)
+    tiles = _ref_tiles(rows)
+    fps = {aid: _ref_phash(tiles[aid]) for aid in rows}
+
+    parent = {a: a for a in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(fps), 2):
+        if rows[a].modality != rows[b].modality:
+            continue
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3:
+            parent[find(a)] = find(b)
+    comps: dict = {}
+    for a in rows:
+        comps.setdefault(find(a), []).append(a)
+
+    # default policy: smallest id per component survives
+    want = {min(m) for m in comps.values()}
+    got = {
+        r.asset_id for r in asset_embed.dedup_assets(assets).select("asset_id").collect()
+    }
+    assert got == want
+    assert len(got) < len(rows)  # the planted dups actually collapsed
+
+    # priority policy: highest payload length wins (ties → smallest id)
+    sized = assets.withColumn("sz", F.length("payload"))
+    pl = {aid: len(bytes(r.payload)) for aid, r in rows.items()}
+    want_p = {
+        max(m, key=lambda a: (pl[a], -a)) for m in comps.values()
+    }
+    got_p = {
+        r.asset_id
+        for r in asset_embed.dedup_assets(sized, priority="sz")
+        .select("asset_id")
+        .collect()
+    }
+    assert got_p == want_p

@@ -547,3 +547,131 @@ def test_refresh_from_diff_equals_frozen_centroid_assignment(spark, sf_dir, tmp_
     after = _topk_rows(ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=N_PROBE))
     assert before == after
     emb.unpersist()
+
+
+def test_cdc_maintained_ivf_index_equals_fresh_build(spark, sf_dir, tmp_path):
+    """r6 verdict #7: the IVF index follows a Debezium-style CDC
+    source (op-routed upserts/deletes, latest-wins within a batch via
+    seq) — a 3-batch history must answer ANN queries EXACTLY like a
+    frozen-centroid assignment of the NET final table, and both
+    operator-level crash windows must replay to the same answers."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    emb = _emb(spark, sf_dir, n=260).persist()
+    rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    ids = sorted(rows)
+    base = ids[:200]  # batch 0 payload
+    spare = ids[200:260]  # unseen vectors to insert/re-create later
+
+    def flip(v):  # a deterministic "new version" of an embedding
+        return [-x for x in v]
+
+    # batch 0: create 200; batch 1: update 30, delete 20, insert 20,
+    # plus one u-then-d multi-op key resolved by seq (delete wins);
+    # batch 2: re-create one deleted id (new version), update one
+    # batch-1 insert, delete 10 more
+    b0 = [(i, rows[i], "c", 0) for i in base]
+    upd1 = base[:30]
+    del1 = base[170:190]
+    ins1 = spare[:20]
+    b1 = (
+        [(i, flip(rows[i]), "u", 1) for i in upd1]
+        + [(i, rows[i], "d", 1) for i in del1]
+        + [(i, rows[i], "c", 1) for i in ins1]
+        + [(base[40], flip(rows[base[40]]), "u", 1), (base[40], rows[base[40]], "d", 2)]
+    )
+    re2 = del1[5]
+    b2 = (
+        [(re2, flip(rows[re2]), "c", 0)]
+        + [(ins1[3], flip(rows[ins1[3]]), "u", 0)]
+        + [(i, rows[i], "d", 0) for i in base[100:110]]
+    )
+    feed = str(tmp_path / "cdcfeed")
+    os.makedirs(feed)
+    schema = "vec_id long, embedding array<double>, op string, seq long"
+    for i, b in enumerate((b0, b1, b2)):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{feed}/f{i}.parquet"
+        )
+    idx = str(tmp_path / "ivf_cdc")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*.parquet")
+    )
+    q_ = sp.start_embedding_index_sink(
+        stream, idx, str(tmp_path / "ck_cdc"), N_CENTROIDS, SEED,
+        op_col="op", seq_col="seq",
+    )
+    q_.processAllAvailable()
+    q_.stop()
+
+    # the net final table: latest surviving version per vec_id
+    final = {i: rows[i] for i in base}
+    for i in upd1:
+        final[i] = flip(rows[i])
+    for i in del1:
+        final.pop(i)
+    for i in ins1:
+        final[i] = rows[i]
+    final.pop(base[40])  # u-then-d resolved latest-wins → deleted
+    final[re2] = flip(rows[re2])
+    final[ins1[3]] = flip(rows[ins1[3]])
+    for i in base[100:110]:
+        final.pop(i)
+    net = spark.createDataFrame(
+        [(i, v) for i, v in final.items()], "vec_id long, embedding array<double>"
+    )
+    assert ivf_index._live_assignments(spark, idx).count() == len(final)
+
+    queries = similarity.default_queries(emb, every=40)
+    got = _topk_rows(ivf_index.ivf_index_topk(spark, queries, idx, k=5, n_probe=N_PROBE))
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    assigned = ivf_index._assign(net, centroids)
+    w = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    probes = F.broadcast(
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", ivf_index._d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= N_PROBE)
+        .select(
+            "query_id", "query_vec", "centroid_id", norm(F.col("query_vec")).alias("qnrm")
+        )
+    )
+    want = _topk_rows(similarity._rank_topk(assigned.join(probes, "centroid_id"), k=5))
+    assert got == want and got
+
+    # crash window A: a fully-committed upsert epoch replays as a
+    # no-op (manifest last_epoch stamp checked before the delete)
+    ups1 = spark.createDataFrame(b1, schema).where(F.col("op") != "d")
+    ivf_index.upsert_ivf_index(
+        spark, idx, ups1.select("vec_id", "embedding"), epoch=1
+    )
+    assert _topk_rows(
+        ivf_index.ivf_index_topk(spark, queries, idx, k=5, n_probe=N_PROBE)
+    ) == got
+
+    # crash window B: tombstones committed but the batch dir/manifest
+    # not (crash between upsert's delete and its update) — the replayed
+    # upsert must restore the same answers (exclude_batch shields the
+    # epoch's own rows from its replayed delete)
+    idx2 = str(tmp_path / "ivf_cw")
+    half = emb.where(F.col("vec_id") < 130)
+    ivf_index.build_ivf_index(half, idx2, N_CENTROIDS, SEED)
+    up = emb.where((F.col("vec_id") >= 110) & (F.col("vec_id") < 150))
+    ivf_index.delete_from_ivf_index(
+        spark, idx2, up.select("vec_id"), exclude_batch=5
+    )  # first half of upsert(epoch=5), then "crash"
+    ivf_index.upsert_ivf_index(spark, idx2, up, epoch=5)  # the replay
+    clean = str(tmp_path / "ivf_clean")
+    ivf_index.build_ivf_index(half, clean, N_CENTROIDS, SEED)
+    ivf_index.upsert_ivf_index(spark, clean, up, epoch=5)
+    # same centroids (same bootstrap fit) → answers must match exactly
+    g2 = _topk_rows(ivf_index.ivf_index_topk(spark, queries, idx2, k=5, n_probe=N_PROBE))
+    w2 = _topk_rows(ivf_index.ivf_index_topk(spark, queries, clean, k=5, n_probe=N_PROBE))
+    assert g2 == w2 and g2
+    emb.unpersist()
