@@ -731,19 +731,24 @@ def rademacher_planes(bits: int, dim: int = LSH_DIM, seed: str = LSH_SEED) -> li
     ]
 
 
-def lsh_bits_for(n_rows: int, target_bucket: int = 256, lo: int = 4, hi: int = 24) -> int:
+def lsh_bits_for(n_rows: int, target_bucket: int = 128, lo: int = 4, hi: int = 24) -> int:
     """Bucket-count sizing: enough hyperplanes that the MEAN bucket holds
     ~``target_bucket`` vectors (``ceil(log2(n / target))``, clamped).
     In-bucket pairing is quadratic in occupancy, so at 10⁹ vectors a
     fixed 8-bit ceiling (256 buckets → ~4M/bucket → ~10¹³ pairs per
     bucket) is the scale-killer.  ``target_bucket`` is sized for
-    THROUGHPUT, not just boundedness: 256 mean occupancy ≈ 33k scored
-    pairs per bucket — small enough that even a skewed bucket at a few
-    × the mean stays well inside one task, and small corpora don't pay
-    a quadratic blowup the way a 4096 target made them (the r5 bench
-    regression: 16 buckets over 55k vectors → ~8M pairs/bucket; at 256
-    the same corpus picks 8 bits, matching the hand-tuned fixed value
-    the bench historically used — verified by the adaptive 10× probe)."""
+    THROUGHPUT, not just boundedness — the default has been measured
+    down twice: 4096 caused the r5 bench regression (16 buckets over
+    the 10× corpus → ~8M pairs/bucket), and 256 still sat one bit
+    BELOW the hand-tuned value on the 20k-vector 10× probe (7 bits →
+    occupancy 156 → consistently ~30% slower end-to-end than the
+    pinned 8; interleaved min-of-3 measurement, round 7).  At 128 the
+    formula reproduces the hand-tuned 8 bits on that corpus (mean
+    occupancy ~78 → ~3k scored pairs per bucket — a skewed bucket at
+    several × the mean still fits one task) and 10⁹ vectors pick 23
+    bits.  The per-bit single-probe recall cost at cosine 0.9 is the
+    Charikar factor 1−θ/π ≈ 0.86 — the multiprobe variant recovers
+    boundary splits regardless of the sizing."""
     import math
 
     if n_rows <= target_bucket:
