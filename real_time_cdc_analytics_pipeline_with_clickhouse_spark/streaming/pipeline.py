@@ -1377,6 +1377,91 @@ def dedup_documents_stream(doc_stream: DataFrame, watermark: str = "10 minutes")
     )
 
 
+def start_asset_ingest_sink(
+    assets_stream: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    max_hamming: int | None = None,
+    compact_every: int | None = 16,
+):
+    """Live MEDIA-corpus ingestion with perceptual dedup — the
+    multimodal twin of ``start_corpus_ingest_sink``: per micro-batch,
+    arriving assets dedup against the persistent perceptual-hash index
+    (``operators.phash_index``) — survivors append to the asset corpus
+    and the batch's fingerprints fold into the index so the NEXT batch
+    (and the next run) sees it.  Per-batch cost ∝ batch: one decode
+    pass over the batch, fingerprint-table equi-joins against the
+    index, one 8-byte-per-asset append — the accumulated media corpus
+    is never re-decoded.
+
+    Same exactly-once construction as the text ingest sink: the corpus
+    is ``batch_group=G`` dirs merged idempotently by asset_id; the
+    index append is duplicate-TOLERANT (the fingerprint table is
+    set-semantic and the ``asset_a < asset_b`` precedence rule makes a
+    replayed batch's verdicts identical even though the replay sees
+    its own append); ``compact_every`` is the group size and the index
+    compaction cadence (``compact_phash_index`` squashes replay
+    residue and small files)."""
+    from ..operators import phash_index as pidx
+
+    meta_dir = corpus_dir + "_meta"
+    gsize = compact_every or 1
+    mh = pidx.PHASH_BANDS - 1 if max_hamming is None else max_hamming
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        sp_ = batch.sparkSession
+        bootstrap = not os.path.isdir(f"{index_dir}/{pidx.FP_TABLE}")
+        if bootstrap:
+            # bootstrap: within-batch dedup only (greedy pairwise —
+            # the same rule the incremental path applies)
+            from ..operators.asset_embed import phash_near_pairs
+
+            drops = (
+                phash_near_pairs(batch, max_hamming=mh)
+                .select(F.col("asset_b").alias("asset_id"))
+                .distinct()
+            )
+            kept = batch.join(drops, "asset_id", "left_anti")
+        else:
+            kept = pidx.dedup_assets_against_index(
+                sp_, batch, index_dir, max_hamming=mh
+            )
+        # corpus first, index second (stage-then-publish): a crash
+        # between them replays with the batch not yet precedent —
+        # identical verdicts, idempotent asset_id-keyed corpus merge
+        gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
+        if os.path.isdir(gdir) and any(
+            f.endswith(".parquet") for f in os.listdir(gdir)
+        ):
+            staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
+            merged = (
+                sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["asset_id"])
+            )
+            merged.write.mode("overwrite").parquet(staging)
+            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+        else:
+            kept.write.mode("overwrite").parquet(gdir)
+        if bootstrap:
+            pidx.build_phash_index(batch, index_dir)
+        else:
+            pidx.update_phash_index(batch, index_dir)
+        _record_epoch(meta_dir, epoch, checkpoint)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            pidx.compact_phash_index(sp_, index_dir)
+
+    return (
+        assets_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_corpus_ingest_sink(
     doc_stream: DataFrame,
     corpus_dir: str,
