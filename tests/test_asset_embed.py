@@ -402,3 +402,46 @@ def test_dedup_assets_matches_union_find_reference(spark, sf_dir):
         .collect()
     }
     assert got_p == want_p
+
+
+def test_asset_vectors_ride_the_pq_tier(spark, sf_dir, tmp_path):
+    """Media vectors are first-class citizens of the memory-tier
+    stack too: assets → embed → IVF-PQ index; the ADC query with
+    rerank ≥ cell occupancy returns EXACTLY the float-path answer
+    (the PQ equivalence contract, exercised over asset embeddings),
+    and planted duplicate assets still surface from the PQ-backed
+    near-dup path."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+
+    assets = _with_planted(spark, _assets(spark, sf_dir, n=60), n_exact=10, n_near=0)
+    emb = asset_embed.embed_assets(assets).where(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)) > 0
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    idx = str(tmp_path / "asset_pq")
+    ivf_index.build_ivf_index(emb, idx, n_centroids=4, seed=7, pq_m=8, pq_ks=16)
+
+    q = emb.orderBy("vec_id").limit(6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n = emb.count()
+    float_rows = sorted(
+        map(tuple, ivf_index.ivf_index_topk(spark, q, idx, k=5, n_probe=4)
+            .select("query_id", "neighbor_id", "rnk").collect())
+    )
+    pq_rows = sorted(
+        map(tuple, ivf_index.ivf_index_topk_pq(spark, q, idx, k=5, n_probe=4, rerank=n)
+            .select("query_id", "neighbor_id", "rnk").collect())
+    )
+    assert pq_rows == float_rows and pq_rows
+
+    ids = {r.asset_id for r in assets.select("asset_id").collect()}
+    planted = {(a, a + 100_000) for a in ids if a + 100_000 in ids}
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_index.near_dup_pairs_from_index(
+            spark, idx, threshold=0.9999
+        ).collect()
+    }
+    assert planted and planted <= pairs
