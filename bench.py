@@ -1,8 +1,17 @@
 """Headline benchmark: runs the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (round 8 — the driver tail-captures only the LAST
+~2000 chars of stdout, and round 7's single ever-growing JSON line
+outgrew that window, losing the headline timings from the driver's
+record): the FULL timing dict is written to ``BENCH_LOCAL.json`` at
+the repo root and printed on an early line; the LAST stdout line is a
+COMPACT JSON record — headline queries + the events/s trio only —
+guaranteed to fit the tail window:
+
+    {"metric": "bench_total", "value": N, "unit": "sec",
+     "queries": {<headline only>}, "sf": ..., "full": "BENCH_LOCAL.json"}
 
 Timing forces full execution with the noop sink (no driver-side
 collect — we measure the engine, not py4j row transfer).  The CDC
@@ -102,21 +111,20 @@ def main() -> None:
     slice10 = RU.hourly_rollup(
         enrich.enrich_events(cdc.unwrap_engagement(cdc_feed.engagement_cdc_json(blown)), dim)
     )
-    t10 = None
-    for _ in range(2):  # min-of-2: same host-noise guard as the query loop
-        t0 = time.time()
-        slice10.write.mode("overwrite").format("noop").save()
-        t10 = min(t10 or 1e9, time.time() - t0)
-    timings["_cdc_events_per_sec_10x"] = round(n_events * 10 / t10, 1)
 
-    # --- engine-only wire replay -----------------------------------------
+    # --- engine-only wire replay (interleaved with the 10× slice) --------
     # _cdc_events_per_sec times the slice INCLUDING synthesizing the
     # JSON wire (to_json of the driver tables) — harness work a real
     # deployment never pays, since Kafka already holds serialized
     # bytes.  This probe materializes the wire once (untimed, the
     # topic-log analog) and times scan→parse→enrich→score→rollup —
     # the throughput figure actually comparable to the reference's
-    # deployed events/s envelope.
+    # deployed events/s envelope.  The wire number swung >30% across
+    # rounds 6-7 on untouched code (host steal), so the two probes now
+    # run INTERLEAVED min-of-3 — the measurement discipline that
+    # settled the round-7 LSH sizing question — and the three raw wire
+    # samples are recorded alongside the min for per-round noise
+    # auditing.
     import shutil as _sh
     import tempfile as _tf
 
@@ -132,12 +140,17 @@ def main() -> None:
                 enrich.compact_dim_latest(cdc.unwrap_content(spark.read.text(f"{wire_dir}/c"))),
             )
         )
-        tw = None
+        t10, wire_samples = None, []
         for _ in range(3):
             t0 = time.time()
+            slice10.write.mode("overwrite").format("noop").save()
+            t10 = min(t10 or 1e9, time.time() - t0)
+            t0 = time.time()
             wire_slice.write.mode("overwrite").format("noop").save()
-            tw = min(tw or 1e9, time.time() - t0)
-        timings["_cdc_events_per_sec_wire"] = round(n_events / tw, 1)
+            wire_samples.append(round(time.time() - t0, 3))
+        timings["_cdc_events_per_sec_10x"] = round(n_events * 10 / t10, 1)
+        timings["_cdc_events_per_sec_wire"] = round(n_events / min(wire_samples), 1)
+        timings["_cdc_wire_sec_samples"] = wire_samples
     finally:
         _sh.rmtree(wire_dir, ignore_errors=True)
 
@@ -618,15 +631,34 @@ def main() -> None:
         finally:
             shutil.rmtree(scale_dir, ignore_errors=True)
 
+    full = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    # full record → file (the durable artifact) + an early stdout line;
+    # the driver's 2000-char stdout tail then only needs to hold the
+    # compact headline line printed LAST (round-7 lesson: the full dict
+    # outgrew the tail and the round's headline timings were lost)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
+    compact_keys = BENCH_QUERIES + [
+        "_cdc_events_per_sec", "_cdc_events_per_sec_10x", "_cdc_events_per_sec_wire",
+    ]
     print(
         json.dumps(
             {
                 "metric": "bench_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: timings[k] for k in compact_keys if k in timings},
                 "sf": float(sf),
-            }
+                "full": "BENCH_LOCAL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -135,7 +135,13 @@ def _tile_of(
         frames = decode_media(payload, "video", n_frames=int(n_frames)).astype(
             np.float64
         )
-        step = max(1, frames.shape[0] // MAX_VIDEO_FRAMES)
+        if frames.shape[0] == 0:
+            # zero-frame clip: zero tile (→ zero embedding, phash 0),
+            # never a NaN mean over an empty axis
+            return np.zeros(TILE_DIM)
+        # ceil-step keeps the sample within the frame budget (floor-step
+        # kept up to 2×MAX−1 frames, e.g. 17 of n=33)
+        step = -(-frames.shape[0] // MAX_VIDEO_FRAMES)
         sampled = frames[::step]
         # fallback frames are already GRID×GRID; a real decoder's
         # larger frames reduce by the image block-mean rule
@@ -211,11 +217,13 @@ def perceptual_hashes(assets: DataFrame) -> DataFrame:
         for pdf in it:
             ids, mods, fps = [], [], []
             for aid, modality, tile in _iter_tiles(pdf):
-                mean = tile.mean()
-                v = 0
-                for b in range(TILE_DIM):
-                    if tile[b] > mean:
-                        v |= 1 << b
+                # vectorized (tile > mean) → little-endian packbits:
+                # byte j bit i of the packed buffer IS fingerprint bit
+                # 8j+i, so the little-endian int view reproduces the
+                # Σ 2^b construction bit-for-bit without a 64-iteration
+                # Python loop per asset
+                packed = np.packbits(tile > tile.mean(), bitorder="little")
+                v = int.from_bytes(packed.tobytes(), "little")
                 if v >= 1 << 63:  # two's-complement into int64
                     v -= 1 << 64
                 ids.append(aid)

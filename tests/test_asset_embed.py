@@ -82,7 +82,9 @@ def _ref_tile(modality, payload, width=None, height=None, n_frames=None):
         frames = ((base + idx) % 256).astype(np.uint8)
         frames[:, 0, 0] = (np.arange(n) >> 8) & 0xFF
         frames[:, 0, 1] = np.arange(n) & 0xFF
-        step = max(1, n // 16)
+        if n == 0:
+            return np.zeros(TILE_DIM)
+        step = -(-n // 16)  # ceil-step: ≤16 frames, matches the operator
         return frames[::step].astype(np.float64).mean(axis=0).ravel()
     raise ValueError(modality)
 
