@@ -462,21 +462,47 @@ def main() -> None:
             # benchmark broadcasts, the training side pays one
             # shingle/minhash pass + candidate-sized verification —
             # the cost profile must track dedup_minhash_lsh, not
-            # |train|×|bench|
+            # |train|×|bench|.  Round 8 made the MinHash/SimHash hash
+            # family pluggable across the dedup + decontam operators,
+            # so the heaviest md5-bound probes now run as INTERLEAVED
+            # md5/xxh64 twins (min-of-2 each, alternating, so both
+            # modes ride the same host-noise windows) — the xxh delta
+            # is the price md5 pays for DuckDB oracle portability.
             from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
                 decontam as DECON,
             )
 
             bench_docs = docs.where(F.col("doc_id") < 200)
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                DECON.fuzzy_decontaminate(docs10, bench_docs).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings["_scale10x_fuzzy_decontaminate"] = round(best, 3)
+            docs10_df = spark.read.parquet(f"{scale_dir}/documents.parquet")
+            hash_twins = {
+                "fuzzy_decontaminate": (
+                    lambda: DECON.fuzzy_decontaminate(docs10_df, bench_docs),
+                    lambda: DECON.fuzzy_decontaminate(
+                        docs10_df, bench_docs, hash_mode="xxh64"
+                    ),
+                ),
+                "dedup_minhash_lsh": (
+                    lambda: DD.minhash_lsh_pairs(docs10_df),
+                    lambda: DD.minhash_lsh_pairs(docs10_df, hash_mode="xxh64"),
+                ),
+                "simhash_near_pairs": (
+                    lambda: DD.simhash_near_pairs(docs10_df),
+                    lambda: DD.simhash_near_pairs(docs10_df, hash_mode="xxh64"),
+                ),
+            }
+            for name, (build_md5, build_xxh) in hash_twins.items():
+                best_m = best_x = None
+                for _ in range(2):
+                    t0 = time.time()
+                    build_md5().write.mode("overwrite").format("noop").save()
+                    dt = time.time() - t0
+                    best_m = dt if best_m is None else min(best_m, dt)
+                    t0 = time.time()
+                    build_xxh().write.mode("overwrite").format("noop").save()
+                    dt = time.time() - t0
+                    best_x = dt if best_x is None else min(best_x, dt)
+                timings[f"_scale10x_{name}"] = round(best_m, 3)
+                timings[f"_scale10x_{name}_xxh"] = round(best_x, 3)
 
             # BPE: training cost is per-merge over the WORD table
             # (corpus-size-independent after the one freq shuffle);

@@ -117,11 +117,17 @@ def minhash_perm_consts(i: int) -> tuple[int, int]:
     return (2654435761 * (i + 1)) % MINHASH_P, (40503 * i) % MINHASH_P
 
 
-def minhash_base(col: Column) -> Column:
-    """The shared 30-bit base hash: ONE md5 per value (the expensive
+def minhash_base(col: Column, mode: str = "md5") -> Column:
+    """The shared 30-bit base hash: ONE digest per value (the expensive
     part), reduced mod MINHASH_P; the k permutations are then cheap
-    integer affine maps of it — ~k× less hashing than k seeded md5s."""
-    return portable_hash64(col, seed="mh:") % MINHASH_P
+    integer affine maps of it — ~k× less hashing than k seeded digests.
+
+    ``mode`` follows the ``portable_hash64`` contract: ``md5`` is the
+    DuckDB-twinned oracle family, ``xxh64`` the codegen'd production
+    family — same 30-bit range and NULL geometry, different values
+    (so signatures from the two modes never mix in one index; the
+    LSH-index manifest pins the mode)."""
+    return portable_hash64(col, seed="mh:", mode=mode) % MINHASH_P
 
 
 def minhash_perm(base: Column, i: int) -> Column:

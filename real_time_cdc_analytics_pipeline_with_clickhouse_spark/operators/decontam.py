@@ -106,6 +106,7 @@ def fuzzy_decontaminate(
     band: int = BAND_SIZE,
     threshold: float = 0.5,
     broadcast_benchmark: bool = True,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Flag training docs that are MinHash near-dups of any benchmark
     doc: banded-LSH candidates across corpora, exact-Jaccard verified.
@@ -116,7 +117,11 @@ def fuzzy_decontaminate(
     doc; recall is the LSH band-collision guarantee (certain at
     Jaccard 1.0, tunable via k/band).  Set
     ``broadcast_benchmark=False`` for an unusually large eval corpus —
-    candidates then come from a shuffle equi-join on the band key."""
+    candidates then come from a shuffle equi-join on the band key.
+    ``hash_mode="xxh64"`` swaps both sides' MinHash family for the
+    codegen'd production hash (verification is exact Jaccard either
+    way — the mode changes which candidates surface, never whether a
+    surfaced flag is sound)."""
     ex_d = _doc_shingles(documents, n).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
@@ -124,8 +129,8 @@ def fuzzy_decontaminate(
         "doc_id", F.explode("sh").alias("shingle")
     )
     verified = _cross_verified(
-        minhash_band_entries(documents, n, k, band),
-        minhash_band_entries(benchmark, n, k, band),
+        minhash_band_entries(documents, n, k, band, hash_mode),
+        minhash_band_entries(benchmark, n, k, band, hash_mode),
         ex_d,
         ex_b,
         threshold,
@@ -138,10 +143,11 @@ def decontaminate_against_index(
     spark: SparkSession,
     documents: DataFrame,
     index_dir: str,
-    n: int = 3,
-    k: int = N_MINHASH,
-    band: int = BAND_SIZE,
+    n: int | None = None,
+    k: int | None = None,
+    band: int | None = None,
     threshold: float = 0.5,
+    hash_mode: str | None = None,
 ) -> DataFrame:
     """``fuzzy_decontaminate`` against a PERSISTED benchmark MinHash
     index (``lsh_index.build_minhash_index``): per-batch cost ∝ batch,
@@ -152,15 +158,19 @@ def decontaminate_against_index(
     the artifact is already partitioned by band_id, and an index can
     outgrow the driver even when one benchmark snapshot wouldn't.
     Equivalence with the fit-per-call flow is tested exactly
-    (flags ≡ ``fuzzy_decontaminate(documents, benchmark)``)."""
+    (flags ≡ ``fuzzy_decontaminate(documents, benchmark)``).  LSH
+    params resolve from the index manifest, so the arriving batch is
+    always hashed with the family the benchmark artifact was built
+    with (``None`` = pinned value; a contradiction raises)."""
     import os
 
-    from .lsh_index import _lsh_tomb_ids, _shingle_rows
+    from .lsh_index import _lsh_tomb_ids, _resolve_lsh_params, _shingle_rows
 
     if not os.path.isdir(f"{index_dir}/bands"):
         raise FileNotFoundError(
             f"no MinHash index at {index_dir} — run build_minhash_index first"
         )
+    n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
     idx_bands = spark.read.parquet(f"{index_dir}/bands")
     idx_sh = spark.read.parquet(f"{index_dir}/shingles")
     tomb = _lsh_tomb_ids(spark, index_dir)
@@ -168,7 +178,7 @@ def decontaminate_against_index(
         idx_bands = idx_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
         idx_sh = idx_sh.join(F.broadcast(tomb), "doc_id", "left_anti")
     verified = _cross_verified(
-        minhash_band_entries(documents, n, k, band),
+        minhash_band_entries(documents, n, k, band, hash_mode),
         idx_bands,
         _shingle_rows(documents, n),
         idx_sh,

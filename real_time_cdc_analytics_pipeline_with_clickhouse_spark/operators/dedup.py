@@ -126,33 +126,49 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "n_common", "jaccard")
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3, k: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, k: int = N_MINHASH, hash_mode: str = "md5"
+) -> DataFrame:
     """k-permutation MinHash signature per doc (long columns mh_0..mh_{k-1}).
 
-    One md5 per shingle (the expensive part), then k cheap integer
-    affine permutations ``(a_i·h + b_i) mod p`` of the shared base —
-    the classic universal-hash construction, ~k× less hashing than k
-    seeded digests (subexpression elimination computes the base once
-    per row across all k aggregates).  Constants live in
+    One base hash per shingle (the expensive part), then k cheap
+    integer affine permutations ``(a_i·h + b_i) mod p`` of the shared
+    base — the classic universal-hash construction, ~k× less hashing
+    than k seeded digests (subexpression elimination computes the base
+    once per row across all k aggregates).  Constants live in
     ``functions.scalar`` so the DuckDB oracle generates the identical
     family.
+
+    ``hash_mode="md5"`` (default) is the DuckDB-twinned oracle family;
+    ``"xxh64"`` swaps the base to Spark's native xxhash64 (codegen'd —
+    the md5+hex-conv chain is the first-order CPU cost of every
+    MinHash operator) with identical geometry: same permutation
+    family, same banding, DIFFERENT signature values, so the two modes
+    never mix within one index (``lsh_index`` pins the mode in its
+    manifest).
     """
     from ..functions.scalar import minhash_base, minhash_perm
 
     exploded = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
-    base = minhash_base(F.col("shingle"))
+    base = minhash_base(F.col("shingle"), mode=hash_mode)
     aggs = [F.min(minhash_perm(base, i)).alias(f"mh_{i}") for i in range(k)]
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    hash_mode: str = "md5",
+) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on at least one LSH band.
 
     Bands of ``band`` consecutive minhashes; equi-join on
     (band_id, band_key).  Returns distinct candidate pairs — the cheap
     sub-quadratic pre-filter one verifies with Jaccard downstream.
     """
-    sig = minhash_signatures(documents, n, k)
+    sig = minhash_signatures(documents, n, k, hash_mode)
     # one struct per band, exploded — a single pass over the signature
     # table (a union of per-band selects would recompute the whole
     # shingle→minhash pipeline once per band)
@@ -187,19 +203,26 @@ SIMHASH_BITS = 60  # portable_hash64 is a 60-bit hash (15 hex chars);
 SIMHASH_BANDS = 4
 
 
-def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash_fingerprints(
+    documents: DataFrame, bits: int = SIMHASH_BITS, hash_mode: str = "md5"
+) -> DataFrame:
     """Per-doc SimHash: bit b set iff the hash-bit-b majority over
     distinct tokens is positive.  Pure expression work — one groupBy.
 
-    60-bit width (the full entropy of portable_hash64): birthday-bound
-    random collisions need ~2^30 docs, vs ~5k docs for the 32-bit
-    variant this replaces — see test_extensions'
-    collision-rate property test."""
+    60-bit width (the full entropy of portable_hash64 in EITHER mode:
+    15 hex chars of md5, or xxhash64 >> 4): birthday-bound random
+    collisions need ~2^30 docs, vs ~5k docs for the 32-bit variant
+    this replaced — see test_extensions' collision-rate property test.
+    ``hash_mode="xxh64"`` swaps the per-token digest for the codegen'd
+    production hash (same fingerprint construction, different bit
+    values — never mix modes across a comparison)."""
     par = documents.sparkSession.sparkContext.defaultParallelism
     toks = documents.repartition(par).select(
         "doc_id", F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok")
     ).where(F.col("tok") != "")
-    h = toks.select("doc_id", portable_hash64(F.col("tok"), seed="simhash:").alias("h"))
+    h = toks.select(
+        "doc_id", portable_hash64(F.col("tok"), seed="simhash:", mode=hash_mode).alias("h")
+    )
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
@@ -213,10 +236,12 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_dup_pairs(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash_dup_pairs(
+    documents: DataFrame, bits: int = SIMHASH_BITS, hash_mode: str = "md5"
+) -> DataFrame:
     """Docs sharing an identical SimHash fingerprint (hamming-0 LSH
     bucket; widen by banding the fingerprint for hamming>0)."""
-    fp = simhash_fingerprints(documents, bits)
+    fp = simhash_fingerprints(documents, bits, hash_mode)
     a, b = fp.alias("a"), fp.alias("b")
     return a.join(
         b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -228,6 +253,7 @@ def simhash_near_pairs(
     bits: int = SIMHASH_BITS,
     max_hamming: int = SIMHASH_BANDS - 1,
     n_bands: int = SIMHASH_BANDS,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ ``max_hamming`` via banded
     hamming search: the fingerprint splits into ``n_bands`` equal-width
@@ -252,7 +278,7 @@ def simhash_near_pairs(
         )
     width = bits // n_bands
     mask = (1 << width) - 1
-    fp = simhash_fingerprints(documents, bits)
+    fp = simhash_fingerprints(documents, bits, hash_mode)
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -288,18 +314,26 @@ def simhash_near_pairs(
     )
 
 
-def hash_split(documents: DataFrame, val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+def hash_split(
+    documents: DataFrame, val_pct: int = 5, test_pct: int = 5, hash_mode: str = "md5"
+) -> DataFrame:
     """Deterministic train/val/test assignment by content hash.
 
     Splits must be stable across runs and machines and must follow the
     *content*, not the row id (so re-crawled duplicates land in the
-    same split and never leak train→test).  Bucket = md5-derived hash
-    of the normalized text mod 100; purely map-side — at 100 TB this is
-    a free column on the scan.
+    same split and never leak train→test).  Bucket = content hash of
+    the normalized text mod 100 (md5-derived by default for the DuckDB
+    twin; ``hash_mode="xxh64"`` for production — a DIFFERENT but
+    equally stable partition, so a corpus must pin one mode for its
+    lifetime or docs would migrate splits); purely map-side — at
+    100 TB this is a free column on the scan.
     """
     from ..functions.text import normalize_text
 
-    bucket = F.pmod(portable_hash64(normalize_text(F.col("text")), seed="split:"), F.lit(100))
+    bucket = F.pmod(
+        portable_hash64(normalize_text(F.col("text")), seed="split:", mode=hash_mode),
+        F.lit(100),
+    )
     split = (
         F.when(bucket < test_pct, "test")
         .when(bucket < test_pct + val_pct, "val")
@@ -409,6 +443,7 @@ def fuzzy_near_dup_pairs(
     k: int = N_MINHASH,
     band: int = BAND_SIZE,
     threshold: float = 0.5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Exact-Jaccard-VERIFIED near-dup pairs (doc_a < doc_b): banded
     LSH candidates (``minhash_lsh_pairs``) filtered by true shingle
@@ -419,7 +454,7 @@ def fuzzy_near_dup_pairs(
     equi-join; the exact-Jaccard step joins the shingle table only
     against the candidate pairs (cost ∝ candidates, not corpus²).
     """
-    cand = minhash_lsh_pairs(documents, n, k, band)
+    cand = minhash_lsh_pairs(documents, n, k, band, hash_mode)
     ex = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -448,6 +483,7 @@ def fuzzy_dedup_keep(
     k: int = N_MINHASH,
     band: int = BAND_SIZE,
     threshold: float = 0.5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """The production near-dedup flow end-to-end: MinHash → banded LSH
     candidate pairs → exact Jaccard verification on candidates only →
@@ -462,7 +498,7 @@ def fuzzy_dedup_keep(
     component when some member pairs with neither extreme — use
     ``fuzzy_dedup_keep_by`` for one-survivor-per-component semantics.
     """
-    verified = fuzzy_near_dup_pairs(documents, n, k, band, threshold)
+    verified = fuzzy_near_dup_pairs(documents, n, k, band, threshold, hash_mode)
     drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
     return documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
@@ -474,6 +510,7 @@ def fuzzy_dedup_keep_by(
     k: int = N_MINHASH,
     band: int = BAND_SIZE,
     threshold: float = 0.5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Quality-aware fuzzy dedup: connected components over the
     VERIFIED near-dup pairs, keeping the single highest-``priority``
@@ -491,7 +528,7 @@ def fuzzy_dedup_keep_by(
     (edges-sized shuffles); keeper choice is one combinable ``max_by``
     per component; the final drop is one anti-join.
     """
-    verified = fuzzy_near_dup_pairs(documents, n, k, band, threshold)
+    verified = fuzzy_near_dup_pairs(documents, n, k, band, threshold, hash_mode)
     comp = connected_components(verified)
     pri = documents.select("doc_id", F.col(priority).alias("_pri"))
     keepers = (
@@ -688,7 +725,13 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame
     )
 
 
-def dedup_clusters(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
+def dedup_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    hash_mode: str = "md5",
+) -> DataFrame:
     """Duplicate *clusters* (not just pairs): connected components over
     the MinHash-LSH candidate graph, sized.
 
@@ -698,7 +741,7 @@ def dedup_clusters(documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: i
     doc in at least one candidate pair, cluster_id = min doc_id of
     the component — the canonical keeper.
     """
-    comp = connected_components(minhash_lsh_pairs(documents, n, k, band))
+    comp = connected_components(minhash_lsh_pairs(documents, n, k, band, hash_mode))
     sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"

@@ -44,10 +44,14 @@ from .dedup import BAND_SIZE, N_MINHASH, _doc_shingles, minhash_signatures
 
 
 def minhash_band_entries(
-    documents: DataFrame, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE
+    documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(doc_id, band_id, band_key) — one row per doc per LSH band."""
-    sig = minhash_signatures(documents, n, k)
+    sig = minhash_signatures(documents, n, k, hash_mode)
     entries = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -71,23 +75,101 @@ def _write(df: DataFrame, path: str, mode: str, partition_by: str | None = None)
     w.parquet(path)
 
 
+_LSH_MANIFEST = "_lsh_manifest.json"
+_LSH_DEFAULTS = {"n": 3, "k": N_MINHASH, "band": BAND_SIZE, "hash_mode": "md5"}
+
+
+def _lsh_manifest(index_dir: str) -> dict:
+    """The index's pinned parameters.  Pre-round-8 indexes carry no
+    manifest — they were all built with the module defaults in md5
+    mode, so the fallback IS their true geometry."""
+    import json
+
+    p = os.path.join(index_dir, _LSH_MANIFEST)
+    if not os.path.isfile(p):
+        return dict(_LSH_DEFAULTS)
+    with open(p) as fh:
+        meta = json.load(fh)
+    return {**_LSH_DEFAULTS, **meta}
+
+
+def _write_lsh_manifest(index_dir: str, n: int, k: int, band: int, hash_mode: str) -> None:
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, _LSH_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"n": int(n), "k": int(k), "band": int(band), "hash_mode": hash_mode}, fh)
+    os.replace(tmp, os.path.join(index_dir, _LSH_MANIFEST))
+
+
+def _resolve_lsh_params(index_dir: str, n, k, band, hash_mode) -> tuple[int, int, int, str]:
+    """Resolve per-call LSH params against the index manifest: ``None``
+    means "the index's value"; an explicit value that CONTRADICTS the
+    manifest raises — a batch hashed with the wrong family or band
+    geometry would silently never collide with the stored corpus
+    (every doc "survives"), which is the worst possible failure mode
+    for a dedup gate."""
+    meta = _lsh_manifest(index_dir)
+    out = []
+    for name, given in (("n", n), ("k", k), ("band", band), ("hash_mode", hash_mode)):
+        pinned = meta[name]
+        if given is not None and given != pinned:
+            raise ValueError(
+                f"index at {index_dir} pins {name}={pinned!r} but the call "
+                f"passed {name}={given!r} — mixed LSH families never collide; "
+                "rebuild the index to change its geometry"
+            )
+        out.append(pinned)
+    return out[0], out[1], out[2], out[3]
+
+
 def build_minhash_index(
-    documents: DataFrame, index_dir: str, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE
+    documents: DataFrame,
+    index_dir: str,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    hash_mode: str = "md5",
 ) -> None:
     """Materialize the index from the current corpus (one full pass —
-    paid once, then every batch is incremental)."""
-    _write(minhash_band_entries(documents, n, k, band), f"{index_dir}/bands", "overwrite", "band_id")
+    paid once, then every batch is incremental).  The manifest pins
+    (n, k, band, hash_mode) for the artifact's lifetime — incremental
+    updates and queries resolve their params from it, so a batch can
+    never be hashed with a different family than the stored corpus
+    (``hash_mode="xxh64"`` builds the production-hash index; the md5
+    default keeps the DuckDB twin).  Manifest lands after the data —
+    on a crashed build the next reader sees either the old manifest
+    with old data or no manifest (legacy defaults), never new params
+    over half-written tables the defaults can't read anyway
+    (overwrite is atomic per table via Spark's commit protocol)."""
+    _write(
+        minhash_band_entries(documents, n, k, band, hash_mode),
+        f"{index_dir}/bands", "overwrite", "band_id",
+    )
     _write(_shingle_rows(documents, n), f"{index_dir}/shingles", "overwrite")
+    _write_lsh_manifest(index_dir, n, k, band, hash_mode)
 
 
 def update_minhash_index(
-    new_documents: DataFrame, index_dir: str, n: int = 3, k: int = N_MINHASH, band: int = BAND_SIZE
+    new_documents: DataFrame,
+    index_dir: str,
+    n: int | None = None,
+    k: int | None = None,
+    band: int | None = None,
+    hash_mode: str | None = None,
 ) -> None:
     """Append a batch's artifacts (ALL its docs, kept or dropped — a
     dropped doc still outranks later copies of itself, exactly as in
     the batch flow where the higher id of a pair drops even when the
-    lower id was itself dropped)."""
-    _write(minhash_band_entries(new_documents, n, k, band), f"{index_dir}/bands", "append", "band_id")
+    lower id was itself dropped).  Params default to the index
+    manifest's pinned values; explicit values must match it (see
+    ``_resolve_lsh_params``)."""
+    n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
+    _write(
+        minhash_band_entries(new_documents, n, k, band, hash_mode),
+        f"{index_dir}/bands", "append", "band_id",
+    )
     _write(_shingle_rows(new_documents, n), f"{index_dir}/shingles", "append")
 
 
@@ -222,21 +304,24 @@ def dedup_against_index(
     spark: SparkSession,
     new_documents: DataFrame,
     index_dir: str,
-    n: int = 3,
-    k: int = N_MINHASH,
-    band: int = BAND_SIZE,
+    n: int | None = None,
+    k: int | None = None,
+    band: int | None = None,
     threshold: float = 0.5,
+    hash_mode: str | None = None,
 ) -> DataFrame:
     """Survivors of the new batch against corpus + batch (see module
     docstring for the contract).  Does NOT update the index — call
     ``update_minhash_index`` after persisting the survivors, so a
     failed run retries cleanly (the same stage-then-publish discipline
-    as the warehouse sink)."""
+    as the warehouse sink).  LSH params resolve from the index
+    manifest (``None`` = pinned value; a contradiction raises)."""
     if not os.path.isdir(f"{index_dir}/bands"):
         raise FileNotFoundError(
             f"no MinHash index at {index_dir} — run build_minhash_index first"
         )
-    new_bands = minhash_band_entries(new_documents, n, k, band)
+    n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
+    new_bands = minhash_band_entries(new_documents, n, k, band, hash_mode)
     new_sh = _shingle_rows(new_documents, n)
     idx_bands = spark.read.parquet(f"{index_dir}/bands")
     idx_sh = spark.read.parquet(f"{index_dir}/shingles")
@@ -293,9 +378,10 @@ def refresh_minhash_index_from_diff(
     index_dir: str,
     old_documents: DataFrame,
     new_documents: DataFrame,
-    n: int = 3,
-    k: int = N_MINHASH,
-    band: int = BAND_SIZE,
+    n: int | None = None,
+    k: int | None = None,
+    band: int | None = None,
+    hash_mode: str | None = None,
 ) -> None:
     """Fold a corpus-snapshot transition into the stored MinHash index
     from ``corpus_diff``'s work-list — the same incremental contract
@@ -331,6 +417,6 @@ def refresh_minhash_index_from_diff(
                 # compact first so changed docs can re-enter cleanly
                 compact_minhash_index(spark, index_dir)
         if not fresh.isEmpty():
-            update_minhash_index(fresh, index_dir, n, k, band)
+            update_minhash_index(fresh, index_dir, n, k, band, hash_mode)
     finally:
         diff.unpersist()

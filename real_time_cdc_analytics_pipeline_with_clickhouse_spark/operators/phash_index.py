@@ -22,25 +22,54 @@ fingerprints and joins each arriving batch against them:
 - ``update_phash_index`` appends the batch's fingerprints (ALL its
   assets, kept or dropped — a dropped asset still outranks later
   copies of itself, the ``lsh_index`` precedent rule);
+- ``upsert_phash_index`` is the CDC move (``upsert_ivf_index``'s
+  media twin): when an asset is RE-ENCODED under its existing
+  asset_id, the stale fingerprint must stop acting as dedup precedent
+  immediately — tombstone any live fingerprint under the batch's
+  asset_ids (no-op for genuinely-new ids), then fold the batch in;
 - ``delete_from_phash_index`` / ``compact_phash_index`` carry the
   takedown + small-file lifecycle every stored artifact in this
-  engine has (atomic tombstone swap; stage-swapped distinct rewrite
-  retires the tombstones).
+  engine has.
 
-Equivalence contract (tested): when every indexed asset precedes the
+Storage layout (round 8 — the artifact gained batch lineage):
+``fingerprints/batch=<id>/`` directories, built at ``batch=-1`` and
+folded one directory per batch/epoch, plus a JSON manifest.  The
+lineage buys the IVF index's whole safety construction verbatim:
+
+- batch-scoped tombstones ``(asset_id, batch)`` let an updated asset
+  kill exactly its OLD versions while its new row (in a newer batch)
+  survives the anti-join;
+- a per-epoch fold is a deterministic whole-directory overwrite, so a
+  crash-replayed epoch rewrites identical bytes instead of appending
+  duplicates, and the manifest's ``last_epoch`` stamp (written IN the
+  fold's commit) makes a fully-committed replay a no-op;
+- compaction rewrites live rows under a FRESH batch id below every
+  existing one and only then retires the tombstone table — a crash
+  between the swap and the retirement leaves tombstones referencing
+  batch dirs that no longer exist, which ``_read_phash_tombstones``
+  treats as inert, so an already-applied tombstone can never re-fire
+  against a later re-add (the round-7 ADVICE hazard of the flat
+  layout, closed structurally).
+
+Pre-round-8 indexes (flat parquet files, id-scoped tombstones) are a
+different artifact version: the reader raises loudly and the
+documented migration is a rebuild — fingerprints are DERIVED data,
+one decode pass recreates them.
+
+Equivalence contracts (tested): when every indexed asset precedes the
 batch (ids below the batch's), the incremental survivors equal the
-greedy pairwise rule over the full old∪new corpus — an asset drops
-iff it is the higher id of a verified near-dup pair — i.e. the
-perceptual analog of ``dedup.fuzzy_dedup_keep``'s policy.  (The
-one-survivor-per-component policy lives in ``asset_embed.
-dedup_assets`` for batch curation; ingest uses the greedy rule
-because components cannot be known incrementally.)
+greedy pairwise rule over the full old∪new corpus; and a CDC history
+of create/re-encode/delete/re-create folded through
+``upsert_phash_index`` answers dedup exactly like a fresh index built
+on the net final corpus.
 
-Streaming form: ``streaming/pipeline.start_asset_ingest_sink``.
+Streaming form: ``streaming/pipeline.start_asset_ingest_sink``
+(``op_col=`` enables the CDC routing).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -49,6 +78,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .asset_embed import PHASH_BANDS, PHASH_BITS, perceptual_hashes
 
 FP_TABLE = "fingerprints"
+_PHASH_MANIFEST = "_phash_manifest.json"
 
 
 def _banded(fp: DataFrame, n_bands: int) -> DataFrame:
@@ -87,67 +117,232 @@ def _banded(fp: DataFrame, n_bands: int) -> DataFrame:
     )
 
 
-def build_phash_index(assets: DataFrame, index_dir: str) -> None:
-    """Materialize the fingerprint table from the current asset corpus
-    (one full decode pass — paid once, then every batch is
-    incremental)."""
-    perceptual_hashes(assets).write.mode("overwrite").parquet(
-        f"{index_dir}/{FP_TABLE}"
-    )
+def read_phash_manifest(index_dir: str) -> dict:
+    p = os.path.join(index_dir, _PHASH_MANIFEST)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
 
 
-def update_phash_index(new_assets: DataFrame, index_dir: str) -> None:
-    """Append a batch's fingerprints (all of them — see module
-    docstring's precedent rule)."""
-    perceptual_hashes(new_assets).write.mode("append").parquet(
-        f"{index_dir}/{FP_TABLE}"
-    )
+def _write_phash_manifest(index_dir: str, meta: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, _PHASH_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, _PHASH_MANIFEST))
 
 
-def _tomb_ids(spark: SparkSession, index_dir: str):
-    p = f"{index_dir}/tombstones"
-    if not os.path.isdir(p):
-        return None
-    return spark.read.parquet(p).select("asset_id").distinct()
+def _fp_root(index_dir: str) -> str:
+    return f"{index_dir}/{FP_TABLE}"
 
 
-def delete_from_phash_index(spark: SparkSession, index_dir: str, asset_ids) -> None:
-    """Takedown path: one atomic tombstone-table swap; a deleted asset
-    stops acting as dedup precedent immediately (the index side
-    anti-joins tombstones) and ``compact_phash_index`` purges its rows
-    physically.  Idempotent; unknown ids no-op.  Doc-id-scoped like
-    the MinHash tombstones: re-adding a deleted asset_id takes effect
-    after a compaction retires its tombstone."""
-    from .retrieval import _commit_tombstones, _ids_frame
-
-    if not os.path.isdir(f"{index_dir}/{FP_TABLE}"):
+def _require_batched(index_dir: str) -> None:
+    root = _fp_root(index_dir)
+    if not os.path.isdir(root):
         raise FileNotFoundError(
             f"no phash index at {index_dir} — run build_phash_index first"
         )
+    if any(f.endswith(".parquet") for f in os.listdir(root)):
+        raise ValueError(
+            f"phash index at {index_dir} uses the pre-round-8 flat layout — "
+            "rebuild with build_phash_index (fingerprints are derived data; "
+            "one decode pass over the corpus recreates them with batch "
+            "lineage, tombstone safety and upsert support)"
+        )
+
+
+def _live_batches(index_dir: str) -> list[int]:
+    root = _fp_root(index_dir)
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("batch=") and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def build_phash_index(assets: DataFrame, index_dir: str) -> None:
+    """Materialize the fingerprint table from the current asset corpus
+    (one full decode pass — paid once, then every batch is
+    incremental).  Rows land under ``batch=-1``; the manifest commit
+    publishes the artifact."""
+    perceptual_hashes(assets).withColumn("batch", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("batch").parquet(_fp_root(index_dir))
+    _write_phash_manifest(index_dir, {"version": 1})
+
+
+def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
+    """Self-allocated batch ids must exceed every existing batch AND
+    every batch a surviving tombstone references — a compaction crash
+    can leave tombstones outliving their batch dirs, and reusing such
+    an id would resurrect the tombstone against the new rows (the
+    ``ivf_index._next_batch_id`` rule)."""
+    ids = _live_batches(index_dir)
+    if spark is not None and os.path.isdir(_tomb_path(index_dir)):
+        ids = ids + [
+            r["batch"]
+            for r in spark.read.parquet(_tomb_path(index_dir))
+            .select("batch")
+            .distinct()
+            .collect()
+        ]
+    return (max(ids) + 1) if ids else 0
+
+
+def update_phash_index(
+    new_assets: DataFrame, index_dir: str, epoch: int | None = None
+) -> None:
+    """Fold a batch's fingerprints in (all of them — see module
+    docstring's precedent rule).  Pass the micro-batch ``epoch`` as
+    the batch id for exactly-once streaming: fingerprinting is
+    deterministic and the write is a whole-directory overwrite, so a
+    crash-replayed epoch rewrites byte-identical content; the
+    manifest's ``last_epoch`` stamp (the commit) lets
+    ``upsert_phash_index`` no-op a fully-committed replay.  Batch
+    callers may omit it (ids self-allocate)."""
+    _require_batched(index_dir)
+    spark = new_assets.sparkSession
+    b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
+    perceptual_hashes(new_assets).write.mode("overwrite").parquet(
+        f"{_fp_root(index_dir)}/batch={b}"
+    )
+    if epoch is not None:
+        meta = read_phash_manifest(index_dir)
+        meta["last_epoch"] = int(epoch)
+        _write_phash_manifest(index_dir, meta)
+
+
+def _tomb_path(index_dir: str) -> str:
+    return f"{index_dir}/tombstones"
+
+
+def _read_phash_tombstones(spark: SparkSession, index_dir: str):
+    """Tombstone rows whose victim ``batch`` dir still exists — rows
+    referencing compacted-away batches are inert by construction, so a
+    compaction crash between the swap and the tombstone retirement can
+    never re-purge a later re-add (the flat layout's hazard)."""
+    if not os.path.isdir(_tomb_path(index_dir)):
+        return None
+    live = _live_batches(index_dir)
+    return spark.read.parquet(_tomb_path(index_dir)).where(
+        F.col("batch").isin(live)
+    )
+
+
+def _live_fingerprints(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The fingerprint read every dedup path uses: all batch dirs with
+    tombstoned victims anti-joined out (broadcast — the tombstone set
+    is bounded between compactions)."""
+    df = spark.read.parquet(_fp_root(index_dir))
+    tomb = _read_phash_tombstones(spark, index_dir)
+    if tomb is not None:
+        df = df.join(
+            F.broadcast(tomb.select("asset_id", "batch")),
+            ["asset_id", "batch"],
+            "left_anti",
+        )
+    return df
+
+
+def delete_from_phash_index(
+    spark: SparkSession, index_dir: str, asset_ids, exclude_batch: int | None = None
+) -> None:
+    """Takedown / old-version retirement by TOMBSTONE — one atomic
+    swap of the (asset_id, batch)-scoped tombstone table commits the
+    delete; a deleted fingerprint stops acting as dedup precedent
+    immediately and ``compact_phash_index`` purges it physically.
+    Batch-scoped victims let a re-encoded asset delete its old
+    versions and re-enter via ``update_phash_index`` without waiting
+    for a compaction (the flat layout's id-scoped tombstones killed
+    re-adds too).  Idempotent; unknown ids no-op.
+
+    ``exclude_batch`` exempts one batch dir from victimhood —
+    ``upsert_phash_index``'s replay guard (a crash-replayed epoch must
+    not tombstone the rows its own previous attempt appended)."""
+    from .retrieval import _commit_tombstones, _ids_frame
+
+    _require_batched(index_dir)
     ids = _ids_frame(spark, asset_ids, "asset_id")
-    existing = _tomb_ids(spark, index_dir)
-    new_tomb = ids if existing is None else existing.unionByName(ids).distinct()
-    _commit_tombstones(new_tomb, f"{index_dir}/tombstones")
+    rows = spark.read.parquet(_fp_root(index_dir)).select("asset_id", "batch")
+    if exclude_batch is not None:
+        rows = rows.where(F.col("batch") != int(exclude_batch))
+    tomb = _read_phash_tombstones(spark, index_dir)
+    stale = (
+        spark.read.parquet(_tomb_path(index_dir)) if tomb is not None else None
+    )
+    live = (
+        rows.join(tomb.select("asset_id", "batch"), ["asset_id", "batch"], "left_anti")
+        if tomb is not None
+        else rows
+    )
+    victims = live.join(F.broadcast(ids), "asset_id", "left_semi")
+    new_tomb = stale.unionByName(victims) if stale is not None else victims
+    _commit_tombstones(new_tomb, _tomb_path(index_dir))
+
+
+def upsert_phash_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_assets: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """UPSERT semantics for the stored fingerprint table — the move a
+    CDC-maintained media index needs when it can't know which arriving
+    assets are new and which RE-ENCODE an indexed version
+    (``upsert_ivf_index``'s media twin, ivf_index.py:431): tombstone
+    ANY live fingerprint under the batch's asset_ids (no-op for
+    genuinely-new ids), then fold the batch in.  The new fingerprints
+    land in a batch NEWER than every tombstone, so they survive the
+    anti-join; dedup verdicts equal an index built fresh where each
+    asset appears once in its latest encoding (tested).
+
+    Replay-safe at BOTH crash points: the manifest's ``last_epoch``
+    stamp is checked BEFORE the delete, so a crash-replayed epoch
+    whose fold fully committed is a no-op; and the delete exempts
+    ``batch == epoch`` rows, so a replay after a crash BETWEEN the
+    batch-dir write and the manifest commit cannot tombstone the rows
+    the crashed attempt appended (the epoch's dir is rewritten
+    byte-identically)."""
+    if epoch is not None and read_phash_manifest(index_dir).get("last_epoch", -1) >= epoch:
+        return
+    delete_from_phash_index(
+        spark, index_dir, new_assets.select("asset_id"), exclude_batch=epoch
+    )
+    update_phash_index(new_assets, index_dir, epoch=epoch)
 
 
 def compact_phash_index(spark: SparkSession, index_dir: str) -> None:
-    """Small-file + tombstone compaction: distinct rewrite (the table
-    is set-semantic — a crash-replayed append's duplicate rows mean
-    nothing and are squashed here), tombstoned assets purged, stage-
-    then-swap, tombstones retired after the swap."""
+    """Small-file + tombstone compaction: live rows (tombstoned
+    victims purged, set-semantic duplicates squashed) re-lay under a
+    FRESH batch id below every existing one — never reusing a batch a
+    tombstone references — then the tombstone table retires.  Every
+    crash window is consistent: before the swap the original bytes
+    stand; after the swap any leftover tombstones reference batch dirs
+    that no longer exist and are inert (``_read_phash_tombstones``),
+    so a completed-swap crash can never re-apply a tombstone to a
+    later re-add of the same asset_id."""
     import shutil
 
-    from ..warehouse import _stage_swap
+    from .retrieval import _swap_tree
 
-    tomb = _tomb_ids(spark, index_dir)
-    fp = spark.read.parquet(f"{index_dir}/{FP_TABLE}")
-    if tomb is not None:
-        fp = fp.join(F.broadcast(tomb), "asset_id", "left_anti")
-    _stage_swap(
-        fp.distinct().repartition(spark.sparkContext.defaultParallelism),
-        f"{index_dir}/{FP_TABLE}",
+    _require_batched(index_dir)
+    live = _live_batches(index_dir)
+    newb = min(live + [-1]) - 1
+    df = _live_fingerprints(spark, index_dir)
+    root = _fp_root(index_dir)
+    stage = root + "__stage"
+    (
+        df.drop("batch")
+        .distinct()
+        .withColumn("batch", F.lit(newb))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(stage)
     )
-    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    _swap_tree(stage, root)
+    shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
 
 
 def dedup_assets_against_index(
@@ -171,20 +366,16 @@ def dedup_assets_against_index(
         raise ValueError(
             f"max_hamming={max_hamming} needs > {max_hamming} bands (have {n_bands})"
         )
-    if not os.path.isdir(f"{index_dir}/{FP_TABLE}"):
-        raise FileNotFoundError(
-            f"no phash index at {index_dir} — run build_phash_index first"
-        )
+    _require_batched(index_dir)
     # one decode for the whole call: both the cross and within joins
     # (and the caller's later update) reuse the exchange
     par = spark.sparkContext.defaultParallelism
     new_fp = perceptual_hashes(new_assets).repartition(par)
     new_bands = _banded(new_fp, n_bands)
-    idx_fp = spark.read.parquet(f"{index_dir}/{FP_TABLE}")
-    tomb = _tomb_ids(spark, index_dir)
-    if tomb is not None:
-        idx_fp = idx_fp.join(F.broadcast(tomb), "asset_id", "left_anti")
-    idx_bands = _banded(idx_fp, n_bands)
+    idx_bands = _banded(
+        _live_fingerprints(spark, index_dir).select("asset_id", "modality", "phash"),
+        n_bands,
+    )
 
     def _drops(a: DataFrame, b: DataFrame) -> DataFrame:
         # a = precedent side, b = batch side; doc_a < doc_b enforces

@@ -822,6 +822,37 @@ def start_embedding_index_sink(
     )
 
 
+def _guard_index_adoption(meta_dir: str, existing_batches, kind: str) -> None:
+    """A fold sink uses micro-batch epochs as batch ids, so folding
+    into an index THIS SINK did not build would overwrite
+    ``batch=<epoch>`` dirs holding unrelated rows — and the upsert
+    replay shield (``exclude_batch=epoch``) would exempt those
+    pre-existing rows from tombstoning (round-7 ADVICE).  An existing
+    index is adoptable iff every batch id sits in the RESERVED
+    NEGATIVE range: a fresh build writes ``batch=-1`` and compaction
+    rewrites everything below the current minimum, so a built (or
+    built-then-updated-then-compacted) offline artifact qualifies,
+    while one carrying self-allocated non-negative update batches
+    refuses loudly with the one-compaction cure.  Adoption is recorded
+    once in the sink's meta dir."""
+    marker = os.path.join(meta_dir, "_ADOPTED_INDEX")
+    if os.path.isfile(marker):
+        return
+    batches = sorted(existing_batches)
+    if all(b < 0 for b in batches):
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(",".join(str(b) for b in batches))
+        return
+    raise RuntimeError(
+        f"refusing to stream-fold into the existing {kind} index: it was "
+        "built outside this sink and carries non-negative batch ids "
+        f"({[b for b in batches if b >= 0][:5]}…) that future epochs would "
+        "clobber; run the index's compaction first (it rewrites all rows "
+        "into the reserved negative-batch range), then restart the stream"
+    )
+
+
 def _ivf_fold_sink(
     index_dir: str,
     checkpoint: str,
@@ -1384,6 +1415,8 @@ def start_asset_ingest_sink(
     checkpoint: str,
     max_hamming: int | None = None,
     compact_every: int | None = 16,
+    op_col: str | None = None,
+    seq_col: str | None = None,
 ):
     """Live MEDIA-corpus ingestion with perceptual dedup — the
     multimodal twin of ``start_corpus_ingest_sink``: per micro-batch,
@@ -1395,45 +1428,66 @@ def start_asset_ingest_sink(
     index, one 8-byte-per-asset append — the accumulated media corpus
     is never re-decoded.
 
+    ``op_col`` = the CDC-maintained mode (the asset twin of
+    ``start_embedding_index_sink(op_col=...)``): corpus and index
+    follow the SOURCE TABLE, not an append log.  Per epoch, after
+    latest-wins resolution (``_resolve_cdc_ops`` — loud refusal on
+    seq ties): old fingerprints of every arriving asset_id (upserted
+    OR deleted) tombstone out FIRST, so a re-encoded asset's stale
+    fingerprint neither survives as dedup precedent nor blocks other
+    arrivals; the upserts then dedup against the cleaned index, the
+    corpus drops every arriving id from its group dirs and merges the
+    survivors back in, and the batch's fingerprints fold in under
+    ``batch=<epoch>`` (``phash_index.upsert_phash_index`` semantics,
+    inlined so the tombstone half precedes the dedup verdict).  After
+    every epoch the index dedups EXACTLY like one built fresh on the
+    net final asset table (tested, both crash windows replayed).
+    Corpus deletes rewrite only the group dirs that actually hold
+    victims (membership probe per group — a pruned asset_id-column
+    scan; at 100 TB keep ``compact_every`` generous or maintain an
+    id→group manifest so the probe set stays bounded).
+
     Same exactly-once construction as the text ingest sink: the corpus
-    is ``batch_group=G`` dirs merged idempotently by asset_id; the
-    index append is duplicate-TOLERANT (the fingerprint table is
-    set-semantic and the ``asset_a < asset_b`` precedence rule makes a
-    replayed batch's verdicts identical even though the replay sees
-    its own append); ``compact_every`` is the group size and the index
-    compaction cadence (``compact_phash_index`` squashes replay
-    residue and small files)."""
+    is ``batch_group=G`` dirs merged idempotently by asset_id (id
+    removals are anti-joins — idempotent under replay); the index fold
+    is a deterministic whole-directory overwrite of ``batch=<epoch>``
+    with the manifest's ``last_epoch`` stamped in its commit, and
+    tombstones are idempotent; ``compact_every`` is the group size and
+    the index compaction cadence (``compact_phash_index`` squashes
+    replay residue and small files)."""
     from ..operators import phash_index as pidx
 
     meta_dir = corpus_dir + "_meta"
     gsize = compact_every or 1
     mh = pidx.PHASH_BANDS - 1 if max_hamming is None else max_hamming
 
-    def sink(batch: DataFrame, epoch: int) -> None:
-        if batch.isEmpty():
-            return
-        if _epoch_already_applied(meta_dir, epoch, checkpoint):
-            return
-        sp_ = batch.sparkSession
-        bootstrap = not os.path.isdir(f"{index_dir}/{pidx.FP_TABLE}")
-        if bootstrap:
-            # bootstrap: within-batch dedup only (greedy pairwise —
-            # the same rule the incremental path applies)
-            from ..operators.asset_embed import phash_near_pairs
+    def _group_dirs():
+        if not os.path.isdir(corpus_dir):
+            return []
+        return sorted(
+            f"{corpus_dir}/{d}"
+            for d in os.listdir(corpus_dir)
+            if d.startswith("batch_group=")
+        )
 
-            drops = (
-                phash_near_pairs(batch, max_hamming=mh)
-                .select(F.col("asset_b").alias("asset_id"))
-                .distinct()
+    def _remove_ids_from_corpus(sp_, ids) -> None:
+        """Drop the given asset_ids from every corpus group dir that
+        holds one (anti-join rewrite — idempotent under replay)."""
+        for gdir in _group_dirs():
+            if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
+                continue
+            cur = sp_.read.parquet(gdir)
+            if cur.join(ids, "asset_id", "left_semi").isEmpty():
+                continue
+            staging = os.path.join(
+                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging"
             )
-            kept = batch.join(drops, "asset_id", "left_anti")
-        else:
-            kept = pidx.dedup_assets_against_index(
-                sp_, batch, index_dir, max_hamming=mh
+            cur.join(ids, "asset_id", "left_anti").write.mode("overwrite").parquet(
+                staging
             )
-        # corpus first, index second (stage-then-publish): a crash
-        # between them replays with the batch not yet precedent —
-        # identical verdicts, idempotent asset_id-keyed corpus merge
+            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+
+    def _merge_into_group(sp_, kept, epoch: int) -> None:
         gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
         if os.path.isdir(gdir) and any(
             f.endswith(".parquet") for f in os.listdir(gdir)
@@ -1446,10 +1500,64 @@ def start_asset_ingest_sink(
             sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
         else:
             kept.write.mode("overwrite").parquet(gdir)
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        sp_ = batch.sparkSession
+        ups, dels = batch, None
+        if op_col is not None:
+            ups, dels = _resolve_cdc_ops(batch, "asset_id", op_col, seq_col)
+        bootstrap = not os.path.isdir(f"{index_dir}/{pidx.FP_TABLE}")
+        ups_empty = ups.isEmpty()
+        if bootstrap and ups_empty:
+            # pure-delete batch before any content: nothing to build,
+            # nothing to delete from
+            _record_epoch(meta_dir, epoch, checkpoint)
+            return
+        if not bootstrap and op_col is not None:
+            # CDC: stale versions stop acting as precedent BEFORE the
+            # dedup verdict (upsert_phash_index's tombstone half, with
+            # its replay shield); deleted ids ride the same tombstone
+            arriving = ups.select("asset_id")
+            if dels is not None:
+                arriving = arriving.unionByName(dels.select("asset_id"))
+            pidx.delete_from_phash_index(
+                sp_, index_dir, arriving, exclude_batch=epoch
+            )
         if bootstrap:
-            pidx.build_phash_index(batch, index_dir)
+            # bootstrap: within-batch dedup only (greedy pairwise —
+            # the same rule the incremental path applies)
+            from ..operators.asset_embed import phash_near_pairs
+
+            drops = (
+                phash_near_pairs(ups, max_hamming=mh)
+                .select(F.col("asset_b").alias("asset_id"))
+                .distinct()
+            )
+            kept = ups.join(drops, "asset_id", "left_anti")
+        elif ups_empty:
+            kept = None
         else:
-            pidx.update_phash_index(batch, index_dir)
+            kept = pidx.dedup_assets_against_index(
+                sp_, ups, index_dir, max_hamming=mh
+            )
+        # corpus first, index second (stage-then-publish): a crash
+        # between them replays with the batch not yet precedent —
+        # identical verdicts, idempotent asset_id-keyed corpus merge
+        if op_col is not None:
+            gone = ups.select("asset_id")
+            if dels is not None:
+                gone = gone.unionByName(dels.select("asset_id"))
+            _remove_ids_from_corpus(sp_, gone.distinct())
+        if kept is not None:
+            _merge_into_group(sp_, kept, epoch)
+        if bootstrap:
+            pidx.build_phash_index(ups, index_dir)
+        elif not ups_empty:
+            pidx.update_phash_index(ups, index_dir, epoch=epoch)
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             pidx.compact_phash_index(sp_, index_dir)
