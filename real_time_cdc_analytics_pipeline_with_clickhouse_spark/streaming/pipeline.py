@@ -896,7 +896,21 @@ def _ivf_fold_sink(
             if os.path.isfile(build_marker):
                 with open(build_marker) as fh:
                     built_by = int(fh.read().strip() or -1)
-            if not os.path.isdir(f"{index_dir}/assignments") or built_by == epoch:
+            has_index = os.path.isdir(f"{index_dir}/assignments")
+            if has_index and built_by is None:
+                # an index this sink didn't build: adoptable only when
+                # its batch ids can't collide with epochs (see
+                # _guard_index_adoption)
+                _guard_index_adoption(
+                    meta_dir,
+                    [
+                        int(d.split("=", 1)[1])
+                        for d in os.listdir(f"{index_dir}/assignments")
+                        if d.startswith("batch=")
+                    ],
+                    "IVF",
+                )
+            if not has_index or built_by == epoch:
                 # a bootstrap batch of pure deletes indexes nothing —
                 # record the epoch and wait for content
                 if not ups_empty:
@@ -1458,6 +1472,7 @@ def start_asset_ingest_sink(
     from ..operators import phash_index as pidx
 
     meta_dir = corpus_dir + "_meta"
+    build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
     gsize = compact_every or 1
     mh = pidx.PHASH_BANDS - 1 if max_hamming is None else max_hamming
 
@@ -1510,7 +1525,16 @@ def start_asset_ingest_sink(
         ups, dels = batch, None
         if op_col is not None:
             ups, dels = _resolve_cdc_ops(batch, "asset_id", op_col, seq_col)
-        bootstrap = not os.path.isdir(f"{index_dir}/{pidx.FP_TABLE}")
+        built_by = None
+        if os.path.isfile(build_marker):
+            with open(build_marker) as fh:
+                built_by = int(fh.read().strip() or -1)
+        has_index = os.path.isdir(f"{index_dir}/{pidx.FP_TABLE}")
+        if has_index and built_by is None:
+            # an index this sink didn't build: adoptable only when its
+            # batch ids can't collide with epochs (_guard_index_adoption)
+            _guard_index_adoption(meta_dir, pidx._live_batches(index_dir), "phash")
+        bootstrap = not has_index or built_by == epoch
         ups_empty = ups.isEmpty()
         if bootstrap and ups_empty:
             # pure-delete batch before any content: nothing to build,
@@ -1555,6 +1579,9 @@ def start_asset_ingest_sink(
         if kept is not None:
             _merge_into_group(sp_, kept, epoch)
         if bootstrap:
+            os.makedirs(meta_dir, exist_ok=True)
+            with open(build_marker, "w") as fh:  # before the build: a crash
+                fh.write(str(epoch))  # mid-build replays as a full rebuild
             pidx.build_phash_index(ups, index_dir)
         elif not ups_empty:
             pidx.update_phash_index(ups, index_dir, epoch=epoch)
