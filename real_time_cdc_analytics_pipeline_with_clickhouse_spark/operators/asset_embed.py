@@ -188,17 +188,68 @@ def embed_assets(assets: DataFrame) -> DataFrame:
         for pdf in it:
             ids, mods, vecs = [], [], []
             for aid, modality, tile in _iter_tiles(pdf):
-                centered = tile - tile.mean()
-                nrm = float(np.sqrt((centered * centered).sum()))
-                vec = centered / nrm if nrm > 0 else np.zeros(TILE_DIM)
                 ids.append(aid)
                 mods.append(modality)
-                vecs.append(vec.astype(np.float32))
+                vecs.append(_embedding_of_tile(tile))
             yield pd.DataFrame(
                 {"vec_id": ids, "modality": mods, "embedding": vecs}
             )
 
     return assets.mapInPandas(batches, schema=ASSET_EMB_SCHEMA)
+
+
+ASSET_FEATURES_SCHEMA = (
+    "asset_id long, modality string, phash long, embedding array<float>"
+)
+
+
+def _phash_of_tile(tile: np.ndarray) -> int:
+    """Average-Hash of a tile — the single bit-pack definition
+    ``perceptual_hashes`` and ``asset_features`` share (vectorized
+    packbits; see ``perceptual_hashes`` for the bit-order argument)."""
+    packed = np.packbits(tile > tile.mean(), bitorder="little")
+    v = int.from_bytes(packed.tobytes(), "little")
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _embedding_of_tile(tile: np.ndarray) -> np.ndarray:
+    """Mean-centered unit-L2 tile vector — the single definition
+    ``embed_assets`` and ``asset_features`` share (zero vector for a
+    constant tile; see ``embed_assets`` for the geometry argument)."""
+    centered = tile - tile.mean()
+    nrm = float(np.sqrt((centered * centered).sum()))
+    vec = centered / nrm if nrm > 0 else np.zeros(TILE_DIM)
+    return vec.astype(np.float32)
+
+
+def asset_features(assets: DataFrame) -> DataFrame:
+    """(asset_id, modality, phash, embedding) — BOTH derived
+    representations from ONE decode pass: the tile is computed once
+    per asset and the fingerprint and embedding are cheap functions of
+    it, so a pipeline needing both (the unified media ingest sink —
+    perceptual dedup gate + vector index fold) pays the decode
+    exactly once per micro-batch by construction, with no reliance on
+    exchange reuse.  Column-for-column equal to ``perceptual_hashes``
+    × ``embed_assets`` on the same input (tested)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mods, fps, vecs = [], [], [], []
+            for aid, modality, tile in _iter_tiles(pdf):
+                ids.append(aid)
+                mods.append(modality)
+                fps.append(_phash_of_tile(tile))
+                vecs.append(_embedding_of_tile(tile))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": mods,
+                    "phash": pd.Series(fps, dtype="int64"),
+                    "embedding": vecs,
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=ASSET_FEATURES_SCHEMA)
 
 
 PHASH_SCHEMA = "asset_id long, modality string, phash long"
@@ -221,14 +272,11 @@ def perceptual_hashes(assets: DataFrame) -> DataFrame:
                 # byte j bit i of the packed buffer IS fingerprint bit
                 # 8j+i, so the little-endian int view reproduces the
                 # Σ 2^b construction bit-for-bit without a 64-iteration
-                # Python loop per asset
-                packed = np.packbits(tile > tile.mean(), bitorder="little")
-                v = int.from_bytes(packed.tobytes(), "little")
-                if v >= 1 << 63:  # two's-complement into int64
-                    v -= 1 << 64
+                # Python loop per asset (_phash_of_tile; two's-
+                # complement into int64)
                 ids.append(aid)
                 mods.append(modality)
-                fps.append(v)
+                fps.append(_phash_of_tile(tile))
             yield pd.DataFrame(
                 {
                     "asset_id": ids,

@@ -80,6 +80,46 @@ def read_manifest(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _data_root(index_dir: str, meta: dict | None = None) -> str:
+    """Where the index DATA (centroids / assignments / pq_codebooks /
+    tombstones) lives.  Unversioned indexes (every index before a
+    first ``refit_ivf_index``) keep data at the index root; a refit
+    builds a complete new tree under ``v<N>/`` and the top manifest's
+    ``data_version`` is the SINGLE atomic pointer every reader
+    resolves through — a query sees the old version until the one
+    ``os.replace`` of the manifest, and the complete new version
+    after, never a half-built mix."""
+    if meta is None:
+        meta = read_manifest(index_dir)
+    v = meta.get("data_version")
+    return index_dir if v is None else os.path.join(index_dir, f"v{v}")
+
+
+def has_ivf_index(index_dir: str) -> bool:
+    """True iff a committed index exists here (manifest present and
+    its data root holds assignments) — version-aware, unlike a bare
+    ``isdir(index_dir + '/assignments')`` which breaks after a refit
+    retires the legacy root data."""
+    try:
+        meta = read_manifest(index_dir)
+    except FileNotFoundError:
+        return False
+    return os.path.isdir(os.path.join(_data_root(index_dir, meta), "assignments"))
+
+
+def live_batch_ids(index_dir: str) -> list[int]:
+    """Batch ids present in the CURRENT data version's inverted lists
+    (the adoption-guard and batch-allocation ground truth)."""
+    root = os.path.join(_data_root(index_dir), "assignments")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("batch=") and os.path.isdir(os.path.join(root, d))
+    )
+
+
 def index_lsh_bits(index_dir: str) -> int:
     """Bucket-space sizing for the sign-LSH operators over an indexed
     corpus, from the manifest's row count alone — no count job."""
@@ -274,7 +314,12 @@ def build_ivf_index(
     assigned.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
         "batch", "centroid_id"
     ).parquet(f"{index_dir}/assignments")
-    n = embeddings.sparkSession.read.parquet(f"{index_dir}/assignments").count()
+    # one job: row count (for lsh_bits sizing) + the mean squared
+    # assignment distance — the DRIFT BASELINE every later fold
+    # compares its batches against (centroid-drift detection)
+    n, build_d2 = _count_and_mean_d2(
+        embeddings.sparkSession.read.parquet(f"{index_dir}/assignments"), centroids
+    )
     _write_manifest(
         index_dir,
         {
@@ -283,9 +328,52 @@ def build_ivf_index(
             "n_rows": n,
             "lsh_bits": lsh_bits_for(n),
             "int8": bool(int8),
+            "build_mean_d2": build_d2,
+            "drift_d2_sum": 0.0,
+            "drift_n": 0,
+            "drift_ratio": None,
             **({"pq_m": pq_m, "pq_ks": pq_ks, "pq_dim": pq_dim} if pq_m else {}),
         },
     )
+
+
+def _count_and_mean_d2(assigned: DataFrame, centroids: DataFrame):
+    """(row count, mean squared distance to the assigned centroid) of
+    an assignments frame, in one combinable aggregation — the drift
+    statistic.  The centroid table is broadcast (always tiny)."""
+    row = (
+        assigned.join(F.broadcast(centroids), "centroid_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(_d2e(F.col("embedding"), F.col("centroid"))).alias("d2"),
+        )
+        .first()
+    )
+    return int(row["n"]), (float(row["d2"]) if row["d2"] is not None else 0.0)
+
+
+def _fold_drift_stats(meta: dict, batch_n: int, batch_mean_d2: float) -> None:
+    """Accumulate a fold's assignment-distance statistic into the
+    manifest dict (in place).  ``drift_ratio`` = mean d2 of everything
+    folded since build ÷ the build-time baseline: ≈1 while arrivals
+    match the fitted distribution, growing without bound as the
+    corpus drifts away from the frozen centroids.  Advisory, not
+    load-bearing: a crash-replayed epoch that re-folds its statistic
+    averages the same distribution twice and barely moves the ratio —
+    correctness never depends on it."""
+    meta["drift_d2_sum"] = float(meta.get("drift_d2_sum", 0.0)) + batch_mean_d2 * batch_n
+    meta["drift_n"] = int(meta.get("drift_n", 0)) + batch_n
+    base = meta.get("build_mean_d2")
+    if base is None or meta["drift_n"] == 0:
+        meta["drift_ratio"] = None  # pre-round-8 index: no baseline recorded
+    else:
+        folded = meta["drift_d2_sum"] / meta["drift_n"]
+        # a zero baseline (degenerate single-point build corpus) makes
+        # any nonzero folded distance infinite drift — clamp to a large
+        # finite sentinel so the manifest stays valid JSON
+        meta["drift_ratio"] = round(folded / base, 6) if base > 0 else (
+            0.0 if folded == 0 else 1e18
+        )
 
 
 def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
@@ -294,7 +382,7 @@ def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
     can leave tombstones outliving their batch dirs, and reusing such
     an id would resurrect the tombstone against the new rows."""
     pre = "batch="
-    root = f"{index_dir}/assignments"
+    root = os.path.join(_data_root(index_dir), "assignments")
     ids = [
         int(d[len(pre):])
         for d in os.listdir(root)
@@ -326,7 +414,8 @@ def update_ivf_index(
     Batch callers may omit it (ids self-allocate)."""
     spark = new_embeddings.sparkSession
     meta = read_manifest(index_dir)
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    root = _data_root(index_dir, meta)
+    centroids = spark.read.parquet(f"{root}/centroids")
     assigned = _assign(
         new_embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -335,7 +424,7 @@ def update_ivf_index(
         int8=bool(meta.get("int8")),
     )
     if meta.get("pq_m"):
-        codebooks = spark.read.parquet(f"{index_dir}/pq_codebooks")
+        codebooks = spark.read.parquet(f"{root}/pq_codebooks")
         assigned = _with_pq_codes(
             assigned,
             codebooks,
@@ -345,9 +434,15 @@ def update_ivf_index(
         )
     b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{index_dir}/assignments/batch={b}"
+        f"{root}/assignments/batch={b}"
     )
-    n = spark.read.parquet(f"{index_dir}/assignments").count()
+    n = spark.read.parquet(f"{root}/assignments").count()
+    # fold the batch's assignment-distance statistic (drift detection:
+    # one small agg over the just-written batch dir)
+    bn, bd2 = _count_and_mean_d2(
+        spark.read.parquet(f"{root}/assignments/batch={b}"), centroids
+    )
+    _fold_drift_stats(meta, bn, bd2)
     meta.update({"n_rows": n, "lsh_bits": lsh_bits_for(n)})
     if epoch is not None:
         # the manifest write IS the commit: stamping the epoch in it
@@ -357,7 +452,11 @@ def update_ivf_index(
 
 
 def _ivf_tomb_path(index_dir: str) -> str:
-    return f"{index_dir}/tombstones"
+    """Tombstones live INSIDE the data version's tree: a refit starts
+    its new version with a clean slate (it folds only live rows, so
+    every old tombstone is already applied), and old-version
+    tombstones can never leak onto new-version batch ids."""
+    return os.path.join(_data_root(index_dir), "tombstones")
 
 
 def _read_ivf_tombstones(spark: SparkSession, index_dir: str):
@@ -366,13 +465,9 @@ def _read_ivf_tombstones(spark: SparkSession, index_dir: str):
     (same crash-window argument as the text index's tombstones)."""
     if not os.path.isdir(_ivf_tomb_path(index_dir)):
         return None
-    live = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(f"{index_dir}/assignments")
-        if d.startswith("batch=")
-    }
+    live = live_batch_ids(index_dir)
     return spark.read.parquet(_ivf_tomb_path(index_dir)).where(
-        F.col("batch").isin(sorted(live))
+        F.col("batch").isin(live)
     )
 
 
@@ -380,7 +475,7 @@ def _live_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
     """The assignments read every query path uses: inverted lists with
     tombstoned victims anti-joined out (broadcast — the tombstone set
     is bounded between compactions)."""
-    df = spark.read.parquet(f"{index_dir}/assignments")
+    df = spark.read.parquet(f"{_data_root(index_dir)}/assignments")
     tomb = _read_ivf_tombstones(spark, index_dir)
     if tomb is not None:
         df = df.join(
@@ -409,9 +504,11 @@ def delete_from_ivf_index(
     appended)."""
     from .retrieval import _commit_tombstones, _ids_frame
 
-    read_manifest(index_dir)
+    meta = read_manifest(index_dir)
     ids = _ids_frame(spark, vec_ids, "vec_id")
-    rows = spark.read.parquet(f"{index_dir}/assignments").select("vec_id", "batch")
+    rows = spark.read.parquet(
+        f"{_data_root(index_dir, meta)}/assignments"
+    ).select("vec_id", "batch")
     if exclude_batch is not None:
         rows = rows.where(F.col("batch") != int(exclude_batch))
     tomb = _read_ivf_tombstones(spark, index_dir)
@@ -472,7 +569,7 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
     import shutil
 
     meta = read_manifest(index_dir)
-    root = f"{index_dir}/assignments"
+    root = f"{_data_root(index_dir, meta)}/assignments"
     live = [
         int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")
     ]
@@ -496,6 +593,88 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
     shutil.rmtree(_ivf_tomb_path(index_dir), ignore_errors=True)
 
 
+def ivf_drift_ratio(index_dir: str) -> float | None:
+    """The monitored centroid-drift metric: mean squared assignment
+    distance of everything folded since build ÷ the build-time
+    baseline (``None`` until a fold happens, or on a pre-round-8
+    manifest with no baseline).  ≈1 while arrivals match the fitted
+    distribution; a sustained ratio well above 1 means the frozen
+    cells no longer describe the data — occupancy unbalances and
+    recall at fixed ``n_probe`` sags — and ``refit_ivf_index`` is the
+    cure."""
+    return read_manifest(index_dir).get("drift_ratio")
+
+
+def _retire_versions(index_dir: str, keep: set) -> None:
+    """Delete data-version trees not in ``keep`` (``None`` in the set
+    = the legacy unversioned root data).  The PREVIOUS version always
+    stays through one refit so readers that resolved the old root
+    mid-plan still find their files; the version before that goes."""
+    import shutil
+
+    for d in os.listdir(index_dir):
+        if (
+            d.startswith("v")
+            and d[1:].isdigit()
+            and int(d[1:]) not in keep
+            and os.path.isdir(os.path.join(index_dir, d))
+        ):
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    if None not in keep:
+        for d in ("assignments", "centroids", "pq_codebooks", "tombstones"):
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
+
+def refit_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_centroids: int | None = None,
+    seed: int | None = None,
+) -> None:
+    """Versioned REFIT — the cure for centroid drift (the FAISS
+    retraining move, made a zero-downtime artifact operation): fit
+    fresh centroids on the CURRENT live vectors, build a complete new
+    index tree under ``v<N+1>/`` (same int8/PQ tiers as the old
+    version), and commit by atomically swapping the top manifest's
+    ``data_version`` pointer — the ONE ``os.replace`` every reader
+    resolves through, so queries see the old version in full until
+    the swap and the new version in full after it, never a half-built
+    mix.  A crash mid-build leaves the pointer untouched (the next
+    refit overwrites the orphan tree); drift statistics reset to the
+    new build's baseline; ``last_epoch`` carries over so a streaming
+    sink's replay guard survives the refit.  The previous version's
+    tree is retained for in-flight readers and retired by the NEXT
+    refit.
+
+    Cost: one KMeans fit (sample-bounded, like build) + one full
+    reassignment of the live rows — the operation ``update``'s frozen
+    fold exists to amortize; run it when ``ivf_drift_ratio`` crosses
+    the deployment's threshold (``start_embedding_index_sink``'s
+    ``refit_threshold=`` automates exactly that)."""
+    meta = read_manifest(index_dir)
+    cur_v = meta.get("data_version")
+    new_v = (cur_v or 0) + 1
+    vroot = os.path.join(index_dir, f"v{new_v}")
+    live = _live_assignments(spark, index_dir).select("vec_id", "embedding")
+    build_ivf_index(
+        live,
+        vroot,
+        n_centroids=n_centroids or meta["n_centroids"],
+        seed=meta["seed"] if seed is None else seed,
+        int8=bool(meta.get("int8")),
+        pq_m=meta.get("pq_m"),
+        pq_ks=meta.get("pq_ks", 16),
+    )
+    new_meta = read_manifest(vroot)  # the fresh build's stats/baseline
+    new_meta["data_version"] = new_v
+    new_meta["refit_count"] = int(meta.get("refit_count", 0)) + 1
+    for carried in ("last_epoch", "epoch_checkpoint"):
+        if carried in meta:
+            new_meta[carried] = meta[carried]
+    _write_manifest(index_dir, new_meta)  # THE atomic pointer swap
+    _retire_versions(index_dir, keep={cur_v, new_v})
+
+
 def ivf_index_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -512,8 +691,8 @@ def ivf_index_topk(
     a STATIC partition filter — unprobed inverted-list directories are
     never opened (plan-asserted), the artifact-read analog of the
     warehouse's month pruning."""
-    read_manifest(index_dir)  # loud error on a missing index
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    meta = read_manifest(index_dir)  # loud error on a missing index
+    centroids = spark.read.parquet(f"{_data_root(index_dir, meta)}/centroids")
     wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -554,7 +733,7 @@ def ivf_index_topk_quantized(
             f"index at {index_dir} was not built with int8=True — rebuild with "
             "build_ivf_index(..., int8=True) to store the quantized column"
         )
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    centroids = spark.read.parquet(f"{_data_root(index_dir, meta)}/centroids")
     wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -628,8 +807,9 @@ def ivf_index_topk_pq(
             "build_ivf_index(..., pq_m=M) to store the PQ codes"
         )
     m, dsub = meta["pq_m"], meta["pq_dim"] // meta["pq_m"]
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
-    cbrow = _codebook_row(spark.read.parquet(f"{index_dir}/pq_codebooks"))
+    root = _data_root(index_dir, meta)
+    centroids = spark.read.parquet(f"{root}/centroids")
+    cbrow = _codebook_row(spark.read.parquet(f"{root}/pq_codebooks"))
     wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
     lut = F.transform(
         F.col("_cb"),

@@ -161,14 +161,18 @@ def _live_batches(index_dir: str) -> list[int]:
     )
 
 
-def build_phash_index(assets: DataFrame, index_dir: str) -> None:
+def build_phash_index(
+    assets: DataFrame, index_dir: str, fingerprints: DataFrame | None = None
+) -> None:
     """Materialize the fingerprint table from the current asset corpus
     (one full decode pass — paid once, then every batch is
-    incremental).  Rows land under ``batch=-1``; the manifest commit
-    publishes the artifact."""
-    perceptual_hashes(assets).withColumn("batch", F.lit(-1)).write.mode(
-        "overwrite"
-    ).partitionBy("batch").parquet(_fp_root(index_dir))
+    incremental; skipped entirely when the caller hands in an
+    already-decoded ``fingerprints`` frame).  Rows land under
+    ``batch=-1``; the manifest commit publishes the artifact."""
+    fp = perceptual_hashes(assets) if fingerprints is None else fingerprints
+    fp.select("asset_id", "modality", "phash").withColumn(
+        "batch", F.lit(-1)
+    ).write.mode("overwrite").partitionBy("batch").parquet(_fp_root(index_dir))
     _write_phash_manifest(index_dir, {"version": 1})
 
 
@@ -191,7 +195,10 @@ def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
 
 
 def update_phash_index(
-    new_assets: DataFrame, index_dir: str, epoch: int | None = None
+    new_assets: DataFrame,
+    index_dir: str,
+    epoch: int | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> None:
     """Fold a batch's fingerprints in (all of them — see module
     docstring's precedent rule).  Pass the micro-batch ``epoch`` as
@@ -200,11 +207,15 @@ def update_phash_index(
     crash-replayed epoch rewrites byte-identical content; the
     manifest's ``last_epoch`` stamp (the commit) lets
     ``upsert_phash_index`` no-op a fully-committed replay.  Batch
-    callers may omit it (ids self-allocate)."""
+    callers may omit it (ids self-allocate).  ``fingerprints`` lets a
+    caller that already decoded the batch (the unified media sink's
+    one-decode-per-batch contract) hand the (asset_id, modality,
+    phash) frame in instead of paying a second decode pass."""
     _require_batched(index_dir)
     spark = new_assets.sparkSession
     b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
-    perceptual_hashes(new_assets).write.mode("overwrite").parquet(
+    fp = perceptual_hashes(new_assets) if fingerprints is None else fingerprints
+    fp.select("asset_id", "modality", "phash").write.mode("overwrite").parquet(
         f"{_fp_root(index_dir)}/batch={b}"
     )
     if epoch is not None:
@@ -371,36 +382,67 @@ def dedup_assets_against_index(
     # (and the caller's later update) reuse the exchange
     par = spark.sparkContext.defaultParallelism
     new_fp = perceptual_hashes(new_assets).repartition(par)
+    drops = dedup_drops_for_fingerprints(
+        spark, new_fp, index_dir, max_hamming, n_bands
+    )
+    return new_assets.join(drops, "asset_id", "left_anti")
+
+
+def _banded_drops(a: DataFrame, b: DataFrame, max_hamming: int) -> DataFrame:
+    """Drop verdicts of batch side ``b`` against precedent side ``a``
+    (banded frames): doc_a < doc_b enforces the indexed-ids-precede-
+    batch contract AND makes a crash-replayed batch deterministic (the
+    replay sees its own append in the index; self-pairs and larger-id
+    mates are excluded exactly as within-batch)."""
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.modality") == F.col("b.modality"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .where(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= max_hamming
+        )
+        .select(F.col("b.asset_id").alias("asset_id"))
+        .distinct()
+    )
+
+
+def within_batch_drops(
+    fingerprints: DataFrame,
+    max_hamming: int = PHASH_BANDS - 1,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Greedy within-batch drop set over an already-decoded
+    fingerprint frame — the bootstrap gate of the ingest sinks (no
+    index yet), same smaller-id-wins rule as the incremental path."""
+    bands = _banded(fingerprints, n_bands)
+    return _banded_drops(bands, bands, max_hamming)
+
+
+def dedup_drops_for_fingerprints(
+    spark: SparkSession,
+    new_fp: DataFrame,
+    index_dir: str,
+    max_hamming: int = PHASH_BANDS - 1,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Drop set (asset_id rows) of a batch's ALREADY-DECODED
+    fingerprints against corpus index + batch — the core of
+    ``dedup_assets_against_index``, exposed so a caller that computed
+    the fingerprints itself (the unified media sink's one-decode
+    contract) never pays a second decode pass."""
     new_bands = _banded(new_fp, n_bands)
     idx_bands = _banded(
         _live_fingerprints(spark, index_dir).select("asset_id", "modality", "phash"),
         n_bands,
     )
-
-    def _drops(a: DataFrame, b: DataFrame) -> DataFrame:
-        # a = precedent side, b = batch side; doc_a < doc_b enforces
-        # the indexed-ids-precede-batch contract AND makes a
-        # crash-replayed batch deterministic (the replay sees its own
-        # append in the index; self-pairs and larger-id mates are
-        # excluded exactly as within-batch)
-        return (
-            a.alias("a")
-            .join(
-                b.alias("b"),
-                (F.col("a.modality") == F.col("b.modality"))
-                & (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.asset_id") < F.col("b.asset_id")),
-            )
-            .where(
-                F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-                <= max_hamming
-            )
-            .select(F.col("b.asset_id").alias("asset_id"))
-            .distinct()
-        )
-
-    drops = _drops(idx_bands, new_bands).unionByName(
-        _drops(new_bands, new_bands)
-    ).distinct()
-    return new_assets.join(drops, "asset_id", "left_anti")
+    return (
+        _banded_drops(idx_bands, new_bands, max_hamming)
+        .unionByName(_banded_drops(new_bands, new_bands, max_hamming))
+        .distinct()
+    )

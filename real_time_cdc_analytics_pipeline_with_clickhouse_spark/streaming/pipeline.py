@@ -780,6 +780,7 @@ def start_embedding_index_sink(
     seed: int = 7,
     op_col: str | None = None,
     seq_col: str | None = None,
+    refit_threshold: float | None = None,
 ):
     """Live ANN-index ingestion — the embedding twin of
     ``start_corpus_ingest_sink``: the first micro-batch BUILDS the
@@ -810,9 +811,22 @@ def start_embedding_index_sink(
     BOOTSTRAP epoch re-runs the build — itself a full overwrite —
     rather than appending its vectors a second time (the
     ``_BUILD_EPOCH`` marker, written before the build starts, routes
-    it)."""
+    it).
+
+    ``refit_threshold`` = the centroid-drift hook: after each applied
+    epoch the manifest's ``drift_ratio`` (mean assignment distance of
+    folded batches ÷ the build-time baseline, maintained for free at
+    fold time) is compared against it, and crossing triggers
+    ``ivf_index.refit_ivf_index`` — a complete re-clustered index
+    built under a NEW version dir and committed by one atomic
+    manifest-pointer swap, so queries during the refit never see a
+    half-built index.  The refit resets the drift baseline, closing
+    the loop (no refit storm).  It runs AFTER the epoch marker: a
+    crash mid-refit replays as an applied epoch, and the still-high
+    ratio re-triggers the refit on the next fold."""
     sink = _ivf_fold_sink(
-        index_dir, checkpoint, n_centroids, seed, op_col=op_col, seq_col=seq_col
+        index_dir, checkpoint, n_centroids, seed, op_col=op_col, seq_col=seq_col,
+        refit_threshold=refit_threshold,
     )
     return (
         emb_stream.writeStream.outputMode("append")
@@ -853,6 +867,26 @@ def _guard_index_adoption(meta_dir: str, existing_batches, kind: str) -> None:
     )
 
 
+def _merge_into_group_dir(
+    sp_, corpus_dir: str, meta_dir: str, kept: DataFrame, group: int, key: str
+) -> None:
+    """Idempotent keyed merge of a batch's survivors into its
+    ``batch_group=G`` corpus dir (the ingest sinks' shared layout):
+    existing group content unions with the batch, deduped by ``key``,
+    staged OUTSIDE the corpus dir (a sibling staging dir would be
+    discovered as a bogus partition by corpus-wide reads) and written
+    back — a replayed epoch recomputes identical survivors and the
+    keyed dedup makes the rewrite a no-op."""
+    gdir = f"{corpus_dir}/batch_group={group}"
+    if os.path.isdir(gdir) and any(f.endswith(".parquet") for f in os.listdir(gdir)):
+        staging = os.path.join(meta_dir, f"_group{group}_staging")
+        merged = sp_.read.parquet(gdir).unionByName(kept).dropDuplicates([key])
+        merged.write.mode("overwrite").parquet(staging)
+        sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+    else:
+        kept.write.mode("overwrite").parquet(gdir)
+
+
 def _ivf_fold_sink(
     index_dir: str,
     checkpoint: str,
@@ -860,13 +894,14 @@ def _ivf_fold_sink(
     seed: int,
     op_col: str | None = None,
     seq_col: str | None = None,
+    refit_threshold: float | None = None,
 ):
     """The build-on-first-batch / frozen-fold-after foreachBatch body
     shared by the embedding-stream and document-stream index sinks
-    (see ``start_embedding_index_sink`` for the crash-window and
-    CDC-mode contracts).  ``transform`` maps the arriving batch to the
-    (vec_id, embedding) rows to index — it must be DETERMINISTIC, so
-    a replayed epoch rewrites identical bytes."""
+    (see ``start_embedding_index_sink`` for the crash-window,
+    CDC-mode and drift-refit contracts).  ``transform`` maps the
+    arriving batch to the (vec_id, embedding) rows to index — it must
+    be DETERMINISTIC, so a replayed epoch rewrites identical bytes."""
     from ..operators import ivf_index
 
     meta_dir = index_dir + "_sinkmeta"
@@ -896,19 +931,13 @@ def _ivf_fold_sink(
             if os.path.isfile(build_marker):
                 with open(build_marker) as fh:
                     built_by = int(fh.read().strip() or -1)
-            has_index = os.path.isdir(f"{index_dir}/assignments")
+            has_index = ivf_index.has_ivf_index(index_dir)
             if has_index and built_by is None:
                 # an index this sink didn't build: adoptable only when
                 # its batch ids can't collide with epochs (see
                 # _guard_index_adoption)
                 _guard_index_adoption(
-                    meta_dir,
-                    [
-                        int(d.split("=", 1)[1])
-                        for d in os.listdir(f"{index_dir}/assignments")
-                        if d.startswith("batch=")
-                    ],
-                    "IVF",
+                    meta_dir, ivf_index.live_batch_ids(index_dir), "IVF"
                 )
             if not has_index or built_by == epoch:
                 # a bootstrap batch of pure deletes indexes nothing —
@@ -926,11 +955,15 @@ def _ivf_fold_sink(
                 ivf_index.update_ivf_index(vecs, index_dir, epoch=epoch)
             if (
                 dels is not None
-                and os.path.isdir(f"{index_dir}/assignments")
+                and ivf_index.has_ivf_index(index_dir)
                 and not dels.isEmpty()
             ):
                 ivf_index.delete_from_ivf_index(spark_b, index_dir, dels)
             _record_epoch(meta_dir, epoch, checkpoint)
+            if refit_threshold is not None and ivf_index.has_ivf_index(index_dir):
+                ratio = ivf_index.ivf_drift_ratio(index_dir)
+                if ratio is not None and ratio >= refit_threshold:
+                    ivf_index.refit_ivf_index(spark_b, index_dir)
         finally:
             # unpersist even when build/update raises: a retried
             # micro-batch would otherwise stack a fresh cache per
@@ -1588,6 +1621,142 @@ def start_asset_ingest_sink(
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             pidx.compact_phash_index(sp_, index_dir)
+
+    return (
+        assets_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def start_media_ingest_sink(
+    assets_stream: DataFrame,
+    corpus_dir: str,
+    phash_index_dir: str,
+    ivf_index_dir: str,
+    checkpoint: str,
+    max_hamming: int | None = None,
+    compact_every: int | None = 16,
+    n_centroids: int = 16,
+    seed: int = 7,
+):
+    """The FULL media ingest pipeline in ONE sink (round-8 verdict
+    item #5): text has one sink chaining its whole gauntlet
+    (``start_corpus_ingest_sink``); media previously needed two
+    parallel sinks (phash dedup + IVF fold) that a user wired by hand,
+    paying the decode twice.  Here each micro-batch decodes EXACTLY
+    once (``asset_embed.asset_features`` — the tile is computed once
+    per asset and both the fingerprint and the embedding derive from
+    it, persisted for the epoch), then:
+
+    - the perceptual dedup gate runs on the precomputed fingerprints
+      (``phash_index.dedup_drops_for_fingerprints`` — no re-decode;
+      within-batch greedy rule on the bootstrap epoch);
+    - survivors merge into the asset corpus (``batch_group=G`` dirs
+      keyed by asset_id — the asset sink's idempotent layout);
+    - ALL the batch's fingerprints fold into the phash index (the
+      precedent rule: a dropped asset still outranks later copies);
+    - the SURVIVORS' nonzero embeddings fold into the persistent IVF
+      index (bootstrap build on the first surviving batch, frozen
+      fold after) — the vector index serves the corpus, so it carries
+      exactly what the corpus kept;
+    - ONE epoch marker stamps the composite.
+
+    Exactly-once is the union of the parts' contracts, all already
+    crash-tested alone: decode/fingerprint/embed are deterministic, so
+    a replayed epoch recomputes identical verdicts and rewrites its
+    ``batch=<epoch>`` dirs byte-identically; the corpus merge is
+    keyed; both manifests stamp ``last_epoch`` in their commits.
+    Streamed composite state (corpus + both indexes) ≡ the batch
+    pipeline on the same batches (tested)."""
+    from ..operators import asset_embed as aemb
+    from ..operators import ivf_index
+    from ..operators import phash_index as pidx
+
+    meta_dir = corpus_dir + "_meta"
+    build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
+    ivf_build_marker = os.path.join(meta_dir, "_IVF_BUILD_EPOCH")
+    gsize = compact_every or 1
+    mh = pidx.PHASH_BANDS - 1 if max_hamming is None else max_hamming
+
+    def _marker(path):
+        if not os.path.isfile(path):
+            return None
+        with open(path) as fh:
+            return int(fh.read().strip() or -1)
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        sp_ = batch.sparkSession
+        built_by = _marker(build_marker)
+        ivf_built_by = _marker(ivf_build_marker)
+        has_p = os.path.isdir(f"{phash_index_dir}/{pidx.FP_TABLE}")
+        if built_by is None:
+            if has_p:
+                _guard_index_adoption(
+                    meta_dir, pidx._live_batches(phash_index_dir), "phash"
+                )
+            if ivf_index.has_ivf_index(ivf_index_dir):
+                _guard_index_adoption(
+                    meta_dir, ivf_index.live_batch_ids(ivf_index_dir), "IVF"
+                )
+        bootstrap = not has_p or built_by == epoch
+        feats = aemb.asset_features(batch).persist()  # THE one decode
+        try:
+            fp = feats.select("asset_id", "modality", "phash")
+            if bootstrap:
+                drops = pidx.within_batch_drops(fp, max_hamming=mh)
+            else:
+                drops = pidx.dedup_drops_for_fingerprints(
+                    sp_, fp, phash_index_dir, max_hamming=mh
+                )
+            kept = batch.join(drops, "asset_id", "left_anti")
+            _merge_into_group_dir(
+                sp_, corpus_dir, meta_dir, kept, epoch // gsize, "asset_id"
+            )
+            kept_vecs = (
+                feats.join(drops, "asset_id", "left_anti")
+                .where(
+                    F.aggregate(
+                        F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+                    )
+                    > 0
+                )
+                .select(F.col("asset_id").alias("vec_id"), "embedding")
+            )
+            if bootstrap:
+                os.makedirs(meta_dir, exist_ok=True)
+                with open(build_marker, "w") as fh:  # before the builds: a
+                    fh.write(str(epoch))  # crash mid-build replays as a rebuild
+                pidx.build_phash_index(batch, phash_index_dir, fingerprints=fp)
+            else:
+                pidx.update_phash_index(
+                    batch, phash_index_dir, epoch=epoch, fingerprints=fp
+                )
+            if not kept_vecs.isEmpty():
+                if ivf_index.has_ivf_index(ivf_index_dir) and ivf_built_by != epoch:
+                    ivf_index.update_ivf_index(kept_vecs, ivf_index_dir, epoch=epoch)
+                else:
+                    # first batch with surviving NONZERO vectors (its
+                    # own marker — it can trail the phash bootstrap
+                    # when early batches embed to zero) — or that
+                    # epoch's replay, which re-runs the full-overwrite
+                    # build instead of appending twice
+                    os.makedirs(meta_dir, exist_ok=True)
+                    with open(ivf_build_marker, "w") as fh:
+                        fh.write(str(epoch))
+                    ivf_index.build_ivf_index(
+                        kept_vecs, ivf_index_dir, n_centroids, seed
+                    )
+        finally:
+            feats.unpersist()
+        _record_epoch(meta_dir, epoch, checkpoint)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            pidx.compact_phash_index(sp_, phash_index_dir)
 
     return (
         assets_stream.writeStream.outputMode("append")
