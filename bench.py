@@ -639,6 +639,20 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_phash_near_pairs"] = round(best, 3)
 
+            # one-pass decode (r8 unified media sink): asset_features
+            # yields fingerprint + embedding from ONE tile pass — its
+            # cost vs _scale10x_asset_embed is what the unified sink
+            # saves over the two-sink wiring (which decoded twice)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                AEMB.asset_features(assets10).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_asset_features"] = round(best, 3)
+
             # dataset-card report at 10×: one projection + one
             # bounded-domain agg — the always-on observability pass
             from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (

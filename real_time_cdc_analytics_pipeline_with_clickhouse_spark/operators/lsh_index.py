@@ -171,6 +171,10 @@ def update_minhash_index(
         f"{index_dir}/bands", "append", "band_id",
     )
     _write(_shingle_rows(new_documents, n), f"{index_dir}/shingles", "append")
+    if not os.path.isfile(os.path.join(index_dir, _LSH_MANIFEST)):
+        # an index bootstrapped by appends (the streaming sink's first
+        # epoch) pins its resolved params too, not just built ones
+        _write_lsh_manifest(index_dir, n, k, band, hash_mode)
 
 
 def parquet_file_count(path: str) -> int:

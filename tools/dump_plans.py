@@ -164,6 +164,55 @@ def _embed_docs(spark, sf):
     return embedder.embed_documents(load_table(spark, sf, "documents"), dim=64)
 
 
+def _phash_pairs(spark, sf):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        asset_embed,
+        multimodal,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    return asset_embed.phash_near_pairs(
+        multimodal.assets_from_documents(load_table(spark, sf, "documents"))
+    )
+
+
+def _media_gate(spark, sf):
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        asset_embed,
+        multimodal,
+        phash_index,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    assets = multimodal.assets_from_documents(load_table(spark, sf, "documents"))
+    feats = asset_embed.asset_features(assets).persist()
+    feats.count()  # materialize: the sink persists the one decode per epoch
+    return phash_index.within_batch_drops(
+        feats.select("asset_id", "modality", "phash")
+    )
+
+
+def _refit_topk(spark, sf):
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+        similarity,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = tempfile.mkdtemp(prefix="graft_plans_refit_")
+    ivf_index.build_ivf_index(emb.where(F.col("vec_id") < 400), idx, n_centroids=8)
+    ivf_index.update_ivf_index(emb.where(F.col("vec_id") >= 400), idx)
+    ivf_index.refit_ivf_index(spark, idx)
+    return ivf_index.ivf_index_topk(spark, similarity.default_queries(emb), idx)
+
+
 def _mmr(spark, sf):
     from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
         embedder,
@@ -257,6 +306,35 @@ EXTRA = [
         "FlatMapGroupsInPandas over the bounded per-query lists runs the "
         "greedy pick",
         _mmr,
+    ),
+    (
+        "phash_near_pairs",
+        "multimodal perceptual near-dup: decode/tile/fingerprint runs in "
+        "ONE Arrow-batched MapInPandas pass; a repartition right after the "
+        "fingerprints gives both self-join branches the SAME exchange, "
+        "which AQE reuses (ReusedExchange-asserted) — the expensive decode "
+        "executes once; the candidate join is a (modality, band) equi-join "
+        "over the 8-byte fingerprint table, bit_count-verified, no "
+        "cartesian, no corpus-sized broadcast",
+        _phash_pairs,
+    ),
+    (
+        "media_ingest_gate",
+        "the unified media sink's dedup gate over the epoch's ONE decode: "
+        "asset_features is persisted, so both gate branches read "
+        "InMemoryTableScan — every MapInPandas in the text below is the "
+        "cached relation's nested dump, never a live re-decode "
+        "(plan-asserted in tests/test_media_ingest.py)",
+        _media_gate,
+    ),
+    (
+        "ivf_index_topk_post_refit",
+        "stored-index ANN through a REFIT version: the query resolves the "
+        "manifest's data_version pointer to the v1/ tree — same pruned "
+        "shape as ivf_index_topk (static PartitionFilter on the probed "
+        "cells, probe set broadcast, no KMeans in the plan); the swap is "
+        "one manifest os.replace, so plans never mix versions",
+        _refit_topk,
     ),
 ]
 
