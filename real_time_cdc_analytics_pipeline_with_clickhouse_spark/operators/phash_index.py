@@ -356,6 +356,83 @@ def compact_phash_index(spark: SparkSession, index_dir: str) -> None:
     shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
 
 
+def asset_diff(old_assets: DataFrame, new_assets: DataFrame) -> DataFrame:
+    """Snapshot diff between two ASSET corpora — the media twin of
+    ``corpus.corpus_diff`` / ``ivf_index.embedding_diff``: (asset_id,
+    change ∈ added | removed | changed), unchanged assets excluded.
+    Content identity is an md5 over the payload bytes AND the typed
+    metadata (modality, dims, rate, frame count — a re-encode that
+    keeps bytes but reinterprets them must count as changed).  One
+    full-outer digest join over (asset_id, digest) projections — the
+    payload bytes never shuffle past their scan."""
+
+    def dig(df):
+        return df.select(
+            "asset_id",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.coalesce(F.col("modality"), F.lit("␀")),
+                    F.coalesce(F.md5(F.col("payload")), F.lit("␀")),
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+                        for c in ("width", "height", "sample_rate", "n_frames")
+                    ],
+                )
+            ).alias("_dg"),
+        )
+
+    o = dig(old_assets).withColumn("_po", F.lit(1))
+    n = dig(new_assets).withColumn("_pn", F.lit(1))
+    j = o.withColumnRenamed("_dg", "_dgo").join(
+        n.withColumnRenamed("_dg", "_dgn"), "asset_id", "full_outer"
+    )
+    return j.select(
+        "asset_id",
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(F.col("_dgo") != F.col("_dgn"), F.lit("changed"))
+        .alias("change"),
+    ).where(F.col("change").isNotNull())
+
+
+def refresh_phash_index_from_diff(
+    spark: SparkSession,
+    index_dir: str,
+    old_assets: DataFrame,
+    new_assets: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """Fold an asset-snapshot transition into the stored fingerprint
+    table from ``asset_diff``'s work-list — the last stored artifact
+    to gain the diff-refresh leg every other index already has
+    (``refresh_text_index_from_diff`` / ``refresh_minhash_index_from_diff``
+    / ``refresh_ivf_index_from_diff``): removed/changed assets
+    tombstone out, added/changed assets decode ONCE and fold in.
+    Cost ∝ diff — the unchanged corpus is never re-decoded.  Phash
+    tombstones are batch-scoped (round 8), so a changed asset's re-add
+    lands in a newer batch its tombstone does not reference — no
+    compaction needed between the halves (the IVF property, unlike the
+    MinHash refresh).  The refreshed index answers dedup exactly as a
+    fresh build on the new snapshot (tested)."""
+    diff = asset_diff(old_assets, new_assets).persist()
+    try:
+        gone = diff.where(F.col("change").isin("removed", "changed")).select(
+            "asset_id"
+        )
+        if not gone.isEmpty():
+            delete_from_phash_index(spark, index_dir, gone)
+        fresh = new_assets.join(
+            diff.where(F.col("change").isin("added", "changed")).select("asset_id"),
+            "asset_id",
+            "left_semi",
+        )
+        if not fresh.isEmpty():
+            update_phash_index(fresh, index_dir, epoch=epoch)
+    finally:
+        diff.unpersist()
+
+
 def dedup_assets_against_index(
     spark: SparkSession,
     new_assets: DataFrame,

@@ -1640,6 +1640,7 @@ def start_media_ingest_sink(
     compact_every: int | None = 16,
     n_centroids: int = 16,
     seed: int = 7,
+    refit_threshold: float | None = None,
 ):
     """The FULL media ingest pipeline in ONE sink (round-8 verdict
     item #5): text has one sink chaining its whole gauntlet
@@ -1669,7 +1670,14 @@ def start_media_ingest_sink(
     ``batch=<epoch>`` dirs byte-identically; the corpus merge is
     keyed; both manifests stamp ``last_epoch`` in their commits.
     Streamed composite state (corpus + both indexes) ≡ the batch
-    pipeline on the same batches (tested)."""
+    pipeline on the same batches (tested).
+
+    ``refit_threshold`` mirrors ``start_embedding_index_sink``'s
+    centroid-drift hook on the asset IVF leg: crossing the manifest's
+    ``drift_ratio`` triggers ``ivf_index.refit_ivf_index`` after the
+    epoch marker (same crash/replay reasoning — a crashed refit
+    re-triggers on the next fold; the swap is one atomic manifest
+    pointer, so asset ANN queries never see a half-built version)."""
     from ..operators import asset_embed as aemb
     from ..operators import ivf_index
     from ..operators import phash_index as pidx
@@ -1755,6 +1763,10 @@ def start_media_ingest_sink(
         finally:
             feats.unpersist()
         _record_epoch(meta_dir, epoch, checkpoint)
+        if refit_threshold is not None and ivf_index.has_ivf_index(ivf_index_dir):
+            ratio = ivf_index.ivf_drift_ratio(ivf_index_dir)
+            if ratio is not None and ratio >= refit_threshold:
+                ivf_index.refit_ivf_index(sp_, ivf_index_dir)
         if compact_every and epoch % compact_every == compact_every - 1:
             pidx.compact_phash_index(sp_, phash_index_dir)
 

@@ -206,3 +206,88 @@ def test_unified_media_sink_matches_batch_pipeline(spark, sf_dir, tmp_path):
     # planted cross-batch copies died everywhere
     copies = {r.asset_id for r in _copies(spark, b1, 100_000, n=8).collect()}
     assert not (copies & got_corpus) and not (copies & live_ids)
+
+
+def test_media_sink_refit_hook_swaps_versions_consistently(
+    spark, sf_dir, tmp_path
+):
+    """The unified sink's refit_threshold plumbing: with a floor-level
+    threshold every post-bootstrap fold crosses, so the asset IVF leg
+    refits — the composite must stay consistent through the atomic
+    pointer swap (live vectors unchanged, top-k ≡ the frozen-assign
+    oracle against the CURRENT version's centroids).  The real drift
+    dynamics (metric crossing under engineered drift, recall
+    restoration) are covered by tests/test_ivf_refit.py — this test
+    pins the hook, the swap and the post-swap answers."""
+    b1 = _assets(spark, sf_dir, 0, 40)
+    b2 = _assets(spark, sf_dir, 40, 70, id_shift=200_000)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{i}.parquet")
+    corpus = str(tmp_path / "corpus")
+    pidx_dir, ivf_dir = str(tmp_path / "pidx"), str(tmp_path / "ivf")
+    stream = (
+        spark.readStream.schema(ASSET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*.parquet")
+    )
+    q = sp.start_media_ingest_sink(
+        stream, corpus, pidx_dir, ivf_dir, str(tmp_path / "ck"),
+        compact_every=None, n_centroids=4, seed=7, refit_threshold=0.01,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    meta = ivf_index.read_manifest(ivf_dir)
+    assert meta.get("refit_count", 0) >= 1 and meta.get("data_version", 0) >= 1
+    assert meta["drift_ratio"] is None  # the refit reset the baseline
+
+    # post-swap consistency: live vectors = all survivors' nonzero
+    # embeddings, and top-k ≡ the frozen-assign oracle on the CURRENT
+    # version's centroids
+    surv = spark.read.parquet(corpus)
+    want_vecs = (
+        asset_embed.embed_assets(surv.select(
+            "asset_id", "modality", "payload", "mime",
+            "width", "height", "sample_rate", "n_frames",
+        ))
+        .where(
+            F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)) > 0
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    live_ids = {
+        r.vec_id
+        for r in ivf_index._live_assignments(spark, ivf_dir).select("vec_id").collect()
+    }
+    assert live_ids == {r.vec_id for r in want_vecs.select("vec_id").collect()}
+    queries = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in want_vecs.collect() if r.vec_id % 9 == 0],
+        "query_id long, query_vec array<double>",
+    )
+    got = sorted(
+        (r.query_id, r.rnk, r.neighbor_id)
+        for r in ivf_index.ivf_index_topk(
+            spark, queries, ivf_dir, k=3, n_probe=2
+        ).collect()
+    )
+    centroids = spark.read.parquet(f"{ivf_index._data_root(ivf_dir)}/centroids")
+    assigned = ivf_index._assign(want_vecs, centroids)
+    w = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    probes = F.broadcast(
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", ivf_index._d2("query_vec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .select(
+            "query_id", "query_vec", "centroid_id",
+            norm(F.col("query_vec")).alias("qnrm"),
+        )
+    )
+    want = sorted(
+        (r.query_id, r.rnk, r.neighbor_id)
+        for r in similarity._rank_topk(assigned.join(probes, "centroid_id"), k=3)
+        .collect()
+    )
+    assert got == want and got

@@ -305,3 +305,66 @@ def test_ivf_sink_refuses_offline_index_until_compaction(
     q2.processAllAvailable()
     q2.stop()
     assert ivf_index._live_assignments(spark, idx).count() == n_before + 40
+
+
+def test_refresh_phash_index_from_diff_equals_fresh_build(spark, sf_dir, tmp_path):
+    """asset_diff work-list maintenance: removed/changed tombstone out,
+    added/changed decode once and fold in; the refreshed index answers
+    exactly like a fresh build on the new snapshot — and changed
+    assets re-enter WITHOUT a compaction (batch-scoped tombstones, the
+    property the flat layout lacked)."""
+    old = _assets(spark, sf_dir, 0, 40).orderBy("asset_id").persist()
+    rows = old.collect()
+    spare = _assets(spark, sf_dir, 40, 60, id_shift=400_000).orderBy(
+        "asset_id"
+    ).collect()
+    # new snapshot: drop 5, change 5 (re-encode under the same id),
+    # add 10; the rest byte-identical
+    removed = {r["asset_id"] for r in rows[:5]}
+    changed = rows[5:10]
+    new_rows = (
+        [tuple(r[c] for c in ASSET_COLS) for r in rows[10:]]
+        + [
+            (r["asset_id"], *_content(spare[i]))
+            for i, r in enumerate(changed)
+        ]
+        + [tuple(s[c] for c in ASSET_COLS) for s in spare[10:]]
+    )
+    new = spark.createDataFrame(new_rows, ASSET_SCHEMA).persist()
+
+    d = {r.asset_id: r.change for r in phash_index.asset_diff(old, new).collect()}
+    assert {a for a, c in d.items() if c == "removed"} == removed
+    assert {a for a, c in d.items() if c == "changed"} == {
+        r["asset_id"] for r in changed
+    }
+    assert {a for a, c in d.items() if c == "added"} == {
+        s["asset_id"] for s in spare[10:]
+    }
+
+    live_idx, fresh_idx = str(tmp_path / "live"), str(tmp_path / "fresh")
+    phash_index.build_phash_index(old, live_idx)
+    phash_index.refresh_phash_index_from_diff(spark, live_idx, old, new)
+    phash_index.build_phash_index(new, fresh_idx)
+    assert _live_fp_set(spark, live_idx) == _live_fp_set(spark, fresh_idx)
+
+    # probe verdicts identical; byte-identical re-refresh is a no-op
+    probe = spark.createDataFrame(
+        [(r["asset_id"] + 900_000, *_content(r)) for r in rows[10:18]], ASSET_SCHEMA
+    )
+    got = {
+        r.asset_id
+        for r in phash_index.dedup_assets_against_index(
+            spark, probe, live_idx
+        ).collect()
+    }
+    want = {
+        r.asset_id
+        for r in phash_index.dedup_assets_against_index(
+            spark, probe, fresh_idx
+        ).collect()
+    }
+    assert got == want
+    phash_index.refresh_phash_index_from_diff(spark, live_idx, new, new)
+    assert _live_fp_set(spark, live_idx) == _live_fp_set(spark, fresh_idx)
+    old.unpersist()
+    new.unpersist()
