@@ -188,6 +188,112 @@ def decontaminate_against_index(
     return _flag(documents, verified)
 
 
+def semantic_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int | None = None,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space rung above the
+    n-gram flows: a training doc whose EMBEDDING sits within cosine
+    ``threshold`` of a benchmark doc is flagged even when rewording
+    left too few shared shingles for the MinHash gate (the SemDeDup
+    observation applied to eval leakage).  Both corpora embed with the
+    deterministic feature-hash embedder (``embedder.embed_documents``
+    — swap in learned vectors upstream by passing pre-embedded frames
+    to ``semantic_decontaminate_vectors``), candidates come from a
+    radius-1 multiprobe sign-LSH bucket join (the
+    ``multiprobe_embedding_near_dup_pairs`` recall construction,
+    cross-corpus: the small benchmark side explodes to bits+1 probe
+    buckets and BROADCASTS), and every candidate is verified with the
+    exact cosine — a flagged doc really is ≥ ``threshold``-close to a
+    benchmark doc.
+
+    Scale shape: the 100 TB training side computes its bucket
+    map-side and equi-joins the broadcast probe table — no corpus
+    shuffle beyond its own embedding aggregation, no |train|×|bench|
+    anything.  Returns every input doc with ``n_bench_matches``
+    (distinct verified benchmark neighbors) and ``contaminated`` —
+    the ``fuzzy_decontaminate`` output contract, so the two gates
+    compose by OR.
+    """
+    from .embedder import embed_documents
+
+    d = embed_documents(documents, dim=dim, hash_mode=hash_mode).where(
+        F.col("n_tokens") > 0
+    )
+    b = embed_documents(benchmark, dim=dim, hash_mode=hash_mode).where(
+        F.col("n_tokens") > 0
+    )
+    verified = semantic_decontaminate_vectors(d, b, threshold, bits, dim=dim)
+    return _flag(documents, verified)
+
+
+def semantic_decontaminate_vectors(
+    doc_vecs: DataFrame,
+    bench_vecs: DataFrame,
+    threshold: float = 0.9,
+    bits: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """The vector-level core of ``semantic_decontaminate``: both sides
+    are (vec_id, embedding) frames (any embedder — the feature-hash
+    default or learned vectors).  Returns verified (doc_id, bench_id)
+    pairs with cosine ≥ ``threshold``.  The benchmark side explodes to
+    its own bucket plus the ``bits`` radius-1 sign-flip probes and
+    broadcasts (eval corpora are thousands of rows; (bits+1)×|bench|
+    stays driver-safe), so a pair split by one near-zero hyperplane
+    projection still meets in a bucket."""
+    from ..functions.vector import dot, norm
+    from .dedup import corpus_rows, lsh_bits_for, sign_lsh_bucket
+
+    if bits is None:
+        bits = lsh_bits_for(corpus_rows(doc_vecs))
+    d = doc_vecs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("_dv"),
+        sign_lsh_bucket("embedding", bits).alias("bucket"),
+        norm(F.col("embedding")).alias("_dn"),
+    )
+    b = bench_vecs.select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("_bv"),
+        sign_lsh_bucket("embedding", bits).alias("_b0"),
+        norm(F.col("embedding")).alias("_bn"),
+    )
+    probes = b.select(
+        "bench_id",
+        "_bv",
+        "_bn",
+        F.explode(
+            F.array(
+                F.col("_b0"),
+                *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+            )
+        ).alias("bucket"),
+    )
+    return (
+        d.join(F.broadcast(probes), "bucket")
+        # zero vectors (no content) are inert on EITHER side — and the
+        # guard must precede the division (ANSI mode errors on /0
+        # rather than yielding NULL)
+        .where((F.col("_dn") > 0) & (F.col("_bn") > 0))
+        .select(
+            "doc_id",
+            "bench_id",
+            (
+                dot(F.col("_dv"), F.col("_bv"))
+                / (F.col("_dn") * F.col("_bn"))
+            ).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+
+
 _GRAMS_MANIFEST = "_ngrams_manifest.json"
 
 

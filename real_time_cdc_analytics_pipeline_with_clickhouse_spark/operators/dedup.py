@@ -342,6 +342,66 @@ def hash_split(
     return documents.select("doc_id", "lang", bucket.alias("bucket"), split.alias("split"))
 
 
+def cluster_hash_split(
+    documents: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """NEAR-DUP-AWARE train/val/test assignment — the leakage-proof
+    upgrade of ``hash_split``: content hashing keeps exact re-crawls
+    together, but a lightly edited copy hashes elsewhere and leaks its
+    twin's text across the split boundary (the classic eval-
+    contamination path dedup-aware pipelines split by CLUSTER to
+    close).  Here every verified near-dup component
+    (``fuzzy_near_dup_pairs`` → connected components — exact-Jaccard
+    edges, so membership is a real ≥ ``threshold`` relation, not just
+    a band collision) is assigned AS A UNIT: the bucket comes from the
+    normalized text of the component's canonical member (min doc_id),
+    so all members land in one split by construction; singleton docs
+    fall back to their own content hash — for them this IS
+    ``hash_split``.
+
+    Scale shape: the near-dup machinery's own cost (banded equi-joins,
+    edge-sized CC shuffles) plus one keeper equi-join and the map-side
+    bucket hash; no new shuffle class.  Returns (doc_id, lang,
+    cluster_id, bucket, split) — ``cluster_id`` is the component's min
+    doc_id (== doc_id for singletons)."""
+    verified = fuzzy_near_dup_pairs(documents, n, k, band, threshold, hash_mode)
+    comp = connected_components(verified)  # (doc_id, label) — paired docs only
+    labeled = documents.join(comp, "doc_id", "left").select(
+        "doc_id", "lang", "text", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+    # bucket by the CANONICAL member's normalized text: one row per
+    # cluster (the keeper), hashed once, joined back — members of a
+    # component inherit identical buckets by construction
+    keeper_text = (
+        labeled.where(F.col("doc_id") == F.col("cluster_id"))
+        .select(
+            "cluster_id",
+            F.pmod(
+                portable_hash64(
+                    normalize_text(F.col("text")), seed="split:", mode=hash_mode
+                ),
+                F.lit(100),
+            ).alias("bucket"),
+        )
+    )
+    split = (
+        F.when(F.col("bucket") < test_pct, "test")
+        .when(F.col("bucket") < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return (
+        labeled.join(keeper_text, "cluster_id")
+        .select("doc_id", "lang", "cluster_id", "bucket", split.alias("split"))
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
