@@ -164,19 +164,20 @@ def decontaminate_against_index(
     with (``None`` = pinned value; a contradiction raises)."""
     import os
 
-    from .lsh_index import _lsh_tomb_ids, _resolve_lsh_params, _shingle_rows
+    from .lsh_index import (
+        _live_bands,
+        _live_shingles,
+        _require_batched,
+        _resolve_lsh_params,
+        _shingle_rows,
+    )
 
-    if not os.path.isdir(f"{index_dir}/bands"):
-        raise FileNotFoundError(
-            f"no MinHash index at {index_dir} — run build_minhash_index first"
-        )
+    _require_batched(index_dir)
     n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
-    idx_bands = spark.read.parquet(f"{index_dir}/bands")
-    idx_sh = spark.read.parquet(f"{index_dir}/shingles")
-    tomb = _lsh_tomb_ids(spark, index_dir)
-    if tomb is not None:
-        idx_bands = idx_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
-        idx_sh = idx_sh.join(F.broadcast(tomb), "doc_id", "left_anti")
+    # the live readers anti-join (doc_id, batch)-scoped tombstones, so
+    # a taken-down benchmark doc stops flagging immediately
+    idx_bands = _live_bands(spark, index_dir)
+    idx_sh = _live_shingles(spark, index_dir)
     verified = _cross_verified(
         minhash_band_entries(documents, n, k, band, hash_mode),
         idx_bands,
@@ -292,6 +293,79 @@ def semantic_decontaminate_vectors(
         .select("doc_id", "bench_id")
         .distinct()
     )
+
+
+_VECS_MANIFEST = "_bench_vectors_manifest.json"
+
+
+def build_benchmark_vectors(
+    benchmark: DataFrame, vec_dir: str, dim: int = 64, hash_mode: str = "md5"
+) -> None:
+    """Persist a benchmark's embedding table as a frozen artifact —
+    the SEMANTIC analog of the benchmark MinHash index and n-gram set:
+    ``(bench_id, embedding)`` parquet plus a manifest pinning
+    (dim, hash_mode), so a streaming ingest can run the
+    embedding-cosine gate per batch without re-embedding the benchmark
+    and, crucially, always embeds the ARRIVING side in the same space
+    (the LSH-manifest discipline: a doc embedded with a different dim
+    or hash family would silently never sit near any benchmark vector
+    — every leak "survives", the worst gate failure mode).
+    Zero-token benchmark docs are excluded at build (they are inert in
+    the cosine anyway)."""
+    import json
+    import os
+
+    from .embedder import embed_documents
+
+    vecs = (
+        embed_documents(benchmark, dim=dim, hash_mode=hash_mode)
+        .where(F.col("n_tokens") > 0)
+        .select(F.col("vec_id").alias("bench_id"), "embedding")
+    )
+    vecs.coalesce(1).write.mode("overwrite").parquet(f"{vec_dir}/vectors")
+    tmp = os.path.join(vec_dir, _VECS_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"dim": int(dim), "hash_mode": hash_mode}, fh)
+    os.replace(tmp, os.path.join(vec_dir, _VECS_MANIFEST))
+
+
+def semantic_decontaminate_against_vectors(
+    spark: SparkSession,
+    documents: DataFrame,
+    vec_dir: str,
+    threshold: float = 0.9,
+    bits: int | None = None,
+) -> DataFrame:
+    """``semantic_decontaminate`` against a PERSISTED benchmark vector
+    artifact (``build_benchmark_vectors``): the benchmark is never
+    re-embedded, the arriving docs embed with the artifact's pinned
+    (dim, hash_mode), and the output keeps the ``fuzzy_decontaminate``
+    contract (``n_bench_matches``, ``contaminated``) so every gate
+    composes by OR.  Equivalence with the fit-per-call flow is tested
+    exactly."""
+    import json
+    import os
+
+    from .embedder import embed_documents
+
+    mp = os.path.join(vec_dir, _VECS_MANIFEST)
+    if not os.path.isfile(mp):
+        raise FileNotFoundError(
+            f"no benchmark vector artifact at {vec_dir} — run "
+            "build_benchmark_vectors first"
+        )
+    with open(mp) as fh:
+        meta = json.load(fh)
+    d = embed_documents(
+        documents, dim=int(meta["dim"]), hash_mode=meta["hash_mode"]
+    ).where(F.col("n_tokens") > 0)
+    b = spark.read.parquet(f"{vec_dir}/vectors").select(
+        F.col("bench_id").alias("vec_id"), "embedding"
+    )
+    verified = semantic_decontaminate_vectors(
+        d, b, threshold, bits, dim=int(meta["dim"])
+    )
+    return _flag(documents, verified)
 
 
 _GRAMS_MANIFEST = "_ngrams_manifest.json"

@@ -11,10 +11,9 @@ ReplacingMergeTree of signatures) is to PERSIST the LSH artifacts and
 join each new batch against them:
 
 - ``build_minhash_index`` writes the banded signature table
-  ``(doc_id, band_id, band_key)`` partitioned by ``band_id`` plus the
-  per-doc shingle table (for exact-Jaccard verification of
-  candidates) — together ~tokens-sized, the storage cost every
-  incremental-dedup deployment pays;
+  ``(doc_id, band_id, band_key)`` plus the per-doc shingle table (for
+  exact-Jaccard verification of candidates) — together ~tokens-sized,
+  the storage cost every incremental-dedup deployment pays;
 - ``dedup_against_index`` LSH-joins ONLY the new batch's bands
   against the index (cost ∝ batch, not corpus: the index side of the
   equi-join is shuffle-partitioned on the same (band_id, band_key)
@@ -22,15 +21,64 @@ join each new batch against them:
   with exact Jaccard, and drops a new doc iff it near-dups an indexed
   doc or a smaller-id doc within its own batch;
 - ``update_minhash_index`` appends the batch's artifacts so the next
-  batch sees it.
+  batch sees it;
+- ``upsert_minhash_index`` is the CDC move (``upsert_phash_index`` /
+  ``upsert_ivf_index``'s text twin): when a document is RE-INGESTED
+  under its existing doc_id, the stale bands/shingles must stop acting
+  as dedup precedent immediately — tombstone any live artifact rows
+  under the batch's doc_ids (no-op for genuinely-new ids), then fold
+  the batch in;
+- ``delete_from_minhash_index`` / ``compact_minhash_index`` carry the
+  takedown + small-file lifecycle every stored artifact in this
+  engine has.
 
-Equivalence contract (tested): when every indexed doc precedes the
+Storage layout (the artifact gained BATCH LINEAGE, the last of the
+four stored indexes to get it): ``bands/batch=<id>/band_id=<b>/`` and
+``shingles/batch=<id>/`` directories, built at ``batch=-1`` and folded
+one directory per batch/epoch.  The lineage buys the IVF/phash
+indexes' whole safety construction verbatim:
+
+- batch-scoped tombstones ``(doc_id, batch)`` let an updated document
+  kill exactly its OLD versions while its new rows (in a newer batch)
+  survive the anti-join — the flat layout's id-scoped tombstones
+  killed re-adds too, which forced ``refresh_minhash_index_from_diff``
+  to run a FULL index compaction between the delete and re-add halves
+  whenever any doc changed (a corpus-sized rewrite for a one-doc
+  diff); with lineage the refresh is ∝ diff, no compaction;
+- a per-epoch fold is a deterministic whole-directory overwrite, so a
+  crash-replayed epoch rewrites identical bytes instead of appending
+  duplicates, and the manifest's ``last_epoch`` stamp (written IN the
+  fold's commit) makes a fully-committed replay a no-op;
+- compaction rewrites live rows under a FRESH batch id below every
+  existing one and only then retires the tombstone table — a crash
+  between the swap and the retirement leaves tombstones referencing
+  batch dirs that no longer exist, which ``_lsh_tombstones`` treats
+  as inert, so an already-applied tombstone can never re-fire against
+  a later re-add of the same doc_id.
+
+Pre-lineage indexes (``bands/band_id=*`` directly, flat shingle files,
+id-scoped tombstones) are a different artifact version: readers raise
+loudly, and — unlike the phash index, whose migration is a rebuild —
+the documented migration here is ``migrate_minhash_index_layout``, a
+PURE-RENAME move of the existing partition dirs under ``batch=-1``
+(O(directories), no data rewrite: re-shingling a 100 TB corpus to
+rebuild would defeat the artifact's whole point).
+
+Equivalence contracts (tested): when every indexed doc precedes the
 batch (ids below the batch's), ``dedup_against_index`` keeps exactly
 the batch rows ``fuzzy_dedup_keep`` would keep running on the full
 old∪new corpus — same shingles, same signature family, same
-verification threshold.  Indexed docs are immutable precedent: the
-incremental pass never retracts a doc that already made the corpus
-(the asymmetry every append-only pipeline has).
+verification threshold.  Indexed docs are immutable precedent under
+plain appends; a CDC history of create/update/delete/re-create folded
+through ``upsert_minhash_index`` answers dedup exactly like a fresh
+index built on the net final corpus.
+
+The manifest pins (n, k, band, hash_mode) for the artifact's lifetime
+— a batch hashed with a different family would silently never collide
+(every doc "survives"), the worst dedup failure mode.
+
+Streaming form: ``streaming/pipeline.start_corpus_ingest_sink``
+(``op_col=`` enables the CDC routing).
 """
 
 from __future__ import annotations
@@ -68,19 +116,12 @@ def _shingle_rows(documents: DataFrame, n: int) -> DataFrame:
     return _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
 
 
-def _write(df: DataFrame, path: str, mode: str, partition_by: str | None = None) -> None:
-    w = df.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(partition_by)
-    w.parquet(path)
-
-
 _LSH_MANIFEST = "_lsh_manifest.json"
 _LSH_DEFAULTS = {"n": 3, "k": N_MINHASH, "band": BAND_SIZE, "hash_mode": "md5"}
 
 
 def _lsh_manifest(index_dir: str) -> dict:
-    """The index's pinned parameters.  Pre-round-8 indexes carry no
+    """The index's pinned parameters.  Pre-manifest indexes carry no
     manifest — they were all built with the module defaults in md5
     mode, so the fallback IS their true geometry."""
     import json
@@ -93,13 +134,13 @@ def _lsh_manifest(index_dir: str) -> dict:
     return {**_LSH_DEFAULTS, **meta}
 
 
-def _write_lsh_manifest(index_dir: str, n: int, k: int, band: int, hash_mode: str) -> None:
+def _write_lsh_manifest(index_dir: str, meta: dict) -> None:
     import json
 
     os.makedirs(index_dir, exist_ok=True)
     tmp = os.path.join(index_dir, _LSH_MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"n": int(n), "k": int(k), "band": int(band), "hash_mode": hash_mode}, fh)
+        json.dump(meta, fh)
     os.replace(tmp, os.path.join(index_dir, _LSH_MANIFEST))
 
 
@@ -124,6 +165,98 @@ def _resolve_lsh_params(index_dir: str, n, k, band, hash_mode) -> tuple[int, int
     return out[0], out[1], out[2], out[3]
 
 
+def _bands_root(index_dir: str) -> str:
+    return f"{index_dir}/bands"
+
+
+def _sh_root(index_dir: str) -> str:
+    return f"{index_dir}/shingles"
+
+
+def _tomb_path(index_dir: str) -> str:
+    return f"{index_dir}/tombstones"
+
+
+def _is_legacy_layout(index_dir: str) -> bool:
+    """Pre-lineage layout: band_id= dirs (or bare parquet files)
+    directly under bands/ instead of batch= dirs."""
+    root = _bands_root(index_dir)
+    return any(
+        d.startswith("band_id=") or d.endswith(".parquet") for d in os.listdir(root)
+    )
+
+
+def _require_batched(index_dir: str) -> None:
+    root = _bands_root(index_dir)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"no MinHash index at {index_dir} — run build_minhash_index first"
+        )
+    if _is_legacy_layout(index_dir):
+        raise ValueError(
+            f"MinHash index at {index_dir} uses the pre-lineage flat layout — "
+            "run migrate_minhash_index_layout (a pure-rename move under "
+            "batch=-1; no data rewrite) to gain batch lineage, tombstone "
+            "safety and upsert support"
+        )
+
+
+def live_batch_ids(index_dir: str) -> list[int]:
+    root = _bands_root(index_dir)
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("batch=") and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def migrate_minhash_index_layout(spark: SparkSession, index_dir: str) -> None:
+    """One-time, OFFLINE migration of a pre-lineage index to the
+    batched layout: every existing ``bands/band_id=*`` dir renames
+    under ``bands/batch=-1/``, flat shingle files move under
+    ``shingles/batch=-1/``, and any id-scoped tombstone table rewrites
+    as (doc_id, batch=-1) rows — at migration time every live row IS
+    in batch -1, so the scoping is exactly equivalent (the one
+    semantic change: a post-migration re-add of a tombstoned doc_id
+    lands in a newer batch and SURVIVES, which is the lineage
+    contract; the flat layout blocked re-adds until compaction).
+    Pure directory renames — O(partition dirs), never a data rewrite,
+    because re-shingling a 100 TB corpus to rebuild would defeat the
+    artifact's point.  Idempotent: an already-batched index no-ops;
+    a crash mid-move leaves a mixed tree every reader still refuses
+    (band_id dirs remain at the root), and re-running completes the
+    remaining renames."""
+    from .retrieval import _commit_tombstones
+
+    root = _bands_root(index_dir)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"no MinHash index at {index_dir} — run build_minhash_index first"
+        )
+    if not _is_legacy_layout(index_dir):
+        return
+    bdst = os.path.join(root, "batch=-1")
+    os.makedirs(bdst, exist_ok=True)
+    for d in os.listdir(root):
+        if d.startswith("band_id=") or d.endswith(".parquet"):
+            os.rename(os.path.join(root, d), os.path.join(bdst, d))
+    sh = _sh_root(index_dir)
+    if os.path.isdir(sh):
+        sdst = os.path.join(sh, "batch=-1")
+        os.makedirs(sdst, exist_ok=True)
+        for d in os.listdir(sh):
+            if d == "batch=-1" or d.startswith("_") or d.startswith("."):
+                continue
+            os.rename(os.path.join(sh, d), os.path.join(sdst, d))
+    tp = _tomb_path(index_dir)
+    if os.path.isdir(tp):
+        legacy = spark.read.parquet(tp)
+        if "batch" not in legacy.columns:
+            _commit_tombstones(
+                legacy.select("doc_id").distinct().withColumn("batch", F.lit(-1)), tp
+            )
+
+
 def build_minhash_index(
     documents: DataFrame,
     index_dir: str,
@@ -133,22 +266,54 @@ def build_minhash_index(
     hash_mode: str = "md5",
 ) -> None:
     """Materialize the index from the current corpus (one full pass —
-    paid once, then every batch is incremental).  The manifest pins
-    (n, k, band, hash_mode) for the artifact's lifetime — incremental
-    updates and queries resolve their params from it, so a batch can
-    never be hashed with a different family than the stored corpus
-    (``hash_mode="xxh64"`` builds the production-hash index; the md5
-    default keeps the DuckDB twin).  Manifest lands after the data —
-    on a crashed build the next reader sees either the old manifest
-    with old data or no manifest (legacy defaults), never new params
-    over half-written tables the defaults can't read anyway
-    (overwrite is atomic per table via Spark's commit protocol)."""
-    _write(
-        minhash_band_entries(documents, n, k, band, hash_mode),
-        f"{index_dir}/bands", "overwrite", "band_id",
+    paid once, then every batch is incremental).  Rows land under
+    ``batch=-1`` (the reserved build id every fold sink's adoption
+    guard accepts).  The manifest pins (n, k, band, hash_mode) for the
+    artifact's lifetime — incremental updates and queries resolve
+    their params from it, so a batch can never be hashed with a
+    different family than the stored corpus (``hash_mode="xxh64"``
+    builds the production-hash index; the md5 default keeps the DuckDB
+    twin).  Manifest lands after the data — on a crashed build the
+    next reader sees either the old manifest with old data or no
+    manifest (legacy defaults), never new params over half-written
+    tables the defaults can't read anyway (overwrite is atomic per
+    table via Spark's commit protocol)."""
+    (
+        minhash_band_entries(documents, n, k, band, hash_mode)
+        .withColumn("batch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch", "band_id")
+        .parquet(_bands_root(index_dir))
     )
-    _write(_shingle_rows(documents, n), f"{index_dir}/shingles", "overwrite")
-    _write_lsh_manifest(index_dir, n, k, band, hash_mode)
+    (
+        _shingle_rows(documents, n)
+        .withColumn("batch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(_sh_root(index_dir))
+    )
+    _write_lsh_manifest(
+        index_dir,
+        {"n": int(n), "k": int(k), "band": int(band), "hash_mode": hash_mode},
+    )
+
+
+def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
+    """Self-allocated batch ids must exceed every existing batch AND
+    every batch a surviving tombstone references — a compaction crash
+    can leave tombstones outliving their batch dirs, and reusing such
+    an id would resurrect the tombstone against the new rows (the
+    ``ivf_index._next_batch_id`` rule)."""
+    ids = live_batch_ids(index_dir)
+    if spark is not None and os.path.isdir(_tomb_path(index_dir)):
+        ids = ids + [
+            r["batch"]
+            for r in spark.read.parquet(_tomb_path(index_dir))
+            .select("batch")
+            .distinct()
+            .collect()
+        ]
+    return (max(ids) + 1) if ids else 0
 
 
 def update_minhash_index(
@@ -158,23 +323,43 @@ def update_minhash_index(
     k: int | None = None,
     band: int | None = None,
     hash_mode: str | None = None,
+    epoch: int | None = None,
 ) -> None:
-    """Append a batch's artifacts (ALL its docs, kept or dropped — a
+    """Fold a batch's artifacts in (ALL its docs, kept or dropped — a
     dropped doc still outranks later copies of itself, exactly as in
     the batch flow where the higher id of a pair drops even when the
     lower id was itself dropped).  Params default to the index
     manifest's pinned values; explicit values must match it (see
-    ``_resolve_lsh_params``)."""
+    ``_resolve_lsh_params``).
+
+    Pass the micro-batch ``epoch`` as the batch id for exactly-once
+    streaming: shingling is deterministic and the write is a
+    whole-directory overwrite of ``batch=<epoch>``, so a
+    crash-replayed epoch rewrites byte-identical content; the
+    manifest's ``last_epoch`` stamp (the commit) lets
+    ``upsert_minhash_index`` no-op a fully-committed replay.  Batch
+    callers may omit it (ids self-allocate)."""
+    _require_batched(index_dir)
     n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
-    _write(
-        minhash_band_entries(new_documents, n, k, band, hash_mode),
-        f"{index_dir}/bands", "append", "band_id",
+    spark = new_documents.sparkSession
+    b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
+    (
+        minhash_band_entries(new_documents, n, k, band, hash_mode)
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{_bands_root(index_dir)}/batch={b}")
     )
-    _write(_shingle_rows(new_documents, n), f"{index_dir}/shingles", "append")
-    if not os.path.isfile(os.path.join(index_dir, _LSH_MANIFEST)):
-        # an index bootstrapped by appends (the streaming sink's first
-        # epoch) pins its resolved params too, not just built ones
-        _write_lsh_manifest(index_dir, n, k, band, hash_mode)
+    (
+        _shingle_rows(new_documents, n)
+        .write.mode("overwrite")
+        .parquet(f"{_sh_root(index_dir)}/batch={b}")
+    )
+    meta = _lsh_manifest(index_dir)
+    if epoch is not None:
+        meta["last_epoch"] = int(epoch)
+    # an index bootstrapped by appends (a streaming sink's first epoch)
+    # pins its resolved params too, not just built ones
+    _write_lsh_manifest(index_dir, meta)
 
 
 def parquet_file_count(path: str) -> int:
@@ -186,75 +371,179 @@ def parquet_file_count(path: str) -> int:
     return total
 
 
-def _lsh_tomb_ids(spark: SparkSession, index_dir: str):
-    p = f"{index_dir}/tombstones"
-    if not os.path.isdir(p):
+def _lsh_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """(doc_id, batch) tombstone rows whose victim ``batch`` dir still
+    exists — rows referencing compacted-away batches are inert by
+    construction, so a compaction crash between the swap and the
+    tombstone retirement can never re-purge a later re-add (the flat
+    layout's hazard, closed structurally)."""
+    if not os.path.isdir(_tomb_path(index_dir)):
         return None
-    return spark.read.parquet(p).select("doc_id").distinct()
+    live = live_batch_ids(index_dir)
+    return spark.read.parquet(_tomb_path(index_dir)).where(F.col("batch").isin(live))
 
 
-def delete_from_minhash_index(spark: SparkSession, index_dir: str, doc_ids) -> None:
+def _live_bands(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The band read every dedup/decontamination path uses: all batch
+    dirs with tombstoned victims anti-joined out (broadcast — the
+    tombstone set is bounded between compactions)."""
+    df = spark.read.parquet(_bands_root(index_dir))
+    tomb = _lsh_tombstones(spark, index_dir)
+    if tomb is not None:
+        df = df.join(
+            F.broadcast(tomb.select("doc_id", "batch")), ["doc_id", "batch"], "left_anti"
+        )
+    return df.select("doc_id", "band_id", "band_key")
+
+
+def _live_shingles(spark: SparkSession, index_dir: str) -> DataFrame:
+    df = spark.read.parquet(_sh_root(index_dir))
+    tomb = _lsh_tombstones(spark, index_dir)
+    if tomb is not None:
+        df = df.join(
+            F.broadcast(tomb.select("doc_id", "batch")), ["doc_id", "batch"], "left_anti"
+        )
+    return df.select("doc_id", "shingle")
+
+
+def delete_from_minhash_index(
+    spark: SparkSession, index_dir: str, doc_ids, exclude_batch: int | None = None
+) -> None:
     """Remove documents from the dedup index by TOMBSTONE — the
-    takedown / right-to-be-forgotten path: a deleted doc stops acting
-    as dedup PRECEDENT immediately (``dedup_against_index`` anti-joins
-    its bands and shingles out of the corpus side), and the next
-    ``compact_minhash_index`` purges its rows physically and retires
-    the tombstones.  One atomic tombstone-table swap commits the
-    delete; idempotent, unknown ids are no-ops.
+    takedown / right-to-be-forgotten path AND the old-version
+    retirement half of ``upsert_minhash_index``: a deleted doc stops
+    acting as dedup PRECEDENT immediately (``dedup_against_index``
+    anti-joins its bands and shingles out of the corpus side), and the
+    next ``compact_minhash_index`` purges its rows physically and
+    retires the tombstones.  One atomic tombstone-table swap commits
+    the delete; idempotent, unknown ids are no-ops.
 
-    Contract: the band/shingle tables carry no batch lineage (plain
-    set-semantic appends), so a tombstone kills EVERY row of the
-    doc_id — re-adding a deleted doc_id only takes effect after a
-    compaction has retired its tombstone.  Takedowns don't re-add;
-    an edited re-ingest should compact first (or use a fresh id).
+    Tombstones are (doc_id, batch)-scoped: a re-ingested doc_id's new
+    rows land in a NEWER batch no tombstone references, so re-adds
+    take effect immediately — no compaction required between a delete
+    and a re-add (the flat layout's documented wart, gone).
+
+    ``exclude_batch`` exempts one batch dir from victimhood —
+    ``upsert_minhash_index``'s replay guard (a crash-replayed epoch
+    must not tombstone the rows its own previous attempt appended).
 
     ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
     column."""
     from .retrieval import _commit_tombstones, _ids_frame
 
-    if not os.path.isdir(f"{index_dir}/bands"):
-        raise FileNotFoundError(
-            f"no MinHash index at {index_dir} — run build_minhash_index first"
-        )
+    _require_batched(index_dir)
     ids = _ids_frame(spark, doc_ids, "doc_id")
-    existing = _lsh_tomb_ids(spark, index_dir)
-    new_tomb = ids if existing is None else existing.unionByName(ids).distinct()
-    _commit_tombstones(new_tomb, f"{index_dir}/tombstones")
+    # victim (doc_id, batch) pairs from the bands table: bands and
+    # shingles are written per batch from the SAME document set, so a
+    # doc's shingle rows always share a batch id with its band rows
+    rows = spark.read.parquet(_bands_root(index_dir)).select("doc_id", "batch")
+    if exclude_batch is not None:
+        rows = rows.where(F.col("batch") != int(exclude_batch))
+    tomb = _lsh_tombstones(spark, index_dir)
+    stale = spark.read.parquet(_tomb_path(index_dir)) if tomb is not None else None
+    live = (
+        rows.join(tomb.select("doc_id", "batch"), ["doc_id", "batch"], "left_anti")
+        if tomb is not None
+        else rows
+    )
+    victims = (
+        live.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", "batch")
+        .distinct()
+    )
+    new_tomb = stale.unionByName(victims) if stale is not None else victims
+    _commit_tombstones(new_tomb, _tomb_path(index_dir))
+
+
+def upsert_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_documents: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """UPSERT semantics for the stored LSH artifacts — the move a
+    CDC-maintained text-dedup index needs when it can't know which
+    arriving docs are new and which RE-INGEST an indexed version
+    (``upsert_phash_index`` / ``upsert_ivf_index``'s text twin):
+    tombstone ANY live artifact rows under the batch's doc_ids (no-op
+    for genuinely-new ids), then fold the batch in.  The new rows land
+    in a batch NEWER than every tombstone, so they survive the
+    anti-join; dedup verdicts equal an index built fresh where each
+    doc appears once in its latest text (tested).
+
+    Replay-safe at BOTH crash points: the manifest's ``last_epoch``
+    stamp is checked BEFORE the delete, so a crash-replayed epoch
+    whose fold fully committed is a no-op; and the delete exempts
+    ``batch == epoch`` rows, so a replay after a crash BETWEEN the
+    batch-dir write and the manifest commit cannot tombstone the rows
+    the crashed attempt appended (the epoch's dirs are rewritten
+    byte-identically)."""
+    if epoch is not None and _lsh_manifest(index_dir).get("last_epoch", -1) >= epoch:
+        return
+    delete_from_minhash_index(
+        spark, index_dir, new_documents.select("doc_id"), exclude_batch=epoch
+    )
+    update_minhash_index(new_documents, index_dir, epoch=epoch)
 
 
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
-    """Small-file compaction for the appended index — the MergeTree
-    background-merge analog ``warehouse.compact_warehouse`` applies to
-    facts, applied to the index artifacts.  Every ``update_minhash_index``
-    appends one file set per table; after N batches the band equi-join
-    pays N× the file-open/footer overhead and row-group stats degrade.
-    Rewrite = the same stage-then-swap: bands re-cluster to one sorted
-    file per ``band_id`` partition, shingles to parallelism-bounded
-    files.  Both tables are SET-semantic (a (doc, band, key) or (doc,
-    shingle) row means membership, never a count — ``_verified``
-    distinct's before counting), so the rewrite also ``distinct``s:
-    logical content is unchanged (tested: dedup results identical
-    before/after) and any crash-replay append residue is squashed."""
+    """Small-file + tombstone compaction for the appended index — the
+    MergeTree background-merge analog ``warehouse.compact_warehouse``
+    applies to facts, applied to the index artifacts.  Every
+    ``update_minhash_index`` adds one file set per table; after N
+    batches the band equi-join pays N× the file-open/footer overhead
+    and row-group stats degrade.  Live rows (tombstoned victims
+    purged, set-semantic duplicates squashed — a (doc, band, key) or
+    (doc, shingle) row means membership, never a count, and
+    ``_verified`` distinct's before counting) re-lay under a FRESH
+    batch id below every existing one — never reusing a batch a
+    tombstone references — bands as one sorted file per ``band_id``
+    partition, shingles parallelism-bounded; then the tombstone table
+    retires.  Every crash window is consistent: before a swap the
+    original bytes stand; between the two swaps the surviving
+    tombstones still anti-join whatever table wasn't purged; after
+    both, any leftover tombstones reference batch dirs that no longer
+    exist and are inert (``_lsh_tombstones``).  Logical content is
+    unchanged (tested: dedup results identical before/after) and any
+    crash-replay append residue is squashed."""
     import shutil
 
-    from ..warehouse import _stage_swap
+    from .retrieval import _swap_tree
 
-    tomb = _lsh_tomb_ids(spark, index_dir)
+    _require_batched(index_dir)
+    newb = min(live_batch_ids(index_dir) + [-1]) - 1
+    broot, sroot = _bands_root(index_dir), _sh_root(index_dir)
 
-    def _purged(df: DataFrame) -> DataFrame:
-        return (
-            df.join(F.broadcast(tomb), "doc_id", "left_anti") if tomb is not None else df
-        )
-
-    bands = _purged(spark.read.parquet(f"{index_dir}/bands")).distinct()
-    _stage_swap(bands, f"{index_dir}/bands", partition_by="band_id",
-                sort_within=["band_id", "band_key"])
-    sh = _purged(spark.read.parquet(f"{index_dir}/shingles")).distinct()
-    _stage_swap(sh.repartition(spark.sparkContext.defaultParallelism),
-                f"{index_dir}/shingles")
-    # tombstones retire only after BOTH swaps — in any crash window the
-    # surviving tombstones still anti-join whatever table wasn't purged
-    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    # BOTH stage trees materialize before EITHER swap: the live-row
+    # reads resolve tombstones against the pre-compaction batch ids
+    # (a swap first would re-home the bands under the fresh id and
+    # turn the tombstones inert before the shingle purge ran)
+    bands = _live_bands(spark, index_dir).distinct().withColumn("batch", F.lit(newb))
+    bstage = broot + "__stage"
+    (
+        bands.repartition(F.col("band_id"))
+        .sortWithinPartitions("band_id", "band_key")
+        .write.mode("overwrite")
+        .partitionBy("batch", "band_id")
+        .parquet(bstage)
+    )
+    sh = _live_shingles(spark, index_dir).distinct().withColumn("batch", F.lit(newb))
+    sstage = sroot + "__stage"
+    (
+        sh.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(sstage)
+    )
+    # shingles swap FIRST: candidacy is decided by the bands table, so
+    # while the bands are unpurged the tombstones (which resolve
+    # against the BANDS batch dirs) stay valid and victims still can't
+    # candidate; a crash in this window re-runs cleanly.  Bands swap
+    # second; after it any surviving tombstones reference batch dirs
+    # that no longer exist and are inert
+    _swap_tree(sstage, sroot)
+    _swap_tree(bstage, broot)
+    shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
 
 
 def _verified(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float) -> DataFrame:
@@ -320,20 +609,12 @@ def dedup_against_index(
     failed run retries cleanly (the same stage-then-publish discipline
     as the warehouse sink).  LSH params resolve from the index
     manifest (``None`` = pinned value; a contradiction raises)."""
-    if not os.path.isdir(f"{index_dir}/bands"):
-        raise FileNotFoundError(
-            f"no MinHash index at {index_dir} — run build_minhash_index first"
-        )
+    _require_batched(index_dir)
     n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
     new_bands = minhash_band_entries(new_documents, n, k, band, hash_mode)
     new_sh = _shingle_rows(new_documents, n)
-    idx_bands = spark.read.parquet(f"{index_dir}/bands")
-    idx_sh = spark.read.parquet(f"{index_dir}/shingles")
-    tomb = _lsh_tomb_ids(spark, index_dir)
-    if tomb is not None:
-        # tombstoned (taken-down) docs stop acting as dedup precedent
-        idx_bands = idx_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
-        idx_sh = idx_sh.join(F.broadcast(tomb), "doc_id", "left_anti")
+    idx_bands = _live_bands(spark, index_dir)
+    idx_sh = _live_shingles(spark, index_dir)
 
     # batch × index candidates: indexed doc is always doc_a (precedent).
     # doc_a < doc_b ENFORCES the module contract (indexed docs precede
@@ -394,21 +675,17 @@ def refresh_minhash_index_from_diff(
     precedent), added/changed docs append their bands+shingles, and
     the result answers ``dedup_against_index`` /
     ``decontaminate_against_index`` exactly as a fresh build on the
-    new snapshot (tested).  Cost ∝ diff, never a re-LSH of the corpus.
-
-    MinHash tombstones are doc-id-scoped (not batch-scoped), so the
-    order here matters: the DELETE commits first and the re-ADD of
-    changed docs lands after ``compact_minhash_index`` retires the
-    tombstones — callers running without compaction should treat
-    changed docs as takedown-until-compact (the documented MinHash
-    re-add rule).  This helper therefore compacts between the two
-    halves when any changed doc must re-enter."""
+    new snapshot (tested).  Cost ∝ diff, never a re-LSH of the corpus:
+    tombstones are batch-scoped, so a changed doc's re-add lands in a
+    newer batch its tombstone does not reference — no compaction
+    needed between the halves (the property the flat layout lacked,
+    where this helper had to run a full index rewrite whenever any
+    doc changed)."""
     from .corpus import corpus_diff
 
     diff = corpus_diff(old_documents, new_documents).persist()
     try:
         gone = diff.where(F.col("change").isin("removed", "changed")).select("doc_id")
-        changed = diff.where(F.col("change") == "changed").select("doc_id")
         fresh = new_documents.join(
             diff.where(F.col("change").isin("added", "changed")).select("doc_id"),
             "doc_id",
@@ -416,10 +693,6 @@ def refresh_minhash_index_from_diff(
         )
         if not gone.isEmpty():
             delete_from_minhash_index(spark, index_dir, gone)
-            if not changed.isEmpty():
-                # doc-id-scoped tombstones would kill the re-add too —
-                # compact first so changed docs can re-enter cleanly
-                compact_minhash_index(spark, index_dir)
         if not fresh.isEmpty():
             update_minhash_index(fresh, index_dir, n, k, band, hash_mode)
     finally:

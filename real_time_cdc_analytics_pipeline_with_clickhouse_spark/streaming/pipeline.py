@@ -1789,6 +1789,10 @@ def start_corpus_ingest_sink(
     decontam_threshold: float = 0.5,
     benchmark_ngram_dir: str | None = None,
     dsir_model_dir: str | None = None,
+    benchmark_vectors_dir: str | None = None,
+    semantic_threshold: float = 0.9,
+    op_col: str | None = None,
+    seq_col: str | None = None,
 ):
     """Live training-corpus ingestion with FUZZY dedup: per micro-batch,
     new documents dedup against the persistent MinHash-LSH index
@@ -1853,6 +1857,17 @@ def start_corpus_ingest_sink(
     indexing then run on the excised text (deterministic, so replays
     rewrite identical content).
 
+    ``benchmark_vectors_dir`` adds the EMBEDDING-space gate
+    (``decontam.semantic_decontaminate_against_vectors`` over the
+    frozen ``build_benchmark_vectors`` artifact): docs whose embedding
+    sits within cosine ``semantic_threshold`` of a benchmark vector
+    are dropped — the leakage class the n-gram gates can't see
+    (reworded/reordered copies share few shingles but embed nearby).
+    The benchmark is never re-embedded, the arriving batch embeds with
+    the artifact's pinned (dim, hash_mode), and all three gates
+    compose by OR: a doc enters the corpus only if it clears the
+    excision remnant check, the MinHash gate AND the semantic gate.
+
     ``dsir_model_dir`` keeps a LIVE DSIR model in lockstep with the
     ingested corpus (r6 verdict #6's composition): each epoch's
     SURVIVORS — post-excision, post-decontamination, post-dedup, i.e.
@@ -1866,13 +1881,85 @@ def start_corpus_ingest_sink(
     exactly-once story twice over: the model's own manifest stamps
     ``last_epoch`` in its commit, and the survivors of a replayed
     epoch recompute identically — the streamed model's selection ≡
-    a batch model built on the final corpus (tested)."""
+    a batch model built on the final corpus (tested).
+
+    ``op_col`` = the CDC-maintained mode (the text twin of
+    ``start_asset_ingest_sink(op_col=...)``): corpus and index follow
+    the SOURCE TABLE, not an append log.  Per epoch, after latest-wins
+    resolution (``_resolve_cdc_ops`` — loud refusal on seq ties): old
+    bands/shingles of every arriving doc_id (upserted OR deleted)
+    tombstone out FIRST, so a re-ingested doc's stale artifacts
+    neither survive as dedup precedent nor block other arrivals; the
+    upserts then run the gauntlet (excision → decontamination →
+    dedup-against-the-cleaned-index), the corpus drops every arriving
+    id from its group dirs and merges the survivors back in, and the
+    batch's artifacts fold in under ``batch=<epoch>``
+    (``lsh_index.upsert_minhash_index`` semantics, inlined so the
+    tombstone half precedes the dedup verdict).  After every epoch the
+    index dedups EXACTLY like one built fresh on the net final
+    document table (tested, both crash windows replayed).  CDC mode
+    refuses ``dsir_model_dir``: the DSIR raw histogram is ADDITIVE —
+    updates/deletes can't be subtracted from it; rebuild the model
+    periodically from the corpus instead."""
     from ..operators import decontam, dedup as dd
     from ..operators import dsir as dsir_mod
     from ..operators import lsh_index
 
+    if op_col is not None and dsir_model_dir is not None:
+        raise ValueError(
+            "op_col (CDC mode) cannot combine with dsir_model_dir: the DSIR "
+            "raw histogram is additive-only — an update or delete cannot be "
+            "subtracted from it, so a CDC-maintained corpus needs periodic "
+            "save_dsir_model rebuilds instead of the live fold"
+        )
+
     meta_dir = corpus_dir + "_meta"
+    build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
     gsize = compact_every or 1
+
+    def _group_dirs():
+        if not os.path.isdir(corpus_dir):
+            return []
+        return sorted(
+            f"{corpus_dir}/{d}"
+            for d in os.listdir(corpus_dir)
+            if d.startswith("batch_group=")
+        )
+
+    def _remove_ids_from_corpus(sp_, ids) -> None:
+        """Drop the given doc_ids from every corpus group dir that
+        holds one (anti-join rewrite — idempotent under replay)."""
+        for gdir in _group_dirs():
+            if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
+                continue
+            cur = sp_.read.parquet(gdir)
+            if cur.join(ids, "doc_id", "left_semi").isEmpty():
+                continue
+            staging = os.path.join(
+                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging"
+            )
+            cur.join(ids, "doc_id", "left_anti").write.mode("overwrite").parquet(
+                staging
+            )
+            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+
+    def _merge_into_group(sp_, kept, epoch: int) -> None:
+        gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
+        if os.path.isdir(gdir) and any(
+            f.endswith(".parquet") for f in os.listdir(gdir)
+        ):
+            # stage-then-swap with the staging copy OUTSIDE corpus_dir:
+            # a sibling staging dir would be discovered as a bogus
+            # partition by corpus-wide reads (_stage_swap keeps its
+            # staging copy for crash recovery, so location matters)
+            staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
+            merged = (
+                sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["doc_id"])
+            )
+            merged.write.mode("overwrite").parquet(staging)
+            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+        else:
+            kept.write.mode("overwrite").parquet(gdir)
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
@@ -1880,10 +1967,13 @@ def start_corpus_ingest_sink(
         if _epoch_already_applied(meta_dir, epoch, checkpoint):
             return
         sp_ = batch.sparkSession
-        docs = batch.select(
+        ups, dels = batch, None
+        if op_col is not None:
+            ups, dels = _resolve_cdc_ops(batch, "doc_id", op_col, seq_col)
+        docs = ups.select(
             "doc_id", "text",
-            F.lit("und").alias("lang") if "lang" not in batch.columns else F.col("lang"),
-            F.lit("stream").alias("source") if "source" not in batch.columns else F.col("source"),
+            F.lit("und").alias("lang") if "lang" not in ups.columns else F.col("lang"),
+            F.lit("stream").alias("source") if "source" not in ups.columns else F.col("source"),
         )
         if benchmark_ngram_dir is not None:
             # a doc excised to NOTHING was pure benchmark material —
@@ -1894,10 +1984,6 @@ def start_corpus_ingest_sink(
                 .where(F.col("text") != "")
                 .select("doc_id", "text", "lang", "source")
             )
-            if docs.isEmpty():
-                _record_epoch(meta_dir, epoch, checkpoint)
-                return
-        gated = False
         if benchmark_index_dir is not None:
             clean = (
                 decontam.decontaminate_against_index(
@@ -1906,40 +1992,85 @@ def start_corpus_ingest_sink(
                 .where(~F.col("contaminated"))
                 .select("doc_id")
             )
-            # persist: the gate's MinHash-vs-index join feeds FOUR
-            # downstream consumers (emptiness probe, dedup, corpus
-            # write, index append) — without the cut each would
-            # recompute the whole verdict subplan
-            docs = docs.join(clean, "doc_id", "left_semi").persist()
-            gated = True
+            docs = docs.join(clean, "doc_id", "left_semi")
+        if benchmark_vectors_dir is not None:
+            # the EMBEDDING-space gate (semantic_decontaminate): a
+            # reworded/reordered benchmark copy shares few n-grams but
+            # embeds nearby — it dies here even when the MinHash gate
+            # passed it; gates compose by OR (a doc must clear all)
+            clean_sem = (
+                decontam.semantic_decontaminate_against_vectors(
+                    sp_, docs, benchmark_vectors_dir, threshold=semantic_threshold
+                )
+                .where(~F.col("contaminated"))
+                .select("doc_id")
+            )
+            docs = docs.join(clean_sem, "doc_id", "left_semi")
+        built_by = None
+        if os.path.isfile(build_marker):
+            with open(build_marker) as fh:
+                built_by = int(fh.read().strip() or -1)
+        has_index = os.path.isdir(f"{index_dir}/bands")
+        if has_index and built_by is None:
+            # an index this sink didn't build: adoptable only when its
+            # batch ids can't collide with epochs (_guard_index_adoption)
+            _guard_index_adoption(meta_dir, lsh_index.live_batch_ids(index_dir), "MinHash")
+        bootstrap = not has_index or built_by == epoch
+        # persist: the gated docs feed FOUR downstream consumers
+        # (emptiness probe, dedup verdict, corpus write, index fold) —
+        # without the cut each would recompute the whole gate subplan
+        docs = docs.persist()
         try:
-            if gated and docs.isEmpty():
+            ups_empty = docs.isEmpty()
+            if bootstrap and ups_empty:
+                # nothing survived the gates (or a pure-delete batch
+                # before any content): nothing to build, nothing in the
+                # corpus to delete from
                 _record_epoch(meta_dir, epoch, checkpoint)
                 return
-            if not os.path.isdir(f"{index_dir}/bands"):
+            if not bootstrap and op_col is not None:
+                # CDC: stale versions stop acting as precedent BEFORE
+                # the dedup verdict (upsert_minhash_index's tombstone
+                # half, with its replay shield); deleted ids ride the
+                # same tombstone.  Gated-away upserts tombstone too:
+                # the source now holds content the gauntlet rejects, so
+                # the old version leaves corpus and index
+                arriving = ups.select("doc_id")
+                if dels is not None:
+                    arriving = arriving.unionByName(dels.select("doc_id"))
+                lsh_index.delete_from_minhash_index(
+                    sp_, index_dir, arriving.distinct(), exclude_batch=epoch
+                )
+            if bootstrap:
                 # bootstrap: no corpus yet — within-batch fuzzy dedup only
                 kept_ids = dd.fuzzy_dedup_keep(docs, threshold=threshold)
+            elif ups_empty:
+                kept_ids = None
             else:
                 kept_ids = lsh_index.dedup_against_index(sp_, docs, index_dir, threshold=threshold)
-            kept = docs.join(
-                kept_ids.select("doc_id"), "doc_id", "left_semi"
+            kept = (
+                docs.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+                if kept_ids is not None
+                else None
             )
-            gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
-            if os.path.isdir(gdir) and any(f.endswith(".parquet") for f in os.listdir(gdir)):
-                # stage-then-swap with the staging copy OUTSIDE corpus_dir:
-                # a sibling staging dir would be discovered as a bogus
-                # partition by corpus-wide reads (_stage_swap keeps its
-                # staging copy for crash recovery, so location matters)
-                staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
-                merged = (
-                    sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["doc_id"])
-                )
-                merged.write.mode("overwrite").parquet(staging)
-                sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
-            else:
-                kept.write.mode("overwrite").parquet(gdir)
-            lsh_index.update_minhash_index(docs, index_dir)
-            if dsir_model_dir is not None and not kept.isEmpty():
+            # corpus first, index second (stage-then-publish): a crash
+            # between them replays with the batch not yet precedent —
+            # identical verdicts, idempotent doc_id-keyed corpus merge
+            if op_col is not None and not bootstrap:
+                gone = ups.select("doc_id")
+                if dels is not None:
+                    gone = gone.unionByName(dels.select("doc_id"))
+                _remove_ids_from_corpus(sp_, gone.distinct())
+            if kept is not None:
+                _merge_into_group(sp_, kept, epoch)
+            if bootstrap:
+                os.makedirs(meta_dir, exist_ok=True)
+                with open(build_marker, "w") as fh:  # before the build: a crash
+                    fh.write(str(epoch))  # mid-build replays as a full rebuild
+                lsh_index.build_minhash_index(docs, index_dir)
+            elif not ups_empty:
+                lsh_index.update_minhash_index(docs, index_dir, epoch=epoch)
+            if dsir_model_dir is not None and kept is not None and not kept.isEmpty():
                 # fold exactly the rows the corpus gained; the model's
                 # manifest stamp makes a replayed fold a no-op
                 dsir_mod.update_dsir_model(
@@ -1947,8 +2078,7 @@ def start_corpus_ingest_sink(
                     checkpoint=checkpoint,
                 )
         finally:
-            if gated:
-                docs.unpersist()
+            docs.unpersist()
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             # after the marker: a crash mid-compaction replays as an

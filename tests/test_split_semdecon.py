@@ -206,3 +206,105 @@ def test_semantic_decontaminate_vectors_contract(spark, sf_dir):
         decontam.semantic_decontaminate_vectors(dv, zd, threshold=0.5, bits=6).count()
         == 0
     )
+
+
+def test_semantic_gate_artifact_equals_fit_per_call(spark, sf_dir, tmp_path):
+    """The persisted benchmark-vector artifact
+    (``build_benchmark_vectors`` → ``semantic_decontaminate_against_
+    vectors``) answers EXACTLY like the fit-per-call operator — the
+    benchmark never re-embeds, the arriving side embeds with the
+    manifest's pinned (dim, hash_mode); a missing artifact refuses
+    loudly."""
+    import pytest
+
+    train = _docs(spark, sf_dir, limit=120)
+    bench = _permuted_copies(spark, train, 900_000)
+
+    vdir = str(tmp_path / "bvecs")
+    with pytest.raises(FileNotFoundError, match="build_benchmark_vectors"):
+        decontam.semantic_decontaminate_against_vectors(spark, train, vdir)
+    decontam.build_benchmark_vectors(bench, vdir)
+
+    got = sorted(
+        map(
+            tuple,
+            decontam.semantic_decontaminate_against_vectors(
+                spark, train, vdir, threshold=0.95
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            decontam.semantic_decontaminate(train, bench, threshold=0.95).collect(),
+        )
+    )
+    assert got == want
+    assert any(r[-1] for r in got)  # the planted permuted leaks flag
+
+
+def test_streamed_semantic_gate_kills_permuted_copies(spark, sf_dir, tmp_path):
+    """The ingest sink's embedding-space gate: token-PERMUTED copies of
+    benchmark docs arrive mid-stream — the n-gram family can't see
+    them (near-zero 3-gram overlap) but they embed identically, so the
+    semantic gate drops them before the corpus AND before they become
+    dedup precedent in the index."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        lsh_index,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    pool = _docs(spark, sf_dir, limit=200).select("doc_id", "text", "lang", "source")
+    b1 = pool.where(F.col("doc_id") < 60)
+    arriving_leaks = pool.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+    fresh = pool.where((F.col("doc_id") >= 70) & (F.col("doc_id") < 80))
+    # the benchmark holds PERMUTED copies of the docs about to arrive
+    bench = _permuted_copies(
+        spark,
+        arriving_leaks.withColumn("n_chars", F.length("text")),
+        900_000,
+        n=10,
+    ).select("doc_id", "text", "lang", "source")
+    vdir = str(tmp_path / "bvecs")
+    decontam.build_benchmark_vectors(bench, vdir)
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0.parquet")
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/*.parquet")
+    )
+    q = sp.start_corpus_ingest_sink(
+        stream, corpus, idx, str(tmp_path / "ck"),
+        benchmark_vectors_dir=vdir, semantic_threshold=0.95,
+    )
+    q.processAllAvailable()
+    arriving_leaks.unionByName(fresh).coalesce(1).write.mode("overwrite").parquet(
+        f"{feed}/f1.parquet"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    leak_ids = {r.doc_id for r in arriving_leaks.select("doc_id").collect()}
+    fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    assert not (got & leak_ids)  # every permuted-copy twin died
+    # clean fresh docs passed the gate (modulo fixture-internal dups)
+    assert fresh_ids & got
+    # and the leaks never became dedup precedent in the index
+    idx_ids = {r.doc_id for r in lsh_index._live_bands(spark, idx).collect()}
+    assert not (idx_ids & leak_ids)
+    # sanity: without the gate the leaks WOULD have survived ingest —
+    # they near-dup nothing indexed (the n-gram blind spot)
+    kept = {
+        r.doc_id
+        for r in lsh_index.dedup_against_index(spark, arriving_leaks, idx).collect()
+    }
+    assert kept == leak_ids
