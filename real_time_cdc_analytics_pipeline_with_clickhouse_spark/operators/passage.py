@@ -1,0 +1,297 @@
+"""Passage-level semantic retrieval — the RAG-prep composition of
+three already-tested artifacts: ``content_defined_chunks`` (corpus.py)
+splits documents at content-defined boundaries, ``embed_documents``
+(embedder.py) embeds each chunk, and the persistent IVF index
+(ivf_index.py) serves approximate top-k over the chunk vectors.  Doc
+ranking is MaxP (the max-passage rule of Dai & Callan, SIGIR 2019:
+a document's score is its best passage's score) — the standard
+long-document answer, because a relevant passage buried in a long
+document would be averaged away by whole-doc embeddings.
+
+Scale shape: chunking and embedding are the map-side paths their own
+modules prove; the chunk index is the stock IVF artifact (fit once,
+centroid-partitioned inverted lists, probed cells pushed as a static
+partition filter), so queries never touch the corpus — and the chunk
+id is an INVERTIBLE bit-pack ``doc_id << IDX_BITS | chunk_idx``, so
+doc ranking needs NO join at all (the passage table is consulted only
+to return the winning snippet, via a broadcast of the bounded hit
+list).
+
+The passage index is a composition, so its lifecycle delegates:
+updates fold through ``update_ivf_index`` (frozen centroids, batch
+dirs), deletes through ``delete_from_ivf_index`` (a doc's chunk pids
+tombstone out of the vector index; its rows in the passage TABLE are
+then unreachable — no hit can reference them — and the next
+``compact_ivf_index`` + ``compact_passage_table`` purge both
+physically).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .corpus import CDC_DIVISOR, CDC_SEGMENT, CDC_WINDOW, content_defined_chunks
+from .embedder import embed_documents
+
+# chunk_idx lives in the low bits: ≤ ~1M chunks per document and
+# ≤ 2^43 (~8.8e12) documents — both comfortable at 100 TB, and both
+# guarded at build/update time (assert_true, map-side)
+IDX_BITS = 20
+_PSG_MANIFEST = "_passage_manifest.json"
+
+
+def _pid(doc_col, idx_col):
+    guard = F.assert_true(
+        (doc_col >= 0)
+        & (doc_col < F.lit(1 << (63 - IDX_BITS)))
+        & (idx_col < F.lit(1 << IDX_BITS)),
+        F.lit(
+            f"passage pid packing needs 0 <= doc_id < 2^{63 - IDX_BITS} "
+            f"and chunk_idx < 2^{IDX_BITS}"
+        ),
+    )
+    packed = doc_col * F.lit(1 << IDX_BITS) + idx_col
+    return F.when(guard.isNull(), packed)
+
+
+def pid_to_doc(pid_col):
+    # bit shift, not division: float64 division loses exactness past
+    # 2^53 and pids span the full non-negative long range
+    return F.shiftrightunsigned(pid_col.cast("long"), IDX_BITS)
+
+
+def _read_passage_manifest(index_dir: str) -> dict:
+    p = os.path.join(index_dir, _PSG_MANIFEST)
+    if not os.path.isfile(p):
+        raise FileNotFoundError(
+            f"no passage index at {index_dir} — run build_passage_index first"
+        )
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _chunk_vectors(documents: DataFrame, meta: dict):
+    """(pid-keyed chunk vectors, passage rows) for a document set —
+    the shared build/update path: chunk ONCE, embed the chunk text,
+    keep the (pid, doc_id, chunk_idx, chunk) lookup rows."""
+    chunks = content_defined_chunks(
+        documents,
+        window=int(meta["window"]),
+        divisor=int(meta["divisor"]),
+        segment=int(meta["segment"]),
+    ).select(
+        _pid(F.col("doc_id"), F.col("chunk_idx")).alias("pid"),
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+    )
+    vecs = embed_documents(
+        chunks.select(F.col("pid"), F.col("chunk").alias("text")),
+        dim=int(meta["dim"]),
+        id_col="pid",
+        out_id_col="vec_id",
+        hash_mode=meta["hash_mode"],
+    ).where(F.col("n_tokens") > 0)  # tokenless chunks are inert in cosine
+    return vecs.select("vec_id", "embedding"), chunks
+
+
+def build_passage_index(
+    documents: DataFrame,
+    index_dir: str,
+    dim: int = 64,
+    hash_mode: str = "md5",
+    n_centroids: int = 16,
+    seed: int = 7,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    segment: int = CDC_SEGMENT,
+) -> None:
+    """Chunk → embed → IVF-index the corpus, persist the passage
+    lookup table, pin every geometry parameter in the manifest
+    (queries and updates resolve from it — a batch chunked or embedded
+    differently would land in the wrong space, the LSH-manifest
+    failure mode).  One corpus pass; the chunk frame feeds both the
+    vectors and the passage table."""
+    from .ivf_index import build_ivf_index
+
+    meta = {
+        "dim": int(dim),
+        "hash_mode": hash_mode,
+        "window": int(window),
+        "divisor": int(divisor),
+        "segment": int(segment),
+        "idx_bits": IDX_BITS,
+    }
+    vecs, chunks = _chunk_vectors(documents, meta)
+    chunks.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
+        "batch"
+    ).parquet(f"{index_dir}/passages")
+    build_ivf_index(vecs, f"{index_dir}/vectors", n_centroids, seed)
+    tmp = os.path.join(index_dir, _PSG_MANIFEST + ".tmp")
+    os.makedirs(index_dir, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, _PSG_MANIFEST))
+
+
+def update_passage_index(
+    new_documents: DataFrame, index_dir: str, epoch: int | None = None
+) -> None:
+    """Fold a document batch in without refit: chunk + embed with the
+    manifest's pinned geometry, assign against the frozen centroids
+    (``update_ivf_index``), land the passage rows under their own
+    ``batch=<id>`` dir — a deterministic whole-directory overwrite, so
+    a crash-replayed epoch rewrites identical bytes (the every-index
+    exactly-once construction)."""
+    from .ivf_index import update_ivf_index
+
+    meta = _read_passage_manifest(index_dir)
+    vecs, chunks = _chunk_vectors(new_documents, meta)
+    if epoch is None:
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(f"{index_dir}/passages")
+            if d.startswith("batch=")
+        ]
+        b = max(existing) + 1 if existing else 0
+    else:
+        b = int(epoch)
+    chunks.write.mode("overwrite").parquet(f"{index_dir}/passages/batch={b}")
+    update_ivf_index(vecs, f"{index_dir}/vectors", epoch=epoch)
+
+
+def delete_docs_from_passage_index(
+    spark: SparkSession, index_dir: str, doc_ids
+) -> None:
+    """Takedown by document: every chunk pid of the given doc_ids
+    tombstones out of the VECTOR index (``delete_from_ivf_index`` —
+    atomic swap, idempotent), after which no query can reach the doc;
+    its passage-table rows are unreachable payload until the next
+    compaction purges them physically."""
+    from .ivf_index import delete_from_ivf_index
+    from .retrieval import _ids_frame
+
+    ids = _ids_frame(spark, doc_ids, "doc_id")
+    pids = (
+        spark.read.parquet(f"{index_dir}/passages")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select(F.col("pid").alias("vec_id"))
+        .distinct()
+    )
+    delete_from_ivf_index(spark, f"{index_dir}/vectors", pids)
+
+
+def compact_passage_table(spark: SparkSession, index_dir: str) -> None:
+    """Physically drop passage rows whose vectors no longer live in
+    the index (deleted docs, superseded batches) and squash replay
+    residue — one staged whole-tree swap under a fresh batch id, the
+    ``compact_phash_index`` construction."""
+    from .ivf_index import _live_assignments
+    from .retrieval import _swap_tree
+
+    root = f"{index_dir}/passages"
+    live_pids = _live_assignments(spark, f"{index_dir}/vectors").select(
+        F.col("vec_id").alias("pid")
+    )
+    rows = spark.read.parquet(root)
+    existing = [
+        int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")
+    ]
+    newb = min(existing + [-1]) - 1
+    kept = (
+        rows.drop("batch")
+        .dropDuplicates(["pid"])
+        .join(live_pids, "pid", "left_semi")
+        .withColumn("batch", F.lit(newb))
+    )
+    stage = root + "__stage"
+    kept.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).partitionBy("batch").parquet(stage)
+    _swap_tree(stage, root)
+
+
+def passage_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+    k_chunks: int | None = None,
+) -> DataFrame:
+    """MaxP document top-k: embed the text queries with the manifest's
+    pinned geometry, take the chunk-level IVF top-``k_chunks``
+    (default 4·k), score each doc by its BEST chunk, return the top
+    ``k`` docs per query WITH the winning snippet.
+
+    Exactness of the aggregation: scanning chunks in score order
+    yields docs in MaxP order (a doc's first appearance IS its max),
+    so the doc ranking is exact over the probed cells whenever the
+    chunk list covers ``k`` distinct docs — raise ``k_chunks`` (or
+    ``n_probe``) if long documents dominate the neighborhood.  Doc ids
+    come from the pid bit-pack (no join); the passage table is touched
+    only by a broadcast of the bounded winner list to fetch snippets.
+
+    Output: (query_id, doc_id, rnk, score, chunk_idx, chunk)."""
+    from .ivf_index import ivf_index_topk
+
+    meta = _read_passage_manifest(index_dir)
+    kc = (4 * k) if k_chunks is None else int(k_chunks)
+    # the shared ANN ranker excludes vec_id == query_id self-pairs;
+    # pids are non-negative by the pack guard, so mapping query ids
+    # into the NEGATIVE range makes collision impossible (restored on
+    # output) — callers never have to reason about id spaces
+    qv = (
+        embed_documents(
+            queries,
+            dim=int(meta["dim"]),
+            id_col="query_id",
+            out_id_col="query_id",
+            hash_mode=meta["hash_mode"],
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            (-F.col("query_id") - 1).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    hits = ivf_index_topk(spark, qv, f"{index_dir}/vectors", k=kc, n_probe=n_probe)
+    # MaxP via the CHUNK rank (6dp-cosine order with pid tie-break —
+    # the engine's deterministic ranking), not the 4dp display score:
+    # a doc's first appearance in chunk order IS its max, so min-rnk
+    # per doc yields docs in exact MaxP order
+    wdoc = Window.partitionBy("query_id", "doc_id").orderBy(F.col("rnk"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("best_rnk"))
+    best = (
+        hits.withColumn("doc_id", pid_to_doc(F.col("neighbor_id")))
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("neighbor_id").alias("pid"),
+            F.col("cos_sim").alias("score"),
+            F.col("rnk").alias("best_rnk"),
+        )
+        .withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= k)
+    )
+    passages = spark.read.parquet(f"{index_dir}/passages").select(
+        "pid", "chunk_idx", "chunk"
+    )
+    return (
+        passages.join(F.broadcast(best), "pid")
+        .dropDuplicates(["query_id", "doc_id"])  # replay-residue tolerance
+        .select(
+            (-F.col("query_id") - 1).alias("query_id"),
+            "doc_id",
+            "rnk",
+            "score",
+            "chunk_idx",
+            "chunk",
+        )
+    )
