@@ -180,6 +180,10 @@ def _driver_merge_loop(
 # distributed one: the word table is vocabulary-sized, but "fits on
 # the driver" still deserves an explicit bound.
 DRIVER_VOCAB_CAP = 2_000_000
+# the collect is bounded in BYTES too, not just rows — a row cap alone
+# under-counts if tokenization rules ever loosen enough to admit
+# pathologically long "words" (round-7 verdict finding)
+DRIVER_BYTES_CAP = 256 * 1024 * 1024
 
 
 def train_bpe(
@@ -220,10 +224,19 @@ def train_bpe(
     if merge_loop != "distributed":
         if merge_loop == "driver":
             rows = wf.collect()
-        else:  # auto: bounded collect, loud fallback
-            rows = wf.limit(DRIVER_VOCAB_CAP + 1).collect()
-            if len(rows) > DRIVER_VOCAB_CAP:
-                rows = None
+        else:
+            # auto: probe rows AND bytes with one tiny combinable agg
+            # over the vocabulary-sized word table, collect only when
+            # both caps hold, silently fall back to distributed else
+            stats = wf.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("b"),
+            ).collect()[0]
+            rows = (
+                wf.collect()
+                if stats["n"] <= DRIVER_VOCAB_CAP and stats["b"] <= DRIVER_BYTES_CAP
+                else None
+            )
         if rows is not None:
             merges = _driver_merge_loop(
                 [(r["word"], r["freq"]) for r in rows], n_merges, min_freq

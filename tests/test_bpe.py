@@ -335,3 +335,24 @@ def test_driver_and_distributed_merge_loops_agree_exactly(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         bpe.train_bpe(docs, n_merges=1, merge_loop="mapreduce")
+
+
+def test_auto_mode_byte_cap_falls_back_to_distributed(spark, sf_dir, monkeypatch):
+    """The driver collect is bounded in BYTES, not just rows — when the
+    word table's total word bytes exceed DRIVER_BYTES_CAP, auto mode
+    must run the distributed loop (never collect) and still produce
+    the exact same merge table."""
+    docs = load_table(spark, sf_dir, "documents").limit(40).select("doc_id", "text")
+    want = sorted(map(tuple, bpe.train_bpe(docs, 8, merge_loop="driver").collect()))
+
+    monkeypatch.setattr(bpe, "DRIVER_BYTES_CAP", 1)
+    orig = bpe._driver_merge_loop
+    called = []
+    monkeypatch.setattr(
+        bpe,
+        "_driver_merge_loop",
+        lambda *a, **k: (called.append(1), orig(*a, **k))[1],
+    )
+    got = sorted(map(tuple, bpe.train_bpe(docs, 8, merge_loop="auto").collect()))
+    assert not called  # the collect path was never taken
+    assert got == want
