@@ -438,6 +438,69 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_hybrid_batch8"] = round(best, 3)
 
+            # passage-level MaxP retrieval: one chunk→embed→IVF build
+            # at 1× (the KMeans fit dominates the build and its cost
+            # is a property of pyspark.ml, not of this engine's plan
+            # shape — 1× keeps the bench wall-time sane while the
+            # QUERY probe still proves the pruned serving path), then
+            # the serving-path doc query off the stored artifact —
+            # chunk ranking + bit-pack doc fold must stay list-sized,
+            # never a corpus rescan
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                passage as PSG,
+            )
+
+            psg_idx = f"{scale_dir}/_passage_index"
+            docs1x = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            t0 = time.time()
+            PSG.build_passage_index(docs1x, psg_idx, n_centroids=16, seed=7)
+            timings["_passage_index_build"] = round(time.time() - t0, 3)
+            pq_rows = [
+                (i, r["text"][:150])
+                for i, r in enumerate(
+                    docs1x.orderBy("doc_id").limit(4).collect()
+                )
+            ]
+            pqueries = spark.createDataFrame(pq_rows, "query_id long, text string")
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                PSG.passage_topk(
+                    spark, pqueries, psg_idx, k=10, n_probe=4
+                ).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_passage_topk"] = round(best, 3)
+
+            # CDC maintenance cost of the (round-8.5 batch-lineage)
+            # MinHash index: build once on the 10× corpus, then UPSERT
+            # a 10%-of-corpus re-ingest batch — the tombstone half is a
+            # column-pruned (doc_id, batch) scan + broadcast semi-join,
+            # the fold half one batch-dir overwrite; neither re-LSHes
+            # the corpus
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                lsh_index as LSHI,
+            )
+
+            mh_idx = f"{scale_dir}/_mh_index"
+            docs10_for_mh = spark.read.parquet(
+                f"{scale_dir}/documents.parquet"
+            ).select("doc_id", "text", "lang", "source")
+            t0 = time.time()
+            LSHI.build_minhash_index(docs10_for_mh, mh_idx)
+            timings["_scale10x_minhash_index_build"] = round(time.time() - t0, 3)
+            reingest = docs10_for_mh.where(F.col("doc_id") % 10 == 3).select(
+                "doc_id",
+                F.concat(F.lit("revised intro "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+            )
+            t0 = time.time()
+            LSHI.upsert_minhash_index(spark, mh_idx, reingest, epoch=1)
+            timings["_scale10x_minhash_upsert"] = round(time.time() - t0, 3)
+
             # deterministic shuffle + token-balanced sharding over the
             # 10× corpus: the two-level distributed prefix sum must
             # stay flat — a single-partition global window would

@@ -127,10 +127,16 @@ def build_passage_index(
         "idx_bits": IDX_BITS,
     }
     vecs, chunks = _chunk_vectors(documents, meta)
-    chunks.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
-        "batch"
-    ).parquet(f"{index_dir}/passages")
-    build_ivf_index(vecs, f"{index_dir}/vectors", n_centroids, seed)
+    # the chunk frame feeds BOTH the passage table and the embedding —
+    # cache it so the corpus is chunked once, not once per consumer
+    chunks = chunks.persist()
+    try:
+        chunks.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
+            "batch"
+        ).parquet(f"{index_dir}/passages")
+        build_ivf_index(vecs, f"{index_dir}/vectors", n_centroids, seed)
+    finally:
+        chunks.unpersist()
     tmp = os.path.join(index_dir, _PSG_MANIFEST + ".tmp")
     os.makedirs(index_dir, exist_ok=True)
     with open(tmp, "w") as fh:
@@ -160,18 +166,29 @@ def update_passage_index(
         b = max(existing) + 1 if existing else 0
     else:
         b = int(epoch)
-    chunks.write.mode("overwrite").parquet(f"{index_dir}/passages/batch={b}")
-    update_ivf_index(vecs, f"{index_dir}/vectors", epoch=epoch)
+    chunks = chunks.persist()  # chunk the batch once for both writes
+    try:
+        chunks.write.mode("overwrite").parquet(f"{index_dir}/passages/batch={b}")
+        update_ivf_index(vecs, f"{index_dir}/vectors", epoch=epoch)
+    finally:
+        chunks.unpersist()
 
 
 def delete_docs_from_passage_index(
-    spark: SparkSession, index_dir: str, doc_ids
+    spark: SparkSession, index_dir: str, doc_ids, exclude_batch: int | None = None
 ) -> None:
     """Takedown by document: every chunk pid of the given doc_ids
     tombstones out of the VECTOR index (``delete_from_ivf_index`` —
-    atomic swap, idempotent), after which no query can reach the doc;
-    its passage-table rows are unreachable payload until the next
-    compaction purges them physically."""
+    atomic swap, batch-scoped, idempotent), after which no query can
+    reach the doc; its passage-table rows are unreachable payload
+    until the next compaction purges them physically.  A re-ingested
+    doc reuses its pids (the pack is a pure function of doc_id and
+    chunk_idx), so the delete also implements the tombstone half of an
+    UPSERT: old (pid, batch) pairs die, the re-add's rows land in a
+    newer batch the tombstones don't reference.  ``exclude_batch``
+    shields one vector batch from victimhood — the streaming sink's
+    replay guard (a crash-replayed epoch must not tombstone the rows
+    its own previous attempt folded)."""
     from .ivf_index import delete_from_ivf_index
     from .retrieval import _ids_frame
 
@@ -182,7 +199,7 @@ def delete_docs_from_passage_index(
         .select(F.col("pid").alias("vec_id"))
         .distinct()
     )
-    delete_from_ivf_index(spark, f"{index_dir}/vectors", pids)
+    delete_from_ivf_index(spark, f"{index_dir}/vectors", pids, exclude_batch=exclude_batch)
 
 
 def compact_passage_table(spark: SparkSession, index_dir: str) -> None:
@@ -202,9 +219,13 @@ def compact_passage_table(spark: SparkSession, index_dir: str) -> None:
         int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")
     ]
     newb = min(existing + [-1]) - 1
+    # latest batch wins per pid: a re-ingested doc reuses its pids, so
+    # an older batch's row carries the superseded TEXT
+    wpid = Window.partitionBy("pid").orderBy(F.col("batch").desc())
     kept = (
-        rows.drop("batch")
-        .dropDuplicates(["pid"])
+        rows.withColumn("_rn", F.row_number().over(wpid))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch")
         .join(live_pids, "pid", "left_semi")
         .withColumn("batch", F.lit(newb))
     )
@@ -280,12 +301,17 @@ def passage_topk(
         .withColumn("rnk", F.row_number().over(wq))
         .where(F.col("rnk") <= k)
     )
+    # snippet lookup: a re-ingested doc reuses its pids, so the join
+    # takes the LATEST batch's row (older rows carry superseded text);
+    # this also squashes replay residue deterministically
     passages = spark.read.parquet(f"{index_dir}/passages").select(
-        "pid", "chunk_idx", "chunk"
+        "pid", "chunk_idx", "chunk", "batch"
     )
+    wlatest = Window.partitionBy("query_id", "doc_id").orderBy(F.col("batch").desc())
     return (
         passages.join(F.broadcast(best), "pid")
-        .dropDuplicates(["query_id", "doc_id"])  # replay-residue tolerance
+        .withColumn("_ln", F.row_number().over(wlatest))
+        .where(F.col("_ln") == 1)
         .select(
             (-F.col("query_id") - 1).alias("query_id"),
             "doc_id",
@@ -295,3 +321,70 @@ def passage_topk(
             "chunk",
         )
     )
+
+
+def refresh_passage_index_from_diff(
+    spark: SparkSession,
+    index_dir: str,
+    old_documents: DataFrame,
+    new_documents: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """Fold a corpus-snapshot transition into the passage index from
+    ``corpus_diff``'s work-list — the diff-refresh leg every stored
+    artifact in this engine carries: removed/changed docs tombstone
+    their chunk vectors out, added/changed docs chunk + embed ONCE and
+    fold in against the frozen centroids.  Cost ∝ diff; the unchanged
+    corpus is never re-chunked.  A changed doc's re-add lands in a
+    batch its tombstones don't reference (pids are deterministic, so
+    the new version simply supersedes — ``passage_topk`` resolves
+    snippets latest-batch-first).  Refreshed ≡ fresh build on the new
+    snapshot (tested)."""
+    from .corpus import corpus_diff
+
+    diff = corpus_diff(old_documents, new_documents).persist()
+    try:
+        gone = diff.where(F.col("change").isin("removed", "changed")).select("doc_id")
+        fresh = new_documents.join(
+            diff.where(F.col("change").isin("added", "changed")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        if not gone.isEmpty():
+            delete_docs_from_passage_index(spark, index_dir, gone)
+        if not fresh.isEmpty():
+            update_passage_index(fresh, index_dir, epoch=epoch)
+    finally:
+        diff.unpersist()
+
+
+def hybrid_passage_topk_from_indexes(
+    spark: SparkSession,
+    text_index_dir: str,
+    passage_index_dir: str,
+    query_terms: list,
+    query_text: str,
+    k: int = 10,
+    k_each: int = 10,
+    n_probe: int = 4,
+    c: int = 60,
+) -> DataFrame:
+    """Doc-level hybrid serving with a PASSAGE-level semantic leg —
+    the long-document upgrade of ``retrieval.hybrid_topk_from_indexes``
+    (whose semantic leg scores whole-doc vectors): BM25 over the
+    stored inverted text index fused by RRF with MaxP over the chunk
+    IVF index.  Both legs are pruned index reads (term buckets /
+    probed cells); fusion is list-sized.  The semantic list enters the
+    fuser under the passage ranking's OWN deterministic order (the
+    producer's rank, not a re-sort of the 4dp display score), so the
+    fusion ≡ component-wise ``rrf_fuse`` exactly (tested)."""
+    from .retrieval import bm25_topk_from_index, rrf_fuse
+
+    lex = bm25_topk_from_index(spark, text_index_dir, query_terms, k=k_each).select(
+        "doc_id", "bm25"
+    )
+    q = spark.createDataFrame([(0, query_text)], "query_id long, text string")
+    sem = passage_topk(
+        spark, q, passage_index_dir, k=k_each, n_probe=n_probe
+    ).select("doc_id", (-F.col("rnk")).cast("double").alias("cos_sim"))
+    return rrf_fuse(lex, sem, k=k, c=c)

@@ -2092,3 +2092,104 @@ def start_corpus_ingest_sink(
         .foreachBatch(sink)
         .start()
     )
+
+
+def start_passage_index_sink(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    dim: int = 64,
+    hash_mode: str = "md5",
+    n_centroids: int = 16,
+    seed: int = 7,
+    op_col: str | None = None,
+    seq_col: str | None = None,
+):
+    """Live passage-index maintenance over a raw DOCUMENT stream — the
+    RAG-serving composition of ``operators.passage``: the first batch
+    BUILDS the index (chunk geometry + embedding space pinned in its
+    manifest, one KMeans fit), every later batch chunks + embeds
+    map-side and folds against the frozen centroids
+    (``update_passage_index(epoch=...)`` — deterministic
+    whole-directory overwrites, so crash replays rewrite identical
+    bytes).
+
+    ``op_col`` = the CDC-maintained mode: per epoch, after latest-wins
+    resolution (``_resolve_cdc_ops``), the old chunk vectors of every
+    arriving doc_id (upserted OR deleted) tombstone out FIRST
+    (``delete_docs_from_passage_index`` with ``exclude_batch=epoch`` —
+    the replay shield), then the upserts fold in; pids are a pure
+    function of (doc_id, chunk_idx), so a re-ingested doc supersedes
+    its own chunks and ``passage_topk`` resolves snippets
+    latest-batch-first.  Replay-safe at both crash windows: the epoch
+    marker catches full commits, the IVF manifest's ``last_epoch``
+    catches the window between the vector fold and the marker.  The
+    adoption guard refuses an offline-built index whose batch ids
+    epochs would clobber (compaction cures)."""
+    from ..operators import ivf_index
+    from ..operators import passage as psg
+
+    meta_dir = index_dir + "_sinkmeta"
+    build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
+    vec_dir = f"{index_dir}/vectors"
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        sp_ = batch.sparkSession
+        ups, dels = batch, None
+        if op_col is not None:
+            ups, dels = _resolve_cdc_ops(batch, "doc_id", op_col, seq_col)
+        docs = ups.select("doc_id", "text")
+        ups_empty = docs.isEmpty()
+        built_by = None
+        if os.path.isfile(build_marker):
+            with open(build_marker) as fh:
+                built_by = int(fh.read().strip() or -1)
+        has_index = (
+            os.path.isfile(os.path.join(index_dir, psg._PSG_MANIFEST))
+            and ivf_index.has_ivf_index(vec_dir)
+        )
+        if has_index and built_by is None:
+            _guard_index_adoption(
+                meta_dir, ivf_index.live_batch_ids(vec_dir), "passage IVF"
+            )
+        if not has_index or built_by == epoch:
+            if ups_empty:
+                # pure-delete batch before any content: nothing to
+                # build, nothing to delete from
+                _record_epoch(meta_dir, epoch, checkpoint)
+                return
+            os.makedirs(meta_dir, exist_ok=True)
+            with open(build_marker, "w") as fh:  # before the build: a crash
+                fh.write(str(epoch))  # mid-build replays as a full rebuild
+            psg.build_passage_index(
+                docs, index_dir, dim=dim, hash_mode=hash_mode,
+                n_centroids=n_centroids, seed=seed,
+            )
+        else:
+            # the vector fold's own commit stamp: a replay after a
+            # crash between the fold and the epoch marker must not
+            # re-tombstone or re-fold
+            applied = (
+                ivf_index.read_manifest(vec_dir).get("last_epoch", -1) >= epoch
+            )
+            if op_col is not None and not applied:
+                arriving = ups.select("doc_id")
+                if dels is not None:
+                    arriving = arriving.unionByName(dels.select("doc_id"))
+                psg.delete_docs_from_passage_index(
+                    sp_, index_dir, arriving.distinct(), exclude_batch=epoch
+                )
+            if not ups_empty and not applied:
+                psg.update_passage_index(docs, index_dir, epoch=epoch)
+        _record_epoch(meta_dir, epoch, checkpoint)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )

@@ -399,3 +399,57 @@ def test_cdc_mode_refuses_live_dsir_fold(spark, tmp_path):
             op_col="op",
             dsir_model_dir=str(tmp_path / "m"),
         )
+
+
+def test_cdc_update_to_contaminated_content_evicts_doc(spark, sf_dir, tmp_path):
+    """CDC × decontamination gate: a doc created CLEAN whose update
+    re-ingests it with benchmark-contaminated content must leave both
+    the corpus and the index — the source now holds content the
+    gauntlet rejects, so the stale clean version cannot linger as
+    dedup precedent either."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        decontam,
+    )
+
+    texts = _lone_texts(spark, sf_dir, 30)
+    bench = _docs_df(spark, [(900_000 + i, texts[20 + i]) for i in range(5)])
+    bidx = str(tmp_path / "bench_idx")
+    lsh_index.build_minhash_index(bench, bidx)
+
+    b0 = _cdc([(i, texts[i]) for i in range(1, 11)], "c", 0)
+    # doc 3 updates to an exact copy of benchmark text → must evict;
+    # doc 4 updates to clean fresh text → must survive with new text
+    b1 = _cdc([(3, texts[20]), (4, texts[15])], "u", 1)
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i, b in enumerate((b0, b1)):
+        spark.createDataFrame(b, CDC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/f{i}.parquet")
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*.parquet")
+    )
+    q = sp.start_corpus_ingest_sink(
+        stream, corpus, idx, str(tmp_path / "ck"),
+        benchmark_index_dir=bidx, op_col="op", seq_col="seq",
+        compact_every=None,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert 3 not in rows  # evicted: its new content is benchmark material
+    assert rows[4] == texts[15]  # clean update lands with the new text
+    assert set(rows) == {1, 2, 4, 5, 6, 7, 8, 9, 10}
+    # and doc 3's STALE clean version is no dedup precedent anymore: a
+    # fresh copy of its original text survives the index
+    probe = _docs_df(spark, [(900_100, texts[3]), (900_101, texts[5])])
+    kept = {
+        r.doc_id
+        for r in lsh_index.dedup_against_index(spark, probe, idx).collect()
+    }
+    assert kept == {900_100}  # doc 5 still lives → its copy drops

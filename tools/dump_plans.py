@@ -213,6 +213,23 @@ def _refit_topk(spark, sf):
     return ivf_index.ivf_index_topk(spark, similarity.default_queries(emb), idx)
 
 
+def _passage_topk(spark, sf):
+    import tempfile
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        passage,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents").limit(120).select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="graft_plans_passage_")
+    passage.build_passage_index(docs, idx, n_centroids=4, seed=7)
+    q = spark.createDataFrame(
+        [(0, "fast key order sort table scan merge")], "query_id long, text string"
+    )
+    return passage.passage_topk(spark, q, idx, k=5, n_probe=2)
+
+
 def _mmr(spark, sf):
     from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
         embedder,
@@ -336,7 +353,19 @@ EXTRA = [
         "one manifest os.replace, so plans never mix versions",
         _refit_topk,
     ),
+    (
+        "passage_topk",
+        "passage-level MaxP retrieval off the stored chunk-IVF artifact: "
+        "the query embeds map-side (no Python), the inverted-list read is "
+        "statically pruned to the probed centroid cells (PartitionFilters), "
+        "doc ids come from the pid bit-pack (shiftrightunsigned — no join), "
+        "and the passage table is touched only by a BroadcastHashJoin of "
+        "the bounded winner list for snippets; no cartesian, no corpus "
+        "shuffle",
+        _passage_topk,
+    ),
 ]
+
 
 
 def main() -> None:
