@@ -137,3 +137,65 @@ def similar_activity_topk(
         .where(F.col("rnk") <= k)
         .select("entity", "rnk", "corr", "n_events")
     )
+
+
+def activity_anomalies(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    bucket: str = "day",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-entity anomalous activity buckets — the warehouse-layer
+    outlier sweep ("which days was this user's behavior abnormal?"):
+    a grid bucket whose event count deviates from ITS OWN entity's
+    mean by ≥ ``threshold`` population σ flags, with the deviation
+    reported as a z-score.  Self-normalized per entity, so a
+    chronically busy service account and a quiet user are judged each
+    against their own baseline, not a global one.
+
+    Scale shape: the same single combinable (entity, bucket) count
+    shuffle as ``activity_series``; moments are native array folds
+    over the grid-sized series; flagging is a filter over
+    ``posexplode`` of the dense series — rows out ∝ anomalies, and
+    the intermediate is (entities × grid), never (events × anything).
+    Zero-variance entities are excluded (z undefined on a constant —
+    the ``similar_activity_topk`` rule).
+
+    Output: (entity, bucket_idx, bucket_start timestamp, cnt, zscore)
+    in deterministic (entity, bucket_idx) order; zscore rounded 6dp,
+    signed (quiet-day dips flag too)."""
+    series = activity_series(events, entity_col, bucket)  # validates bucket
+    step = BUCKET_SECONDS[bucket]
+    # activity_series folds the dense grid but drops b0; recompute the
+    # shared origin with the same 1-row broadcast aggregate
+    b = F.floor(F.unix_timestamp("ts") / step).cast("long")
+    origin = events.select(b.alias("b")).agg(F.min("b").alias("b0"))
+    h = F.size("series").cast("double")
+    mean, std = _moments(F.col("series"), h)
+    stats = series.select(
+        "entity", "series", mean.alias("mu"), std.alias("sd")
+    ).where(F.col("sd") > 0)
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return (
+        stats.select(
+            "entity",
+            "mu",
+            "sd",
+            F.posexplode("series").alias("bucket_idx", "cnt"),
+        )
+        # the threshold applies to the ROUNDED z-score (the reported
+        # value): summation-order float noise at an exact boundary
+        # (|z| == threshold) must not flip the verdict between engines
+        .where(F.abs(F.round(z, 6)) >= threshold)
+        .crossJoin(F.broadcast(origin))
+        .select(
+            "entity",
+            "bucket_idx",
+            F.timestamp_seconds((F.col("b0") + F.col("bucket_idx")) * step).alias(
+                "bucket_start"
+            ),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("entity", "bucket_idx")
+    )
