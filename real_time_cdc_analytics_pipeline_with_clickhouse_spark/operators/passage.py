@@ -109,13 +109,21 @@ def build_passage_index(
     window: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
     segment: int = CDC_SEGMENT,
+    int8: bool = False,
+    pq_m: int | None = None,
+    pq_ks: int = 16,
 ) -> None:
     """Chunk → embed → IVF-index the corpus, persist the passage
     lookup table, pin every geometry parameter in the manifest
     (queries and updates resolve from it — a batch chunked or embedded
     differently would land in the wrong space, the LSH-manifest
     failure mode).  One corpus pass; the chunk frame feeds both the
-    vectors and the passage table."""
+    vectors and the passage table.
+
+    ``pq_m``/``int8`` pass through to the vector index: chunking
+    multiplies the vector count ~15× over whole-doc indexing, so the
+    PQ/ADC scan-byte tier matters MORE here than anywhere — serve with
+    ``passage_topk(use_pq=True)``."""
     from .ivf_index import build_ivf_index
 
     meta = {
@@ -134,7 +142,10 @@ def build_passage_index(
         chunks.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
             "batch"
         ).parquet(f"{index_dir}/passages")
-        build_ivf_index(vecs, f"{index_dir}/vectors", n_centroids, seed)
+        build_ivf_index(
+            vecs, f"{index_dir}/vectors", n_centroids, seed,
+            int8=int8, pq_m=pq_m, pq_ks=pq_ks,
+        )
     finally:
         chunks.unpersist()
     tmp = os.path.join(index_dir, _PSG_MANIFEST + ".tmp")
@@ -243,6 +254,8 @@ def passage_topk(
     k: int = 5,
     n_probe: int = 4,
     k_chunks: int | None = None,
+    use_pq: bool = False,
+    pq_rerank: int = 0,
 ) -> DataFrame:
     """MaxP document top-k: embed the text queries with the manifest's
     pinned geometry, take the chunk-level IVF top-``k_chunks``
@@ -257,8 +270,14 @@ def passage_topk(
     come from the pid bit-pack (no join); the passage table is touched
     only by a broadcast of the bounded winner list to fetch snippets.
 
+    ``use_pq=True`` routes the chunk ranking through the IVF-PQ/ADC
+    tier (``pq_rerank`` exact-rescored candidates; with rerank ≥ cell
+    occupancy the answer EQUALS the float path — tested) — at chunk
+    granularity the corpus holds ~15× more vectors than whole-doc
+    indexing, so the pq_m-bytes-per-vector scan is where PQ pays most.
+
     Output: (query_id, doc_id, rnk, score, chunk_idx, chunk)."""
-    from .ivf_index import ivf_index_topk
+    from .ivf_index import ivf_index_topk, ivf_index_topk_pq
 
     meta = _read_passage_manifest(index_dir)
     kc = (4 * k) if k_chunks is None else int(k_chunks)
@@ -280,7 +299,15 @@ def passage_topk(
             F.col("embedding").alias("query_vec"),
         )
     )
-    hits = ivf_index_topk(spark, qv, f"{index_dir}/vectors", k=kc, n_probe=n_probe)
+    if use_pq:
+        hits = ivf_index_topk_pq(
+            spark, qv, f"{index_dir}/vectors", k=kc, n_probe=n_probe,
+            rerank=max(int(pq_rerank), kc),
+        )
+    else:
+        hits = ivf_index_topk(
+            spark, qv, f"{index_dir}/vectors", k=kc, n_probe=n_probe
+        )
     # MaxP via the CHUNK rank (6dp-cosine order with pid tie-break —
     # the engine's deterministic ranking), not the 4dp display score:
     # a doc's first appearance in chunk order IS its max, so min-rnk
@@ -388,3 +415,38 @@ def hybrid_passage_topk_from_indexes(
         spark, q, passage_index_dir, k=k_each, n_probe=n_probe
     ).select("doc_id", (-F.col("rnk")).cast("double").alias("cos_sim"))
     return rrf_fuse(lex, sem, k=k, c=c)
+
+
+def hybrid_passage_topk_batch_from_indexes(
+    spark: SparkSession,
+    text_index_dir: str,
+    passage_index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int = 10,
+    n_probe: int = 4,
+    c: int = 60,
+) -> DataFrame:
+    """Batch form of ``hybrid_passage_topk_from_indexes`` — one job for
+    a whole query SET (the throughput shape a serving node runs):
+    the lexical leg is ``bm25_topk_batch_from_index`` (one pruned
+    postings read for the union of query terms), the semantic leg is
+    ``passage_topk``'s already-batched MaxP ranking (one pruned
+    inverted-list read for the union of probed cells), and RRF fusion
+    runs per query under one query-partitioned window — never a
+    per-query Spark job.  ``queries`` is (query_id, terms
+    array<string>, text).  Per query ≡ the one-query hybrid call
+    (tested)."""
+    from .retrieval import _rrf_core, bm25_topk_batch_from_index
+
+    lex = bm25_topk_batch_from_index(
+        spark, text_index_dir, queries.select("query_id", "terms"), k=k_each
+    )
+    sem = passage_topk(
+        spark,
+        queries.select("query_id", "text"),
+        passage_index_dir,
+        k=k_each,
+        n_probe=n_probe,
+    ).select("query_id", "doc_id", (-F.col("rnk")).cast("double").alias("cos_sim"))
+    return _rrf_core(lex, sem, k, c, keys=["query_id"])

@@ -312,3 +312,71 @@ def test_hybrid_passage_fusion_and_plan_hygiene(spark, sf_dir, tmp_path):
     plan = plan_string(passage.passage_topk(spark, q, pidx, k=5, n_probe=2))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_passage_batch_equals_solo_calls(spark, sf_dir, tmp_path):
+    """One batch job over 3 hybrid queries ≡ the per-query serving
+    call row-for-row (incl. a query with no lexical hits)."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        retrieval,
+    )
+
+    docs = _docs(spark, sf_dir, 0, 60)
+    pidx, tidx = str(tmp_path / "pidx"), str(tmp_path / "tidx")
+    passage.build_passage_index(docs, pidx, n_centroids=4, seed=7)
+    retrieval.build_text_index(docs.select("doc_id", "text"), tidx)
+
+    rows = docs.orderBy("doc_id").limit(2).collect()
+    qrows = [
+        (100, rows[0].text.split()[:3], rows[0].text[:150]),
+        (101, rows[1].text.split()[:3], rows[1].text[:150]),
+        (102, ["zzznosuchterm"], rows[0].text[:150]),  # lexical miss
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, terms array<string>, text string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            passage.hybrid_passage_topk_batch_from_indexes(
+                spark, tidx, pidx, queries, k=6, k_each=6, n_probe=4
+            ).collect(),
+        )
+    )
+    want = []
+    for qid, terms, text in qrows:
+        for r in passage.hybrid_passage_topk_from_indexes(
+            spark, tidx, pidx, terms, text, k=6, k_each=6, n_probe=4
+        ).collect():
+            want.append((qid, r.doc_id, r.rrf))
+    assert got == sorted(want) and got
+
+
+def test_passage_pq_tier_equals_float_path_at_full_rerank(spark, sf_dir, tmp_path):
+    """A pq_m index serves passage queries through ADC + exact rerank;
+    with rerank ≥ cell occupancy the MaxP answer EQUALS the float
+    path column-for-column (PQ changes scan bytes, not the achievable
+    answer — the ivf_index contract lifted to doc ranking)."""
+    docs = _docs(spark, sf_dir, 0, 60)
+    idx = str(tmp_path / "pidx_pq")
+    passage.build_passage_index(docs, idx, n_centroids=4, seed=7, pq_m=8)
+
+    rows = docs.orderBy("doc_id").limit(2).collect()
+    queries = spark.createDataFrame(
+        [(i, r.text[:150]) for i, r in enumerate(rows)], QUERY_SCHEMA
+    )
+    got = sorted(
+        map(
+            tuple,
+            passage.passage_topk(
+                spark, queries, idx, k=5, n_probe=4, use_pq=True, pq_rerank=100_000
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            passage.passage_topk(spark, queries, idx, k=5, n_probe=4).collect(),
+        )
+    )
+    assert got == want and got
