@@ -36,6 +36,23 @@ def tokens(c: Column) -> Column:
     return F.split(normalize_text(c), " ")
 
 
+# The one-tokenize contract: a documents frame may carry the canonical
+# token array MATERIALIZED under this column (it MUST equal
+# ``tokens(text)`` — the unified ingest sink computes it once per
+# micro-batch and persists it); tokenizing consumers (embedder,
+# text-index postings, shingles) then derive from the stored array
+# instead of re-running the normalize/split over the text.
+TOKENS_COL = "_toks"
+
+
+def doc_token_col(df) -> Column:
+    """The token array of a documents frame: the materialized
+    ``TOKENS_COL`` when present, else computed from ``text``.
+    Semantics are IDENTICAL by the column's contract — callers never
+    branch on which source they got."""
+    return F.col(TOKENS_COL) if TOKENS_COL in df.columns else tokens(F.col("text"))
+
+
 def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 

@@ -227,7 +227,13 @@ def train_bpe(
         else:
             # auto: probe rows AND bytes with one tiny combinable agg
             # over the vocabulary-sized word table, collect only when
-            # both caps hold, silently fall back to distributed else
+            # both caps hold, silently fall back to distributed else.
+            # Persist first — the stats probe and the follow-up collect
+            # (or the distributed loop's checkpoint) would otherwise
+            # each re-run the corpus-wide tokenize+explode+groupBy,
+            # doubling the one corpus-sized pass this trainer makes
+            # (round-8 verdict finding 1).
+            wf = wf.persist()
             stats = wf.agg(
                 F.count("*").alias("n"),
                 F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("b"),
@@ -237,6 +243,11 @@ def train_bpe(
                 if stats["n"] <= DRIVER_VOCAB_CAP and stats["b"] <= DRIVER_BYTES_CAP
                 else None
             )
+            if rows is not None:
+                wf.unpersist()
+            # else: stay persisted — the distributed loop's initial
+            # localCheckpoint below materializes from the cached word
+            # table instead of a third corpus pass (unpersisted there)
         if rows is not None:
             merges = _driver_merge_loop(
                 [(r["word"], r["freq"]) for r in rows], n_merges, min_freq
@@ -250,6 +261,7 @@ def train_bpe(
 
     words = wf.withColumn("seq", F.split("word", ""))
     words = words.localCheckpoint()
+    wf.unpersist()  # no-op unless the auto probe cached it above
     n_words = words.count()
     merges = []
     with _iteration_shuffle(spark, n_words):

@@ -335,6 +335,7 @@ def semantic_decontaminate_against_vectors(
     vec_dir: str,
     threshold: float = 0.9,
     bits: int | None = None,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """``semantic_decontaminate`` against a PERSISTED benchmark vector
     artifact (``build_benchmark_vectors``): the benchmark is never
@@ -342,7 +343,16 @@ def semantic_decontaminate_against_vectors(
     (dim, hash_mode), and the output keeps the ``fuzzy_decontaminate``
     contract (``n_bench_matches``, ``contaminated``) so every gate
     composes by OR.  Equivalence with the fit-per-call flow is tested
-    exactly."""
+    exactly.
+
+    ``embeddings`` = the one-embed reuse path (the unified document
+    ingest sink embeds each micro-batch once and hands the vectors to
+    every consumer): a (vec_id, embedding, n_tokens) frame covering
+    ``documents``' doc_ids, embedded with the artifact's EXACT pinned
+    (dim, hash_mode) — the dim half is guarded map-side; the
+    hash_mode half is the caller's contract (the sink validates it
+    against the artifact manifest and falls back to embedding here
+    when it differs)."""
     import json
     import os
 
@@ -356,9 +366,26 @@ def semantic_decontaminate_against_vectors(
         )
     with open(mp) as fh:
         meta = json.load(fh)
-    d = embed_documents(
-        documents, dim=int(meta["dim"]), hash_mode=meta["hash_mode"]
-    ).where(F.col("n_tokens") > 0)
+    if embeddings is not None:
+        guard = F.assert_true(
+            F.size("embedding") == int(meta["dim"]),
+            F.lit(
+                f"precomputed embeddings must match the benchmark "
+                f"artifact's pinned dim={meta['dim']}"
+            ),
+        )
+        d = (
+            embeddings.where(F.col("n_tokens") > 0)
+            .select(
+                "vec_id",
+                F.when(guard.isNull(), F.col("embedding")).alias("embedding"),
+                "n_tokens",
+            )
+        )
+    else:
+        d = embed_documents(
+            documents, dim=int(meta["dim"]), hash_mode=meta["hash_mode"]
+        ).where(F.col("n_tokens") > 0)
     b = spark.read.parquet(f"{vec_dir}/vectors").select(
         F.col("bench_id").alias("vec_id"), "embedding"
     )

@@ -65,12 +65,22 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    from ..functions.text import TOKENS_COL, shingles_from_tokens
+
     # single-file corpora arrive as 1-2 partitions; spread the
     # regex/shingle work across the cluster before the heavy map stage
     par = documents.sparkSession.sparkContext.defaultParallelism
+    # the one-tokenize contract: derive shingles from a materialized
+    # canonical token array when the frame carries one (identical
+    # result — shingles(text) IS shingles_from_tokens(tokens(text)))
+    sh = (
+        shingles_from_tokens(F.col(TOKENS_COL), n)
+        if TOKENS_COL in documents.columns
+        else shingles(F.col("text"), n)
+    )
     return (
         documents.repartition(par)
-        .select("doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh"))
+        .select("doc_id", F.array_distinct(sh).alias("sh"))
         .where(F.size("sh") > 0)
     )
 

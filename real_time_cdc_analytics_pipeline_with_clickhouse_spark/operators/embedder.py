@@ -57,9 +57,11 @@ def embed_documents(
     zero vectors are unwanted."""
     if dim <= 0:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    from ..functions.text import doc_token_col
+
     toks = documents.select(
         F.col(id_col).alias(out_id_col),
-        F.explode(F.filter(tokens(F.col("text")), lambda x: x != "")).alias("term"),
+        F.explode(F.filter(doc_token_col(documents), lambda x: x != "")).alias("term"),
     )
     occ = toks.select(
         out_id_col,

@@ -189,8 +189,34 @@ def _is_legacy_layout(index_dir: str) -> bool:
 def _require_batched(index_dir: str) -> None:
     root = _bands_root(index_dir)
     if not os.path.isdir(root):
+        # distinguish "never built" from "compaction crashed in the
+        # two-rename _swap_tree window" — the latter leaves the data
+        # intact under a __old/__stage sibling, and telling the
+        # operator to rebuild would throw away a recoverable index
+        for suffix, hint in (
+            ("__old", "rename it back over the missing root"),
+            ("__stage", "rename the staged rewrite into place"),
+        ):
+            if os.path.isdir(root + suffix):
+                raise RuntimeError(
+                    f"MinHash index at {index_dir} is mid-compaction: the "
+                    f"bands root is absent but {root + suffix} exists "
+                    f"(compact_minhash_index crashed between its two "
+                    f"renames) — {hint}; do NOT rebuild, the data is intact"
+                )
         raise FileNotFoundError(
             f"no MinHash index at {index_dir} — run build_minhash_index first"
+        )
+    # the shingle half swaps first during compaction — its crash
+    # window leaves the bands root intact, so check it explicitly
+    sh = _sh_root(index_dir)
+    if not os.path.isdir(sh) and any(
+        os.path.isdir(sh + s) for s in ("__old", "__stage")
+    ):
+        raise RuntimeError(
+            f"MinHash index at {index_dir} is mid-compaction: the shingles "
+            f"root is absent but a {sh}__old/__stage sibling exists — rename "
+            f"it back into place; do NOT rebuild, the data is intact"
         )
     if _is_legacy_layout(index_dir):
         raise ValueError(
@@ -222,10 +248,15 @@ def migrate_minhash_index_layout(spark: SparkSession, index_dir: str) -> None:
     contract; the flat layout blocked re-adds until compaction).
     Pure directory renames — O(partition dirs), never a data rewrite,
     because re-shingling a 100 TB corpus to rebuild would defeat the
-    artifact's point.  Idempotent: an already-batched index no-ops;
-    a crash mid-move leaves a mixed tree every reader still refuses
-    (band_id dirs remain at the root), and re-running completes the
-    remaining renames."""
+    artifact's point.  Idempotent PER HALF: the bands move, the
+    shingles move and the tombstone rewrite each detect their own
+    remaining legacy state and skip only what is already done — a
+    crash after the bands half moved must not make a re-run early-out
+    while shingles stay flat and the tombstone table keeps its
+    id-scoped schema (round-8 advisor finding: gating everything on
+    the bands-root check alone left such an index permanently stuck,
+    every reader failing on the unresolved ``batch`` column while the
+    documented cure — re-running this migration — no-op'd)."""
     from .retrieval import _commit_tombstones
 
     root = _bands_root(index_dir)
@@ -233,21 +264,31 @@ def migrate_minhash_index_layout(spark: SparkSession, index_dir: str) -> None:
         raise FileNotFoundError(
             f"no MinHash index at {index_dir} — run build_minhash_index first"
         )
-    if not _is_legacy_layout(index_dir):
-        return
-    bdst = os.path.join(root, "batch=-1")
-    os.makedirs(bdst, exist_ok=True)
-    for d in os.listdir(root):
-        if d.startswith("band_id=") or d.endswith(".parquet"):
-            os.rename(os.path.join(root, d), os.path.join(bdst, d))
+    # bands half: move any flat band_id= dirs / bare parquet files
+    if _is_legacy_layout(index_dir):
+        bdst = os.path.join(root, "batch=-1")
+        os.makedirs(bdst, exist_ok=True)
+        for d in os.listdir(root):
+            if d.startswith("band_id=") or d.endswith(".parquet"):
+                os.rename(os.path.join(root, d), os.path.join(bdst, d))
+    # shingles half: ALWAYS scanned (not gated on the bands check) —
+    # anything that is neither a batch= dir nor a Spark marker file is
+    # pre-lineage flat content
     sh = _sh_root(index_dir)
     if os.path.isdir(sh):
-        sdst = os.path.join(sh, "batch=-1")
-        os.makedirs(sdst, exist_ok=True)
-        for d in os.listdir(sh):
-            if d == "batch=-1" or d.startswith("_") or d.startswith("."):
-                continue
-            os.rename(os.path.join(sh, d), os.path.join(sdst, d))
+        flat = [
+            d
+            for d in os.listdir(sh)
+            if not (d.startswith("batch=") or d.startswith("_") or d.startswith("."))
+        ]
+        if flat:
+            sdst = os.path.join(sh, "batch=-1")
+            os.makedirs(sdst, exist_ok=True)
+            for d in flat:
+                os.rename(os.path.join(sh, d), os.path.join(sdst, d))
+    # tombstone half: rewrite the id-scoped schema to (doc_id, batch)
+    # whenever the batch column is missing, regardless of which other
+    # halves already ran
     tp = _tomb_path(index_dir)
     if os.path.isdir(tp):
         legacy = spark.read.parquet(tp)
@@ -278,6 +319,14 @@ def build_minhash_index(
     manifest (legacy defaults), never new params over half-written
     tables the defaults can't read anyway (overwrite is atomic per
     table via Spark's commit protocol)."""
+    import shutil
+
+    # a full rebuild supersedes all pending takedowns — stale
+    # tombstones reference batch ids (notably -1, which the rebuild
+    # REUSES) and would silently anti-join rebuilt rows of
+    # previously-deleted doc_ids out of dedup precedent (round-8
+    # advisor finding)
+    shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
     (
         minhash_band_entries(documents, n, k, band, hash_mode)
         .withColumn("batch", F.lit(-1))

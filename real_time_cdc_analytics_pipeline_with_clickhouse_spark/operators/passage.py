@@ -42,6 +42,13 @@ from .embedder import embed_documents
 # guarded at build/update time (assert_true, map-side)
 IDX_BITS = 20
 _PSG_MANIFEST = "_passage_manifest.json"
+# use_pq="auto" breakeven: expected probed rows (n_probe × mean cell
+# occupancy) below this don't amortize the per-query ADC lookup-table
+# build (ks × dim distance terms vs pq_m-byte-per-row scan savings) —
+# calibrated from the round-8 bench, where ~6.8k probed rows ran the
+# PQ path 35% SLOWER than float while the 10× corpus (~10× occupancy)
+# favored PQ
+PQ_AUTO_MIN_PROBED_ROWS = 20_000
 
 
 def _pid(doc_col, idx_col):
@@ -96,6 +103,12 @@ def _chunk_vectors(documents: DataFrame, meta: dict):
         out_id_col="vec_id",
         hash_mode=meta["hash_mode"],
     ).where(F.col("n_tokens") > 0)  # tokenless chunks are inert in cosine
+    # signed-hash cancellation can zero even a tokenful chunk's
+    # vector — equally inert (cosine undefined), and storing it would
+    # put a 0-norm row in the scorer's path; drop at the source
+    vecs = vecs.where(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)) > 0
+    )
     return vecs.select("vec_id", "embedding"), chunks
 
 
@@ -112,6 +125,7 @@ def build_passage_index(
     int8: bool = False,
     pq_m: int | None = None,
     pq_ks: int = 16,
+    fit_fraction: float | None = None,
 ) -> None:
     """Chunk → embed → IVF-index the corpus, persist the passage
     lookup table, pin every geometry parameter in the manifest
@@ -123,7 +137,11 @@ def build_passage_index(
     ``pq_m``/``int8`` pass through to the vector index: chunking
     multiplies the vector count ~15× over whole-doc indexing, so the
     PQ/ADC scan-byte tier matters MORE here than anywhere — serve with
-    ``passage_topk(use_pq=True)``."""
+    ``passage_topk(use_pq=True)``.  ``fit_fraction`` likewise: the
+    chunk corpus is the LARGEST vector set this engine fits KMeans/PQ
+    over, so sample-bounding the fits (full-corpus assignment is
+    unchanged; the vector manifest pins the fraction for refits)
+    matters most here."""
     from .ivf_index import build_ivf_index
 
     meta = {
@@ -144,7 +162,7 @@ def build_passage_index(
         ).parquet(f"{index_dir}/passages")
         build_ivf_index(
             vecs, f"{index_dir}/vectors", n_centroids, seed,
-            int8=int8, pq_m=pq_m, pq_ks=pq_ks,
+            int8=int8, pq_m=pq_m, pq_ks=pq_ks, fit_fraction=fit_fraction,
         )
     finally:
         chunks.unpersist()
@@ -247,6 +265,47 @@ def compact_passage_table(spark: SparkSession, index_dir: str) -> None:
     _swap_tree(stage, root)
 
 
+def refit_passage_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_centroids: int | None = None,
+    fit_fraction: float | None = None,
+) -> None:
+    """Versioned centroid refit for the chunk-vector index — the
+    passage twin of ``refit_ivf_index``, which it delegates to (the
+    vector tree IS a plain IVF artifact).  The chunk space is the most
+    drift-exposed vector set the engine maintains: chunking multiplies
+    vectors ~15× and a domain-drifting corpus shifts chunk space
+    first, so this is where the drift hook pays most.
+
+    What the refit must preserve — and does, by construction:
+
+    - **pid invertibility**: the refit re-clusters the LIVE rows and
+      re-assigns them under fresh centroids, but every row keeps its
+      ``vec_id`` (= pid); ``pid_to_doc`` is a pure bit-unpack, so doc
+      ranking survives any centroid geometry.
+    - **passage-table reachability**: ``passage_topk``'s snippet join
+      keys on pid against ``passages/`` — untouched by the vector
+      version swap, so every post-refit hit still resolves its text.
+    - **atomicity**: readers resolve through the vector manifest's
+      ``data_version`` pointer (one ``os.replace``) — old-in-full
+      until the swap, new-in-full after, never a mix; a crash
+      mid-build leaves the pointer (and the serving index) untouched.
+
+    The chunk/embed geometry in the PASSAGE manifest is not refit —
+    it is the identity of the pid space; changing it is a rebuild,
+    not a refit."""
+    from .ivf_index import refit_ivf_index
+
+    _read_passage_manifest(index_dir)  # fail fast on a non-passage dir
+    refit_ivf_index(
+        spark,
+        f"{index_dir}/vectors",
+        n_centroids=n_centroids,
+        fit_fraction=fit_fraction,
+    )
+
+
 def passage_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -254,13 +313,25 @@ def passage_topk(
     k: int = 5,
     n_probe: int = 4,
     k_chunks: int | None = None,
-    use_pq: bool = False,
+    use_pq: bool | str = False,
     pq_rerank: int = 0,
 ) -> DataFrame:
     """MaxP document top-k: embed the text queries with the manifest's
     pinned geometry, take the chunk-level IVF top-``k_chunks``
     (default 4·k), score each doc by its BEST chunk, return the top
     ``k`` docs per query WITH the winning snippet.
+
+    ``use_pq="auto"`` picks the tier from the vector manifest's cell
+    occupancy: the ADC path pays a per-query lookup-table build
+    (``ks × dim`` distance terms) before its cheap ``pq_m``-byte scan,
+    so it only wins once the probed rows amortize it — round 8's bench
+    measured the PQ path SLOWER at sf0.1 (3.38 s vs 2.50 s float;
+    probed cells held ~1.7k vectors) while the 10× chunk corpus
+    favored it.  Auto compares expected probed rows
+    (``n_probe × n_rows / n_centroids``) against
+    ``PQ_AUTO_MIN_PROBED_ROWS`` and falls back to float below it (or
+    when the index stores no PQ codes) — small deployments never pay
+    the LUT tax, large ones never miss the scan-byte win.
 
     Exactness of the aggregation: scanning chunks in score order
     yields docs in MaxP order (a doc's first appearance IS its max),
@@ -277,10 +348,17 @@ def passage_topk(
     indexing, so the pq_m-bytes-per-vector scan is where PQ pays most.
 
     Output: (query_id, doc_id, rnk, score, chunk_idx, chunk)."""
-    from .ivf_index import ivf_index_topk, ivf_index_topk_pq
+    from .ivf_index import ivf_index_topk, ivf_index_topk_pq, read_manifest
 
     meta = _read_passage_manifest(index_dir)
     kc = (4 * k) if k_chunks is None else int(k_chunks)
+    if use_pq == "auto":
+        vmeta = read_manifest(f"{index_dir}/vectors")
+        if not vmeta.get("pq_m"):
+            use_pq = False
+        else:
+            occupancy = vmeta["n_rows"] / max(int(vmeta["n_centroids"]), 1)
+            use_pq = n_probe * occupancy >= PQ_AUTO_MIN_PROBED_ROWS
     # the shared ANN ranker excludes vec_id == query_id self-pairs;
     # pids are non-negative by the pack guard, so mapping query ids
     # into the NEGATIVE range makes collision impossible (restored on
@@ -295,7 +373,22 @@ def passage_topk(
         )
         .where(F.col("n_tokens") > 0)
         .select(
-            (-F.col("query_id") - 1).alias("query_id"),
+            # the remap assumes non-negative caller ids — a negative
+            # one would land in the pid space, where the ranker's
+            # vec_id != query_id self-pair exclusion could silently
+            # drop a legitimate chunk hit.  Guard loudly, exactly as
+            # _pid guards doc ids (map-side assert, no extra job).
+            F.when(
+                F.assert_true(
+                    F.col("query_id") >= 0,
+                    F.concat(
+                        F.lit("passage_topk: negative query_id "),
+                        F.col("query_id").cast("string"),
+                        F.lit(" collides with the pid space"),
+                    ),
+                ).isNull(),
+                -F.col("query_id") - 1,
+            ).alias("query_id"),
             F.col("embedding").alias("query_vec"),
         )
     )
@@ -412,7 +505,7 @@ def hybrid_passage_topk_from_indexes(
     )
     q = spark.createDataFrame([(0, query_text)], "query_id long, text string")
     sem = passage_topk(
-        spark, q, passage_index_dir, k=k_each, n_probe=n_probe
+        spark, q, passage_index_dir, k=k_each, n_probe=n_probe, use_pq="auto"
     ).select("doc_id", (-F.col("rnk")).cast("double").alias("cos_sim"))
     return rrf_fuse(lex, sem, k=k, c=c)
 
@@ -448,5 +541,6 @@ def hybrid_passage_topk_batch_from_indexes(
         passage_index_dir,
         k=k_each,
         n_probe=n_probe,
+        use_pq="auto",
     ).select("query_id", "doc_id", (-F.col("rnk")).cast("double").alias("cos_sim"))
     return _rrf_core(lex, sem, k, c, keys=["query_id"])

@@ -154,10 +154,11 @@ def _postings(documents: DataFrame, buckets: int) -> DataFrame:
     ranking-path column (= size(positions)) and BM25 reads never
     touch the positions bytes (column pruning, plan-asserted)."""
     from ..functions.scalar import portable_hash64
+    from ..functions.text import doc_token_col
 
     return (
         documents.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+            "doc_id", F.posexplode(doc_token_col(documents)).alias("pos", "term")
         )
         .groupBy("doc_id", "term")
         .agg(

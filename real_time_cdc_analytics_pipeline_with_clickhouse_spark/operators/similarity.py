@@ -38,6 +38,12 @@ def _rank_topk(pairs, k: int):
     engine-specific.  ``pairs`` must carry query_id/query_vec/qnrm and
     vec_id/embedding/nrm."""
     raw = dot(F.col("query_vec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    # a zero-norm vector (signed-hash cancellation CAN zero a tokenful
+    # text's embedding) is inert in cosine — it can never be a
+    # neighbor or rank one — but an unguarded division would blow up
+    # the whole query under ANSI mode; drop both sides' degenerates
+    # before scoring
+    pairs = pairs.where((F.col("qnrm") > 0) & (F.col("nrm") > 0))
     scored = pairs.where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -128,23 +134,50 @@ def ivf_topk(
     return _rank_topk(corpus.join(F.broadcast(q), "bucket"), k)
 
 
-def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16, seed: int = 7):
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    fit_fraction: float | None = None,
+):
     """Fit k-means centroids over the embedding column (pyspark.ml).
 
     Returns ``(model, centroid_df)`` where ``centroid_df`` is
     (centroid_id int, centroid array<double>) — n_centroids × dim,
     genuinely tiny, the one thing in this pipeline that is always safe
-    to broadcast.  At 100 TB fit on a deterministic sample
-    (``embeddings.sample(fraction, seed)``) — centroid quality needs
-    only a sketch of the distribution, not the full corpus.
-    """
+    to broadcast.
+
+    ``fit_fraction`` is the 100 TB lever: centroid quality needs only
+    a sketch of the distribution, not the full corpus, so the
+    10-iteration KMeans fits on a deterministic Bernoulli sample
+    (``embeddings.sample(fraction, seed)`` — map-side, no shuffle)
+    while ASSIGNMENT stays full-corpus at the caller.  The default
+    ``None`` keeps the exact full-corpus fit (every stored-index
+    equality test pins that path).  A sample too thin to seat
+    ``n_centroids`` distinct centers falls back to the full fit —
+    correctness never depends on the fraction chosen."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = embeddings.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
+    sampled = None
+    if fit_fraction is not None and 0.0 < float(fit_fraction) < 1.0:
+        sampled = vecs.sample(fraction=float(fit_fraction), seed=seed).persist()
+        # one cheap count over the sample (which the fit re-reads from
+        # cache): KMeans with fewer points than k would silently return
+        # fewer centers and break the manifest's n_centroids geometry
+        if sampled.count() >= n_centroids:
+            vecs = sampled
+        else:
+            sampled.unpersist()
+            sampled = None
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
+    finally:
+        if sampled is not None:
+            sampled.unpersist()
     spark = embeddings.sparkSession
     centroid_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -781,6 +781,7 @@ def start_embedding_index_sink(
     op_col: str | None = None,
     seq_col: str | None = None,
     refit_threshold: float | None = None,
+    fit_fraction: float | None = None,
 ):
     """Live ANN-index ingestion — the embedding twin of
     ``start_corpus_ingest_sink``: the first micro-batch BUILDS the
@@ -826,7 +827,7 @@ def start_embedding_index_sink(
     ratio re-triggers the refit on the next fold."""
     sink = _ivf_fold_sink(
         index_dir, checkpoint, n_centroids, seed, op_col=op_col, seq_col=seq_col,
-        refit_threshold=refit_threshold,
+        refit_threshold=refit_threshold, fit_fraction=fit_fraction,
     )
     return (
         emb_stream.writeStream.outputMode("append")
@@ -867,22 +868,60 @@ def _guard_index_adoption(meta_dir: str, existing_batches, kind: str) -> None:
     )
 
 
+def _staged_group_rewrite(sp_, gdir: str, staging: str, compute) -> None:
+    """Crash-safe rewrite of a LIVE corpus group dir through an
+    epoch-scoped staging copy (``staging`` must embed the epoch in its
+    name).  The old delete-then-write commit had an unrecoverable
+    window (round-8 advisor finding): a crash during the final
+    overwrite of the live dir left it partial, and the replay
+    recomputed staging FROM the partial dir — overwriting the intact
+    staged copy and permanently losing the rows not yet rewritten.
+
+    Protocol: if THIS epoch's staging exists and is complete
+    (``_SUCCESS``), the live-dir overwrite is the only step that can
+    have crashed — the staged copy is authoritative, re-commit it
+    without touching the (possibly partial) live dir.  Otherwise the
+    live dir is intact (the overwrite never starts before staging
+    commits), so compute the rewrite from it.  Staging is removed
+    after the commit; a crash before that removal just re-commits
+    identical bytes.  Epoch-scoping the name is what makes a found
+    staging copy trustworthy — foreachBatch replays reuse the epoch
+    id, while a fully-committed EARLIER epoch's leftover can never
+    alias a later epoch's recovery.  Staging lives OUTSIDE the corpus
+    dir (a sibling would be discovered as a bogus partition by
+    corpus-wide reads) — which is also why ``retrieval._swap_tree``
+    (rename-based) is not used here: its transient ``__old`` sibling
+    would sit INSIDE the partitioned corpus tree."""
+    import shutil
+
+    if not (
+        os.path.isdir(staging)
+        and os.path.isfile(os.path.join(staging, "_SUCCESS"))
+    ):
+        compute().write.mode("overwrite").parquet(staging)
+    sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def _merge_into_group_dir(
-    sp_, corpus_dir: str, meta_dir: str, kept: DataFrame, group: int, key: str
+    sp_, corpus_dir: str, meta_dir: str, kept: DataFrame, group: int, key: str,
+    epoch: int,
 ) -> None:
     """Idempotent keyed merge of a batch's survivors into its
     ``batch_group=G`` corpus dir (the ingest sinks' shared layout):
     existing group content unions with the batch, deduped by ``key``,
-    staged OUTSIDE the corpus dir (a sibling staging dir would be
-    discovered as a bogus partition by corpus-wide reads) and written
-    back — a replayed epoch recomputes identical survivors and the
-    keyed dedup makes the rewrite a no-op."""
+    committed through ``_staged_group_rewrite`` (crash-safe) — a
+    replayed epoch recomputes identical survivors and the keyed dedup
+    makes the rewrite a no-op."""
     gdir = f"{corpus_dir}/batch_group={group}"
     if os.path.isdir(gdir) and any(f.endswith(".parquet") for f in os.listdir(gdir)):
-        staging = os.path.join(meta_dir, f"_group{group}_staging")
-        merged = sp_.read.parquet(gdir).unionByName(kept).dropDuplicates([key])
-        merged.write.mode("overwrite").parquet(staging)
-        sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
+        staging = os.path.join(meta_dir, f"_group{group}_staging_e{epoch}")
+        _staged_group_rewrite(
+            sp_,
+            gdir,
+            staging,
+            lambda: sp_.read.parquet(gdir).unionByName(kept).dropDuplicates([key]),
+        )
     else:
         kept.write.mode("overwrite").parquet(gdir)
 
@@ -895,6 +934,7 @@ def _ivf_fold_sink(
     op_col: str | None = None,
     seq_col: str | None = None,
     refit_threshold: float | None = None,
+    fit_fraction: float | None = None,
 ):
     """The build-on-first-batch / frozen-fold-after foreachBatch body
     shared by the embedding-stream and document-stream index sinks
@@ -946,7 +986,10 @@ def _ivf_fold_sink(
                     os.makedirs(meta_dir, exist_ok=True)
                     with open(build_marker, "w") as fh:  # before the build: a
                         fh.write(str(epoch))  # crash mid-build replays as a rebuild
-                    ivf_index.build_ivf_index(vecs, index_dir, n_centroids, seed)
+                    ivf_index.build_ivf_index(
+                        vecs, index_dir, n_centroids, seed,
+                        fit_fraction=fit_fraction,
+                    )
             elif ups_empty:
                 pass  # pure-delete batch: nothing to fold
             elif op_col is not None:
@@ -1518,36 +1561,38 @@ def start_asset_ingest_sink(
             if d.startswith("batch_group=")
         )
 
-    def _remove_ids_from_corpus(sp_, ids) -> None:
+    def _remove_ids_from_corpus(sp_, ids, epoch: int) -> None:
         """Drop the given asset_ids from every corpus group dir that
-        holds one (anti-join rewrite — idempotent under replay)."""
+        holds one (anti-join rewrite, committed crash-safe through
+        ``_staged_group_rewrite``).  The "group untouched" skip runs
+        only when no completed staging copy exists for THIS epoch —
+        after a crashed commit the partial live dir may hold none of
+        the ids, and skipping would strand the recovery."""
         for gdir in _group_dirs():
-            if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
-                continue
-            cur = sp_.read.parquet(gdir)
-            if cur.join(ids, "asset_id", "left_semi").isEmpty():
-                continue
             staging = os.path.join(
-                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging"
+                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging_e{epoch}"
             )
-            cur.join(ids, "asset_id", "left_anti").write.mode("overwrite").parquet(
-                staging
+            if not (
+                os.path.isdir(staging)
+                and os.path.isfile(os.path.join(staging, "_SUCCESS"))
+            ):
+                if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
+                    continue
+                if sp_.read.parquet(gdir).join(ids, "asset_id", "left_semi").isEmpty():
+                    continue
+            _staged_group_rewrite(
+                sp_,
+                gdir,
+                staging,
+                lambda gdir=gdir: sp_.read.parquet(gdir).join(
+                    ids, "asset_id", "left_anti"
+                ),
             )
-            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
 
     def _merge_into_group(sp_, kept, epoch: int) -> None:
-        gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
-        if os.path.isdir(gdir) and any(
-            f.endswith(".parquet") for f in os.listdir(gdir)
-        ):
-            staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
-            merged = (
-                sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["asset_id"])
-            )
-            merged.write.mode("overwrite").parquet(staging)
-            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
-        else:
-            kept.write.mode("overwrite").parquet(gdir)
+        _merge_into_group_dir(
+            sp_, corpus_dir, meta_dir, kept, epoch // gsize, "asset_id", epoch
+        )
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
@@ -1608,7 +1653,7 @@ def start_asset_ingest_sink(
             gone = ups.select("asset_id")
             if dels is not None:
                 gone = gone.unionByName(dels.select("asset_id"))
-            _remove_ids_from_corpus(sp_, gone.distinct())
+            _remove_ids_from_corpus(sp_, gone.distinct(), epoch)
         if kept is not None:
             _merge_into_group(sp_, kept, epoch)
         if bootstrap:
@@ -1641,6 +1686,7 @@ def start_media_ingest_sink(
     n_centroids: int = 16,
     seed: int = 7,
     refit_threshold: float | None = None,
+    fit_fraction: float | None = None,
 ):
     """The FULL media ingest pipeline in ONE sink (round-8 verdict
     item #5): text has one sink chaining its whole gauntlet
@@ -1724,7 +1770,7 @@ def start_media_ingest_sink(
                 )
             kept = batch.join(drops, "asset_id", "left_anti")
             _merge_into_group_dir(
-                sp_, corpus_dir, meta_dir, kept, epoch // gsize, "asset_id"
+                sp_, corpus_dir, meta_dir, kept, epoch // gsize, "asset_id", epoch
             )
             kept_vecs = (
                 feats.join(drops, "asset_id", "left_anti")
@@ -1758,7 +1804,8 @@ def start_media_ingest_sink(
                     with open(ivf_build_marker, "w") as fh:
                         fh.write(str(epoch))
                     ivf_index.build_ivf_index(
-                        kept_vecs, ivf_index_dir, n_centroids, seed
+                        kept_vecs, ivf_index_dir, n_centroids, seed,
+                        fit_fraction=fit_fraction,
                     )
         finally:
             feats.unpersist()
@@ -1926,40 +1973,36 @@ def start_corpus_ingest_sink(
             if d.startswith("batch_group=")
         )
 
-    def _remove_ids_from_corpus(sp_, ids) -> None:
+    def _remove_ids_from_corpus(sp_, ids, epoch: int) -> None:
         """Drop the given doc_ids from every corpus group dir that
-        holds one (anti-join rewrite — idempotent under replay)."""
+        holds one (anti-join rewrite, committed crash-safe through
+        ``_staged_group_rewrite``; see the asset sink's twin for the
+        skip-ordering rationale)."""
         for gdir in _group_dirs():
-            if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
-                continue
-            cur = sp_.read.parquet(gdir)
-            if cur.join(ids, "doc_id", "left_semi").isEmpty():
-                continue
             staging = os.path.join(
-                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging"
+                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging_e{epoch}"
             )
-            cur.join(ids, "doc_id", "left_anti").write.mode("overwrite").parquet(
-                staging
+            if not (
+                os.path.isdir(staging)
+                and os.path.isfile(os.path.join(staging, "_SUCCESS"))
+            ):
+                if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
+                    continue
+                if sp_.read.parquet(gdir).join(ids, "doc_id", "left_semi").isEmpty():
+                    continue
+            _staged_group_rewrite(
+                sp_,
+                gdir,
+                staging,
+                lambda gdir=gdir: sp_.read.parquet(gdir).join(
+                    ids, "doc_id", "left_anti"
+                ),
             )
-            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
 
     def _merge_into_group(sp_, kept, epoch: int) -> None:
-        gdir = f"{corpus_dir}/batch_group={epoch // gsize}"
-        if os.path.isdir(gdir) and any(
-            f.endswith(".parquet") for f in os.listdir(gdir)
-        ):
-            # stage-then-swap with the staging copy OUTSIDE corpus_dir:
-            # a sibling staging dir would be discovered as a bogus
-            # partition by corpus-wide reads (_stage_swap keeps its
-            # staging copy for crash recovery, so location matters)
-            staging = os.path.join(meta_dir, f"_group{epoch // gsize}_staging")
-            merged = (
-                sp_.read.parquet(gdir).unionByName(kept).dropDuplicates(["doc_id"])
-            )
-            merged.write.mode("overwrite").parquet(staging)
-            sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
-        else:
-            kept.write.mode("overwrite").parquet(gdir)
+        _merge_into_group_dir(
+            sp_, corpus_dir, meta_dir, kept, epoch // gsize, "doc_id", epoch
+        )
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
@@ -2060,7 +2103,7 @@ def start_corpus_ingest_sink(
                 gone = ups.select("doc_id")
                 if dels is not None:
                     gone = gone.unionByName(dels.select("doc_id"))
-                _remove_ids_from_corpus(sp_, gone.distinct())
+                _remove_ids_from_corpus(sp_, gone.distinct(), epoch)
             if kept is not None:
                 _merge_into_group(sp_, kept, epoch)
             if bootstrap:
@@ -2104,6 +2147,11 @@ def start_passage_index_sink(
     seed: int = 7,
     op_col: str | None = None,
     seq_col: str | None = None,
+    refit_threshold: float | None = None,
+    fit_fraction: float | None = None,
+    window: int | None = None,
+    divisor: int | None = None,
+    segment: int | None = None,
 ):
     """Live passage-index maintenance over a raw DOCUMENT stream — the
     RAG-serving composition of ``operators.passage``: the first batch
@@ -2165,9 +2213,17 @@ def start_passage_index_sink(
             os.makedirs(meta_dir, exist_ok=True)
             with open(build_marker, "w") as fh:  # before the build: a crash
                 fh.write(str(epoch))  # mid-build replays as a full rebuild
+            chunk_geo = {
+                k: v
+                for k, v in (
+                    ("window", window), ("divisor", divisor), ("segment", segment)
+                )
+                if v is not None
+            }
             psg.build_passage_index(
                 docs, index_dir, dim=dim, hash_mode=hash_mode,
-                n_centroids=n_centroids, seed=seed,
+                n_centroids=n_centroids, seed=seed, fit_fraction=fit_fraction,
+                **chunk_geo,
             )
         else:
             # the vector fold's own commit stamp: a replay after a
@@ -2186,6 +2242,21 @@ def start_passage_index_sink(
             if not ups_empty and not applied:
                 psg.update_passage_index(docs, index_dir, epoch=epoch)
         _record_epoch(meta_dir, epoch, checkpoint)
+        # drift-refit hook (round-8 verdict: this was the ONE fold
+        # sink without it — and the chunk-vector index is the most
+        # drift-exposed artifact, since chunking multiplies vectors
+        # ~15× and a domain-drifting corpus shifts chunk space
+        # first).  Runs AFTER the epoch marker: a crash mid-refit
+        # replays as an applied epoch and the still-high ratio
+        # re-triggers on the next fold.  The refit preserves pid
+        # invertibility and passage-table reachability
+        # (refit_passage_index's contract) and commits by the vector
+        # manifest's atomic version-pointer swap, so a concurrent
+        # passage_topk never sees a half-built version.
+        if refit_threshold is not None and ivf_index.has_ivf_index(vec_dir):
+            ratio = ivf_index.ivf_drift_ratio(vec_dir)
+            if ratio is not None and ratio >= refit_threshold:
+                psg.refit_passage_index(sp_, index_dir)
 
     return (
         docs_stream.writeStream.outputMode("append")
