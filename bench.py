@@ -274,7 +274,18 @@ def main() -> None:
             # so the plain build metric stays round-comparable
             idx_pq = f"{scale_dir}/_ivf_pq_index"
             t0 = time.time()
-            IVFX.build_ivf_index(emb10, idx_pq, n_centroids=32, seed=7, pq_m=8, pq_ks=16)
+            # fit_fraction = the round-9 sample-bounded fit path (the
+            # deployment stance at 100 TB): KMeans + the 8 PQ sub-fits
+            # run on a pinned-seed 10% sample (shared, persisted once)
+            # while assignment stays full-corpus; the
+            # _frontier10x_pq_* recall probes below validate the
+            # sampled codebooks against the same brute-force truth the
+            # full fit was held to.  idx_dir above stays FULL-fit so
+            # the float frontier remains the exact-fit reference.
+            IVFX.build_ivf_index(
+                emb10, idx_pq, n_centroids=32, seed=7, pq_m=8, pq_ks=16,
+                fit_fraction=0.1,
+            )
             timings["_scale10x_ivf_pq_build"] = round(time.time() - t0, 3)
             q10 = SIM.default_queries(emb10)
             learned = {
@@ -456,8 +467,17 @@ def main() -> None:
             )
             t0 = time.time()
             # pq_m=8 stores the ADC codes alongside the floats, so ONE
-            # build serves both query tiers below
-            PSG.build_passage_index(docs1x, psg_idx, n_centroids=16, seed=7, pq_m=8)
+            # build serves both query tiers below; fit_fraction=0.1 is
+            # the round-9 sample-bounded fit (chunking multiplies the
+            # vector count ~15×, so the chunk index is where the
+            # full-corpus KMeans+PQ fits hurt most — the round-8
+            # verdict's one scale-stance finding).  MaxP answers are
+            # recall-validated by the rerank-equality tests; the fits
+            # see a pinned-seed sample, assignment stays full.
+            PSG.build_passage_index(
+                docs1x, psg_idx, n_centroids=16, seed=7, pq_m=8,
+                fit_fraction=0.1,
+            )
             timings["_passage_index_build"] = round(time.time() - t0, 3)
             pq_rows = [
                 (i, r["text"][:150])
@@ -489,6 +509,19 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings["_passage_topk_pq"] = round(best, 3)
+            # the round-9 auto tier: occupancy at this scale sits
+            # below the ADC lookup-table amortization point, so auto
+            # must route to the float path (time ≈ _passage_topk, not
+            # _passage_topk_pq) — the no-small-deployment-tax contract
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                PSG.passage_topk(
+                    spark, pqueries, psg_idx, k=10, n_probe=4, use_pq="auto",
+                ).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_passage_topk_auto"] = round(best, 3)
 
             # CDC maintenance cost of the (round-8.5 batch-lineage)
             # MinHash index: build once on the 10× corpus, then UPSERT

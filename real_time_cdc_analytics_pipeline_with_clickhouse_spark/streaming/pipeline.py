@@ -849,8 +849,13 @@ def _guard_index_adoption(meta_dir: str, existing_batches, kind: str) -> None:
     built-then-updated-then-compacted) offline artifact qualifies,
     while one carrying self-allocated non-negative update batches
     refuses loudly with the one-compaction cure.  Adoption is recorded
-    once in the sink's meta dir."""
-    marker = os.path.join(meta_dir, "_ADOPTED_INDEX")
+    once per index KIND in the sink's meta dir — kind-scoped, because
+    composite sinks guard several indexes under one meta dir and a
+    shared marker would let the first adoption mask the second
+    index's check."""
+    marker = os.path.join(
+        meta_dir, "_ADOPTED_INDEX_" + kind.replace(" ", "_")
+    )
     if os.path.isfile(marker):
         return
     batches = sorted(existing_batches)
@@ -901,6 +906,45 @@ def _staged_group_rewrite(sp_, gdir: str, staging: str, compute) -> None:
         compute().write.mode("overwrite").parquet(staging)
     sp_.read.parquet(staging).write.mode("overwrite").parquet(gdir)
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def _group_dirs_of(corpus_dir: str) -> list:
+    if not os.path.isdir(corpus_dir):
+        return []
+    return sorted(
+        f"{corpus_dir}/{d}"
+        for d in os.listdir(corpus_dir)
+        if d.startswith("batch_group=")
+    )
+
+
+def _remove_ids_from_group_dirs(
+    sp_, corpus_dir: str, meta_dir: str, ids, key: str, epoch: int
+) -> None:
+    """Drop the given keys from every corpus group dir that holds one
+    (anti-join rewrite, committed crash-safe through
+    ``_staged_group_rewrite``).  The "group untouched" skip runs only
+    when no completed staging copy exists for THIS epoch — after a
+    crashed commit the partial live dir may hold none of the ids, and
+    skipping would strand the recovery."""
+    for gdir in _group_dirs_of(corpus_dir):
+        staging = os.path.join(
+            meta_dir, f"_cdc_{os.path.basename(gdir)}_staging_e{epoch}"
+        )
+        if not (
+            os.path.isdir(staging)
+            and os.path.isfile(os.path.join(staging, "_SUCCESS"))
+        ):
+            if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
+                continue
+            if sp_.read.parquet(gdir).join(ids, key, "left_semi").isEmpty():
+                continue
+        _staged_group_rewrite(
+            sp_,
+            gdir,
+            staging,
+            lambda gdir=gdir: sp_.read.parquet(gdir).join(ids, key, "left_anti"),
+        )
 
 
 def _merge_into_group_dir(
@@ -1562,32 +1606,7 @@ def start_asset_ingest_sink(
         )
 
     def _remove_ids_from_corpus(sp_, ids, epoch: int) -> None:
-        """Drop the given asset_ids from every corpus group dir that
-        holds one (anti-join rewrite, committed crash-safe through
-        ``_staged_group_rewrite``).  The "group untouched" skip runs
-        only when no completed staging copy exists for THIS epoch —
-        after a crashed commit the partial live dir may hold none of
-        the ids, and skipping would strand the recovery."""
-        for gdir in _group_dirs():
-            staging = os.path.join(
-                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging_e{epoch}"
-            )
-            if not (
-                os.path.isdir(staging)
-                and os.path.isfile(os.path.join(staging, "_SUCCESS"))
-            ):
-                if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
-                    continue
-                if sp_.read.parquet(gdir).join(ids, "asset_id", "left_semi").isEmpty():
-                    continue
-            _staged_group_rewrite(
-                sp_,
-                gdir,
-                staging,
-                lambda gdir=gdir: sp_.read.parquet(gdir).join(
-                    ids, "asset_id", "left_anti"
-                ),
-            )
+        _remove_ids_from_group_dirs(sp_, corpus_dir, meta_dir, ids, "asset_id", epoch)
 
     def _merge_into_group(sp_, kept, epoch: int) -> None:
         _merge_into_group_dir(
@@ -1974,30 +1993,7 @@ def start_corpus_ingest_sink(
         )
 
     def _remove_ids_from_corpus(sp_, ids, epoch: int) -> None:
-        """Drop the given doc_ids from every corpus group dir that
-        holds one (anti-join rewrite, committed crash-safe through
-        ``_staged_group_rewrite``; see the asset sink's twin for the
-        skip-ordering rationale)."""
-        for gdir in _group_dirs():
-            staging = os.path.join(
-                meta_dir, f"_cdc_{os.path.basename(gdir)}_staging_e{epoch}"
-            )
-            if not (
-                os.path.isdir(staging)
-                and os.path.isfile(os.path.join(staging, "_SUCCESS"))
-            ):
-                if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
-                    continue
-                if sp_.read.parquet(gdir).join(ids, "doc_id", "left_semi").isEmpty():
-                    continue
-            _staged_group_rewrite(
-                sp_,
-                gdir,
-                staging,
-                lambda gdir=gdir: sp_.read.parquet(gdir).join(
-                    ids, "doc_id", "left_anti"
-                ),
-            )
+        _remove_ids_from_group_dirs(sp_, corpus_dir, meta_dir, ids, "doc_id", epoch)
 
     def _merge_into_group(sp_, kept, epoch: int) -> None:
         _merge_into_group_dir(
@@ -2128,6 +2124,427 @@ def start_corpus_ingest_sink(
             # already-applied epoch (no re-append) and the swap either
             # completed or left the original bytes
             lsh_index.compact_minhash_index(sp_, index_dir)
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def start_document_ingest_sink(
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    minhash_index_dir: str,
+    text_index_dir: str,
+    embedding_index_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    compact_every: int | None = 16,
+    dim: int = 64,
+    n_centroids: int = 16,
+    seed: int = 7,
+    hash_mode: str = "md5",
+    benchmark_index_dir: str | None = None,
+    decontam_threshold: float = 0.5,
+    benchmark_ngram_dir: str | None = None,
+    benchmark_vectors_dir: str | None = None,
+    semantic_threshold: float = 0.9,
+    dsir_model_dir: str | None = None,
+    report_dir: str | None = None,
+    passage_index_dir: str | None = None,
+    op_col: str | None = None,
+    seq_col: str | None = None,
+    refit_threshold: float | None = None,
+    fit_fraction: float | None = None,
+):
+    """The FULL document ingest pipeline in ONE sink — the text twin
+    of ``start_media_ingest_sink``'s single-decode discipline (round-9
+    verdict task 3): live hybrid/passage serving over a live corpus
+    previously needed ``start_corpus_ingest_sink`` +
+    ``start_text_index_sink`` + ``start_document_embedding_index_sink``
+    — three streams that each re-read, re-gate and re-TOKENIZE every
+    document (and two that re-EMBED it).  Here each micro-batch
+    tokenizes and embeds EXACTLY once: the canonical token array
+    (``functions.text.TOKENS_COL``) and the hashed embedding
+    materialize into one persisted frame, and every consumer — the
+    decontamination gates, the fuzzy-dedup verdict, the corpus merge,
+    the MinHash fold, the inverted-text-index fold, the IVF fold, the
+    DSIR histogram and the corpus card — scans that cache (the
+    embedder/postings/shingle paths all honor the materialized
+    column; the semantic gate takes the precomputed vectors).
+
+    Per epoch, in order (ONE epoch marker commits the composite):
+
+    1. CDC resolution (``op_col``/``seq_col`` — latest-wins, loud on
+       ties), then the n-gram EXCISION gate (text rewrite, so it runs
+       before tokenization), then the one tokenize+embed persist.
+    2. The MinHash decontamination gate and the EMBEDDING-space gate
+       (which reuses the batch's vectors whenever the benchmark
+       artifact's pinned (dim, hash_mode) equals the sink's; on a
+       mismatch it embeds with the artifact's geometry — correctness
+       over reuse).
+    3. CDC tombstone-first: arriving doc_ids (upserted OR deleted)
+       tombstone out of the MinHash index, the text index and the
+       embedding index (each with ``exclude_batch=epoch`` — the
+       shared replay shield) and leave the corpus group dirs
+       (crash-safe staged rewrites).
+    4. The fuzzy-dedup verdict against the accumulated index;
+       survivors merge into the corpus, ALL gated docs fold into the
+       MinHash index (dedup precedent includes dropped docs — the
+       corpus-ingest contract), and the SURVIVORS fold into the text
+       index and (nonzero vectors only) the IVF index — the serving
+       artifacts mirror the corpus exactly.
+    5. Optional PASSAGE-index fold over the survivors
+       (``passage_index_dir=`` — chunk-level MaxP serving follows the
+       deduped corpus; chunk vectors carry their own pinned geometry
+       so they cannot reuse the doc-level embedding, but they ride
+       the same stream, gate verdict and epoch marker, with the
+       drift-refit hook applying to the chunk index too).
+    6. Optional DSIR fold and corpus-card fold over the survivors
+       (append-only mode — both states are additive, so CDC mode
+       refuses them loudly).
+
+    Exactly-once: every artifact keeps its own commit stamp (index
+    manifests' ``last_epoch``, DSIR/card in-commit stamps, the staged
+    corpus rewrite), so a crash between any two folds replays with
+    the already-committed folds as no-ops and the rest recomputed
+    from the same deterministic inputs; the sink marker is the outer
+    fast path.  Bootstrap: the first content-bearing batch builds the
+    MinHash index (and the corpus); the text and IVF indexes build on
+    the first batch with SURVIVORS (their ``_TIX_BUILD_EPOCH`` /
+    ``_IVF_BUILD_EPOCH`` markers can trail the main one when early
+    batches dedup away entirely — the media sink's trailing-bootstrap
+    construction).  Compaction cadence covers all three indexes;
+    ``refit_threshold``/``fit_fraction`` give the embedding index the
+    drift-refit hook and sample-bounded fits."""
+    import json
+
+    from ..functions.text import TOKENS_COL, tokens as _tokens_fn
+    from ..operators import corpus as corpus_mod
+    from ..operators import decontam
+    from ..operators import dedup as dd
+    from ..operators import dsir as dsir_mod
+    from ..operators import embedder as emb_mod
+    from ..operators import ivf_index, lsh_index, retrieval, sketches
+
+    if op_col is not None and dsir_model_dir is not None:
+        raise ValueError(
+            "op_col (CDC mode) cannot combine with dsir_model_dir: the DSIR "
+            "raw histogram is additive-only — rebuild the model "
+            "periodically from the corpus instead"
+        )
+    if op_col is not None and report_dir is not None:
+        raise ValueError(
+            "op_col (CDC mode) cannot combine with report_dir: the corpus "
+            "card's HLL/count states are additive-only — deletes cannot be "
+            "subtracted; rebuild the card from the corpus instead"
+        )
+
+    meta_dir = corpus_dir + "_meta"
+    build_marker = os.path.join(meta_dir, "_BUILD_EPOCH")
+    tix_marker = os.path.join(meta_dir, "_TIX_BUILD_EPOCH")
+    ivf_marker = os.path.join(meta_dir, "_IVF_BUILD_EPOCH")
+    psg_marker = os.path.join(meta_dir, "_PSG_BUILD_EPOCH")
+    gsize = compact_every or 1
+
+    def _marker(path):
+        if os.path.isfile(path):
+            with open(path) as fh:
+                return int(fh.read().strip() or -1)
+        return None
+
+    def _stamp(path, epoch):
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(str(epoch))
+
+    # decide vector-reuse for the semantic gate ONCE (artifact
+    # manifests are frozen while a stream runs)
+    sem_reuse = False
+    if benchmark_vectors_dir is not None:
+        with open(os.path.join(benchmark_vectors_dir, decontam._VECS_MANIFEST)) as fh:
+            vm = json.load(fh)
+        sem_reuse = int(vm["dim"]) == int(dim) and vm["hash_mode"] == hash_mode
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        sp_ = batch.sparkSession
+        ups, dels = batch, None
+        if op_col is not None:
+            ups, dels = _resolve_cdc_ops(batch, "doc_id", op_col, seq_col)
+        docs = ups.select(
+            "doc_id", "text",
+            F.lit("und").alias("lang") if "lang" not in ups.columns else F.col("lang"),
+            F.lit("stream").alias("source") if "source" not in ups.columns else F.col("source"),
+        )
+        if benchmark_ngram_dir is not None:
+            # excision REWRITES text, so it precedes tokenization; a
+            # doc excised to nothing was pure benchmark material
+            docs = (
+                decontam.excise_from_ngram_index(sp_, docs, benchmark_ngram_dir)
+                .where(F.col("text") != "")
+                .select("doc_id", "text", "lang", "source")
+            )
+        # THE one tokenize + one embed: both materialize into the
+        # persisted frame every downstream consumer scans
+        docs = docs.withColumn(TOKENS_COL, _tokens_fn(F.col("text")))
+        emb = emb_mod.embed_documents(docs, dim=dim, hash_mode=hash_mode).select(
+            F.col("vec_id").alias("doc_id"), "embedding", "n_tokens"
+        )
+        docs = docs.join(emb, "doc_id", "left").persist()
+        try:
+            gated = docs
+            if benchmark_index_dir is not None:
+                clean = (
+                    decontam.decontaminate_against_index(
+                        sp_, gated, benchmark_index_dir, threshold=decontam_threshold
+                    )
+                    .where(~F.col("contaminated"))
+                    .select("doc_id")
+                )
+                gated = gated.join(clean, "doc_id", "left_semi")
+            if benchmark_vectors_dir is not None:
+                clean_sem = (
+                    decontam.semantic_decontaminate_against_vectors(
+                        sp_,
+                        gated,
+                        benchmark_vectors_dir,
+                        threshold=semantic_threshold,
+                        embeddings=(
+                            gated.select(
+                                F.col("doc_id").alias("vec_id"),
+                                "embedding",
+                                "n_tokens",
+                            )
+                            if sem_reuse
+                            else None
+                        ),
+                    )
+                    .where(~F.col("contaminated"))
+                    .select("doc_id")
+                )
+                gated = gated.join(clean_sem, "doc_id", "left_semi")
+
+            built_by = _marker(build_marker)
+            has_index = os.path.isdir(f"{minhash_index_dir}/bands")
+            if has_index and built_by is None:
+                _guard_index_adoption(
+                    meta_dir, lsh_index.live_batch_ids(minhash_index_dir), "MinHash"
+                )
+            bootstrap = not has_index or built_by == epoch
+            ups_empty = gated.isEmpty()
+            if bootstrap and ups_empty:
+                _record_epoch(meta_dir, epoch, checkpoint)
+                return
+
+            arriving = None
+            if op_col is not None and not bootstrap:
+                arriving = ups.select("doc_id")
+                if dels is not None:
+                    arriving = arriving.unionByName(dels.select("doc_id"))
+                arriving = arriving.distinct()
+                # stale versions stop acting as precedent (and stop
+                # serving) BEFORE the verdicts and folds
+                lsh_index.delete_from_minhash_index(
+                    sp_, minhash_index_dir, arriving, exclude_batch=epoch
+                )
+
+            if bootstrap:
+                kept_ids = dd.fuzzy_dedup_keep(
+                    gated, threshold=threshold, hash_mode=hash_mode
+                )
+            elif ups_empty:
+                kept_ids = None
+            else:
+                kept_ids = lsh_index.dedup_against_index(
+                    sp_, gated, minhash_index_dir, threshold=threshold
+                )
+            kept = (
+                gated.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+                if kept_ids is not None
+                else None
+            )
+            # corpus first, index folds second (the corpus-ingest
+            # stage-then-publish construction)
+            if arriving is not None:
+                _remove_ids_from_group_dirs(
+                    sp_, corpus_dir, meta_dir, arriving, "doc_id", epoch
+                )
+            if kept is not None:
+                _merge_into_group_dir(
+                    sp_,
+                    corpus_dir,
+                    meta_dir,
+                    kept.select("doc_id", "text", "lang", "source"),
+                    epoch // gsize,
+                    "doc_id",
+                    epoch,
+                )
+            # MinHash fold: ALL gated docs (dropped docs stay dedup
+            # precedent — the corpus-ingest contract)
+            if bootstrap:
+                _stamp(build_marker, epoch)
+                lsh_index.build_minhash_index(
+                    gated, minhash_index_dir, hash_mode=hash_mode
+                )
+            elif not ups_empty:
+                lsh_index.update_minhash_index(
+                    gated, minhash_index_dir, epoch=epoch
+                )
+
+            kept_empty = kept is None or kept.isEmpty()
+            # text index: serves the CORPUS, so survivors only
+            tix_built_by = _marker(tix_marker)
+            post_root = f"{text_index_dir}/postings"
+            has_tix = os.path.isdir(post_root)
+            if has_tix and tix_built_by is None:
+                _guard_index_adoption(
+                    meta_dir, retrieval._live_batches(post_root), "text"
+                )
+            if has_tix and arriving is not None and tix_built_by != epoch:
+                retrieval.delete_from_text_index(
+                    sp_, text_index_dir, arriving, exclude_batch=epoch
+                )
+            if not kept_empty:
+                if not has_tix or tix_built_by == epoch:
+                    _stamp(tix_marker, epoch)
+                    retrieval.build_text_index(kept, text_index_dir)
+                else:
+                    retrieval.update_text_index(kept, text_index_dir, epoch=epoch)
+
+            # embedding index: survivors with a live (nonzero) vector
+            ivf_built_by = _marker(ivf_marker)
+            has_ivf = ivf_index.has_ivf_index(embedding_index_dir)
+            if has_ivf and ivf_built_by is None:
+                _guard_index_adoption(
+                    meta_dir, ivf_index.live_batch_ids(embedding_index_dir), "IVF"
+                )
+            if has_ivf and arriving is not None and ivf_built_by != epoch:
+                ivf_index.delete_from_ivf_index(
+                    sp_,
+                    embedding_index_dir,
+                    arriving.select(F.col("doc_id").alias("vec_id")),
+                    exclude_batch=epoch,
+                )
+            if not kept_empty:
+                kept_vecs = (
+                    kept.where(F.col("n_tokens") > 0)
+                    .where(
+                        F.aggregate(
+                            F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+                        )
+                        > 0
+                    )
+                    .select(F.col("doc_id").alias("vec_id"), "embedding")
+                )
+                if not kept_vecs.isEmpty():
+                    if not has_ivf or ivf_built_by == epoch:
+                        _stamp(ivf_marker, epoch)
+                        ivf_index.build_ivf_index(
+                            kept_vecs,
+                            embedding_index_dir,
+                            n_centroids,
+                            seed,
+                            fit_fraction=fit_fraction,
+                        )
+                    else:
+                        ivf_index.update_ivf_index(
+                            kept_vecs, embedding_index_dir, epoch=epoch
+                        )
+
+            if passage_index_dir is not None:
+                # passage (chunk-level) fold: its OWN pinned chunk +
+                # embed geometry — chunk vectors cannot reuse the
+                # doc-level embedding, but they still ride this one
+                # stream, gate verdict and epoch marker
+                from ..operators import passage as psg
+
+                kept_docs = (
+                    kept.select("doc_id", "text") if kept is not None else None
+                )
+                psg_built_by = _marker(psg_marker)
+                has_psg = os.path.isfile(
+                    os.path.join(passage_index_dir, psg._PSG_MANIFEST)
+                ) and ivf_index.has_ivf_index(f"{passage_index_dir}/vectors")
+                if has_psg and psg_built_by is None:
+                    _guard_index_adoption(
+                        meta_dir,
+                        ivf_index.live_batch_ids(f"{passage_index_dir}/vectors"),
+                        "passage IVF",
+                    )
+                if has_psg and psg_built_by != epoch:
+                    # the vector fold's own commit stamp: a replay
+                    # after a crash between the fold and the epoch
+                    # marker must not re-tombstone or re-fold
+                    applied = (
+                        ivf_index.read_manifest(
+                            f"{passage_index_dir}/vectors"
+                        ).get("last_epoch", -1)
+                        >= epoch
+                    )
+                    if arriving is not None and not applied:
+                        psg.delete_docs_from_passage_index(
+                            sp_, passage_index_dir, arriving, exclude_batch=epoch
+                        )
+                    if not kept_empty and not applied:
+                        psg.update_passage_index(
+                            kept_docs, passage_index_dir, epoch=epoch
+                        )
+                elif not kept_empty:
+                    _stamp(psg_marker, epoch)
+                    psg.build_passage_index(
+                        kept_docs, passage_index_dir, dim=dim,
+                        hash_mode=hash_mode, n_centroids=n_centroids,
+                        seed=seed, fit_fraction=fit_fraction,
+                    )
+
+            if dsir_model_dir is not None and not kept_empty:
+                dsir_mod.update_dsir_model(
+                    sp_, dsir_model_dir, raw_batch=kept, epoch=epoch,
+                    checkpoint=checkpoint,
+                )
+            if report_dir is not None and not kept_empty:
+                corpus_mod.merge_corpus_card_increment(
+                    sp_, f"{report_dir}/card", kept, epoch=epoch
+                )
+                sketches.merge_log_histogram_increment(
+                    sp_,
+                    f"{report_dir}/lenhist",
+                    corpus_mod._report_projection(kept),
+                    "n_toks",
+                    ["source", "lang"],
+                    epoch=epoch,
+                )
+        finally:
+            docs.unpersist()
+        _record_epoch(meta_dir, epoch, checkpoint)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            lsh_index.compact_minhash_index(sp_, minhash_index_dir)
+            if os.path.isdir(f"{text_index_dir}/postings"):
+                retrieval.compact_text_index(sp_, text_index_dir)
+            if ivf_index.has_ivf_index(embedding_index_dir):
+                ivf_index.compact_ivf_index(sp_, embedding_index_dir)
+        if refit_threshold is not None and ivf_index.has_ivf_index(
+            embedding_index_dir
+        ):
+            ratio = ivf_index.ivf_drift_ratio(embedding_index_dir)
+            if ratio is not None and ratio >= refit_threshold:
+                ivf_index.refit_ivf_index(sp_, embedding_index_dir)
+        if (
+            refit_threshold is not None
+            and passage_index_dir is not None
+            and ivf_index.has_ivf_index(f"{passage_index_dir}/vectors")
+        ):
+            ratio = ivf_index.ivf_drift_ratio(f"{passage_index_dir}/vectors")
+            if ratio is not None and ratio >= refit_threshold:
+                from ..operators import passage as psg
+
+                psg.refit_passage_index(sp_, passage_index_dir)
 
     return (
         doc_stream.writeStream.outputMode("append")

@@ -380,7 +380,7 @@ def test_corpus_sink_refuses_offline_index_until_compaction(spark, sf_dir, tmp_p
     q2.processAllAvailable()
     q2.stop()
     assert before < _live_band_set(spark, idx)  # the batch folded in
-    assert os.path.isfile(os.path.join(corpus + "_meta", "_ADOPTED_INDEX"))
+    assert os.path.isfile(os.path.join(corpus + "_meta", "_ADOPTED_INDEX_MinHash"))
 
 
 def test_cdc_mode_refuses_live_dsir_fold(spark, tmp_path):

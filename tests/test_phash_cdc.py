@@ -255,7 +255,7 @@ def test_asset_sink_refuses_offline_index_until_compaction(
     q2.stop()
     after = _live_fp_set(spark, idx)
     assert before < after  # the arriving batch folded in
-    assert os.path.isfile(os.path.join(corpus + "_meta", "_ADOPTED_INDEX"))
+    assert os.path.isfile(os.path.join(corpus + "_meta", "_ADOPTED_INDEX_phash"))
 
 
 def test_ivf_sink_refuses_offline_index_until_compaction(
