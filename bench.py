@@ -523,6 +523,45 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings["_passage_topk_auto"] = round(best, 3)
 
+            # unified document ingest (round 9): the COMPOSITE cost of
+            # one micro-batch through the full gauntlet — tokenize +
+            # embed ONCE into a persisted frame, within-batch fuzzy
+            # dedup, corpus merge, MinHash + inverted-text + IVF
+            # builds (sample-bounded fit), one epoch marker.  This is
+            # the bootstrap epoch over the 1× documents table; the
+            # per-doc rate is the live-serving ingestion envelope
+            # (compare: running the three per-artifact sinks would
+            # re-read and re-tokenize the batch three times and embed
+            # it twice).
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+                pipeline as SPIPE,
+            )
+
+            udir = f"{scale_dir}/_udi"
+            os.makedirs(f"{udir}/feed", exist_ok=True)
+            (
+                docs1x.withColumn("lang", F.lit("en"))
+                .withColumn("source", F.lit("bench"))
+                .coalesce(4)
+                .write.mode("overwrite")
+                .parquet(f"{udir}/feed/f0.parquet")
+            )
+            n_docs1x = docs1x.count()
+            ustream = spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(f"{udir}/feed/*.parquet")
+            t0 = time.time()
+            uq = SPIPE.start_document_ingest_sink(
+                ustream, f"{udir}/corpus", f"{udir}/mh", f"{udir}/tix",
+                f"{udir}/ivf", f"{udir}/ck", compact_every=None,
+                n_centroids=16, seed=7, fit_fraction=0.1,
+            )
+            uq.processAllAvailable()
+            uq.stop()
+            dt = time.time() - t0
+            timings["_doc_ingest_sink_bootstrap"] = round(dt, 3)
+            timings["_doc_ingest_docs_per_sec"] = round(n_docs1x / dt, 1)
+
             # CDC maintenance cost of the (round-8.5 batch-lineage)
             # MinHash index: build once on the 10× corpus, then UPSERT
             # a 10%-of-corpus re-ingest batch — the tombstone half is a

@@ -1068,6 +1068,8 @@ def start_document_embedding_index_sink(
     dim: int = 64,
     n_centroids: int = 16,
     seed: int = 7,
+    refit_threshold: float | None = None,
+    fit_fraction: float | None = None,
 ):
     """Live semantic indexing of a RAW DOCUMENT stream — the
     composition the feature-hashing embedder exists for: each
@@ -1085,7 +1087,10 @@ def start_document_embedding_index_sink(
     document firehose, no external embedding service in the loop."""
     from ..operators import embedder
 
-    fold = _ivf_fold_sink(index_dir, checkpoint, n_centroids, seed)
+    fold = _ivf_fold_sink(
+        index_dir, checkpoint, n_centroids, seed,
+        refit_threshold=refit_threshold, fit_fraction=fit_fraction,
+    )
 
     def transform(batch: DataFrame) -> DataFrame:
         return (
@@ -1111,6 +1116,8 @@ def start_asset_embedding_index_sink(
     checkpoint: str,
     n_centroids: int = 16,
     seed: int = 7,
+    refit_threshold: float | None = None,
+    fit_fraction: float | None = None,
 ):
     """Live semantic indexing of a MULTIMODAL ASSET stream — the media
     twin of ``start_document_embedding_index_sink``, completing the
@@ -1127,7 +1134,10 @@ def start_asset_embedding_index_sink(
     findable from the sink-built index)."""
     from ..operators.asset_embed import embed_assets
 
-    fold = _ivf_fold_sink(index_dir, checkpoint, n_centroids, seed)
+    fold = _ivf_fold_sink(
+        index_dir, checkpoint, n_centroids, seed,
+        refit_threshold=refit_threshold, fit_fraction=fit_fraction,
+    )
 
     def transform(batch: DataFrame) -> DataFrame:
         emb = embed_assets(batch)
