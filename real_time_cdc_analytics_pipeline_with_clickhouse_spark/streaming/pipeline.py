@@ -856,7 +856,13 @@ def _guard_index_adoption(meta_dir: str, existing_batches, kind: str) -> None:
     marker = os.path.join(
         meta_dir, "_ADOPTED_INDEX_" + kind.replace(" ", "_")
     )
-    if os.path.isfile(marker):
+    # pre-round-9 adoptions were recorded under the shared name —
+    # honoring it preserves upgrade continuity for already-adopted
+    # deployments (whose fold batches are legitimately non-negative by
+    # now and would otherwise refuse forever)
+    if os.path.isfile(marker) or os.path.isfile(
+        os.path.join(meta_dir, "_ADOPTED_INDEX")
+    ):
         return
     batches = sorted(existing_batches)
     if all(b < 0 for b in batches):
