@@ -92,6 +92,14 @@ def train_ngram_lm(
     derive from the counted table, never from a second corpus pass."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    import glob as _glob
+    import shutil
+
+    # a rebuild supersedes incremental history: clear versioned count
+    # tables so the reset-to-v0 manifest can never coexist with stale
+    # _v dirs (the build_minhash_index stale-tombstone rule)
+    for d in _glob.glob(f"{lm_dir}/bigrams_v*") + _glob.glob(f"{lm_dir}/contexts_v*"):
+        shutil.rmtree(d, ignore_errors=True)
     spark = reference.sparkSession
     bi = (
         _doc_bigrams(reference)
@@ -122,6 +130,84 @@ def train_ngram_lm(
     os.replace(tmp, os.path.join(lm_dir, _LM_MANIFEST))
 
 
+def _lm_paths(lm_dir: str, meta: dict):
+    """Count-table paths for the manifest's committed version.  v0
+    (the fresh build) lives at the bare names; incremental updates
+    land whole new tables under ``_v<N>`` suffixes and commit by the
+    manifest flip — the DSIR counts-version construction, so readers
+    see the old model in full until the flip and the new one in full
+    after it."""
+    v = int(meta.get("version", 0))
+    suf = "" if v == 0 else f"_v{v}"
+    return f"{lm_dir}/bigrams{suf}", f"{lm_dir}/contexts{suf}"
+
+
+def update_ngram_lm(
+    spark: SparkSession,
+    lm_dir: str,
+    new_reference: DataFrame,
+    epoch: int | None = None,
+) -> None:
+    """Fold new reference documents into the stored LM ADDITIVELY —
+    bigram counts are pure sums, so the updated model is EXACTLY the
+    one a from-scratch retrain on the unioned corpora would produce
+    (tested integer identity).  Cost ∝ batch (the batch's own bigram
+    groupBy) + the vocabulary-bounded merge with the stored table —
+    never a history rescan.
+
+    Exactly-once for streaming callers: ``epoch`` stamps
+    ``last_epoch`` IN the same manifest flip that commits the counts,
+    so a replayed epoch ≤ the stamp is a no-op and a crash between the
+    counts write and the flip refolds from the still-live previous
+    version (the engine's standard two-layer contract).  The previous
+    version's tables are retained for in-flight readers and retired by
+    the NEXT update."""
+    import shutil
+
+    meta = read_lm_manifest(lm_dir)
+    if epoch is not None and meta.get("last_epoch", -1) >= epoch:
+        return
+    bi_path, ctx_path = _lm_paths(lm_dir, meta)
+    batch = (
+        _doc_bigrams(new_reference)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    merged = (
+        spark.read.parquet(bi_path)
+        .unionByName(batch)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c"))
+    )
+    new_v = int(meta.get("version", 0)) + 1
+    new_bi = f"{lm_dir}/bigrams_v{new_v}"
+    merged.write.mode("overwrite").parquet(new_bi)
+    stored = spark.read.parquet(new_bi)
+    stored.groupBy("w1").agg(F.sum("c").alias("c1")).write.mode(
+        "overwrite"
+    ).parquet(f"{lm_dir}/contexts_v{new_v}")
+    row = stored.agg(F.countDistinct("w2").alias("v"), F.sum("c").alias("n")).first()
+    meta.update(
+        {
+            "version": new_v,
+            "vocab_size": int(row["v"] or 0) + 1,
+            "n_bigrams": int(row["n"] or 0),
+        }
+    )
+    if epoch is not None:
+        meta["last_epoch"] = int(epoch)
+    tmp = os.path.join(lm_dir, _LM_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(lm_dir, _LM_MANIFEST))  # THE commit
+    # retire everything older than the previous version (kept for
+    # in-flight readers — the refit retention rule)
+    for v in range(new_v - 1):
+        suf = "" if v == 0 else f"_v{v}"
+        shutil.rmtree(f"{lm_dir}/bigrams{suf}", ignore_errors=True)
+        shutil.rmtree(f"{lm_dir}/contexts{suf}", ignore_errors=True)
+
+
 def read_lm_manifest(lm_dir: str) -> dict:
     p = os.path.join(lm_dir, _LM_MANIFEST)
     if not os.path.isfile(p):
@@ -144,8 +230,9 @@ def perplexity_score(
     arguments — the artifact is self-describing."""
     meta = read_lm_manifest(lm_dir)
     alpha, V = float(meta["alpha"]), int(meta["vocab_size"])
-    bi_counts = spark.read.parquet(f"{lm_dir}/bigrams")
-    ctx_counts = spark.read.parquet(f"{lm_dir}/contexts")
+    bi_path, ctx_path = _lm_paths(lm_dir, meta)
+    bi_counts = spark.read.parquet(bi_path)
+    ctx_counts = spark.read.parquet(ctx_path)
     db = _doc_bigrams(documents)
     scored = (
         db.join(bi_counts, ["w1", "w2"], "left")

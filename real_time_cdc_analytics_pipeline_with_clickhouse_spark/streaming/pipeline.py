@@ -2170,6 +2170,8 @@ def start_document_ingest_sink(
     dsir_model_dir: str | None = None,
     report_dir: str | None = None,
     passage_index_dir: str | None = None,
+    lm_dir: str | None = None,
+    max_ppl: float | None = None,
     op_col: str | None = None,
     seq_col: str | None = None,
     refit_threshold: float | None = None,
@@ -2196,11 +2198,15 @@ def start_document_ingest_sink(
     1. CDC resolution (``op_col``/``seq_col`` — latest-wins, loud on
        ties), then the n-gram EXCISION gate (text rewrite, so it runs
        before tokenization), then the one tokenize+embed persist.
-    2. The MinHash decontamination gate and the EMBEDDING-space gate
+    2. The MinHash decontamination gate, the EMBEDDING-space gate
        (which reuses the batch's vectors whenever the benchmark
        artifact's pinned (dim, hash_mode) equals the sink's; on a
        mismatch it embeds with the artifact's geometry — correctness
-       over reuse).
+       over reuse), and the PERPLEXITY gate (``lm_dir``/``max_ppl`` —
+       the CCNet-style cut against a frozen reference bigram LM,
+       ``lm_filter.perplexity_filter`` with tokenless docs passed
+       through: no LM evidence is not a verdict, and the artifact is
+       frozen while the stream runs so replays stay deterministic).
     3. CDC tombstone-first: arriving doc_ids (upserted OR deleted)
        tombstone out of the MinHash index, the text index and the
        embedding index (each with ``exclude_batch=epoch`` — the
@@ -2250,6 +2256,11 @@ def start_document_ingest_sink(
             "op_col (CDC mode) cannot combine with dsir_model_dir: the DSIR "
             "raw histogram is additive-only — rebuild the model "
             "periodically from the corpus instead"
+        )
+    if (lm_dir is None) != (max_ppl is None):
+        raise ValueError(
+            "lm_dir and max_ppl come together: the perplexity gate needs "
+            "both the stored LM artifact and an explicit cut"
         )
     if op_col is not None and report_dir is not None:
         raise ValueError(
@@ -2345,6 +2356,16 @@ def start_document_ingest_sink(
                     .select("doc_id")
                 )
                 gated = gated.join(clean_sem, "doc_id", "left_semi")
+            if lm_dir is not None:
+                from ..operators import lm_filter as lmf
+
+                # scoring derives from the cached frame's token array
+                # (one-tokenize); the LM artifact is frozen, so the
+                # verdict is a pure function of batch × artifact —
+                # replay-deterministic like the other gates
+                gated = lmf.perplexity_filter(
+                    sp_, gated, lm_dir, max_ppl, keep_tokenless=True
+                )
 
             built_by = _marker(build_marker)
             has_index = os.path.isdir(f"{minhash_index_dir}/bands")

@@ -174,3 +174,116 @@ def test_one_tokenize_contract(spark, sf_dir, tmp_path):
         assert cached == base
     finally:
         frame.unpersist()
+
+
+def test_update_equals_retrain_and_replays_no_op(spark, tmp_path):
+    """Bigram counts are additive: the incrementally-updated model
+    must equal a from-scratch retrain on the unioned corpora in exact
+    integer counts (and therefore in every score); a replayed epoch is
+    a no-op; superseded versions retire."""
+    import os
+
+    a = spark.createDataFrame(_structured_corpus(60, seed=1, doc_base=0),
+                              "doc_id long, text string")
+    b = spark.createDataFrame(_structured_corpus(40, seed=2, doc_base=5000),
+                              "doc_id long, text string")
+    inc = str(tmp_path / "inc")
+    lm_filter.train_ngram_lm(a, inc, alpha=0.2)
+    lm_filter.update_ngram_lm(spark, inc, b, epoch=0)
+    full = str(tmp_path / "full")
+    lm_filter.train_ngram_lm(a.unionByName(b), full, alpha=0.2)
+
+    mi, mf = lm_filter.read_lm_manifest(inc), lm_filter.read_lm_manifest(full)
+    assert (mi["vocab_size"], mi["n_bigrams"]) == (mf["vocab_size"], mf["n_bigrams"])
+    bi_i, _ = lm_filter._lm_paths(inc, mi)
+    bi_f, _ = lm_filter._lm_paths(full, mf)
+    rows_i = {(r.w1, r.w2): r.c for r in spark.read.parquet(bi_i).collect()}
+    rows_f = {(r.w1, r.w2): r.c for r in spark.read.parquet(bi_f).collect()}
+    assert rows_i == rows_f  # exact integer identity
+
+    probe = spark.createDataFrame(
+        _structured_corpus(10, seed=9, doc_base=9000), "doc_id long, text string"
+    )
+    gi = {(r.doc_id, r.n_bigrams, round(r.ppl, 9))
+          for r in lm_filter.perplexity_score(spark, probe, inc).collect()}
+    gf = {(r.doc_id, r.n_bigrams, round(r.ppl, 9))
+          for r in lm_filter.perplexity_score(spark, probe, full).collect()}
+    assert gi == gf
+
+    # replayed epoch: no-op (version and counts unchanged)
+    lm_filter.update_ngram_lm(spark, inc, b, epoch=0)
+    assert lm_filter.read_lm_manifest(inc)["version"] == 1
+    # next update retires v0's bare tables, keeps v1 for in-flight readers
+    lm_filter.update_ngram_lm(spark, inc, probe, epoch=1)
+    assert lm_filter.read_lm_manifest(inc)["version"] == 2
+    assert not os.path.isdir(f"{inc}/bigrams")
+    assert os.path.isdir(f"{inc}/bigrams_v1") and os.path.isdir(f"{inc}/bigrams_v2")
+
+
+def test_unified_sink_lm_gate_drops_unstructured_docs(spark, tmp_path):
+    """The perplexity gate inside start_document_ingest_sink: docs the
+    reference LM predicts badly (same vocabulary, shuffled order —
+    invisible to every other gate) never enter the corpus or any
+    serving artifact; tokenless docs pass through to the other
+    gates."""
+    import os
+    import random
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        retrieval,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    ref = spark.createDataFrame(_structured_corpus(120, seed=3, doc_base=0),
+                                "doc_id long, text string")
+    lm = str(tmp_path / "lm")
+    lm_filter.train_ngram_lm(ref, lm)
+
+    good = _structured_corpus(15, seed=77, doc_base=10_000)
+    rng = random.Random(5)
+    bad = []
+    for i, (_, t) in enumerate(good[:6]):
+        toks = _tok(t)
+        rng.shuffle(toks)
+        bad.append((20_000 + i, " ".join(toks)))
+    rows = [(d, t, "en", "s") for d, t in good + bad]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    # pick the cut from the scores themselves (threshold policy is the
+    # deployment's; the gate mechanics are what's under test)
+    sc = {
+        r.doc_id: r.ppl
+        for r in lm_filter.perplexity_score(
+            spark, batch.select("doc_id", "text"), lm
+        ).collect()
+    }
+    cut = (max(sc[d] for d, _ in good) + min(sc[d] for d, _ in bad)) / 2
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batch.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*.parquet")
+    )
+    corpus, mh, tix, ivf = (str(tmp_path / d) for d in ("c", "m", "t", "i"))
+    q = sp.start_document_ingest_sink(
+        stream, corpus, mh, tix, ivf, str(tmp_path / "ck"),
+        compact_every=None, n_centroids=4, seed=7, lm_dir=lm, max_ppl=cut,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert got == {d for d, _ in good}
+    # the shuffled docs never reached the text index either
+    for d, t in bad:
+        terms = _tok(t)[:3]
+        hits = {
+            r.doc_id
+            for r in retrieval.bm25_topk_from_index(spark, tix, terms, k=30).collect()
+        }
+        assert d not in hits
