@@ -453,6 +453,8 @@ def prepare_training_corpus(
     dsir_k: int | None = None,
     dsir_temperature: float | None = 0.5,
     dsir_buckets: int = 1024,
+    lm_dir: str | None = None,
+    max_ppl: float | None = None,
 ) -> DataFrame:
     """The full corpus-prep flow a pretraining pipeline runs, composed
     from the engine's stages:
@@ -506,6 +508,15 @@ def prepare_training_corpus(
     normalize like ordinary tokens); the downstream ``pii_redact``
     then hashes the final already-scrubbed text.
 
+    ``lm_dir`` + ``max_ppl`` insert the PERPLEXITY gate
+    (``lm_filter.perplexity_filter`` against the stored reference
+    n-gram LM) right after the quality gate — the CCNet rung: the
+    heuristic/classifier gates judge a doc by its own surface
+    statistics, this one by how well a trusted reference distribution
+    predicts it (a same-vocabulary token scramble passes every
+    frequency gate and dies here).  Tokenless docs pass through (no
+    evidence is not a verdict; the quality gate already rules them).
+
     ``dsir_target`` + ``dsir_k`` append the data-SELECTION stage
     (``dsir.dsir_select``): importance-resample a ``dsir_k``-document
     budget, weighted toward the target corpus's hashed-n-gram
@@ -543,6 +554,17 @@ def prepare_training_corpus(
     else:
         keep_quality = sig.where(F.col("quality_ok")).select("doc_id", "n_tokens")
     gated = documents.join(keep_quality, "doc_id")
+    if (lm_dir is None) != (max_ppl is None):
+        raise ValueError(
+            "lm_dir and max_ppl come together: the perplexity gate needs "
+            "both the stored LM artifact and an explicit cut"
+        )
+    if lm_dir is not None:
+        from .lm_filter import perplexity_filter
+
+        gated = perplexity_filter(
+            documents.sparkSession, gated, lm_dir, max_ppl, keep_tokenless=True
+        )
     if benchmark is not None:
         from .decontam import fuzzy_decontaminate
 

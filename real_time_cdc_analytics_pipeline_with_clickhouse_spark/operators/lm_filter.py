@@ -55,43 +55,57 @@ _LM_MANIFEST = "_lm_manifest.json"
 BOS = "^"
 
 
-def _doc_bigrams(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, w1, w2) — one row per bigram of the BOS-prefixed token
-    stream.  Empty/tokenless docs yield no rows (their lone BOS
-    carries no bigram).  Built on ``shingles_from_tokens`` (already
-    empty-guarded) with the BOS-prefixed sequence BOUND as a
-    higher-order-function input, so the token expression evaluates
-    once per row — the shingles-module trick; referencing it inside
-    the per-element lambda would re-run normalize+split per element.
-    Tokens contain no spaces (the tokenizer's alphabet is [a-z0-9]),
-    so the "w1 w2" shingle splits back losslessly."""
+def _doc_ngrams(
+    documents: DataFrame, order: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) — one row per ``order``-gram of the BOS-padded
+    token stream, split as (context = the first order−1 tokens joined
+    with spaces, next = the last token).  The stream is prefixed with
+    order−1 BOS markers (standard padding: the first real token is
+    conditioned on a pure-BOS context), so empty/tokenless docs yield
+    no rows.  Built on ``shingles_from_tokens`` (already empty-guarded)
+    with the padded sequence BOUND as a higher-order-function input,
+    so the token expression evaluates once per row — the
+    shingles-module trick; referencing it inside the per-element
+    lambda would re-run normalize+split per element.  Tokens contain
+    no spaces (the tokenizer's alphabet is [a-z0-9]), so the
+    space-joined shingle splits back losslessly."""
     from ..functions.text import shingles_from_tokens
 
     toks = F.filter(doc_token_col(documents), lambda x: x != "")
-    seq = F.concat(F.array(F.lit(BOS)), toks)
+    pad = F.array(*[F.lit(BOS)] * (order - 1))
+    seq = F.concat(pad, toks)
     grams = F.element_at(
-        F.transform(F.array(seq), lambda s: shingles_from_tokens(s, 2)), 1
+        F.transform(F.array(seq), lambda s: shingles_from_tokens(s, order)), 1
     )
     return (
         documents.select(F.col(id_col).alias("_id"), grams.alias("g"))
         .select("_id", F.explode("g").alias("gram"))
         .select(
             F.col("_id").alias(id_col),
-            F.substring_index(F.col("gram"), " ", 1).alias("w1"),
+            F.substring_index(F.col("gram"), " ", order - 1).alias("w1"),
             F.substring_index(F.col("gram"), " ", -1).alias("w2"),
         )
     )
 
 
 def train_ngram_lm(
-    reference: DataFrame, lm_dir: str, alpha: float = 0.1
+    reference: DataFrame, lm_dir: str, alpha: float = 0.1, order: int = 2
 ) -> None:
-    """Fit the bigram LM on the trusted reference corpus and persist
-    it.  ONE corpus-wide shuffle (the bigram count groupBy — the only
-    corpus-sized work); the context table and the manifest stats
-    derive from the counted table, never from a second corpus pass."""
+    """Fit the ``order``-gram LM on the trusted reference corpus and
+    persist it.  ONE corpus-wide shuffle (the n-gram count groupBy —
+    the only corpus-sized work); the context table and the manifest
+    stats derive from the counted table, never from a second corpus
+    pass.  ``order`` is pinned in the manifest (scoring and
+    incremental updates resolve it — a batch counted at a different
+    order would corrupt the context space); order 2 is the default,
+    higher orders sharpen the gate at the cost of a larger (still
+    vocabulary^order-bounded, realistically corpus-distinct-n-gram-
+    sized) count table — the KenLM trade CCNet makes at order 5."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
     import glob as _glob
     import shutil
 
@@ -102,7 +116,7 @@ def train_ngram_lm(
         shutil.rmtree(d, ignore_errors=True)
     spark = reference.sparkSession
     bi = (
-        _doc_bigrams(reference)
+        _doc_ngrams(reference, order)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
     )
@@ -120,7 +134,7 @@ def train_ngram_lm(
         "alpha": float(alpha),
         "vocab_size": int(row["v"] or 0) + 1,
         "n_bigrams": int(row["n"] or 0),
-        "order": 2,
+        "order": int(order),
         "bos": BOS,
     }
     tmp = os.path.join(lm_dir, _LM_MANIFEST + ".tmp")
@@ -169,7 +183,7 @@ def update_ngram_lm(
         return
     bi_path, ctx_path = _lm_paths(lm_dir, meta)
     batch = (
-        _doc_bigrams(new_reference)
+        _doc_ngrams(new_reference, int(meta.get("order", 2)))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
     )
@@ -233,7 +247,7 @@ def perplexity_score(
     bi_path, ctx_path = _lm_paths(lm_dir, meta)
     bi_counts = spark.read.parquet(bi_path)
     ctx_counts = spark.read.parquet(ctx_path)
-    db = _doc_bigrams(documents)
+    db = _doc_ngrams(documents, int(meta.get("order", 2)))
     scored = (
         db.join(bi_counts, ["w1", "w2"], "left")
         .join(ctx_counts, ["w1"], "left")

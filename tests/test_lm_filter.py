@@ -30,13 +30,20 @@ def _tok(text: str) -> list[str]:
     return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]
 
 
-def _py_oracle(ref_texts, score_docs, alpha):
-    """Independent bigram-LM implementation: dict counts, float64
-    math, the module's exact formula."""
+def _py_oracle(ref_texts, score_docs, alpha, order=2):
+    """Independent n-gram-LM implementation: dict counts, float64
+    math, the module's exact formula (context = the joined order−1
+    preceding tokens, BOS-padded)."""
+    def grams(t):
+        seq = [lm_filter.BOS] * (order - 1) + _tok(t)
+        return [
+            (" ".join(seq[i : i + order - 1]), seq[i + order - 1])
+            for i in range(len(seq) - order + 1)
+        ]
+
     bi, seen_w2 = {}, set()
     for t in ref_texts:
-        seq = [lm_filter.BOS] + _tok(t)
-        for a, b in zip(seq, seq[1:]):
+        for a, b in grams(t):
             bi[(a, b)] = bi.get((a, b), 0) + 1
             seen_w2.add(b)
     ctx = {}
@@ -45,10 +52,9 @@ def _py_oracle(ref_texts, score_docs, alpha):
     V = len(seen_w2) + 1
     out = {}
     for doc_id, t in score_docs:
-        seq = [lm_filter.BOS] + _tok(t)
         lps = [
             math.log((bi.get((a, b), 0) + alpha) / (ctx.get(a, 0) + alpha * V))
-            for a, b in zip(seq, seq[1:])
+            for a, b in grams(t)
         ]
         out[doc_id] = (len(lps), math.exp(-sum(lps) / len(lps)) if lps else None)
     return out
@@ -161,7 +167,7 @@ def test_one_tokenize_contract(spark, sf_dir, tmp_path):
     try:
         frame.count()
         scored = lm_filter.perplexity_score(spark, frame, lm)
-        plan = plan_string(lm_filter._doc_bigrams(frame), mode="simple")
+        plan = plan_string(lm_filter._doc_ngrams(frame, 2), mode="simple")
         assert "InMemoryTableScan" in plan
         assert _no_tokenize_above_cache(plan), plan
         base = {
@@ -287,3 +293,159 @@ def test_unified_sink_lm_gate_drops_unstructured_docs(spark, tmp_path):
             for r in retrieval.bm25_topk_from_index(spark, tix, terms, k=30).collect()
         }
         assert d not in hits
+
+
+def test_trigram_order_matches_oracle_and_pins_manifest(spark, tmp_path):
+    """order=3: the manifest pins the order, scoring and incremental
+    updates resolve it, and scores match the pure-Python trigram
+    oracle exactly."""
+    ref_rows = _structured_corpus(80, seed=11, doc_base=0)
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    lm = str(tmp_path / "lm3")
+    lm_filter.train_ngram_lm(ref, lm, alpha=0.3, order=3)
+    assert lm_filter.read_lm_manifest(lm)["order"] == 3
+
+    probe_rows = _structured_corpus(10, seed=12, doc_base=7000) + [(990_000, "")]
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in lm_filter.perplexity_score(spark, probe, lm).collect()
+    }
+    want = _py_oracle([t for _, t in ref_rows], probe_rows, alpha=0.3, order=3)
+    for d, (n, ppl) in want.items():
+        assert got[d][0] == n, d
+        if ppl is None:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - ppl) <= 1e-9 * ppl, d
+
+    # incremental update folds at the PINNED order: update ≡ retrain
+    extra_rows = _structured_corpus(30, seed=13, doc_base=8000)
+    extra = spark.createDataFrame(extra_rows, "doc_id long, text string")
+    lm_filter.update_ngram_lm(spark, lm, extra)
+    want2 = _py_oracle(
+        [t for _, t in ref_rows + extra_rows], probe_rows, alpha=0.3, order=3
+    )
+    got2 = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in lm_filter.perplexity_score(spark, probe, lm).collect()
+    }
+    for d, (n, ppl) in want2.items():
+        assert got2[d][0] == n
+        if ppl is not None:
+            assert abs(got2[d][1] - ppl) <= 1e-9 * ppl, d
+
+
+def _grammar_corpus(n_docs: int, seed: int, doc_base: int):
+    """Docs that pass the heuristic QUALITY gate (high distinct ratio,
+    no dominant token, few duplicate bigrams, plausible word lengths)
+    while carrying strong learnable bigram structure: each doc walks
+    an affine PERMUTATION of a 200-word vocabulary (x → a·x+b mod V,
+    a coprime to V — no vertex revisits within the window, so no
+    duplicate bigrams for the gate to flag), with 12 maps shared
+    across the corpus so every in-domain transition is one of ≤12
+    successors the LM has seen while a token shuffle lands on unseen
+    ones.  Walks with short cycles are retried (deterministic rng).
+    The sentence-template generator above fails the quality gate (top
+    token "the" > 12%, duplicate bigrams > 6%) and can't be used
+    through prepare_training_corpus."""
+    import random
+
+    V = 200
+    words = [f"k{i}z{chr(97 + i % 26)}" for i in range(V)]
+    maps = [(11, 1), (11, 3), (11, 7), (11, 9), (11, 11), (21, 1),
+            (21, 3), (21, 7), (21, 9), (21, 11), (31, 1), (31, 3)]
+
+    # precompute, per map, the starts whose orbit runs ≥ 45 steps
+    # without revisiting (an affine map on Z_V can have ONLY short
+    # cycles — a blind retry loop would never terminate there); maps
+    # with no such start are dropped up front
+    def long_starts(a, b):
+        good = []
+        for x0 in range(V):
+            x, seen = x0, set()
+            ok = True
+            for _ in range(45):
+                if x in seen:
+                    ok = False
+                    break
+                seen.add(x)
+                x = (a * x + b) % V
+            if ok:
+                good.append(x0)
+        return good
+
+    usable = [(a, b, long_starts(a, b)) for a, b in maps]
+    usable = [(a, b, st) for a, b, st in usable if st]
+    assert usable, "no affine map on this V has a 45-step orbit"
+    rng = random.Random(seed)
+    docs = []
+    for d in range(n_docs):
+        a, b, starts = usable[d % len(usable)]
+        x = rng.choice(starts)
+        out = []
+        for _ in range(45):
+            out.append(words[x])
+            x = (a * x + b) % V
+        docs.append((doc_base + d, " ".join(out)))
+    return docs
+
+
+def test_prepare_training_corpus_lm_gate(spark, tmp_path):
+    """The batch composition: a same-vocabulary token scramble passes
+    the heuristic quality gate (its length/distinct/top-token surface
+    is normal) and dies at the LM gate; the oracle-gated default path
+    (no lm_dir) is untouched."""
+    import pytest
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        corpus as corpus_mod,
+    )
+
+    ref_rows = _grammar_corpus(150, seed=3, doc_base=0)
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    lm = str(tmp_path / "lm")
+    lm_filter.train_ngram_lm(ref, lm)
+
+    good = _grammar_corpus(12, seed=21, doc_base=10_000)
+    import random
+
+    rng = random.Random(4)
+    bad = []
+    for i, (_, t) in enumerate(good[:5]):
+        toks = _tok(t)
+        rng.shuffle(toks)
+        bad.append((20_000 + i, " ".join(toks)))
+    rows = [(d, t, "en", "s") for d, t in good + bad]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    sc = {
+        r.doc_id: r.ppl
+        for r in lm_filter.perplexity_score(
+            spark, docs.select("doc_id", "text"), lm
+        ).collect()
+    }
+    cut = (max(sc[d] for d, _ in good) + min(sc[d] for d, _ in bad)) / 2
+
+    base = {r.doc_id for r in corpus_mod.prepare_training_corpus(docs).collect()}
+    # the surface gates can't tell the scrambles from the originals —
+    # most of BOTH survive them (a shuffle can occasionally trip the
+    # dup-bigram gate, an orbit overlap can occasionally trip dedup;
+    # either loss is fine, the LM gate's job is what remains)
+    bad_in_base = base & {d for d, _ in bad}
+    good_in_base = base & {d for d, _ in good}
+    assert len(bad_in_base) >= 3, bad_in_base
+    assert len(good_in_base) >= 8, good_in_base
+    gated = {
+        r.doc_id
+        for r in corpus_mod.prepare_training_corpus(
+            docs, lm_dir=lm, max_ppl=cut
+        ).collect()
+    }
+    # the LM gate removes EXACTLY the surviving scrambles — no
+    # in-domain casualties, no scramble survivors
+    assert gated == base - bad_in_base
+
+    with pytest.raises(ValueError, match="come together"):
+        corpus_mod.prepare_training_corpus(docs, lm_dir=lm)
