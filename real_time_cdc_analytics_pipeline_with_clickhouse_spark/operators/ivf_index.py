@@ -213,13 +213,27 @@ def fit_pq_codebooks(
     # sequential fits leave most of the cluster idle per iteration)
     from concurrent.futures import ThreadPoolExecutor
 
+    full_src = embeddings.select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
     def fit(sub: int):
-        vecs = fit_src.select(
-            array_to_vector(
-                F.slice(F.col("embedding"), sub * dsub + 1, dsub)
-            ).alias("features")
-        )
-        model = KMeans(k=ks, seed=seed + sub, maxIter=10).fit(vecs)
+        def sub_vecs(src):
+            return src.select(
+                array_to_vector(
+                    F.slice(F.col("embedding"), sub * dsub + 1, dsub)
+                ).alias("features")
+            )
+
+        model = KMeans(k=ks, seed=seed + sub, maxIter=10).fit(sub_vecs(fit_src))
+        if fit_src is sampled and len(model.clusterCenters()) < ks:
+            # the row-count precheck can't see DISTINCT sub-vectors
+            # (round-9 advisor): a sample with ≥ ks rows whose slice
+            # collapses to < ks distinct points seats fewer centers —
+            # validate per subspace and fall back to the full corpus
+            model = KMeans(k=ks, seed=seed + sub, maxIter=10).fit(
+                sub_vecs(full_src)
+            )
         return [
             (sub, i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]

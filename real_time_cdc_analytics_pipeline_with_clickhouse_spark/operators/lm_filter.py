@@ -89,8 +89,85 @@ def _doc_ngrams(
     )
 
 
+def _version_suffix(v: int) -> str:
+    return "" if v == 0 else f"_v{v}"
+
+
+def _fit_version_tables(
+    spark: SparkSession, lm_dir: str, counted: DataFrame, new_v: int,
+    smoothing: str,
+) -> dict:
+    """Write one version's count tables (bigrams + derived contexts,
+    plus the KN continuation table) and return the derived manifest
+    stats.  Everything derives from the ONE written bigram table —
+    the tables can never disagree.  ``contexts`` carries both the
+    context total ``c1`` and the distinct-successor count ``n1p``
+    (the KN interpolation weight) regardless of smoothing: one agg,
+    same shuffle, and a later smoothing switch needs no schema
+    migration."""
+    suf = _version_suffix(new_v)
+    counted.write.mode("overwrite").parquet(f"{lm_dir}/bigrams{suf}")
+    stored = spark.read.parquet(f"{lm_dir}/bigrams{suf}")
+    stored.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.countDistinct("w2").alias("n1p")
+    ).write.mode("overwrite").parquet(f"{lm_dir}/contexts{suf}")
+    if smoothing == "kn":
+        # continuation counts: in how many distinct contexts does w2
+        # complete an n-gram — the KN insight (Kneser & Ney 1995; Chen
+        # & Goodman 1999): "glasses" follows many contexts,
+        # "Francisco" only one, however frequent the token itself is
+        stored.groupBy("w2").agg(
+            F.countDistinct("w1").alias("ccnt")
+        ).write.mode("overwrite").parquet(f"{lm_dir}/continuation{suf}")
+    row = stored.agg(
+        F.countDistinct("w2").alias("v"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+    ).first()
+    stats = {
+        # +1 reserves unseen mass — a successor never observed
+        # anywhere still gets α of it
+        "vocab_size": int(row["v"] or 0) + 1,
+        "n_bigrams": int(row["n"] or 0),
+    }
+    if smoothing == "kn":
+        n1, n2 = int(row["n1"] or 0), int(row["n2"] or 0)
+        stats["n_bigram_types"] = int(row["t"] or 0)
+        # absolute discount, the standard count-of-counts estimate
+        # D = n1/(n1 + 2·n2); degenerate corpora (no singletons) fall
+        # back to 0.5
+        stats["discount"] = n1 / (n1 + 2 * n2) if n1 > 0 else 0.5
+    return stats
+
+
+def _flip_manifest(lm_dir: str, meta: dict) -> None:
+    tmp = os.path.join(lm_dir, _LM_MANIFEST + ".tmp")
+    os.makedirs(lm_dir, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(lm_dir, _LM_MANIFEST))  # THE commit
+
+
+def _retire_versions(lm_dir: str, keep_from: int) -> None:
+    """Remove every version's tables below ``keep_from`` (the
+    previous version is retained for in-flight readers and retired by
+    the NEXT flip — the refit retention rule)."""
+    import shutil
+
+    for v in range(keep_from):
+        suf = _version_suffix(v)
+        for t in ("bigrams", "contexts", "continuation"):
+            shutil.rmtree(f"{lm_dir}/{t}{suf}", ignore_errors=True)
+
+
 def train_ngram_lm(
-    reference: DataFrame, lm_dir: str, alpha: float = 0.1, order: int = 2
+    reference: DataFrame,
+    lm_dir: str,
+    alpha: float = 0.1,
+    order: int = 2,
+    smoothing: str = "addalpha",
 ) -> None:
     """Fit the ``order``-gram LM on the trusted reference corpus and
     persist it.  ONE corpus-wide shuffle (the n-gram count groupBy —
@@ -101,58 +178,63 @@ def train_ngram_lm(
     order would corrupt the context space); order 2 is the default,
     higher orders sharpen the gate at the cost of a larger (still
     vocabulary^order-bounded, realistically corpus-distinct-n-gram-
-    sized) count table — the KenLM trade CCNet makes at order 5."""
+    sized) count table — the KenLM trade CCNet makes at order 5.
+
+    ``smoothing`` pins the probability model for the artifact's life:
+    ``"addalpha"`` (the default) or ``"kn"`` — interpolated Kneser-Ney
+    with an absolute discount estimated from the count-of-counts
+    (CCNet's published gate is a KN-smoothed KenLM; Wenzek et al.
+    2020).  Same stored count tables, one more derived table
+    (continuation counts), same equi-join scoring shape.
+
+    Rebuilding over an existing artifact is STAGED (round-9 advisor):
+    the new tables land under a fresh version suffix and the atomic
+    manifest flip is the commit — the old delete-first order left the
+    live manifest pointing at rmtree'd dirs if a crash landed
+    mid-rebuild.  ``last_epoch`` carries across the rebuild, so a
+    streaming epoch replayed after it stays a no-op instead of
+    double-counting."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
-    import glob as _glob
-    import shutil
-
-    # a rebuild supersedes incremental history: clear versioned count
-    # tables so the reset-to-v0 manifest can never coexist with stale
-    # _v dirs (the build_minhash_index stale-tombstone rule)
-    for d in _glob.glob(f"{lm_dir}/bigrams_v*") + _glob.glob(f"{lm_dir}/contexts_v*"):
-        shutil.rmtree(d, ignore_errors=True)
+    if smoothing not in ("addalpha", "kn"):
+        raise ValueError(f"smoothing must be 'addalpha' or 'kn', got {smoothing!r}")
+    prev = None
+    try:
+        prev = read_lm_manifest(lm_dir)
+    except FileNotFoundError:
+        pass
+    new_v = int(prev.get("version", 0)) + 1 if prev is not None else 0
     spark = reference.sparkSession
-    bi = (
+    counted = (
         _doc_ngrams(reference, order)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
     )
-    bi.write.mode("overwrite").parquet(f"{lm_dir}/bigrams")
-    stored = spark.read.parquet(f"{lm_dir}/bigrams")
-    ctx = stored.groupBy("w1").agg(F.sum("c").alias("c1"))
-    ctx.write.mode("overwrite").parquet(f"{lm_dir}/contexts")
-    # V = |distinct successor vocabulary| + 1 (the +1 reserves unseen
-    # mass — a successor never observed anywhere still gets α of it);
-    # ONE small agg over the already-counted table
-    row = stored.agg(
-        F.countDistinct("w2").alias("v"), F.sum("c").alias("n")
-    ).first()
+    stats = _fit_version_tables(spark, lm_dir, counted, new_v, smoothing)
     meta = {
         "alpha": float(alpha),
-        "vocab_size": int(row["v"] or 0) + 1,
-        "n_bigrams": int(row["n"] or 0),
         "order": int(order),
         "bos": BOS,
+        "smoothing": smoothing,
+        "version": new_v,
+        **stats,
     }
-    tmp = os.path.join(lm_dir, _LM_MANIFEST + ".tmp")
-    os.makedirs(lm_dir, exist_ok=True)
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(lm_dir, _LM_MANIFEST))
+    if prev is not None and "last_epoch" in prev:
+        meta["last_epoch"] = prev["last_epoch"]
+    _flip_manifest(lm_dir, meta)
+    _retire_versions(lm_dir, new_v - 1)
 
 
 def _lm_paths(lm_dir: str, meta: dict):
     """Count-table paths for the manifest's committed version.  v0
-    (the fresh build) lives at the bare names; incremental updates
+    (the fresh build) lives at the bare names; updates and rebuilds
     land whole new tables under ``_v<N>`` suffixes and commit by the
     manifest flip — the DSIR counts-version construction, so readers
     see the old model in full until the flip and the new one in full
     after it."""
-    v = int(meta.get("version", 0))
-    suf = "" if v == 0 else f"_v{v}"
+    suf = _version_suffix(int(meta.get("version", 0)))
     return f"{lm_dir}/bigrams{suf}", f"{lm_dir}/contexts{suf}"
 
 
@@ -175,13 +257,14 @@ def update_ngram_lm(
     counts write and the flip refolds from the still-live previous
     version (the engine's standard two-layer contract).  The previous
     version's tables are retained for in-flight readers and retired by
-    the NEXT update."""
-    import shutil
-
+    the NEXT update.  KN artifacts re-derive their continuation counts
+    and discount from the MERGED bigram table — distinct counts are
+    not additive, but the table they derive from is, so update ≡
+    retrain holds for every smoothing (tested)."""
     meta = read_lm_manifest(lm_dir)
     if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
-    bi_path, ctx_path = _lm_paths(lm_dir, meta)
+    bi_path, _ = _lm_paths(lm_dir, meta)
     batch = (
         _doc_ngrams(new_reference, int(meta.get("order", 2)))
         .groupBy("w1", "w2")
@@ -194,32 +277,14 @@ def update_ngram_lm(
         .agg(F.sum("c").alias("c"))
     )
     new_v = int(meta.get("version", 0)) + 1
-    new_bi = f"{lm_dir}/bigrams_v{new_v}"
-    merged.write.mode("overwrite").parquet(new_bi)
-    stored = spark.read.parquet(new_bi)
-    stored.groupBy("w1").agg(F.sum("c").alias("c1")).write.mode(
-        "overwrite"
-    ).parquet(f"{lm_dir}/contexts_v{new_v}")
-    row = stored.agg(F.countDistinct("w2").alias("v"), F.sum("c").alias("n")).first()
-    meta.update(
-        {
-            "version": new_v,
-            "vocab_size": int(row["v"] or 0) + 1,
-            "n_bigrams": int(row["n"] or 0),
-        }
+    stats = _fit_version_tables(
+        spark, lm_dir, merged, new_v, meta.get("smoothing", "addalpha")
     )
+    meta.update({"version": new_v, **stats})
     if epoch is not None:
         meta["last_epoch"] = int(epoch)
-    tmp = os.path.join(lm_dir, _LM_MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(lm_dir, _LM_MANIFEST))  # THE commit
-    # retire everything older than the previous version (kept for
-    # in-flight readers — the refit retention rule)
-    for v in range(new_v - 1):
-        suf = "" if v == 0 else f"_v{v}"
-        shutil.rmtree(f"{lm_dir}/bigrams{suf}", ignore_errors=True)
-        shutil.rmtree(f"{lm_dir}/contexts{suf}", ignore_errors=True)
+    _flip_manifest(lm_dir, meta)
+    _retire_versions(lm_dir, new_v - 1)
 
 
 def read_lm_manifest(lm_dir: str) -> dict:
@@ -241,25 +306,54 @@ def perplexity_score(
     decide, exactly the quality-scorer survival rule).
 
     Smoothing parameters come from the MANIFEST, never from caller
-    arguments — the artifact is self-describing."""
+    arguments — the artifact is self-describing.  ``addalpha``
+    artifacts score with the two-join add-α formula; ``kn`` artifacts
+    add one more vocabulary-bounded equi-join (the continuation
+    table) and score with interpolated Kneser-Ney:
+
+        P(w2|w1) = max(c−D, 0)/c1 + D·n1p(w1)/c1 · P_cont(w2)   c1 > 0
+                 = P_cont(w2)                                    c1 = 0
+        P_cont(w2) = (ccnt(w2) + α) / (T + α·V)
+
+    where T = |bigram types| and the α term reserves continuation
+    mass for tokens never observed as a successor — the same
+    unseen-mass rule as the add-α path, so both smoothers are proper
+    and total-order-deterministic."""
     meta = read_lm_manifest(lm_dir)
     alpha, V = float(meta["alpha"]), int(meta["vocab_size"])
     bi_path, ctx_path = _lm_paths(lm_dir, meta)
     bi_counts = spark.read.parquet(bi_path)
     ctx_counts = spark.read.parquet(ctx_path)
     db = _doc_ngrams(documents, int(meta.get("order", 2)))
-    scored = (
-        db.join(bi_counts, ["w1", "w2"], "left")
-        .join(ctx_counts, ["w1"], "left")
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * V))
-                )
-            ).alias("logp"),
+    joined = db.join(bi_counts, ["w1", "w2"], "left").join(
+        ctx_counts.select("w1", "c1", *(
+            ["n1p"] if meta.get("smoothing", "addalpha") == "kn" else []
+        )),
+        ["w1"],
+        "left",
+    )
+    c = F.coalesce(F.col("c"), F.lit(0))
+    c1 = F.coalesce(F.col("c1"), F.lit(0))
+    if meta.get("smoothing", "addalpha") == "kn":
+        D = float(meta["discount"])
+        T = int(meta["n_bigram_types"])
+        suf = _version_suffix(int(meta.get("version", 0)))
+        cont = spark.read.parquet(f"{lm_dir}/continuation{suf}")
+        joined = joined.join(cont, ["w2"], "left")
+        pcont = (F.coalesce(F.col("ccnt"), F.lit(0)) + F.lit(alpha)) / F.lit(
+            T + alpha * V
         )
+        logp = F.log(
+            F.when(
+                c1 > 0,
+                F.greatest(c - F.lit(D), F.lit(0.0)) / c1
+                + F.lit(D) * F.col("n1p") / c1 * pcont,
+            ).otherwise(pcont)
+        )
+    else:
+        logp = F.log((c + F.lit(alpha)) / (c1 + F.lit(alpha * V)))
+    scored = (
+        joined.select("doc_id", logp.alias("logp"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.avg("logp").alias("_mean"))
         .select("doc_id", "n_bigrams", F.exp(-F.col("_mean")).alias("ppl"))

@@ -162,6 +162,7 @@ def kmeans_centroids(
     vecs = embeddings.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    full = vecs
     sampled = None
     if fit_fraction is not None and 0.0 < float(fit_fraction) < 1.0:
         sampled = vecs.sample(fraction=float(fit_fraction), seed=seed).persist()
@@ -175,6 +176,13 @@ def kmeans_centroids(
             sampled = None
     try:
         model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
+        if vecs is sampled and len(model.clusterCenters()) < n_centroids:
+            # row count is not distinct-POINT count (round-9 advisor):
+            # a sample with ≥ k rows but < k distinct vectors still
+            # seats fewer centers — validate the fitted geometry and
+            # fall back to the full-corpus fit on mismatch, so the
+            # manifest's n_centroids is never silently broken
+            model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(full)
     finally:
         if sampled is not None:
             sampled.unpersist()

@@ -859,9 +859,15 @@ def _guard_index_adoption(meta_dir: str, existing_batches, kind: str) -> None:
     # pre-round-9 adoptions were recorded under the shared name —
     # honoring it preserves upgrade continuity for already-adopted
     # deployments (whose fold batches are legitimately non-negative by
-    # now and would otherwise refuse forever)
-    if os.path.isfile(marker) or os.path.isfile(
-        os.path.join(meta_dir, "_ADOPTED_INDEX")
+    # now and would otherwise refuse forever).  ONLY for MinHash: the
+    # legacy sinks (start_corpus_ingest_sink et al.) guarded exactly
+    # that one index, so the shared marker can only ever have meant a
+    # MinHash adoption — letting it waive the text/IVF/passage checks
+    # in a composite sink that reuses the same meta dir would mask
+    # exactly what the kind-scoping change fixed (round-9 advisor).
+    if os.path.isfile(marker) or (
+        kind == "MinHash"
+        and os.path.isfile(os.path.join(meta_dir, "_ADOPTED_INDEX"))
     ):
         return
     batches = sorted(existing_batches)
@@ -924,6 +930,15 @@ def _group_dirs_of(corpus_dir: str) -> list:
     )
 
 
+def _staging_complete(staging: str) -> bool:
+    """A staging copy is authoritative iff its write fully committed
+    (``_SUCCESS``).  An incomplete staging dir means the live-dir
+    overwrite never started — the live dir is intact."""
+    return os.path.isdir(staging) and os.path.isfile(
+        os.path.join(staging, "_SUCCESS")
+    )
+
+
 def _remove_ids_from_group_dirs(
     sp_, corpus_dir: str, meta_dir: str, ids, key: str, epoch: int
 ) -> None:
@@ -932,15 +947,28 @@ def _remove_ids_from_group_dirs(
     ``_staged_group_rewrite``).  The "group untouched" skip runs only
     when no completed staging copy exists for THIS epoch — after a
     crashed commit the partial live dir may hold none of the ids, and
-    skipping would strand the recovery."""
-    for gdir in _group_dirs_of(corpus_dir):
-        staging = os.path.join(
-            meta_dir, f"_cdc_{os.path.basename(gdir)}_staging_e{epoch}"
-        )
-        if not (
-            os.path.isdir(staging)
-            and os.path.isfile(os.path.join(staging, "_SUCCESS"))
-        ):
+    skipping would strand the recovery.
+
+    The group list is the UNION of existing ``batch_group=`` dirs and
+    groups named by this epoch's completed staging dirs in
+    ``meta_dir`` (round-9 advisor): the live-dir overwrite deletes the
+    target before writing, so a crash in that window can leave NO live
+    dir at all — iterating only existing dirs would strand the
+    completed, authoritative staged copy forever."""
+    pre, suf = "_cdc_", f"_staging_e{epoch}"
+    groups = {os.path.basename(g) for g in _group_dirs_of(corpus_dir)}
+    if os.path.isdir(meta_dir):
+        groups |= {
+            d[len(pre):-len(suf)]
+            for d in os.listdir(meta_dir)
+            if d.startswith(pre + "batch_group=")
+            and d.endswith(suf)
+            and _staging_complete(os.path.join(meta_dir, d))
+        }
+    for base in sorted(groups):
+        gdir = f"{corpus_dir}/{base}"
+        staging = os.path.join(meta_dir, f"{pre}{base}{suf}")
+        if not _staging_complete(staging):
             if not any(f.endswith(".parquet") for f in os.listdir(gdir)):
                 continue
             if sp_.read.parquet(gdir).join(ids, key, "left_semi").isEmpty():
@@ -962,10 +990,20 @@ def _merge_into_group_dir(
     existing group content unions with the batch, deduped by ``key``,
     committed through ``_staged_group_rewrite`` (crash-safe) — a
     replayed epoch recomputes identical survivors and the keyed dedup
-    makes the rewrite a no-op."""
+    makes the rewrite a no-op.
+
+    A completed this-epoch staging copy is checked FIRST (round-9
+    advisor): the live-dir overwrite deletes the target before
+    writing, so a crash in that window leaves a missing/empty live dir
+    — the fresh-write else-branch would then write only the new batch
+    and silently lose every prior group row, even though the
+    authoritative staged copy (prior rows ∪ batch) is sitting on disk."""
     gdir = f"{corpus_dir}/batch_group={group}"
-    if os.path.isdir(gdir) and any(f.endswith(".parquet") for f in os.listdir(gdir)):
-        staging = os.path.join(meta_dir, f"_group{group}_staging_e{epoch}")
+    staging = os.path.join(meta_dir, f"_group{group}_staging_e{epoch}")
+    if _staging_complete(staging) or (
+        os.path.isdir(gdir)
+        and any(f.endswith(".parquet") for f in os.listdir(gdir))
+    ):
         _staged_group_rewrite(
             sp_,
             gdir,

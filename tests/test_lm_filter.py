@@ -391,13 +391,16 @@ def _grammar_corpus(n_docs: int, seed: int, doc_base: int):
     return docs
 
 
-def test_prepare_training_corpus_lm_gate(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("smoothing", ["addalpha", "kn"])
+def test_prepare_training_corpus_lm_gate(spark, tmp_path, smoothing):
     """The batch composition: a same-vocabulary token scramble passes
     the heuristic quality gate (its length/distinct/top-token surface
     is normal) and dies at the LM gate; the oracle-gated default path
-    (no lm_dir) is untouched."""
-    import pytest
-
+    (no lm_dir) is untouched.  Parametrized over both smoothers — the
+    KN calibration must separate the same corpus the add-α gate does."""
     from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
         corpus as corpus_mod,
     )
@@ -405,7 +408,7 @@ def test_prepare_training_corpus_lm_gate(spark, tmp_path):
     ref_rows = _grammar_corpus(150, seed=3, doc_base=0)
     ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
     lm = str(tmp_path / "lm")
-    lm_filter.train_ngram_lm(ref, lm)
+    lm_filter.train_ngram_lm(ref, lm, smoothing=smoothing)
 
     good = _grammar_corpus(12, seed=21, doc_base=10_000)
     import random
@@ -449,3 +452,141 @@ def test_prepare_training_corpus_lm_gate(spark, tmp_path):
 
     with pytest.raises(ValueError, match="come together"):
         corpus_mod.prepare_training_corpus(docs, lm_dir=lm)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothing (round 10): same stored count tables, one more
+# derived table (continuation counts), same equi-join scoring shape.
+# ---------------------------------------------------------------------------
+
+
+def _py_kn_oracle(ref_texts, score_docs, alpha, order=2):
+    """Independent interpolated-Kneser-Ney implementation: dict
+    counts, float64 math, the module's exact formula (absolute
+    discount D = n1/(n1+2·n2), α-smoothed continuation base)."""
+    def grams(t):
+        seq = [lm_filter.BOS] * (order - 1) + _tok(t)
+        return [
+            (" ".join(seq[i : i + order - 1]), seq[i + order - 1])
+            for i in range(len(seq) - order + 1)
+        ]
+
+    bi, seen_w2 = {}, set()
+    for t in ref_texts:
+        for a, b in grams(t):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            seen_w2.add(b)
+    ctx, n1p, ccnt = {}, {}, {}
+    for (a, b), c in bi.items():
+        ctx[a] = ctx.get(a, 0) + c
+        n1p[a] = n1p.get(a, 0) + 1
+        ccnt[b] = ccnt.get(b, 0) + 1
+    T, V = len(bi), len(seen_w2) + 1
+    n1 = sum(1 for c in bi.values() if c == 1)
+    n2 = sum(1 for c in bi.values() if c == 2)
+    D = n1 / (n1 + 2 * n2) if n1 > 0 else 0.5
+    out = {}
+    for doc_id, t in score_docs:
+        lps = []
+        for a, b in grams(t):
+            pc = (ccnt.get(b, 0) + alpha) / (T + alpha * V)
+            c1 = ctx.get(a, 0)
+            if c1 > 0:
+                p = max(bi.get((a, b), 0) - D, 0.0) / c1 + D * n1p[a] / c1 * pc
+            else:
+                p = pc
+            lps.append(math.log(p))
+        out[doc_id] = (len(lps), math.exp(-sum(lps) / len(lps)) if lps else None)
+    return out
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_kn_scores_match_python_oracle(spark, sf_dir, tmp_path, order):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") < 150)
+    to_score_rows = [
+        (r.doc_id, r.text)
+        for r in docs.where(
+            (F.col("doc_id") >= 150) & (F.col("doc_id") < 200)
+        ).collect()
+    ] + [(990_000, ""), (990_001, "!!! ???")]
+    to_score = spark.createDataFrame(to_score_rows, "doc_id long, text string")
+
+    lm = str(tmp_path / "lmkn")
+    lm_filter.train_ngram_lm(ref, lm, alpha=0.1, order=order, smoothing="kn")
+    meta = lm_filter.read_lm_manifest(lm)
+    assert meta["smoothing"] == "kn"
+    assert 0.0 < meta["discount"] < 1.0
+    assert meta["n_bigram_types"] > 0
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in lm_filter.perplexity_score(spark, to_score, lm).collect()
+    }
+    want = _py_kn_oracle(
+        [r.text for r in ref.collect()], to_score_rows, alpha=0.1, order=order
+    )
+    assert set(got) == set(want)
+    for d, (n, ppl) in want.items():
+        assert got[d][0] == n, d
+        if ppl is None:
+            assert got[d][1] is None, d
+        else:
+            assert abs(got[d][1] - ppl) <= 1e-9 * ppl, (d, got[d][1], ppl)
+
+
+def test_kn_update_equals_retrain(spark, tmp_path):
+    """Continuation counts and the discount are NOT additive, but they
+    derive from the merged bigram table, which is — so the updated KN
+    model equals the from-scratch retrain in every manifest stat and
+    every score."""
+    a = spark.createDataFrame(_structured_corpus(60, seed=1, doc_base=0),
+                              "doc_id long, text string")
+    b = spark.createDataFrame(_structured_corpus(40, seed=2, doc_base=5000),
+                              "doc_id long, text string")
+    inc = str(tmp_path / "inc")
+    lm_filter.train_ngram_lm(a, inc, alpha=0.2, smoothing="kn")
+    lm_filter.update_ngram_lm(spark, inc, b, epoch=0)
+    full = str(tmp_path / "full")
+    lm_filter.train_ngram_lm(a.unionByName(b), full, alpha=0.2, smoothing="kn")
+
+    mi, mf = lm_filter.read_lm_manifest(inc), lm_filter.read_lm_manifest(full)
+    for k in ("vocab_size", "n_bigrams", "n_bigram_types", "discount", "smoothing"):
+        assert mi[k] == mf[k], k
+
+    probe = spark.createDataFrame(
+        _structured_corpus(10, seed=9, doc_base=9000), "doc_id long, text string"
+    )
+    gi = {(r.doc_id, r.n_bigrams, round(r.ppl, 9))
+          for r in lm_filter.perplexity_score(spark, probe, inc).collect()}
+    gf = {(r.doc_id, r.n_bigrams, round(r.ppl, 9))
+          for r in lm_filter.perplexity_score(spark, probe, full).collect()}
+    assert gi == gf
+
+
+def test_smoothing_validation_and_manifest_default(spark, tmp_path):
+    """Unknown smoothing refuses; pre-round-10 manifests (no smoothing
+    key) score as add-α — artifact compatibility."""
+    import json
+    import os
+
+    a = spark.createDataFrame(_structured_corpus(20, seed=1, doc_base=0),
+                              "doc_id long, text string")
+    with pytest.raises(ValueError, match="smoothing"):
+        lm_filter.train_ngram_lm(a, str(tmp_path / "x"), smoothing="kneser")
+
+    lm = str(tmp_path / "legacy")
+    lm_filter.train_ngram_lm(a, lm)
+    mpath = os.path.join(lm, "_lm_manifest.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    del meta["smoothing"]
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+    probe_rows = [(1, "the engine reads the table")]
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    got = lm_filter.perplexity_score(spark, probe, lm).first()
+    want = _py_oracle(
+        [r.text for r in a.collect()], probe_rows, alpha=0.1
+    )[1][1]
+    assert abs(got.ppl - want) <= 1e-9 * want
