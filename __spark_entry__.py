@@ -253,7 +253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs_dup(spark, sf))
     q["dedup_clusters"] = lambda spark, sf: dedup.dedup_clusters(_docs_dup(spark, sf))
     q["fuzzy_dedup_keep"] = lambda spark, sf: dedup.fuzzy_dedup_keep(_docs_dup(spark, sf))
-    q["simhash_pairs"] = lambda spark, sf: dedup.simhash_dup_pairs(_docs_dup(spark, sf))
+    # simhash_pairs folded into pytest (round 10: its banded-candidate +
+    # exact-verify path is already gate-covered by dedup_minhash_lsh +
+    # fuzzy_dedup_keep; the oracle twin lives on in
+    # tests/test_consolidated.py) — its slot carries the stored
+    # inverted-index BM25 serving path below.
     # bits pinned explicitly: the DuckDB oracle embeds an 8-bit (resp.
     # 6-bit) plane table as literals, so the gate must not follow the
     # adaptive corpus-sized default (lsh_bits_for) — see oracle.py.
@@ -269,14 +273,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.default_queries(load_table(spark, sf, "embeddings")),
         bits=6,
     )
-    q["ann_quantized_topk"] = lambda spark, sf: similarity.quantized_topk(
-        load_table(spark, sf, "embeddings"),
-        similarity.default_queries(load_table(spark, sf, "embeddings")),
-    )
+    # ann_quantized_topk folded into pytest (round 10: same scan/rank
+    # shape as ann_bruteforce_topk, int8-quantized; oracle twin in
+    # tests/test_consolidated.py) — its slot carries the LM perplexity
+    # gate below.
 
     q["bm25_topk"] = lambda spark, sf: retrieval.bm25_topk(
         load_table(spark, sf, "documents"), ["spark", "vector", "window"], k=25
     )
+
+    def bm25_from_index(spark: SparkSession, sf: str) -> DataFrame:
+        """The STORED-ARTIFACT serving path through the gate (round-9
+        verdict task 1): build the inverted text index in a tempdir
+        (tokenize once, postings partitioned by term bucket, manifest
+        corpus stats), then answer the same query off the index — the
+        gate hash proves build_text_index → bm25_topk_from_index ≡
+        the from-scratch DuckDB BM25 twin."""
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sg_tix_gate_")
+        retrieval.build_text_index(load_table(spark, sf, "documents"), d)
+        return retrieval.bm25_topk_from_index(
+            spark, d, ["spark", "vector", "window"], k=25
+        )
+
+    q["bm25_from_index"] = bm25_from_index
+
+    def lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+        """The CCNet-style perplexity gate through the driver hash
+        (round-9 verdict task 1): train the add-α bigram LM on the
+        doc_id % 3 = 0 reference split, score the WHOLE corpus.
+        Surfaces round(ln(ppl), 6) — the mean log-prob, monotone in
+        ppl — because exp() amplifies cross-engine last-bit summation
+        differences at high perplexities past any fixed rounding."""
+        import tempfile
+
+        from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+            lm_filter,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        d = tempfile.mkdtemp(prefix="sg_lm_gate_")
+        lm_filter.train_ngram_lm(
+            docs.where(F.col("doc_id") % 3 == 0), d, alpha=0.1
+        )
+        return lm_filter.perplexity_score(spark, docs, d).select(
+            "doc_id", "n_bigrams", F.round(F.log("ppl"), 6).alias("log_ppl")
+        )
+
+    q["lm_perplexity"] = lm_perplexity
 
     def hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         """Hybrid retrieval: the BM25 lexical top-10 fused by RRF with

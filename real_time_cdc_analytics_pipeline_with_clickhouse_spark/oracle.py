@@ -743,6 +743,61 @@ ORDER BY bm25 DESC, doc_id
 LIMIT 25
 """)
 
+# Stored-artifact serving path (operators/retrieval.py
+# bm25_topk_from_index): build_text_index → query off the postings must
+# equal the from-scratch BM25 — same twin SQL, so the gate hash proves
+# the index round-trip loses nothing.
+ORACLE["bm25_from_index"] = q(f"""
+, {_BM25_CTES}
+SELECT doc_id, bm25 FROM bscore
+ORDER BY bm25 DESC, doc_id
+LIMIT 25
+""")
+
+# N-gram LM perplexity gate (operators/lm_filter.py): add-α bigram LM
+# trained on the doc_id % 3 = 0 reference split, scoring the whole
+# corpus.  Surfaces round(-avg logp, 6) = ln(ppl) — monotone in ppl;
+# exp() would amplify last-bit summation differences at high
+# perplexities past any fixed rounding.  BOS padding ('^', outside the
+# tokenizer alphabet) mirrors lm_filter.BOS.
+ORACLE["lm_perplexity"] = q("""
+, lm_seq AS (
+    SELECT doc_id, ['^'] || list_filter(toks, t -> t <> '') AS seq
+    FROM doc_toks
+  ),
+  lm_split AS (
+    SELECT doc_id,
+           split_part(gram, ' ', 1) AS w1,
+           split_part(gram, ' ', 2) AS w2
+    FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(seq) >= 2
+                         THEN [seq[i] || ' ' || seq[i+1]
+                               for i in generate_series(1, len(seq) - 1)]
+                         ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM lm_seq
+    )
+  ),
+  lm_bi AS (
+    SELECT w1, w2, count(*) AS c FROM lm_split WHERE doc_id % 3 = 0
+    GROUP BY 1, 2
+  ),
+  lm_ctx AS (SELECT w1, sum(c) AS c1 FROM lm_bi GROUP BY 1),
+  lm_v AS (SELECT count(DISTINCT w2) + 1 AS v FROM lm_bi),
+  lm_doc AS (
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           round(-avg(ln((coalesce(b.c, 0) + 0.1)
+                         / (coalesce(x.c1, 0) + 0.1 * v.v))), 6) AS log_ppl
+    FROM lm_split g
+    LEFT JOIN lm_bi b USING (w1, w2)
+    LEFT JOIN lm_ctx x USING (w1)
+    CROSS JOIN lm_v v
+    GROUP BY 1
+  )
+SELECT d.doc_id, coalesce(l.n_bigrams, 0) AS n_bigrams, l.log_ppl
+FROM documents d LEFT JOIN lm_doc l USING (doc_id)
+""")
+
 ORACLE["hybrid_rrf"] = q(f"""
 , {_BM25_CTES},
   hlex AS (SELECT doc_id, bm25 FROM bscore ORDER BY bm25 DESC, doc_id LIMIT 10),

@@ -505,6 +505,28 @@ FROM pre
     spark.catalog.clearCache()
 
 
+def test_simhash_pairs_twin(spark, sf_dir, ducks):
+    """Ceded its driver slot to bm25_from_index (round 10): the
+    banded-candidate + exact-verify path is gate-covered by
+    dedup_minhash_lsh + fuzzy_dedup_keep; the full oracle parity
+    lives on here with the same DuckDB twin SQL."""
+    sdf = dedup.simhash_dup_pairs(entrymod._docs_dup(spark, sf_dir))
+    _check(sdf, ORACLE["simhash_pairs"], ducks)
+
+
+def test_ann_quantized_topk_twin(spark, sf_dir, ducks):
+    """Ceded its driver slot to lm_perplexity (round 10): same
+    scan/rank shape as the gate-checked ann_bruteforce_topk,
+    int8-quantized; the full oracle parity lives on here."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sdf = similarity.quantized_topk(emb, similarity.default_queries(emb))
+    _check(sdf, ORACLE["ann_quantized_topk"], ducks)
+
+
 def test_bm25_topk_twin(spark, sf_dir, ducks):
     """BM25 lexical retrieval: exact DuckDB twin (same tokenizer CTE,
     same weighting, scores rounded to 4dp before the deterministic

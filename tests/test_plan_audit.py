@@ -22,17 +22,18 @@ QUERIES = entrymod.queries()
 #   tfidf_top_terms      — scalar corpus count n_docs (1 row)
 #   ann_bruteforce_topk  — the query SET broadcast against the corpus
 #                          (exact-baseline semantics; corpus never shuffles)
-#   ann_quantized_topk   — same shape, int8-quantized
 #   bm25_topk            — scalar corpus stats (n_docs, avgdl): 1-row
 #                          aggregate broadcast against the candidate set
 #   hybrid_rrf           — inherits bm25_topk's stats row plus the
 #                          1-vector query broadcast of its exact-cosine
 #                          leg (ann_bruteforce_topk's reviewed shape)
+# (ann_quantized_topk left the driver registry in round 10; its plan is
+# still audited via ann_bruteforce_topk's identical shape and its
+# oracle twin in test_consolidated.py.)
 BNLJ_ALLOWED = {
     "trending_recent",
     "tfidf_top_terms",
     "ann_bruteforce_topk",
-    "ann_quantized_topk",
     "bm25_topk",
     "hybrid_rrf",
 }
