@@ -63,6 +63,20 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+    # ann_quantized_topk ceded its driver-gate slot in round 10 (oracle
+    # parity lives in tests/test_consolidated.py) but stays a headline
+    # bench query for round-over-round comparability — same callable
+    # the registry carried
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        similarity as _SIM,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import (
+        load_table as _LT,
+    )
+
+    queries["ann_quantized_topk"] = lambda sp, sf: _SIM.quantized_topk(
+        _LT(sp, sf, "embeddings"), _SIM.default_queries(_LT(sp, sf, "embeddings"))
+    )
 
     # JVM/codegen warmup on a trivial plan
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
@@ -486,42 +500,32 @@ def main() -> None:
                 )
             ]
             pqueries = spark.createDataFrame(pq_rows, "query_id long, text string")
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                PSG.passage_topk(
-                    spark, pqueries, psg_idx, k=10, n_probe=4
-                ).write.mode("overwrite").format("noop").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings["_passage_topk"] = round(best, 3)
-            # the PQ/ADC serving tier: pq_m + 8 bytes per chunk vector
-            # scanned instead of 8 × dim, exact rerank of the bounded
-            # candidate list — the tier that pays most at chunk
-            # granularity (~15× more vectors than whole-doc indexing)
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                PSG.passage_topk(
-                    spark, pqueries, psg_idx, k=10, n_probe=4,
-                    use_pq=True, pq_rerank=50,
-                ).write.mode("overwrite").format("noop").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings["_passage_topk_pq"] = round(best, 3)
-            # the round-9 auto tier: occupancy at this scale sits
-            # below the ADC lookup-table amortization point, so auto
-            # must route to the float path (time ≈ _passage_topk, not
-            # _passage_topk_pq) — the no-small-deployment-tax contract
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                PSG.passage_topk(
-                    spark, pqueries, psg_idx, k=10, n_probe=4, use_pq="auto",
-                ).write.mode("overwrite").format("noop").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings["_passage_topk_auto"] = round(best, 3)
+            # the three serving tiers run INTERLEAVED min-of-3 with raw
+            # samples recorded (the `_cdc_wire` treatment — round-9
+            # verdict #3: these single-shot probes drifted ±20-25% on
+            # untouched code, which masked whether a tuning round
+            # helped).  _passage_topk_pq is the PQ/ADC tier (pq_m + 8
+            # bytes per chunk vector scanned instead of 8 × dim, exact
+            # rerank of the bounded candidates — the tier that pays
+            # most at chunk granularity); _passage_topk_auto must route
+            # to the float path at this occupancy (time ≈ _passage_topk
+            # — the no-small-deployment-tax contract).
+            psg_tiers = {
+                "_passage_topk": {},
+                "_passage_topk_pq": {"use_pq": True, "pq_rerank": 50},
+                "_passage_topk_auto": {"use_pq": "auto"},
+            }
+            psg_samples: dict[str, list] = {k: [] for k in psg_tiers}
+            for _ in range(3):
+                for key, kw in psg_tiers.items():
+                    t0 = time.time()
+                    PSG.passage_topk(
+                        spark, pqueries, psg_idx, k=10, n_probe=4, **kw
+                    ).write.mode("overwrite").format("noop").save()
+                    psg_samples[key].append(round(time.time() - t0, 3))
+            for key in psg_tiers:
+                timings[key] = min(psg_samples[key])
+                timings[key + "_samples"] = psg_samples[key]
 
             # unified document ingest (round 9): the COMPOSITE cost of
             # one micro-batch through the full gauntlet — tokenize +
@@ -605,6 +609,48 @@ def main() -> None:
             timings["_doc_ingest_fold_sec"] = round(dt, 3)
             timings["_doc_ingest_fold_docs_per_sec"] = round(n_docs1x / dt, 1)
 
+            # fold cost ∝ batch (round-9 verdict #2): the corpus-sized
+            # fold above is a deliberate worst case; a THIRD epoch
+            # folds a 1/10-size batch of fresh docs (token ROTATION —
+            # distinct from both the originals and the reversed f1
+            # rewrites, so every doc runs the whole gauntlet) through
+            # the now-larger accumulated index.  Linear fold cost ⇒
+            # small-batch docs/s ≈ full-batch docs/s (both pay the
+            # same ~seconds of stream-restart overhead); a corpus-
+            # sized term would show up as small ≈ full/10.
+            small = (
+                docs1x.where(F.col("doc_id") % 10 == 0)
+                .select(
+                    (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.concat(
+                            F.slice(_toks10, 8, 1 << 20), F.slice(_toks10, 1, 7)
+                        ),
+                    ).alias("text"),
+                )
+                .withColumn("lang", F.lit("en"))
+                .withColumn("source", F.lit("bench3"))
+            )
+            n_small = small.count()
+            small.coalesce(2).write.mode("overwrite").parquet(
+                f"{udir}/feed/f2.parquet"
+            )
+            ustream3 = spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(f"{udir}/feed/*.parquet")
+            t0 = time.time()
+            uq3 = SPIPE.start_document_ingest_sink(
+                ustream3, f"{udir}/corpus", f"{udir}/mh", f"{udir}/tix",
+                f"{udir}/ivf", f"{udir}/ck", compact_every=None,
+                n_centroids=16, seed=7, fit_fraction=0.1,
+            )
+            uq3.processAllAvailable()
+            uq3.stop()
+            dt = time.time() - t0
+            timings["_doc_ingest_fold_small_sec"] = round(dt, 3)
+            timings["_doc_ingest_fold_small_docs_per_sec"] = round(n_small / dt, 1)
+
             # CDC maintenance cost of the (round-8.5 batch-lineage)
             # MinHash index: build once on the 10× corpus, then UPSERT
             # a 10%-of-corpus re-ingest batch — the tombstone half is a
@@ -619,9 +665,18 @@ def main() -> None:
             docs10_for_mh = spark.read.parquet(
                 f"{scale_dir}/documents.parquet"
             ).select("doc_id", "text", "lang", "source")
-            t0 = time.time()
-            LSHI.build_minhash_index(docs10_for_mh, mh_idx)
-            timings["_scale10x_minhash_index_build"] = round(time.time() - t0, 3)
+            # min-of-3 with raw samples (round-9 verdict #3: this build
+            # probe drifted +13% on untouched code); each rebuild
+            # overwrites the whole artifact, so iterations are
+            # independent and the last build is the one the upsert
+            # probe below maintains
+            mb_samples = []
+            for _ in range(3):
+                t0 = time.time()
+                LSHI.build_minhash_index(docs10_for_mh, mh_idx)
+                mb_samples.append(round(time.time() - t0, 3))
+            timings["_scale10x_minhash_index_build"] = min(mb_samples)
+            timings["_scale10x_minhash_index_build_samples"] = mb_samples
             reingest = docs10_for_mh.where(F.col("doc_id") % 10 == 3).select(
                 "doc_id",
                 F.concat(F.lit("revised intro "), F.col("text")).alias("text"),
@@ -694,18 +749,23 @@ def main() -> None:
                 ),
             }
             for name, (build_md5, build_xxh) in hash_twins.items():
-                best_m = best_x = None
-                for _ in range(2):
+                # fuzzy_decontaminate gets interleaved min-of-3 with
+                # raw samples (round-9 verdict #3: it drifted +24% on
+                # untouched code); the other twins stay min-of-2
+                rounds = 3 if name == "fuzzy_decontaminate" else 2
+                sm, sx = [], []
+                for _ in range(rounds):
                     t0 = time.time()
                     build_md5().write.mode("overwrite").format("noop").save()
-                    dt = time.time() - t0
-                    best_m = dt if best_m is None else min(best_m, dt)
+                    sm.append(round(time.time() - t0, 3))
                     t0 = time.time()
                     build_xxh().write.mode("overwrite").format("noop").save()
-                    dt = time.time() - t0
-                    best_x = dt if best_x is None else min(best_x, dt)
-                timings[f"_scale10x_{name}"] = round(best_m, 3)
-                timings[f"_scale10x_{name}_xxh"] = round(best_x, 3)
+                    sx.append(round(time.time() - t0, 3))
+                timings[f"_scale10x_{name}"] = min(sm)
+                timings[f"_scale10x_{name}_xxh"] = min(sx)
+                if rounds == 3:
+                    timings[f"_scale10x_{name}_samples"] = sm
+                    timings[f"_scale10x_{name}_xxh_samples"] = sx
 
             # BPE: training cost is per-merge over the WORD table
             # (corpus-size-independent after the one freq shuffle);

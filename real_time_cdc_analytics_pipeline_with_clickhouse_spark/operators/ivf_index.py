@@ -453,7 +453,8 @@ def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
 
 
 def update_ivf_index(
-    new_embeddings: DataFrame, index_dir: str, epoch: int | None = None
+    new_embeddings: DataFrame, index_dir: str, epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold a new batch into the inverted lists WITHOUT refit: assign
     map-side against the stored (broadcast, frozen) centroids, write
@@ -464,9 +465,17 @@ def update_ivf_index(
     write is a whole-directory overwrite and assignment against frozen
     centroids is deterministic, so a crash-replayed epoch rewrites
     byte-identical content instead of duplicating vectors (tested).
-    Batch callers may omit it (ids self-allocate)."""
+    Batch callers may omit it (ids self-allocate).
+
+    ``checkpoint`` is the single-writer token (operators/ownership.py):
+    streaming sinks pass theirs; a fold against an artifact stamped by
+    a DIFFERENT checkpoint — or an unattributed manual fold against a
+    sink-owned artifact — refuses loudly before touching any data."""
+    from . import ownership
+
     spark = new_embeddings.sparkSession
     meta = read_manifest(index_dir)
+    ownership.claim_writer(meta, checkpoint, f"IVF index at {index_dir}")
     root = _data_root(index_dir, meta)
     centroids = spark.read.parquet(f"{root}/centroids")
     assigned = _assign(
@@ -583,6 +592,7 @@ def upsert_ivf_index(
     index_dir: str,
     new_embeddings: DataFrame,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """UPSERT semantics for the stored IVF index — the move a
     CDC-maintained vector index needs when it can't know which
@@ -602,12 +612,19 @@ def upsert_ivf_index(
     batch-dir write and the manifest commit cannot tombstone the rows
     the crashed attempt appended (the epoch's batch dir is rewritten
     byte-identically)."""
-    if epoch is not None and read_manifest(index_dir).get("last_epoch", -1) >= epoch:
+    from . import ownership
+
+    meta = read_manifest(index_dir)
+    if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
+    # probe the writer guard BEFORE the tombstone half — a foreign
+    # writer must not get to delete live rows and then refuse at the
+    # fold (the stamp itself commits with update_ivf_index's flip)
+    ownership.claim_writer(dict(meta), checkpoint, f"IVF index at {index_dir}")
     delete_from_ivf_index(
         spark, index_dir, new_embeddings.select("vec_id"), exclude_batch=epoch
     )
-    update_ivf_index(new_embeddings, index_dir, epoch=epoch)
+    update_ivf_index(new_embeddings, index_dir, epoch=epoch, checkpoint=checkpoint)
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:

@@ -221,8 +221,9 @@ def train_ngram_lm(
         "version": new_v,
         **stats,
     }
-    if prev is not None and "last_epoch" in prev:
-        meta["last_epoch"] = prev["last_epoch"]
+    for carried in ("last_epoch", "epoch_checkpoint"):
+        if prev is not None and carried in prev:
+            meta[carried] = prev[carried]
     _flip_manifest(lm_dir, meta)
     _retire_versions(lm_dir, new_v - 1)
 
@@ -243,6 +244,7 @@ def update_ngram_lm(
     lm_dir: str,
     new_reference: DataFrame,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold new reference documents into the stored LM ADDITIVELY —
     bigram counts are pure sums, so the updated model is EXACTLY the
@@ -260,10 +262,16 @@ def update_ngram_lm(
     the NEXT update.  KN artifacts re-derive their continuation counts
     and discount from the MERGED bigram table — distinct counts are
     not additive, but the table they derive from is, so update ≡
-    retrain holds for every smoothing (tested)."""
+    retrain holds for every smoothing (tested).  ``checkpoint`` is the
+    single-writer token (operators/ownership.py): a fold from a
+    foreign checkpoint, or an unattributed manual fold against a
+    sink-owned model, refuses loudly before touching any table."""
+    from . import ownership
+
     meta = read_lm_manifest(lm_dir)
     if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
+    ownership.claim_writer(meta, checkpoint, f"n-gram LM at {lm_dir}")
     bi_path, _ = _lm_paths(lm_dir, meta)
     batch = (
         _doc_ngrams(new_reference, int(meta.get("order", 2)))

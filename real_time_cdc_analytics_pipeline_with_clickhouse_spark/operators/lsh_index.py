@@ -373,6 +373,7 @@ def update_minhash_index(
     band: int | None = None,
     hash_mode: str | None = None,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold a batch's artifacts in (ALL its docs, kept or dropped — a
     dropped doc still outranks later copies of itself, exactly as in
@@ -387,8 +388,17 @@ def update_minhash_index(
     crash-replayed epoch rewrites byte-identical content; the
     manifest's ``last_epoch`` stamp (the commit) lets
     ``upsert_minhash_index`` no-op a fully-committed replay.  Batch
-    callers may omit it (ids self-allocate)."""
+    callers may omit it (ids self-allocate).  ``checkpoint`` is the
+    single-writer token (operators/ownership.py): a fold from a
+    foreign checkpoint, or an unattributed manual fold against a
+    sink-owned index, refuses loudly before touching any data."""
+    from . import ownership
+
     _require_batched(index_dir)
+    ownership.claim_writer(
+        dict(_lsh_manifest(index_dir)), checkpoint,
+        f"MinHash index at {index_dir}",
+    )
     n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
     spark = new_documents.sparkSession
     b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
@@ -406,6 +416,7 @@ def update_minhash_index(
     meta = _lsh_manifest(index_dir)
     if epoch is not None:
         meta["last_epoch"] = int(epoch)
+    ownership.claim_writer(meta, checkpoint, f"MinHash index at {index_dir}")
     # an index bootstrapped by appends (a streaming sink's first epoch)
     # pins its resolved params too, not just built ones
     _write_lsh_manifest(index_dir, meta)
@@ -509,6 +520,7 @@ def upsert_minhash_index(
     index_dir: str,
     new_documents: DataFrame,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """UPSERT semantics for the stored LSH artifacts — the move a
     CDC-maintained text-dedup index needs when it can't know which
@@ -527,12 +539,18 @@ def upsert_minhash_index(
     batch-dir write and the manifest commit cannot tombstone the rows
     the crashed attempt appended (the epoch's dirs are rewritten
     byte-identically)."""
-    if epoch is not None and _lsh_manifest(index_dir).get("last_epoch", -1) >= epoch:
+    from . import ownership
+
+    meta = _lsh_manifest(index_dir)
+    if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
+    # probe the writer guard BEFORE the tombstone half (the stamp
+    # itself commits with update_minhash_index's manifest flip)
+    ownership.claim_writer(dict(meta), checkpoint, f"MinHash index at {index_dir}")
     delete_from_minhash_index(
         spark, index_dir, new_documents.select("doc_id"), exclude_batch=epoch
     )
-    update_minhash_index(new_documents, index_dir, epoch=epoch)
+    update_minhash_index(new_documents, index_dir, epoch=epoch, checkpoint=checkpoint)
 
 
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:

@@ -174,17 +174,29 @@ def build_passage_index(
 
 
 def update_passage_index(
-    new_documents: DataFrame, index_dir: str, epoch: int | None = None
+    new_documents: DataFrame, index_dir: str, epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold a document batch in without refit: chunk + embed with the
     manifest's pinned geometry, assign against the frozen centroids
     (``update_ivf_index``), land the passage rows under their own
     ``batch=<id>`` dir — a deterministic whole-directory overwrite, so
     a crash-replayed epoch rewrites identical bytes (the every-index
-    exactly-once construction)."""
+    exactly-once construction).  ``checkpoint`` is the single-writer
+    token (operators/ownership.py), carried by the composite's VECTOR
+    manifest (the one every fold flips); the guard probes it before
+    the passage rows land."""
+    from . import ownership
+    from .ivf_index import read_manifest as _read_ivf_manifest
     from .ivf_index import update_ivf_index
 
     meta = _read_passage_manifest(index_dir)
+    # probe BEFORE the passages batch-dir write; the stamp itself
+    # commits with the inner update_ivf_index manifest flip
+    ownership.claim_writer(
+        dict(_read_ivf_manifest(f"{index_dir}/vectors")), checkpoint,
+        f"passage index at {index_dir}",
+    )
     vecs, chunks = _chunk_vectors(new_documents, meta)
     if epoch is None:
         existing = [
@@ -198,7 +210,9 @@ def update_passage_index(
     chunks = chunks.persist()  # chunk the batch once for both writes
     try:
         chunks.write.mode("overwrite").parquet(f"{index_dir}/passages/batch={b}")
-        update_ivf_index(vecs, f"{index_dir}/vectors", epoch=epoch)
+        update_ivf_index(
+            vecs, f"{index_dir}/vectors", epoch=epoch, checkpoint=checkpoint
+        )
     finally:
         chunks.unpersist()
 

@@ -199,6 +199,7 @@ def update_phash_index(
     index_dir: str,
     epoch: int | None = None,
     fingerprints: DataFrame | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold a batch's fingerprints in (all of them — see module
     docstring's precedent rule).  Pass the micro-batch ``epoch`` as
@@ -210,8 +211,16 @@ def update_phash_index(
     callers may omit it (ids self-allocate).  ``fingerprints`` lets a
     caller that already decoded the batch (the unified media sink's
     one-decode-per-batch contract) hand the (asset_id, modality,
-    phash) frame in instead of paying a second decode pass."""
+    phash) frame in instead of paying a second decode pass.
+    ``checkpoint`` is the single-writer token (operators/ownership.py):
+    a fold from a foreign checkpoint, or an unattributed manual fold
+    against a sink-owned index, refuses loudly before touching any
+    data."""
+    from . import ownership
+
     _require_batched(index_dir)
+    meta = read_phash_manifest(index_dir)
+    ownership.claim_writer(meta, checkpoint, f"phash index at {index_dir}")
     spark = new_assets.sparkSession
     b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
     fp = perceptual_hashes(new_assets) if fingerprints is None else fingerprints
@@ -219,8 +228,8 @@ def update_phash_index(
         f"{_fp_root(index_dir)}/batch={b}"
     )
     if epoch is not None:
-        meta = read_phash_manifest(index_dir)
         meta["last_epoch"] = int(epoch)
+    if epoch is not None or checkpoint is not None:
         _write_phash_manifest(index_dir, meta)
 
 
@@ -297,6 +306,7 @@ def upsert_phash_index(
     index_dir: str,
     new_assets: DataFrame,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """UPSERT semantics for the stored fingerprint table — the move a
     CDC-maintained media index needs when it can't know which arriving
@@ -315,12 +325,18 @@ def upsert_phash_index(
     batch-dir write and the manifest commit cannot tombstone the rows
     the crashed attempt appended (the epoch's dir is rewritten
     byte-identically)."""
-    if epoch is not None and read_phash_manifest(index_dir).get("last_epoch", -1) >= epoch:
+    from . import ownership
+
+    meta = read_phash_manifest(index_dir)
+    if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
+    # probe the writer guard BEFORE the tombstone half (the stamp
+    # itself commits with update_phash_index's manifest flip)
+    ownership.claim_writer(dict(meta), checkpoint, f"phash index at {index_dir}")
     delete_from_phash_index(
         spark, index_dir, new_assets.select("asset_id"), exclude_batch=epoch
     )
-    update_phash_index(new_assets, index_dir, epoch=epoch)
+    update_phash_index(new_assets, index_dir, epoch=epoch, checkpoint=checkpoint)
 
 
 def compact_phash_index(spark: SparkSession, index_dir: str) -> None:

@@ -240,7 +240,8 @@ def _write_tix_batch(
 
 
 def update_text_index(
-    new_documents: DataFrame, index_dir: str, epoch: int | None = None
+    new_documents: DataFrame, index_dir: str, epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold a new batch in map-side: its postings and lengths land as
     whole-directory OVERWRITES of their own ``batch=`` dirs in the
@@ -251,13 +252,19 @@ def update_text_index(
     rewrites identical bytes) and the manifest's ``last_epoch`` stamp
     makes a replayed stats fold a no-op — exactly-once through every
     crash window.  Callers dedup doc_ids upstream (the corpus-ingest
-    sinks do)."""
+    sinks do).  ``checkpoint`` is the single-writer token
+    (operators/ownership.py): a fold from a foreign checkpoint, or an
+    unattributed manual fold against a sink-owned index, refuses
+    loudly before touching any data."""
     import os
+
+    from . import ownership
 
     meta = read_text_index_manifest(index_dir)
     _require_positional(index_dir, meta)
     if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
+    ownership.claim_writer(meta, checkpoint, f"text index at {index_dir}")
     post, lens, _ = _tix_paths(index_dir)
     if epoch is not None:
         bid = epoch
@@ -492,7 +499,8 @@ def delete_from_text_index(
 
 
 def upsert_text_index(
-    spark, index_dir: str, documents: DataFrame, epoch: int | None = None
+    spark, index_dir: str, documents: DataFrame, epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """UPSERT semantics for the stored text index — the move a
     CDC-maintained search index needs when it can't know which
@@ -510,14 +518,18 @@ def upsert_text_index(
     tombstone the rows the crashed attempt appended (the epoch's
     batch dir is rewritten byte-identically and the stats fold —
     which never happened — applies once).  Both windows tested."""
-    if epoch is not None and read_text_index_manifest(index_dir).get(
-        "last_epoch", -1
-    ) >= epoch:
+    from . import ownership
+
+    meta = read_text_index_manifest(index_dir)
+    if epoch is not None and meta.get("last_epoch", -1) >= epoch:
         return
+    # probe the writer guard BEFORE the tombstone half (the stamp
+    # itself commits with update_text_index's manifest flip)
+    ownership.claim_writer(dict(meta), checkpoint, f"text index at {index_dir}")
     delete_from_text_index(
         spark, index_dir, documents.select("doc_id"), exclude_batch=epoch
     )
-    update_text_index(documents, index_dir, epoch=epoch)
+    update_text_index(documents, index_dir, epoch=epoch, checkpoint=checkpoint)
 
 
 def refresh_text_index_from_diff(

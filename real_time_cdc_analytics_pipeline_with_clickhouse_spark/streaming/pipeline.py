@@ -837,6 +837,17 @@ def start_embedding_index_sink(
     )
 
 
+def _claim_built(manifest_path: str, checkpoint: str) -> None:
+    """Stamp a just-built artifact's manifest with this sink's writer
+    identity (operators/ownership.py): the batch ``build_*`` writes an
+    unowned manifest, and without the stamp a manual ``update_*``
+    could slip in between the bootstrap build and the first streamed
+    fold.  Idempotent on replay (same checkpoint re-stamps)."""
+    from ..operators import ownership
+
+    ownership.stamp_file(manifest_path, checkpoint)
+
+
 def _guard_index_adoption(meta_dir: str, existing_batches, kind: str) -> None:
     """A fold sink uses micro-batch epochs as batch ids, so folding
     into an index THIS SINK did not build would overwrite
@@ -1078,12 +1089,19 @@ def _ivf_fold_sink(
                         vecs, index_dir, n_centroids, seed,
                         fit_fraction=fit_fraction,
                     )
+                    _claim_built(
+                        os.path.join(index_dir, ivf_index._MANIFEST), checkpoint
+                    )
             elif ups_empty:
                 pass  # pure-delete batch: nothing to fold
             elif op_col is not None:
-                ivf_index.upsert_ivf_index(spark_b, index_dir, vecs, epoch=epoch)
+                ivf_index.upsert_ivf_index(
+                    spark_b, index_dir, vecs, epoch=epoch, checkpoint=checkpoint
+                )
             else:
-                ivf_index.update_ivf_index(vecs, index_dir, epoch=epoch)
+                ivf_index.update_ivf_index(
+                    vecs, index_dir, epoch=epoch, checkpoint=checkpoint
+                )
             if (
                 dels is not None
                 and ivf_index.has_ivf_index(index_dir)
@@ -1488,12 +1506,19 @@ def start_text_index_sink(
                 with open(build_marker, "w") as fh:
                     fh.write(str(epoch))
                 retrieval.build_text_index(ups, index_dir, buckets=buckets)
+                _claim_built(
+                    os.path.join(index_dir, retrieval._TIX_MANIFEST), checkpoint
+                )
         elif ups_empty:
             pass  # pure-delete batch: nothing to append
         elif op_col is not None:
-            retrieval.upsert_text_index(spark_b, index_dir, ups, epoch=epoch)
+            retrieval.upsert_text_index(
+                spark_b, index_dir, ups, epoch=epoch, checkpoint=checkpoint
+            )
         else:
-            retrieval.update_text_index(ups, index_dir, epoch=epoch)
+            retrieval.update_text_index(
+                ups, index_dir, epoch=epoch, checkpoint=checkpoint
+            )
         if (
             dels is not None
             and os.path.isdir(f"{index_dir}/postings")
@@ -1734,8 +1759,13 @@ def start_asset_ingest_sink(
             with open(build_marker, "w") as fh:  # before the build: a crash
                 fh.write(str(epoch))  # mid-build replays as a full rebuild
             pidx.build_phash_index(ups, index_dir)
+            _claim_built(
+                os.path.join(index_dir, pidx._PHASH_MANIFEST), checkpoint
+            )
         elif not ups_empty:
-            pidx.update_phash_index(ups, index_dir, epoch=epoch)
+            pidx.update_phash_index(
+                ups, index_dir, epoch=epoch, checkpoint=checkpoint
+            )
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             pidx.compact_phash_index(sp_, index_dir)
@@ -1860,13 +1890,19 @@ def start_media_ingest_sink(
                 with open(build_marker, "w") as fh:  # before the builds: a
                     fh.write(str(epoch))  # crash mid-build replays as a rebuild
                 pidx.build_phash_index(batch, phash_index_dir, fingerprints=fp)
+                _claim_built(
+                    os.path.join(phash_index_dir, pidx._PHASH_MANIFEST), checkpoint
+                )
             else:
                 pidx.update_phash_index(
-                    batch, phash_index_dir, epoch=epoch, fingerprints=fp
+                    batch, phash_index_dir, epoch=epoch, fingerprints=fp,
+                    checkpoint=checkpoint,
                 )
             if not kept_vecs.isEmpty():
                 if ivf_index.has_ivf_index(ivf_index_dir) and ivf_built_by != epoch:
-                    ivf_index.update_ivf_index(kept_vecs, ivf_index_dir, epoch=epoch)
+                    ivf_index.update_ivf_index(
+                        kept_vecs, ivf_index_dir, epoch=epoch, checkpoint=checkpoint
+                    )
                 else:
                     # first batch with surviving NONZERO vectors (its
                     # own marker — it can trail the phash bootstrap
@@ -1879,6 +1915,9 @@ def start_media_ingest_sink(
                     ivf_index.build_ivf_index(
                         kept_vecs, ivf_index_dir, n_centroids, seed,
                         fit_fraction=fit_fraction,
+                    )
+                    _claim_built(
+                        os.path.join(ivf_index_dir, ivf_index._MANIFEST), checkpoint
                     )
         finally:
             feats.unpersist()
@@ -2161,8 +2200,13 @@ def start_corpus_ingest_sink(
                 with open(build_marker, "w") as fh:  # before the build: a crash
                     fh.write(str(epoch))  # mid-build replays as a full rebuild
                 lsh_index.build_minhash_index(docs, index_dir)
+                _claim_built(
+                    os.path.join(index_dir, lsh_index._LSH_MANIFEST), checkpoint
+                )
             elif not ups_empty:
-                lsh_index.update_minhash_index(docs, index_dir, epoch=epoch)
+                lsh_index.update_minhash_index(
+                    docs, index_dir, epoch=epoch, checkpoint=checkpoint
+                )
             if dsir_model_dir is not None and kept is not None and not kept.isEmpty():
                 # fold exactly the rows the corpus gained; the model's
                 # manifest stamp makes a replayed fold a no-op
@@ -2185,6 +2229,94 @@ def start_corpus_ingest_sink(
         .foreachBatch(sink)
         .start()
     )
+
+
+_SINK_LAYOUT = "_SINK_LAYOUT.json"
+
+
+def delete_documents(spark: SparkSession, meta_dir: str, doc_ids) -> None:
+    """Unified takedown through a document-ingest deployment (round-9
+    verdict #7): remove the given doc_ids from EVERY artifact the
+    ``start_document_ingest_sink`` meta dir tracks — corpus group
+    dirs, MinHash dedup precedent, inverted text index, document IVF
+    index and (when configured) the passage MaxP index — in one call,
+    instead of 4-5 hand-enumerated per-artifact deletes a compliance
+    request would otherwise need.
+
+    ``doc_ids``: a bounded list of ids or a DataFrame with a
+    ``doc_id`` column (right-to-be-forgotten requests are list-sized;
+    a DataFrame is collected to derive the idempotence token below).
+
+    Semantics per artifact: the index deletes are TOMBSTONES (atomic
+    swap, idempotent, unknown ids are no-ops) — the doc stops serving
+    and stops acting as dedup precedent immediately; the corpus
+    rewrite is the crash-safe staged anti-join the CDC path uses, with
+    an ids-derived takedown token in place of the epoch so a crashed
+    takedown re-run recovers exactly like a replayed epoch.  Run the
+    physical purge (``compact_minhash_index`` / ``compact_text_index``
+    / ``compact_ivf_index`` / ``compact_passage_index``) afterwards to
+    remove tombstoned bytes.  Aggregate-only states (a DSIR histogram,
+    the corpus card) are statistics, not per-document content; rebuild
+    them from the post-takedown corpus when exact counts matter.
+
+    Run with the sink's stream STOPPED (the single-writer maintenance
+    contract): the index tombstones are swap-atomic, but the corpus
+    group-dir rewrite must not interleave with the sink's own staged
+    rewrites."""
+    import hashlib
+    import json as _json
+
+    from ..operators import ivf_index, lsh_index, retrieval
+    from ..operators.retrieval import _ids_frame
+
+    lpath = os.path.join(meta_dir, _SINK_LAYOUT)
+    if not os.path.isfile(lpath):
+        raise FileNotFoundError(
+            f"no {_SINK_LAYOUT} under {meta_dir} — delete_documents fans out "
+            "from the layout start_document_ingest_sink records; for "
+            "hand-wired deployments call the per-artifact delete_from_* "
+            "functions directly"
+        )
+    with open(lpath) as fh:
+        layout = _json.load(fh)
+    key = layout.get("key", "doc_id")
+    if hasattr(doc_ids, "columns"):
+        id_list = sorted(r[key] for r in doc_ids.select(key).distinct().collect())
+    else:
+        id_list = sorted(set(doc_ids))
+    if not id_list:
+        return
+    ids = _ids_frame(spark, id_list, key)
+
+    # corpus group dirs: the epoch-shaped recovery machinery with a
+    # takedown token derived from the request itself — re-running the
+    # same request after a crash finds its own completed staging; the
+    # 2^40 offset keeps the token disjoint from any real epoch
+    token = (
+        int(hashlib.md5(",".join(map(str, id_list)).encode()).hexdigest()[:10], 16)
+        + (1 << 40)
+    )
+    _remove_ids_from_group_dirs(
+        spark, layout["corpus_dir"], meta_dir, ids, key, token
+    )
+
+    if os.path.isdir(f"{layout['minhash_index_dir']}/bands"):
+        lsh_index.delete_from_minhash_index(
+            spark, layout["minhash_index_dir"], ids
+        )
+    if os.path.isdir(f"{layout['text_index_dir']}/postings"):
+        retrieval.delete_from_text_index(spark, layout["text_index_dir"], ids)
+    if ivf_index.has_ivf_index(layout["embedding_index_dir"]):
+        ivf_index.delete_from_ivf_index(
+            spark,
+            layout["embedding_index_dir"],
+            ids.select(F.col(key).alias("vec_id")),
+        )
+    psg_dir = layout.get("passage_index_dir")
+    if psg_dir is not None and ivf_index.has_ivf_index(f"{psg_dir}/vectors"):
+        from ..operators import passage as psg
+
+        psg.delete_docs_from_passage_index(spark, psg_dir, ids)
 
 
 def start_document_ingest_sink(
@@ -2333,6 +2465,28 @@ def start_document_ingest_sink(
             vm = json.load(fh)
         sem_reuse = int(vm["dim"]) == int(dim) and vm["hash_mode"] == hash_mode
 
+    # record the composite's artifact layout so delete_documents (the
+    # unified takedown) can fan out from the meta dir alone — a
+    # right-to-be-forgotten request should be ONE call, not 4-5
+    # hand-enumerated per-artifact deletes (round-9 verdict #7)
+    os.makedirs(meta_dir, exist_ok=True)
+    layout = {
+        "corpus_dir": os.path.abspath(corpus_dir),
+        "minhash_index_dir": os.path.abspath(minhash_index_dir),
+        "text_index_dir": os.path.abspath(text_index_dir),
+        "embedding_index_dir": os.path.abspath(embedding_index_dir),
+        "passage_index_dir": (
+            os.path.abspath(passage_index_dir)
+            if passage_index_dir is not None
+            else None
+        ),
+        "key": "doc_id",
+    }
+    _ltmp = os.path.join(meta_dir, _SINK_LAYOUT + ".tmp")
+    with open(_ltmp, "w") as fh:
+        json.dump(layout, fh)
+    os.replace(_ltmp, os.path.join(meta_dir, _SINK_LAYOUT))
+
     def sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
@@ -2467,9 +2621,13 @@ def start_document_ingest_sink(
                 lsh_index.build_minhash_index(
                     gated, minhash_index_dir, hash_mode=hash_mode
                 )
+                _claim_built(
+                    os.path.join(minhash_index_dir, lsh_index._LSH_MANIFEST),
+                    checkpoint,
+                )
             elif not ups_empty:
                 lsh_index.update_minhash_index(
-                    gated, minhash_index_dir, epoch=epoch
+                    gated, minhash_index_dir, epoch=epoch, checkpoint=checkpoint
                 )
 
             kept_empty = kept is None or kept.isEmpty()
@@ -2489,8 +2647,14 @@ def start_document_ingest_sink(
                 if not has_tix or tix_built_by == epoch:
                     _stamp(tix_marker, epoch)
                     retrieval.build_text_index(kept, text_index_dir)
+                    _claim_built(
+                        os.path.join(text_index_dir, retrieval._TIX_MANIFEST),
+                        checkpoint,
+                    )
                 else:
-                    retrieval.update_text_index(kept, text_index_dir, epoch=epoch)
+                    retrieval.update_text_index(
+                        kept, text_index_dir, epoch=epoch, checkpoint=checkpoint
+                    )
 
             # embedding index: survivors with a live (nonzero) vector
             ivf_built_by = _marker(ivf_marker)
@@ -2527,9 +2691,14 @@ def start_document_ingest_sink(
                             seed,
                             fit_fraction=fit_fraction,
                         )
+                        _claim_built(
+                            os.path.join(embedding_index_dir, ivf_index._MANIFEST),
+                            checkpoint,
+                        )
                     else:
                         ivf_index.update_ivf_index(
-                            kept_vecs, embedding_index_dir, epoch=epoch
+                            kept_vecs, embedding_index_dir, epoch=epoch,
+                            checkpoint=checkpoint,
                         )
 
             if passage_index_dir is not None:
@@ -2568,7 +2737,8 @@ def start_document_ingest_sink(
                         )
                     if not kept_empty and not applied:
                         psg.update_passage_index(
-                            kept_docs, passage_index_dir, epoch=epoch
+                            kept_docs, passage_index_dir, epoch=epoch,
+                            checkpoint=checkpoint,
                         )
                 elif not kept_empty:
                     _stamp(psg_marker, epoch)
@@ -2576,6 +2746,12 @@ def start_document_ingest_sink(
                         kept_docs, passage_index_dir, dim=dim,
                         hash_mode=hash_mode, n_centroids=n_centroids,
                         seed=seed, fit_fraction=fit_fraction,
+                    )
+                    _claim_built(
+                        os.path.join(
+                            passage_index_dir, "vectors", ivf_index._MANIFEST
+                        ),
+                        checkpoint,
                     )
 
             if dsir_model_dir is not None and not kept_empty:
@@ -2717,6 +2893,9 @@ def start_passage_index_sink(
                 n_centroids=n_centroids, seed=seed, fit_fraction=fit_fraction,
                 **chunk_geo,
             )
+            _claim_built(
+                os.path.join(index_dir, "vectors", ivf_index._MANIFEST), checkpoint
+            )
         else:
             # the vector fold's own commit stamp: a replay after a
             # crash between the fold and the epoch marker must not
@@ -2732,7 +2911,9 @@ def start_passage_index_sink(
                     sp_, index_dir, arriving.distinct(), exclude_batch=epoch
                 )
             if not ups_empty and not applied:
-                psg.update_passage_index(docs, index_dir, epoch=epoch)
+                psg.update_passage_index(
+                    docs, index_dir, epoch=epoch, checkpoint=checkpoint
+                )
         _record_epoch(meta_dir, epoch, checkpoint)
         # drift-refit hook (round-8 verdict: this was the ONE fold
         # sink without it — and the chunk-vector index is the most

@@ -155,9 +155,12 @@ def test_streaming_embedding_index_sink(spark, sf_dir, tmp_path):
 
     # crash-WINDOW replay of epoch 2 (append committed, marker not):
     # the batch=<epoch> overwrite rewrites identical content — row
-    # count and answers unchanged, no duplicated vectors
+    # count and answers unchanged, no duplicated vectors.  The replay
+    # acts on the sink's behalf, so it carries the sink's checkpoint
+    # (round-10 single-writer contract: an unattributed manual fold
+    # against a sink-owned index refuses — tests/test_ownership.py)
     b2 = emb.where(F.col("vec_id") % 3 == 2)
-    ivf_index.update_ivf_index(b2, idx, epoch=2)
+    ivf_index.update_ivf_index(b2, idx, epoch=2, checkpoint=str(tmp_path / "ck_emb"))
     assert ivf_index.read_manifest(idx)["n_rows"] == 300
     again = _topk_rows(ivf_index.ivf_index_topk(spark, queries, idx, k=5, n_probe=N_PROBE))
     assert again == got
