@@ -1827,6 +1827,8 @@ def start_media_ingest_sink(
     epoch marker (same crash/replay reasoning — a crashed refit
     re-triggers on the next fold; the swap is one atomic manifest
     pointer, so asset ANN queries never see a half-built version)."""
+    import json as _json
+
     from ..operators import asset_embed as aemb
     from ..operators import ivf_index
     from ..operators import phash_index as pidx
@@ -1836,6 +1838,20 @@ def start_media_ingest_sink(
     ivf_build_marker = os.path.join(meta_dir, "_IVF_BUILD_EPOCH")
     gsize = compact_every or 1
     mh = pidx.PHASH_BANDS - 1 if max_hamming is None else max_hamming
+
+    # artifact layout for delete_assets (the unified media takedown —
+    # the document sink's _SINK_LAYOUT twin)
+    os.makedirs(meta_dir, exist_ok=True)
+    _layout = {
+        "corpus_dir": os.path.abspath(corpus_dir),
+        "phash_index_dir": os.path.abspath(phash_index_dir),
+        "embedding_index_dir": os.path.abspath(ivf_index_dir),
+        "key": "asset_id",
+    }
+    _ltmp = os.path.join(meta_dir, _SINK_LAYOUT + ".tmp")
+    with open(_ltmp, "w") as fh:
+        _json.dump(_layout, fh)
+    os.replace(_ltmp, os.path.join(meta_dir, _SINK_LAYOUT))
 
     def _marker(path):
         if not os.path.isfile(path):
@@ -2317,6 +2333,54 @@ def delete_documents(spark: SparkSession, meta_dir: str, doc_ids) -> None:
         from ..operators import passage as psg
 
         psg.delete_docs_from_passage_index(spark, psg_dir, ids)
+
+
+def delete_assets(spark: SparkSession, meta_dir: str, asset_ids) -> None:
+    """Unified media takedown — ``delete_documents``'s twin for a
+    ``start_media_ingest_sink`` deployment: remove the given asset_ids
+    from the asset corpus group dirs (crash-safe staged anti-join,
+    ids-derived token), the phash dedup precedent and the asset IVF
+    index in one call.  Same idempotence, compaction and
+    stream-stopped contracts as ``delete_documents``."""
+    import hashlib
+    import json as _json
+
+    from ..operators import ivf_index
+    from ..operators import phash_index as pidx
+    from ..operators.retrieval import _ids_frame
+
+    lpath = os.path.join(meta_dir, _SINK_LAYOUT)
+    if not os.path.isfile(lpath):
+        raise FileNotFoundError(
+            f"no {_SINK_LAYOUT} under {meta_dir} — delete_assets fans out "
+            "from the layout start_media_ingest_sink records; for hand-wired "
+            "deployments call the per-artifact delete_from_* functions"
+        )
+    with open(lpath) as fh:
+        layout = _json.load(fh)
+    key = layout.get("key", "asset_id")
+    if hasattr(asset_ids, "columns"):
+        id_list = sorted(r[key] for r in asset_ids.select(key).distinct().collect())
+    else:
+        id_list = sorted(set(asset_ids))
+    if not id_list:
+        return
+    ids = _ids_frame(spark, id_list, key)
+    token = (
+        int(hashlib.md5(",".join(map(str, id_list)).encode()).hexdigest()[:10], 16)
+        + (1 << 40)
+    )
+    _remove_ids_from_group_dirs(
+        spark, layout["corpus_dir"], meta_dir, ids, key, token
+    )
+    if os.path.isdir(f"{layout['phash_index_dir']}/{pidx.FP_TABLE}"):
+        pidx.delete_from_phash_index(spark, layout["phash_index_dir"], ids)
+    if ivf_index.has_ivf_index(layout["embedding_index_dir"]):
+        ivf_index.delete_from_ivf_index(
+            spark,
+            layout["embedding_index_dir"],
+            ids.select(F.col(key).alias("vec_id")),
+        )
 
 
 def start_document_ingest_sink(

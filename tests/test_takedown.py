@@ -164,3 +164,68 @@ def test_delete_documents_accepts_dataframe_and_empty(spark, sf_dir, deployment)
     sp.delete_documents(spark, dirs["meta"], ids)
     after = {r.doc_id for r in spark.read.parquet(dirs["corpus"]).collect()}
     assert after == before - set(sorted(before)[:1])
+
+
+def test_delete_assets_fans_out(spark, sf_dir, tmp_path):
+    """The media twin: one delete_assets call removes an asset from
+    the asset corpus, the phash dedup precedent and the asset IVF
+    index."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        multimodal,
+        phash_index as pidx,
+    )
+
+    assets = multimodal.assets_from_documents(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    assets.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0.parquet")
+    stream = (
+        spark.readStream.schema(assets.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*.parquet")
+    )
+    corpus, ph, ivf = (str(tmp_path / d) for d in ("corpus", "ph", "ivf"))
+    q = sp.start_media_ingest_sink(
+        stream, corpus, ph, ivf, str(tmp_path / "ck"),
+        compact_every=None, n_centroids=4, seed=7,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = {r.asset_id for r in spark.read.parquet(corpus).collect()}
+    victims = sorted(kept)[:2]
+    assert (
+        spark.read.parquet(f"{ph}/{pidx.FP_TABLE}")
+        .where(F.col("asset_id").isin(victims))
+        .count()
+        > 0
+    )
+
+    sp.delete_assets(spark, corpus + "_meta", victims)
+
+    assert {r.asset_id for r in spark.read.parquet(corpus).collect()} == (
+        kept - set(victims)
+    )
+    # precedent gone: a byte-identical re-submission is no longer a dup
+    resub = assets.where(F.col("asset_id") == victims[0]).select(
+        (F.col("asset_id") + 800_000).alias("asset_id"),
+        "modality", "payload", "mime", "width", "height", "sample_rate",
+        "n_frames",
+    )
+    fp = pidx.perceptual_hashes(resub).select("asset_id", "modality", "phash")
+    drops = pidx.dedup_drops_for_fingerprints(spark, fp, ph)
+    assert drops.count() == 0
+    # and gone from the asset ANN index
+    assert (
+        ivf_index._live_assignments(spark, ivf)
+        .where(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+    # idempotent re-run
+    sp.delete_assets(spark, corpus + "_meta", victims)
+    assert {r.asset_id for r in spark.read.parquet(corpus).collect()} == (
+        kept - set(victims)
+    )
