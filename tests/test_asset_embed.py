@@ -346,7 +346,11 @@ def test_streaming_asset_index_sink_finds_planted_duplicates(
     e1 = asset_embed.embed_assets(parts[1]).where(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)) > 0
     ).select("vec_id", "embedding")
-    ivf_index.update_ivf_index(e1, idx, epoch=1)
+    # the replay acts on the sink's behalf → carries its checkpoint
+    # (round-10 single-writer contract, tests/test_ownership.py)
+    ivf_index.update_ivf_index(
+        e1, idx, epoch=1, checkpoint=str(tmp_path / "ck_assets")
+    )
     assert ivf_index.read_manifest(idx)["n_rows"] == n_before
     again = {
         (r.vec_a, r.vec_b)

@@ -190,7 +190,11 @@ def test_streaming_document_index_sink(spark, sf_dir, tmp_path):
     # batch dir, answers unchanged
     b2 = docs.where(F.col("doc_id") % 3 == 2)
     emb2 = embedder.embed_documents(b2, dim=DIM).where(F.col("n_tokens") > 0)
-    ivf_index.update_ivf_index(emb2.select("vec_id", "embedding"), idx, epoch=2)
+    # the replay acts on the sink's behalf → carries its checkpoint
+    ivf_index.update_ivf_index(
+        emb2.select("vec_id", "embedding"), idx, epoch=2,
+        checkpoint=str(tmp_path / "ck_demb"),
+    )
     assert ivf_index.read_manifest(idx)["n_rows"] == emb.count()
     again = {
         (r.vec_a, r.vec_b)

@@ -127,7 +127,10 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
         r["doc_id"] for r in lsh_index.dedup_against_index(spark, b2, idx_dir).collect()
     )
     assert replay_kept == sorted(r["doc_id"] for r in kept2.select("doc_id").collect())
-    lsh_index.update_minhash_index(b2, idx_dir)  # the replayed append
+    # the replayed append acts on the sink's behalf → its checkpoint
+    lsh_index.update_minhash_index(
+        b2, idx_dir, checkpoint=str(tmp_path / "ckpt")
+    )
     again = sorted(
         r["doc_id"] for r in lsh_index.dedup_against_index(spark, b2, idx_dir).collect()
     )

@@ -155,7 +155,8 @@ def test_streamed_drift_triggers_passage_refit_and_restores_recall(
         [(20_000, " ".join(f"zq0base{j}word" for j in range(15)))],
         "doc_id long, text string",
     )
-    passage.update_passage_index(extra, idx)
+    # post-refit fold on the sink's behalf → carries its checkpoint
+    passage.update_passage_index(extra, idx, checkpoint=str(tmp_path / "ck"))
     got = _pairs(_hits(spark, idx, queries, NC))
     assert (0, 20_000) in got
     passage.delete_docs_from_passage_index(spark, idx, [20_000])

@@ -213,7 +213,8 @@ def test_streaming_asset_ingest_sink_dedups_across_batches(
         for r in phash_index.dedup_assets_against_index(spark, b3, idx).collect()
     }
     assert replay_kept == got & {r.asset_id for r in b3.select("asset_id").collect()}
-    phash_index.update_phash_index(b3, idx)
+    # the replayed append acts on the sink's behalf → its checkpoint
+    phash_index.update_phash_index(b3, idx, checkpoint=str(tmp_path / "ck"))
     again = {
         r.asset_id
         for r in phash_index.dedup_assets_against_index(spark, b3, idx).collect()

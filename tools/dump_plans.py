@@ -246,6 +246,26 @@ def _mmr(spark, sf):
 
 
 # operators outside the driver gate, built directly
+def _lm_score_kn(spark, sf):
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        lm_filter,
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="sg_plans_lm_")
+    lm_filter.train_ngram_lm(
+        docs.where(F.col("doc_id") % 3 == 0), d, smoothing="kn"
+    )
+    return lm_filter.perplexity_score(spark, docs, d)
+
+
 EXTRA = [
     (
         "shuffle_shard_by_tokens",
@@ -352,6 +372,16 @@ EXTRA = [
         "cells, probe set broadcast, no KMeans in the plan); the swap is "
         "one manifest os.replace, so plans never mix versions",
         _refit_topk,
+    ),
+    (
+        "perplexity_score_kn",
+        "n-gram LM perplexity scoring (Kneser-Ney manifest): document "
+        "n-grams left-join the three vocabulary-bounded count tables "
+        "(bigram / context / continuation — plain equi-joins, Catalyst "
+        "broadcasts the small reference), one per-doc combinable agg; "
+        "the KN interpolation is pure JVM expressions, no Python, no "
+        "training work in the scoring plan",
+        _lm_score_kn,
     ),
     (
         "passage_topk",
