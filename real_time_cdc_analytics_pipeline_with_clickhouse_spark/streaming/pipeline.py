@@ -1879,6 +1879,7 @@ def start_media_ingest_sink(
                 )
         bootstrap = not has_p or built_by == epoch
         feats = aemb.asset_features(batch).persist()  # THE one decode
+        drops = None
         try:
             fp = feats.select("asset_id", "modality", "phash")
             if bootstrap:
@@ -1887,6 +1888,13 @@ def start_media_ingest_sink(
                 drops = pidx.dedup_drops_for_fingerprints(
                     sp_, fp, phash_index_dir, max_hamming=mh
                 )
+            # persisted: three downstream actions (corpus merge, the
+            # kept_vecs emptiness probe, the IVF fold) anti-join this
+            # verdict — without the cache each re-runs the banded join
+            # against the ACCUMULATED phash index (the corpus-scale
+            # per-fold term the round-10 fold∝batch probe exposed in
+            # the document sink)
+            drops = drops.persist()
             kept = batch.join(drops, "asset_id", "left_anti")
             _merge_into_group_dir(
                 sp_, corpus_dir, meta_dir, kept, epoch // gsize, "asset_id", epoch
@@ -1936,6 +1944,8 @@ def start_media_ingest_sink(
                         os.path.join(ivf_index_dir, ivf_index._MANIFEST), checkpoint
                     )
         finally:
+            if drops is not None:
+                drops.unpersist()
             feats.unpersist()
         _record_epoch(meta_dir, epoch, checkpoint)
         if refit_threshold is not None and ivf_index.has_ivf_index(ivf_index_dir):
@@ -2168,6 +2178,7 @@ def start_corpus_ingest_sink(
         # (emptiness probe, dedup verdict, corpus write, index fold) —
         # without the cut each would recompute the whole gate subplan
         docs = docs.persist()
+        kept = None
         try:
             ups_empty = docs.isEmpty()
             if bootstrap and ups_empty:
@@ -2196,8 +2207,14 @@ def start_corpus_ingest_sink(
                 kept_ids = None
             else:
                 kept_ids = lsh_index.dedup_against_index(sp_, docs, index_dir, threshold=threshold)
+            # persisted: the corpus merge, the DSIR fold and the card
+            # fold each consume the survivors — without the cache each
+            # action re-runs the dedup verdict against the accumulated
+            # index (see the document sink's note)
             kept = (
-                docs.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+                docs.join(
+                    kept_ids.select("doc_id"), "doc_id", "left_semi"
+                ).persist()
                 if kept_ids is not None
                 else None
             )
@@ -2232,6 +2249,8 @@ def start_corpus_ingest_sink(
                 )
         finally:
             docs.unpersist()
+            if kept is not None:
+                kept.unpersist()
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             # after the marker: a crash mid-compaction replays as an
@@ -2580,6 +2599,7 @@ def start_document_ingest_sink(
             F.col("vec_id").alias("doc_id"), "embedding", "n_tokens"
         )
         docs = docs.join(emb, "doc_id", "left").persist()
+        kept = None
         try:
             gated = docs
             if benchmark_index_dir is not None:
@@ -2657,8 +2677,18 @@ def start_document_ingest_sink(
                 kept_ids = lsh_index.dedup_against_index(
                     sp_, gated, minhash_index_dir, threshold=threshold
                 )
+            # PERSIST the survivor frame: five downstream actions
+            # consume it (corpus merge, kept_empty, text fold, vector
+            # filter, IVF fold) and without the cache each one re-runs
+            # the dedup verdict against the ACCUMULATED index — a
+            # corpus-scale term the round-10 fold∝batch probe exposed
+            # (t(n) = a·n + c with c ≈ the whole verdict re-run ×4).
+            # Materializing once is cost ∝ batch; unpersisted in the
+            # epoch's finally.
             kept = (
-                gated.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+                gated.join(
+                    kept_ids.select("doc_id"), "doc_id", "left_semi"
+                ).persist()
                 if kept_ids is not None
                 else None
             )
@@ -2837,6 +2867,8 @@ def start_document_ingest_sink(
                 )
         finally:
             docs.unpersist()
+            if kept is not None:
+                kept.unpersist()
         _record_epoch(meta_dir, epoch, checkpoint)
         if compact_every and epoch % compact_every == compact_every - 1:
             lsh_index.compact_minhash_index(sp_, minhash_index_dir)
