@@ -1088,6 +1088,7 @@ def refresh_ivf_index_from_diff(
     old_embeddings: DataFrame,
     new_embeddings: DataFrame,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold an embedding-snapshot transition into the stored IVF index
     from ``embedding_diff``'s work-list — never a refit, never a full
@@ -1112,6 +1113,6 @@ def refresh_ivf_index_from_diff(
             "left_semi",
         )
         if not fresh.isEmpty():
-            update_ivf_index(fresh, index_dir, epoch=epoch)
+            update_ivf_index(fresh, index_dir, epoch=epoch, checkpoint=checkpoint)
     finally:
         diff.unpersist()

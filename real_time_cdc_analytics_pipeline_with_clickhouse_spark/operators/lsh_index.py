@@ -734,6 +734,7 @@ def refresh_minhash_index_from_diff(
     k: int | None = None,
     band: int | None = None,
     hash_mode: str | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold a corpus-snapshot transition into the stored MinHash index
     from ``corpus_diff``'s work-list — the same incremental contract
@@ -761,6 +762,8 @@ def refresh_minhash_index_from_diff(
         if not gone.isEmpty():
             delete_from_minhash_index(spark, index_dir, gone)
         if not fresh.isEmpty():
-            update_minhash_index(fresh, index_dir, n, k, band, hash_mode)
+            update_minhash_index(
+                fresh, index_dir, n, k, band, hash_mode, checkpoint=checkpoint
+            )
     finally:
         diff.unpersist()

@@ -418,6 +418,7 @@ def refresh_phash_index_from_diff(
     old_assets: DataFrame,
     new_assets: DataFrame,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold an asset-snapshot transition into the stored fingerprint
     table from ``asset_diff``'s work-list — the last stored artifact
@@ -444,7 +445,7 @@ def refresh_phash_index_from_diff(
             "left_semi",
         )
         if not fresh.isEmpty():
-            update_phash_index(fresh, index_dir, epoch=epoch)
+            update_phash_index(fresh, index_dir, epoch=epoch, checkpoint=checkpoint)
     finally:
         diff.unpersist()
 

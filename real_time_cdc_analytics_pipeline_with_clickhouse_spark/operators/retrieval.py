@@ -538,6 +538,7 @@ def refresh_text_index_from_diff(
     old_documents: DataFrame,
     new_documents: DataFrame,
     epoch: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Fold a corpus-snapshot transition into the stored index using
     ``corpus_diff``'s work-list — never a rebuild: removed and changed
@@ -563,7 +564,7 @@ def refresh_text_index_from_diff(
             "left_semi",
         )
         if not fresh.isEmpty():
-            update_text_index(fresh, index_dir, epoch=epoch)
+            update_text_index(fresh, index_dir, epoch=epoch, checkpoint=checkpoint)
     finally:
         diff.unpersist()
 
