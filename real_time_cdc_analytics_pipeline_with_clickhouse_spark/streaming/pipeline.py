@@ -2876,6 +2876,17 @@ def start_document_ingest_sink(
                 retrieval.compact_text_index(sp_, text_index_dir)
             if ivf_index.has_ivf_index(embedding_index_dir):
                 ivf_index.compact_ivf_index(sp_, embedding_index_dir)
+            # the passage leg was the one composite artifact the
+            # cadence missed (round 10): its CDC tombstones and
+            # per-epoch batch dirs accumulate exactly like the
+            # document-level indexes'
+            if passage_index_dir is not None and ivf_index.has_ivf_index(
+                f"{passage_index_dir}/vectors"
+            ):
+                from ..operators import passage as psg
+
+                ivf_index.compact_ivf_index(sp_, f"{passage_index_dir}/vectors")
+                psg.compact_passage_table(sp_, passage_index_dir)
         if refit_threshold is not None and ivf_index.has_ivf_index(
             embedding_index_dir
         ):
@@ -2911,6 +2922,7 @@ def start_passage_index_sink(
     seed: int = 7,
     op_col: str | None = None,
     seq_col: str | None = None,
+    compact_every: int | None = None,
     refit_threshold: float | None = None,
     fit_fraction: float | None = None,
     window: int | None = None,
@@ -3011,6 +3023,13 @@ def start_passage_index_sink(
                     docs, index_dir, epoch=epoch, checkpoint=checkpoint
                 )
         _record_epoch(meta_dir, epoch, checkpoint)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            # small-file + tombstone lifecycle, same cadence contract
+            # as every other fold sink (round 10 — this sink was the
+            # one without it)
+            if ivf_index.has_ivf_index(vec_dir):
+                ivf_index.compact_ivf_index(sp_, vec_dir)
+                psg.compact_passage_table(sp_, index_dir)
         # drift-refit hook (round-8 verdict: this was the ONE fold
         # sink without it — and the chunk-vector index is the most
         # drift-exposed artifact, since chunking multiplies vectors

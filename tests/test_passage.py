@@ -380,3 +380,127 @@ def test_passage_pq_tier_equals_float_path_at_full_rerank(spark, sf_dir, tmp_pat
         )
     )
     assert got == want and got
+
+
+def test_streaming_passage_sink_compaction_cadence(spark, sf_dir, tmp_path):
+    """compact_every (round 10 — this was the one fold sink without
+    the lifecycle cadence): the tombstone + small-file compaction runs
+    on the sink's own schedule; answers still equal a fresh build on
+    the net corpus, and the deleted docs' passage rows are PHYSICALLY
+    gone, not just tombstoned."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    pool = {r.doc_id: r.text for r in _docs(spark, sf_dir, 0, 80).collect()}
+    CDC = "doc_id long, text string, op string, seq long"
+    b0 = [(i, pool[i], "c", 0) for i in range(1, 26)]
+    b1 = (
+        [(i, "fresh revision " + pool[40 + i], "u", 1) for i in (1, 2, 3)]
+        + [(i, pool[i], "d", 1) for i in (20, 21, 22)]
+        + [(i, pool[i + 30], "c", 1) for i in range(26, 31)]
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for j, b in enumerate((b0, b1)):
+        spark.createDataFrame(b, CDC).coalesce(1).write.mode("overwrite").parquet(
+            f"{feed}/f{j}.parquet"
+        )
+    idx = str(tmp_path / "pidx")
+    stream = (
+        spark.readStream.schema(CDC)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*.parquet")
+    )
+    q = sp.start_passage_index_sink(
+        stream, idx, str(tmp_path / "ck"), n_centroids=4, seed=7,
+        op_col="op", seq_col="seq", compact_every=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    final = {i: pool[i] for i in range(1, 26)}
+    for i in (1, 2, 3):
+        final[i] = "fresh revision " + pool[40 + i]
+    for i in (20, 21, 22):
+        final.pop(i)
+    for i in range(26, 31):
+        final[i] = pool[i + 30]
+    net = spark.createDataFrame(sorted(final.items()), "doc_id long, text string")
+    fresh = str(tmp_path / "pidx_fresh")
+    passage.build_passage_index(net, fresh, n_centroids=4, seed=7)
+    qrows = [(0, final[1][:150]), (1, pool[20][:150]), (2, final[27][:150])]
+    queries = spark.createDataFrame(qrows, QUERY_SCHEMA)
+    got = sorted(
+        map(tuple, passage.passage_topk(spark, queries, idx, k=5, n_probe=4).collect())
+    )
+    want = sorted(
+        map(tuple, passage.passage_topk(spark, queries, fresh, k=5, n_probe=4).collect())
+    )
+    assert got == want and got
+    # physically purged, not just tombstoned: the deleted docs own no
+    # passage rows and no vector assignments on disk
+    assert (
+        spark.read.parquet(f"{idx}/passages")
+        .where(F.col("doc_id").isin([20, 21, 22]))
+        .count()
+        == 0
+    )
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+
+    assert not os.path.isdir(f"{idx}/vectors/tombstones")  # retired by compaction
+
+
+def test_document_sink_passage_compaction_cadence(spark, sf_dir, tmp_path):
+    """The composite document sink's cadence now covers its passage
+    leg too: after an in-sink compaction the MaxP answers are
+    unchanged and the chunk-vector tombstone table is retired."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = _docs(spark, sf_dir, 0, 20).select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source")
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    for j, b in enumerate(halves):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{j}.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*.parquet")
+    )
+    dirs = {n: str(tmp_path / n) for n in ("corpus", "mh", "tix", "ivf", "psg")}
+    q = sp.start_document_ingest_sink(
+        stream, dirs["corpus"], dirs["mh"], dirs["tix"], dirs["ivf"],
+        str(tmp_path / "ck"), compact_every=2, n_centroids=4, seed=7,
+        passage_index_dir=dirs["psg"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {r.doc_id for r in spark.read.parquet(dirs["corpus"]).collect()}
+    texts = {
+        r.doc_id: r.text for r in spark.read.parquet(dirs["corpus"]).collect()
+    }
+    v = sorted(kept)[0]
+    qdf = spark.createDataFrame([(0, texts[v][:150])], QUERY_SCHEMA)
+    hits = {
+        r.doc_id
+        for r in passage.passage_topk(spark, qdf, dirs["psg"], k=5).collect()
+    }
+    assert v in hits
+    # epoch 1 (the second batch) hit the compact_every=2 cadence:
+    # chunk vectors re-laid under the compacted batch id
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+        ivf_index,
+    )
+
+    assert all(b < 0 for b in ivf_index.live_batch_ids(f"{dirs['psg']}/vectors"))
