@@ -687,6 +687,28 @@ def main() -> None:
             LSHI.upsert_minhash_index(spark, mh_idx, reingest, epoch=1)
             timings["_scale10x_minhash_upsert"] = round(time.time() - t0, 3)
 
+            # CDC-sized precedent lookup against the accumulated index
+            # — the steady-state fold the key-bucketed layout prunes:
+            # a 5-doc batch touches a bounded set of (band_id, kbucket)
+            # / dbucket partitions instead of scanning the whole bands
+            # + shingles artifact (min-of-3, samples recorded; the
+            # number to watch is its growth as the corpus scales — flat
+            # layout grows with corpus, bucketed with batch)
+            mxid = 10_000_000
+            cdc_batch = docs10_for_mh.limit(5).select(
+                (F.col("doc_id") + mxid).alias("doc_id"),
+                F.concat(F.lit("cdc revision "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+            )
+            sf_samples = []
+            for _ in range(3):
+                t0 = time.time()
+                LSHI.dedup_against_index(spark, cdc_batch, mh_idx).count()
+                sf_samples.append(round(time.time() - t0, 3))
+            timings["_scale10x_minhash_small_fold"] = min(sf_samples)
+            timings["_scale10x_minhash_small_fold_samples"] = sf_samples
+
             # deterministic shuffle + token-balanced sharding over the
             # 10× corpus: the two-level distributed prefix sum must
             # stay flat — a single-partition global window would

@@ -162,31 +162,79 @@ def decontaminate_against_index(
     params resolve from the index manifest, so the arriving batch is
     always hashed with the family the benchmark artifact was built
     with (``None`` = pinned value; a contradiction raises)."""
-    import os
-
     from .lsh_index import (
+        LSH_DBUCKETS,
+        LSH_KBUCKETS,
+        _bands_layout,
+        _dbucket_col,
+        _kbucket_col,
         _live_bands,
         _live_shingles,
         _require_batched,
         _resolve_lsh_params,
         _shingle_rows,
+        _shingles_layout,
+        _validate_bucket_geometry,
+        _verified,
     )
 
     _require_batched(index_dir)
     n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
-    # the live readers anti-join (doc_id, batch)-scoped tombstones, so
-    # a taken-down benchmark doc stops flagging immediately
-    idx_bands = _live_bands(spark, index_dir)
-    idx_sh = _live_shingles(spark, index_dir)
-    verified = _cross_verified(
-        minhash_band_entries(documents, n, k, band, hash_mode),
-        idx_bands,
-        _shingle_rows(documents, n),
-        idx_sh,
-        threshold,
-        broadcast_benchmark=False,
+    batch_bands = minhash_band_entries(documents, n, k, band, hash_mode)
+    # key-bucketed benchmark artifacts (lsh_index module docstring)
+    # prune both corpus-side reads to the batch's partitions — same
+    # move as dedup_against_index, bounded collects, checkpointed
+    # result so the intermediates can unpersist
+    bucket_bands = _bands_layout(index_dir) == "bucketed"
+    bucket_sh = _shingles_layout(index_dir) == "bucketed"
+    if bucket_bands or bucket_sh:
+        _validate_bucket_geometry(index_dir)
+    if bucket_bands:
+        batch_bands = batch_bands.persist()
+        pairs = [
+            (r["band_id"], r["kb"])
+            for r in batch_bands.select(
+                "band_id", _kbucket_col(F.col("band_key")).alias("kb")
+            )
+            .distinct()
+            .collect()
+        ]
+        if len(pairs) >= (k // band) * LSH_KBUCKETS:
+            pairs = None
+        idx_bands = _live_bands(spark, index_dir, band_pairs=pairs)
+    else:
+        # the live readers anti-join (doc_id, batch)-scoped tombstones,
+        # so a taken-down benchmark doc stops flagging immediately
+        idx_bands = _live_bands(spark, index_dir)
+    bb = idx_bands.select(F.col("doc_id").alias("bench_id"), "band_id", "band_key")
+    cand = (
+        batch_bands.join(bb, ["band_id", "band_key"])
+        .select(F.col("doc_id").alias("doc_a"), F.col("bench_id").alias("doc_b"))
+        .distinct()
     )
-    return _flag(documents, verified)
+    if bucket_sh:
+        cand = cand.persist()
+        dbl = [
+            r["db"]
+            for r in cand.select(_dbucket_col(F.col("doc_b")).alias("db"))
+            .distinct()
+            .collect()
+        ]
+        idx_sh = _live_shingles(
+            spark, index_dir, dbuckets=dbl if len(dbl) < LSH_DBUCKETS else None
+        )
+    else:
+        idx_sh = _live_shingles(spark, index_dir)
+    verified = _verified(cand, _shingle_rows(documents, n), idx_sh, threshold).select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("bench_id")
+    )
+    flags = _flag(documents, verified)
+    if bucket_bands or bucket_sh:
+        flags = flags.localCheckpoint(eager=True)
+        batch_bands.unpersist()
+        if bucket_sh:
+            cand.unpersist()
+    return flags
 
 
 def semantic_decontaminate(

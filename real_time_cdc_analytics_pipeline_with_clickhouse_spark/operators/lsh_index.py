@@ -77,6 +77,36 @@ The manifest pins (n, k, band, hash_mode) for the artifact's lifetime
 — a batch hashed with a different family would silently never collide
 (every doc "survives"), the worst dedup failure mode.
 
+KEY-BUCKETED LAYOUT (round 10): new builds add hash-bucket partition
+dimensions — ``bands/batch=/band_id=/kbucket=`` with
+``kbucket = crc32(band_key) % LSH_KBUCKETS`` and
+``shingles/batch=/dbucket=`` with ``dbucket = crc32(doc_id) %
+LSH_DBUCKETS`` — the ``retrieval`` text index's ``tbucket`` move
+applied to the dedup artifact.  Why it matters at 100 TB: without it,
+every ``dedup_against_index`` call SCANS the full accumulated bands
+table (the join never shuffles the index side — the batch side
+broadcasts — but the I/O is O(corpus) per fold, the one term in the
+ingest sink's per-epoch cost that was ∝ corpus instead of ∝ batch).
+With the buckets, the fold collects its batch's distinct
+(band_id, kbucket) pairs (bounded by bands × LSH_KBUCKETS, a few
+hundred, never by batch rows) and statically prunes the index read to
+those partitions; candidate verification likewise prunes the corpus
+shingle read to the candidates' ``dbucket`` dirs.  A small fold —
+the CDC steady state — reads a small fraction of the corpus artifact;
+a corpus-sized fold degrades gracefully to the full scan (the filter
+is dropped when the pair set saturates).  Bucket counts are
+module-level deployment constants (like the text index's tbuckets),
+NOT per-artifact knobs: the modulus must be identical across every
+batch dir of an artifact, and a code-level constant makes mixed-modulus
+trees unrepresentable.  The manifest records the counts purely to
+detect constant drift across deployments (readers/writers raise; the
+cure is ``compact_minhash_index``, which re-buckets under the current
+constants).  The layout itself is probed from the DIRECTORIES (dirs
+are ground truth through every crash window): pre-round-10 flat
+artifacts keep working unpruned, folds match the existing layout, and
+the first compaction upgrades the whole tree atomically (stage + swap,
+per table).
+
 Streaming form: ``streaming/pipeline.start_corpus_ingest_sink``
 (``op_col=`` enables the CDC routing).
 """
@@ -118,6 +148,90 @@ def _shingle_rows(documents: DataFrame, n: int) -> DataFrame:
 
 _LSH_MANIFEST = "_lsh_manifest.json"
 _LSH_DEFAULTS = {"n": 3, "k": N_MINHASH, "band": BAND_SIZE, "hash_mode": "md5"}
+
+# Deployment-level bucket counts for the key-bucketed layout (see the
+# module docstring).  Sized for the local test scale; a 100 TB
+# deployment raises them (thousands) so a fold's pruned read stays a
+# small fraction of the artifact.  Changing them requires
+# compact_minhash_index on existing bucketed artifacts — the manifest
+# records the build-time values and mismatched reads refuse loudly.
+LSH_KBUCKETS = 32
+LSH_DBUCKETS = 16
+
+
+def _kbucket_col(band_key):
+    """Partition bucket of a band key.  crc32 (not the manifest's md5/
+    xxh64 family) — this is LAYOUT, not dedup semantics: both sides of
+    every pruned lookup compute it Spark-side with this one expression,
+    so the only requirement is self-consistency."""
+    return F.pmod(F.crc32(band_key), F.lit(LSH_KBUCKETS)).cast("int")
+
+
+def _dbucket_col(doc_id):
+    return F.pmod(F.crc32(doc_id.cast("string")), F.lit(LSH_DBUCKETS)).cast("int")
+
+
+def _bands_layout(index_dir: str) -> str:
+    """``'bucketed' | 'flat' | 'empty'`` — probed from the directories
+    themselves.  Dirs are ground truth through every crash window (a
+    manifest can be a step ahead of or behind the data; a partition
+    tree cannot lie about its own shape), and Spark's partition
+    discovery requires one consistent shape per read root, so writers
+    MUST match what already exists."""
+    root = _bands_root(index_dir)
+    if not os.path.isdir(root):
+        return "empty"
+    for b in sorted(os.listdir(root)):
+        bd = os.path.join(root, b)
+        if not (b.startswith("batch=") and os.path.isdir(bd)):
+            continue
+        for band in sorted(os.listdir(bd)):
+            inner = os.path.join(bd, band)
+            if not (band.startswith("band_id=") and os.path.isdir(inner)):
+                continue
+            for e in sorted(os.listdir(inner)):
+                if e.startswith("kbucket="):
+                    return "bucketed"
+                if e.endswith(".parquet"):
+                    return "flat"
+    return "empty"
+
+
+def _shingles_layout(index_dir: str) -> str:
+    root = _sh_root(index_dir)
+    if not os.path.isdir(root):
+        return "empty"
+    for b in sorted(os.listdir(root)):
+        bd = os.path.join(root, b)
+        if not (b.startswith("batch=") and os.path.isdir(bd)):
+            continue
+        for e in sorted(os.listdir(bd)):
+            if e.startswith("dbucket="):
+                return "bucketed"
+            if e.endswith(".parquet"):
+                return "flat"
+    return "empty"
+
+
+def _validate_bucket_geometry(index_dir: str) -> None:
+    """A bucketed artifact written under different LSH_KBUCKETS /
+    LSH_DBUCKETS constants than this deployment's would make every
+    pruned lookup silently miss matches (wrong modulus → wrong
+    partitions read) — the same silent-survival failure mode the
+    (n, k, band, hash_mode) pinning guards against.  Raise instead;
+    the cure is compact_minhash_index, which re-buckets the whole
+    tree under the current constants."""
+    meta = _lsh_manifest(index_dir)
+    for name, const in (("kbuckets", LSH_KBUCKETS), ("dbuckets", LSH_DBUCKETS)):
+        pinned = meta.get(name)
+        if pinned is not None and int(pinned) != const:
+            raise ValueError(
+                f"MinHash index at {index_dir} was bucketed with {name}="
+                f"{pinned} but this deployment's constant is {const} — "
+                "pruned lookups would silently miss matches; run "
+                "compact_minhash_index to re-bucket it under the current "
+                "constants (or restore the original constants)"
+            )
 
 
 def _lsh_manifest(index_dir: str) -> dict:
@@ -305,6 +419,7 @@ def build_minhash_index(
     k: int = N_MINHASH,
     band: int = BAND_SIZE,
     hash_mode: str = "md5",
+    bucketed: bool = True,
 ) -> None:
     """Materialize the index from the current corpus (one full pass —
     paid once, then every batch is incremental).  Rows land under
@@ -318,7 +433,13 @@ def build_minhash_index(
     next reader sees either the old manifest with old data or no
     manifest (legacy defaults), never new params over half-written
     tables the defaults can't read anyway (overwrite is atomic per
-    table via Spark's commit protocol)."""
+    table via Spark's commit protocol).
+
+    ``bucketed=True`` (the default) writes the key-bucketed layout so
+    incremental lookups prune the corpus read (module docstring);
+    ``bucketed=False`` reproduces the pre-round-10 flat layout (kept
+    for compat tests and for corpora so small the extra partition
+    dirs cost more than the pruning saves)."""
     import shutil
 
     # a full rebuild supersedes all pending takedowns — stale
@@ -327,24 +448,45 @@ def build_minhash_index(
     # previously-deleted doc_ids out of dedup precedent (round-8
     # advisor finding)
     shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
-    (
-        minhash_band_entries(documents, n, k, band, hash_mode)
-        .withColumn("batch", F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy("batch", "band_id")
-        .parquet(_bands_root(index_dir))
+    bands = minhash_band_entries(documents, n, k, band, hash_mode).withColumn(
+        "batch", F.lit(-1)
     )
-    (
-        _shingle_rows(documents, n)
-        .withColumn("batch", F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(_sh_root(index_dir))
-    )
-    _write_lsh_manifest(
-        index_dir,
-        {"n": int(n), "k": int(k), "band": int(band), "hash_mode": hash_mode},
-    )
+    meta = {"n": int(n), "k": int(k), "band": int(band), "hash_mode": hash_mode}
+    if bucketed:
+        # repartition on the leaf-dir keys: each (band_id, kbucket)
+        # group lands wholly in one task → one file per leaf dir, not
+        # tasks × dirs
+        (
+            bands.withColumn("kbucket", _kbucket_col(F.col("band_key")))
+            .repartition(F.col("band_id"), F.col("kbucket"))
+            .write.mode("overwrite")
+            .partitionBy("batch", "band_id", "kbucket")
+            .parquet(_bands_root(index_dir))
+        )
+        # dbucket in the keys for dir-locality, doc_id alongside so the
+        # corpus-sized shingle write keeps full parallelism
+        (
+            _shingle_rows(documents, n)
+            .withColumn("batch", F.lit(-1))
+            .withColumn("dbucket", _dbucket_col(F.col("doc_id")))
+            .repartition(F.col("dbucket"), F.col("doc_id"))
+            .write.mode("overwrite")
+            .partitionBy("batch", "dbucket")
+            .parquet(_sh_root(index_dir))
+        )
+        meta.update({"kbuckets": LSH_KBUCKETS, "dbuckets": LSH_DBUCKETS})
+    else:
+        bands.write.mode("overwrite").partitionBy("batch", "band_id").parquet(
+            _bands_root(index_dir)
+        )
+        (
+            _shingle_rows(documents, n)
+            .withColumn("batch", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(_sh_root(index_dir))
+        )
+    _write_lsh_manifest(index_dir, meta)
 
 
 def _next_batch_id(index_dir: str, spark: SparkSession | None = None) -> int:
@@ -402,18 +544,45 @@ def update_minhash_index(
     n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
     spark = new_documents.sparkSession
     b = _next_batch_id(index_dir, spark) if epoch is None else int(epoch)
-    (
-        minhash_band_entries(new_documents, n, k, band, hash_mode)
-        .write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(f"{_bands_root(index_dir)}/batch={b}")
-    )
-    (
-        _shingle_rows(new_documents, n)
-        .write.mode("overwrite")
-        .parquet(f"{_sh_root(index_dir)}/batch={b}")
-    )
+    # a fold MUST match the existing partition shape per table (Spark
+    # partition discovery needs one shape per read root); an empty tree
+    # takes the modern bucketed default.  Layout probing happens per
+    # table: compact_minhash_index swaps the shingle tree before the
+    # bands tree, so a fold landing in that window sees one bucketed
+    # and one flat table — each write follows its own table's shape
+    bucket_bands = _bands_layout(index_dir) != "flat"
+    bucket_sh = _shingles_layout(index_dir) != "flat"
+    if bucket_bands or bucket_sh:
+        _validate_bucket_geometry(index_dir)
+    bands = minhash_band_entries(new_documents, n, k, band, hash_mode)
+    if bucket_bands:
+        (
+            bands.withColumn("kbucket", _kbucket_col(F.col("band_key")))
+            .repartition(F.col("band_id"), F.col("kbucket"))
+            .write.mode("overwrite")
+            .partitionBy("band_id", "kbucket")
+            .parquet(f"{_bands_root(index_dir)}/batch={b}")
+        )
+    else:
+        bands.write.mode("overwrite").partitionBy("band_id").parquet(
+            f"{_bands_root(index_dir)}/batch={b}"
+        )
+    sh = _shingle_rows(new_documents, n)
+    if bucket_sh:
+        (
+            sh.withColumn("dbucket", _dbucket_col(F.col("doc_id")))
+            .repartition(F.col("dbucket"))
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(f"{_sh_root(index_dir)}/batch={b}")
+        )
+    else:
+        sh.write.mode("overwrite").parquet(f"{_sh_root(index_dir)}/batch={b}")
     meta = _lsh_manifest(index_dir)
+    if bucket_bands:
+        meta.setdefault("kbuckets", LSH_KBUCKETS)
+    if bucket_sh:
+        meta.setdefault("dbuckets", LSH_DBUCKETS)
     if epoch is not None:
         meta["last_epoch"] = int(epoch)
     ownership.claim_writer(meta, checkpoint, f"MinHash index at {index_dir}")
@@ -443,11 +612,27 @@ def _lsh_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(_tomb_path(index_dir)).where(F.col("batch").isin(live))
 
 
-def _live_bands(spark: SparkSession, index_dir: str) -> DataFrame:
+def _live_bands(
+    spark: SparkSession, index_dir: str, band_pairs=None
+) -> DataFrame:
     """The band read every dedup/decontamination path uses: all batch
     dirs with tombstoned victims anti-joined out (broadcast — the
-    tombstone set is bounded between compactions)."""
+    tombstone set is bounded between compactions).
+
+    ``band_pairs`` — an iterable of (band_id, kbucket) ints — statically
+    prunes a bucketed tree to those partition dirs (the expression over
+    the two partition columns lands in the scan's PartitionFilters;
+    plan-asserted in tests).  Correctness: every index row that can
+    equi-join a batch row on (band_id, band_key) shares its kbucket by
+    construction, so pruning to the batch's pairs loses no candidate.
+    Ignored on flat (pre-round-10) trees, which carry no kbucket."""
     df = spark.read.parquet(_bands_root(index_dir))
+    if band_pairs is not None and "kbucket" in df.columns:
+        df = df.where(
+            F.concat_ws("/", F.col("band_id"), F.col("kbucket")).isin(
+                [f"{int(b)}/{int(kb)}" for b, kb in band_pairs]
+            )
+        )
     tomb = _lsh_tombstones(spark, index_dir)
     if tomb is not None:
         df = df.join(
@@ -456,8 +641,16 @@ def _live_bands(spark: SparkSession, index_dir: str) -> DataFrame:
     return df.select("doc_id", "band_id", "band_key")
 
 
-def _live_shingles(spark: SparkSession, index_dir: str) -> DataFrame:
+def _live_shingles(
+    spark: SparkSession, index_dir: str, dbuckets=None
+) -> DataFrame:
+    """``dbuckets`` prunes a bucketed shingle tree to the listed
+    ``dbucket`` partitions — pass the distinct buckets of the candidate
+    doc ids (≤ LSH_DBUCKETS values) so exact-Jaccard verification reads
+    only the dirs that can hold a candidate's shingles."""
     df = spark.read.parquet(_sh_root(index_dir))
+    if dbuckets is not None and "dbucket" in df.columns:
+        df = df.where(F.col("dbucket").isin([int(x) for x in dbuckets]))
     tomb = _lsh_tombstones(spark, index_dir)
     if tomb is not None:
         df = df.join(
@@ -564,9 +757,15 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     (doc, shingle) row means membership, never a count, and
     ``_verified`` distinct's before counting) re-lay under a FRESH
     batch id below every existing one — never reusing a batch a
-    tombstone references — bands as one sorted file per ``band_id``
-    partition, shingles parallelism-bounded; then the tombstone table
-    retires.  Every crash window is consistent: before a swap the
+    tombstone references — bands as one sorted file per
+    ``(band_id, kbucket)`` leaf, shingles one file per ``dbucket``;
+    then the tombstone table retires.  Compaction ALWAYS emits the
+    key-bucketed layout (module docstring): it is the upgrade path for
+    pre-round-10 flat artifacts (the whole tree rewrites anyway, and
+    the stage+swap makes the layout flip atomic per table) and the
+    re-bucketing cure when the deployment's bucket constants changed
+    (the full reads here never prune, so they are modulus-agnostic).
+    Every crash window is consistent: before a swap the
     original bytes stand; between the two swaps the surviving
     tombstones still anti-join whatever table wasn't purged; after
     both, any leftover tombstones reference batch dirs that no longer
@@ -585,21 +784,31 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     # reads resolve tombstones against the pre-compaction batch ids
     # (a swap first would re-home the bands under the fresh id and
     # turn the tombstones inert before the shingle purge ran)
-    bands = _live_bands(spark, index_dir).distinct().withColumn("batch", F.lit(newb))
+    bands = (
+        _live_bands(spark, index_dir)
+        .distinct()
+        .withColumn("batch", F.lit(newb))
+        .withColumn("kbucket", _kbucket_col(F.col("band_key")))
+    )
     bstage = broot + "__stage"
     (
-        bands.repartition(F.col("band_id"))
-        .sortWithinPartitions("band_id", "band_key")
+        bands.repartition(F.col("band_id"), F.col("kbucket"))
+        .sortWithinPartitions("band_id", "kbucket", "band_key")
         .write.mode("overwrite")
-        .partitionBy("batch", "band_id")
+        .partitionBy("batch", "band_id", "kbucket")
         .parquet(bstage)
     )
-    sh = _live_shingles(spark, index_dir).distinct().withColumn("batch", F.lit(newb))
+    sh = (
+        _live_shingles(spark, index_dir)
+        .distinct()
+        .withColumn("batch", F.lit(newb))
+        .withColumn("dbucket", _dbucket_col(F.col("doc_id")))
+    )
     sstage = sroot + "__stage"
     (
-        sh.repartition(spark.sparkContext.defaultParallelism)
+        sh.repartition(F.col("dbucket"))
         .write.mode("overwrite")
-        .partitionBy("batch")
+        .partitionBy("batch", "dbucket")
         .parquet(sstage)
     )
     # shingles swap FIRST: candidacy is decided by the bands table, so
@@ -611,6 +820,14 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     _swap_tree(sstage, sroot)
     _swap_tree(bstage, broot)
     shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
+    # record the bucket constants the rewrite used (pure drift
+    # detection — readers decide bucketed-ness from the dirs, so a
+    # crash before this line leaves a bucketed tree whose counts are
+    # the module constants, exactly what validation assumes for an
+    # unannotated bucketed artifact)
+    meta = _lsh_manifest(index_dir)
+    meta["kbuckets"], meta["dbuckets"] = LSH_KBUCKETS, LSH_DBUCKETS
+    _write_lsh_manifest(index_dir, meta)
 
 
 def _verified(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float) -> DataFrame:
@@ -680,8 +897,36 @@ def dedup_against_index(
     n, k, band, hash_mode = _resolve_lsh_params(index_dir, n, k, band, hash_mode)
     new_bands = minhash_band_entries(new_documents, n, k, band, hash_mode)
     new_sh = _shingle_rows(new_documents, n)
-    idx_bands = _live_bands(spark, index_dir)
-    idx_sh = _live_shingles(spark, index_dir)
+
+    # bucketed index: prune the corpus reads to the batch's partitions
+    # (module docstring — the term that makes fold I/O ∝ batch instead
+    # of ∝ corpus).  The pair/bucket collects are bounded by the bucket
+    # grids (bands × LSH_KBUCKETS and LSH_DBUCKETS), never by batch
+    # rows, and the frames they force are persisted for reuse; the
+    # final drop set is localCheckpoint'ed (≤ batch rows) so the
+    # intermediates can unpersist and downstream actions on the
+    # returned survivors never replay the verdict
+    bucket_bands = _bands_layout(index_dir) == "bucketed"
+    bucket_sh = _shingles_layout(index_dir) == "bucketed"
+    if bucket_bands or bucket_sh:
+        _validate_bucket_geometry(index_dir)
+    pruned = bucket_bands or bucket_sh
+    if pruned:
+        new_bands = new_bands.persist()
+    if bucket_bands:
+        pairs = [
+            (r["band_id"], r["kb"])
+            for r in new_bands.select(
+                "band_id", _kbucket_col(F.col("band_key")).alias("kb")
+            )
+            .distinct()
+            .collect()
+        ]
+        if len(pairs) >= (k // band) * LSH_KBUCKETS:
+            pairs = None  # saturated — the filter would prune nothing
+        idx_bands = _live_bands(spark, index_dir, band_pairs=pairs)
+    else:
+        idx_bands = _live_bands(spark, index_dir)
 
     # batch × index candidates: indexed doc is always doc_a (precedent).
     # doc_a < doc_b ENFORCES the module contract (indexed docs precede
@@ -701,6 +946,19 @@ def dedup_against_index(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if bucket_sh:
+        cross = cross.persist()
+        dbl = [
+            r["db"]
+            for r in cross.select(_dbucket_col(F.col("doc_a")).alias("db"))
+            .distinct()
+            .collect()
+        ]
+        idx_sh = _live_shingles(
+            spark, index_dir, dbuckets=dbl if len(dbl) < LSH_DBUCKETS else None
+        )
+    else:
+        idx_sh = _live_shingles(spark, index_dir)
     drops_cross = _verified(cross, idx_sh, new_sh, threshold).select(
         F.col("doc_b").alias("doc_id")
     )
@@ -722,6 +980,11 @@ def dedup_against_index(
     )
 
     drops = drops_cross.unionByName(drops_within).distinct()
+    if pruned:
+        drops = drops.localCheckpoint(eager=True)
+        new_bands.unpersist()
+        if bucket_sh:
+            cross.unpersist()
     return new_documents.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 

@@ -1,0 +1,232 @@
+"""Key-bucketed MinHash index layout (round 10): the pruned corpus
+reads must lose no candidate (bucketed ≡ flat on every lifecycle
+step), the pruning must actually reach the scan's PartitionFilters,
+flat pre-round-10 artifacts must keep working unpruned and upgrade
+atomically at compaction, and bucket-constant drift must refuse
+loudly instead of silently missing matches."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import decontam, dedup, lsh_index
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+
+def _docs(spark, sf_dir, limit=200):
+    return load_table(spark, sf_dir, "documents").limit(limit)
+
+
+def _split(spark, sf_dir):
+    corpus = dedup.with_exact_duplicates(_docs(spark, sf_dir))
+    old = corpus.where(F.col("doc_id") < 120)
+    new = corpus.where(F.col("doc_id") >= 120)
+    return old, new
+
+
+def _survivors(spark, new, idx):
+    return sorted(
+        r["doc_id"] for r in lsh_index.dedup_against_index(spark, new, idx).collect()
+    )
+
+
+def test_bucketed_equals_flat_full_lifecycle(spark, sf_dir, tmp_path):
+    """Same survivors from a bucketed and a flat artifact through
+    build → dedup → fold → dedup → delete → dedup → compact → dedup."""
+    old, new = _split(spark, sf_dir)
+    fresh = new.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    flat, buck = str(tmp_path / "flat"), str(tmp_path / "buck")
+    lsh_index.build_minhash_index(old, flat, bucketed=False)
+    lsh_index.build_minhash_index(old, buck, bucketed=True)
+    assert lsh_index._bands_layout(flat) == "flat"
+    assert lsh_index._bands_layout(buck) == "bucketed"
+    assert lsh_index._shingles_layout(buck) == "bucketed"
+
+    assert _survivors(spark, new, flat) == _survivors(spark, new, buck)
+
+    for idx in (flat, buck):
+        lsh_index.update_minhash_index(new, idx)
+    # folds match their tree's layout
+    assert lsh_index._bands_layout(flat) == "flat"
+    assert lsh_index._bands_layout(buck) == "bucketed"
+    assert _survivors(spark, fresh, flat) == _survivors(spark, fresh, buck)
+
+    victims = [r["doc_id"] for r in new.limit(5).select("doc_id").collect()]
+    for idx in (flat, buck):
+        lsh_index.delete_from_minhash_index(spark, idx, victims)
+    assert _survivors(spark, fresh, flat) == _survivors(spark, fresh, buck)
+
+    for idx in (flat, buck):
+        lsh_index.compact_minhash_index(spark, idx)
+    assert _survivors(spark, fresh, flat) == _survivors(spark, fresh, buck)
+
+
+def test_pruned_band_read_reaches_partition_filters(spark, sf_dir, tmp_path):
+    old, new = _split(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    lsh_index.build_minhash_index(old, idx)
+    nb = lsh_index.minhash_band_entries(new)
+    pairs = [
+        (r["band_id"], r["kb"])
+        for r in nb.select(
+            "band_id", lsh_index._kbucket_col(F.col("band_key")).alias("kb")
+        )
+        .distinct()
+        .collect()
+    ]
+    pruned = lsh_index._live_bands(spark, idx, band_pairs=pairs[:3])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("PartitionFilters", 1)
+    assert len(head) == 2 and "kbucket" in head[1].split("]", 1)[0]
+    # the shingle prune likewise
+    sh = lsh_index._live_shingles(spark, idx, dbuckets=[0, 1])
+    splan = sh._jdf.queryExecution().executedPlan().toString()
+    sp = splan.split("PartitionFilters", 1)
+    assert len(sp) == 2 and "dbucket" in sp[1].split("]", 1)[0]
+
+
+def test_pruned_read_is_correct_restriction(spark, sf_dir, tmp_path):
+    """The pruned band read returns exactly the full read's rows whose
+    (band_id, kbucket) fall in the requested pairs — pruning is a
+    partition restriction, never a row filter approximation."""
+    old, _ = _split(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    lsh_index.build_minhash_index(old, idx)
+    pairs = [(0, 3), (1, 7), (5, 11)]
+    got = (
+        lsh_index._live_bands(spark, idx, band_pairs=pairs)
+        .orderBy("doc_id", "band_id", "band_key")
+        .collect()
+    )
+    full = lsh_index._live_bands(spark, idx).withColumn(
+        "kb", lsh_index._kbucket_col(F.col("band_key"))
+    )
+    want = (
+        full.where(
+            F.concat_ws("/", F.col("band_id"), F.col("kb")).isin(
+                [f"{a}/{b}" for a, b in pairs]
+            )
+        )
+        .select("doc_id", "band_id", "band_key")
+        .orderBy("doc_id", "band_id", "band_key")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_flat_artifact_upgrades_at_compaction(spark, sf_dir, tmp_path):
+    """Pre-round-10 artifact: folds stay flat (one consistent shape per
+    read root), the first compaction flips the whole tree bucketed, and
+    post-upgrade folds + lookups keep the exact same answers."""
+    old, new = _split(spark, sf_dir)
+    fresh = new.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    idx, twin = str(tmp_path / "idx"), str(tmp_path / "twin")
+    lsh_index.build_minhash_index(old, idx, bucketed=False)
+    lsh_index.build_minhash_index(old, twin, bucketed=False)
+    lsh_index.update_minhash_index(new, idx)
+    lsh_index.update_minhash_index(new, twin)
+
+    lsh_index.compact_minhash_index(spark, idx)
+    assert lsh_index._bands_layout(idx) == "bucketed"
+    assert lsh_index._shingles_layout(idx) == "bucketed"
+    meta = json.load(open(os.path.join(idx, "_lsh_manifest.json")))
+    assert meta["kbuckets"] == lsh_index.LSH_KBUCKETS
+    assert meta["dbuckets"] == lsh_index.LSH_DBUCKETS
+    assert _survivors(spark, fresh, idx) == _survivors(spark, fresh, twin)
+
+    # post-upgrade fold writes bucketed and answers like the flat twin
+    kept = lsh_index.dedup_against_index(spark, fresh, idx)
+    lsh_index.update_minhash_index(fresh, idx)
+    lsh_index.update_minhash_index(fresh, twin)
+    assert lsh_index._bands_layout(idx) == "bucketed"
+    again = fresh.select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    assert _survivors(spark, again, idx) == _survivors(spark, again, twin) == []
+
+
+def test_mixed_window_between_compaction_swaps(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash between the shingle swap and the bands swap leaves one
+    bucketed and one flat table — lookups must still answer exactly,
+    folds must match each table's own shape, and the re-run completes
+    the upgrade."""
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import retrieval
+
+    old, new = _split(spark, sf_dir)
+    idx, twin = str(tmp_path / "idx"), str(tmp_path / "twin")
+    lsh_index.build_minhash_index(old, idx, bucketed=False)
+    lsh_index.build_minhash_index(old, twin, bucketed=False)
+
+    real_swap = retrieval._swap_tree
+    calls = {"n": 0}
+
+    def crash_after_first(src, dst):
+        real_swap(src, dst)
+        calls["n"] += 1
+        raise RuntimeError("injected crash after the shingles swap")
+
+    monkeypatch.setattr(retrieval, "_swap_tree", crash_after_first)
+    with pytest.raises(RuntimeError, match="injected"):
+        lsh_index.compact_minhash_index(spark, idx)
+    monkeypatch.setattr(retrieval, "_swap_tree", real_swap)
+    assert calls["n"] == 1
+    assert lsh_index._shingles_layout(idx) == "bucketed"
+    assert lsh_index._bands_layout(idx) == "flat"
+
+    # lookups and folds stay exact in the mixed window
+    assert _survivors(spark, new, idx) == _survivors(spark, new, twin)
+    lsh_index.update_minhash_index(new, idx)
+    lsh_index.update_minhash_index(new, twin)
+    fresh = new.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    assert _survivors(spark, fresh, idx) == _survivors(spark, fresh, twin) == []
+
+    # the re-run completes the upgrade
+    lsh_index.compact_minhash_index(spark, idx)
+    assert lsh_index._bands_layout(idx) == "bucketed"
+    assert _survivors(spark, fresh, idx) == []
+
+
+def test_bucket_constant_drift_refuses(spark, sf_dir, tmp_path):
+    old, new = _split(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    lsh_index.build_minhash_index(old, idx)
+    p = os.path.join(idx, "_lsh_manifest.json")
+    meta = json.load(open(p))
+    meta["kbuckets"] = lsh_index.LSH_KBUCKETS + 1
+    json.dump(meta, open(p, "w"))
+    with pytest.raises(ValueError, match="bucketed with kbuckets"):
+        lsh_index.dedup_against_index(spark, new, idx)
+    with pytest.raises(ValueError, match="bucketed with kbuckets"):
+        lsh_index.update_minhash_index(new, idx)
+    # compaction is the documented cure: full reads never prune, the
+    # rewrite re-buckets under the current constants
+    lsh_index.compact_minhash_index(spark, idx)
+    assert json.load(open(p))["kbuckets"] == lsh_index.LSH_KBUCKETS
+    assert lsh_index.dedup_against_index(spark, new, idx).count() >= 0
+
+
+def test_decontaminate_against_bucketed_index_matches_fit_per_call(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir, 150)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    idx = str(tmp_path / "bench_idx")
+    lsh_index.build_minhash_index(bench, idx, bucketed=True)
+    got = (
+        decontam.decontaminate_against_index(spark, train, idx)
+        .orderBy("doc_id")
+        .collect()
+    )
+    want = decontam.fuzzy_decontaminate(train, bench).orderBy("doc_id").collect()
+    assert got == want
