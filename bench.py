@@ -820,6 +820,33 @@ def main() -> None:
             timings["_scale10x_bpe_encode"] = round(best, 3)
             bpe_merges.unpersist()
 
+            # Unigram-LM tokenizer (the SentencePiece family): training
+            # is EM over the distinct-word table (Arrow-batched lattice
+            # forward-backward, one combinable agg per iteration) after
+            # the one corpus freq shuffle; encoding is Viterbi with the
+            # same distinct-vocabulary Python shape as BPE's
+            from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
+                unigram as UNI,
+            )
+
+            t0 = time.time()
+            uni_vocab = UNI.train_unigram(
+                docs10, vocab_size=400, max_piece_len=5, seed_size=2000,
+                em_per_round=1,
+            ).persist()
+            uni_vocab.count()
+            timings["_scale10x_unigram_train"] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                UNI.unigram_encode(docs10, uni_vocab).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_unigram_encode"] = round(best, 3)
+            uni_vocab.unpersist()
+
             # DSIR selection at 10×: two bounded bucket histograms +
             # one broadcast-joined weight pass over the raw side +
             # a TakeOrderedAndProject cut — the raw corpus shuffles

@@ -1308,6 +1308,46 @@ def start_bpe_encode_sink(
     )
 
 
+def start_unigram_encode_sink(
+    docs_stream: DataFrame,
+    model_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """``start_bpe_encode_sink``'s twin for the unigram-LM tokenizer
+    family (``operators/unigram.py``): each micro-batch Viterbi-encodes
+    to model-ready ids against the STORED artifact
+    (``unigram.save_unigram_model``; vocab collected once per run,
+    Python only over the batch's distinct words) and lands as its own
+    ``batch=<epoch>`` dir — frozen tokenizer + deterministic encode =
+    byte-identical crash replays, with the ``last_epoch`` marker
+    skipping clean ones.  Streamed ≡ batch encoding of the union
+    (tested)."""
+    from ..operators import unigram
+
+    meta_dir = out_dir + "_sinkmeta"
+    state: dict = {}
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if _epoch_already_applied(meta_dir, epoch, checkpoint):
+            return
+        if "vocab" not in state:
+            vocab, _meta = unigram.load_unigram_model(batch.sparkSession, model_dir)
+            state["vocab"] = vocab.persist()
+        encoded = unigram.unigram_encode_ids(batch, state["vocab"])
+        encoded.write.mode("overwrite").parquet(f"{out_dir}/batch={epoch}")
+        _record_epoch(meta_dir, epoch, checkpoint)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def start_dsir_model_sink(
     docs_stream: DataFrame,
     model_dir: str,

@@ -1,0 +1,297 @@
+"""Unigram-LM tokenizer (operators/unigram.py): the distributed
+trainer must match a pure-Python reference implementation of the
+pinned semantics (seed → EM → prune → EM) to float precision, the
+Viterbi encode must be exact, round-trip must hold, and the artifact
+must behave like every other frozen model dir."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import unigram
+from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+# ---------------------------------------------------------------- #
+# pure-Python reference of the pinned semantics                     #
+# ---------------------------------------------------------------- #
+
+
+def _norm_words(texts):
+    words = []
+    for t in texts:
+        t = re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
+        words.extend(w for w in t.split() if w)
+    return words
+
+
+def _ref_word_freqs(texts):
+    wf = {}
+    for w in _norm_words(texts):
+        wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def _ref_seed(wf, max_len, seed_size):
+    scores = {}
+    for w, f in wf.items():
+        for ln in range(1, min(len(w), max_len) + 1):
+            for st in range(0, len(w) - ln + 1):
+                p = w[st : st + ln]
+                scores[p] = scores.get(p, 0) + f
+    chars = {p for p in scores if len(p) == 1}
+    multi = sorted(
+        ((p, s) for p, s in scores.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]
+    kept = dict(multi)
+    kept.update({c: scores[c] for c in chars})
+    return kept, chars
+
+
+def _ref_train(texts, vocab_size, max_len, seed_size, em_per_round, prune_frac):
+    wf = _ref_word_freqs(texts)
+    kept, chars = _ref_seed(wf, max_len, seed_size)
+    rows = sorted(kept.items())
+    total = sum(float(s) for _p, s in rows)
+    probs = {p: float(s) / total for p, s in rows}
+
+    def run_em(k):
+        nonlocal probs
+        for _ in range(k):
+            counts = {}
+            for w, f in wf.items():
+                e = unigram._forward_backward(w, probs, max_len)
+                for p, v in e.items():
+                    counts[p] = counts.get(p, 0.0) + v * float(f)
+            counts = {p: float(f"{counts[p]:.12e}") for p in sorted(counts)}
+            z = sum(counts[p] for p in sorted(counts))
+            floor = 1e-12
+            nxt = {p: counts[p] / z for p in sorted(counts) if counts[p] > 0.0}
+            for c in chars:
+                nxt.setdefault(c, floor)
+            probs = nxt
+
+    run_em(em_per_round)
+    while sum(1 for p in probs if p not in chars) + len(chars) > vocab_size:
+        multi = sorted(
+            ((p, v) for p, v in probs.items() if p not in chars),
+            key=lambda kv: kv[0],
+            reverse=True,
+        )
+        multi.sort(key=lambda kv: kv[1])
+        if not multi:
+            break
+        surplus = len(multi) + len(chars) - vocab_size
+        n_drop = max(1, min(surplus, int(len(multi) * prune_frac)))
+        for p, _v in multi[:n_drop]:
+            del probs[p]
+        z = sum(probs[p] for p in sorted(probs))
+        probs = {p: probs[p] / z for p in sorted(probs)}
+        run_em(em_per_round)
+    run_em(em_per_round)
+    return probs, chars
+
+
+def _texts(spark, sf_dir, n=40):
+    return [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(n).select("text").collect()
+    ]
+
+
+# ---------------------------------------------------------------- #
+# tests                                                             #
+# ---------------------------------------------------------------- #
+
+
+def test_trainer_matches_pure_python_reference(spark, sf_dir):
+    texts = _texts(spark, sf_dir, 30)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    params = dict(
+        vocab_size=80, max_piece_len=4, seed_size=150, em_per_round=2, prune_frac=0.2
+    )
+    got = {
+        r["piece"]: (float(r["logprob"]), bool(r["is_char"]))
+        for r in unigram.train_unigram(docs, **params).collect()
+    }
+    want_probs, want_chars = _ref_train(
+        texts, params["vocab_size"], params["max_piece_len"], params["seed_size"],
+        params["em_per_round"], params["prune_frac"],
+    )
+    assert set(got) == set(want_probs)
+    for p, wv in want_probs.items():
+        gv = got[p][0]
+        assert abs(gv - math.log(wv)) <= 1e-9 * max(1.0, abs(math.log(wv))), p
+        assert got[p][1] == (len(p) == 1)
+
+
+def test_viterbi_encode_matches_reference_and_round_trips(spark, sf_dir):
+    texts = _texts(spark, sf_dir, 40)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = unigram.train_unigram(
+        docs, vocab_size=80, max_piece_len=4, seed_size=150, em_per_round=1
+    )
+    enc = unigram.unigram_encode(docs, vocab).collect()
+    assert len(enc) == len(texts)
+
+    logp = {r["piece"]: float(r["logprob"]) for r in vocab.collect()}
+    max_len = max(len(p) for p in logp)
+    by_id = {r["doc_id"]: r["pieces"] for r in enc}
+    for i, t in enumerate(texts):
+        words = _norm_words([t])
+        want = [pc for w in words for pc in unigram._viterbi_word(w, logp, max_len)]
+        assert by_id[i] == want, f"doc {i}"
+        # round-trip: pieces re-concatenate to the normalized words
+        assert "".join(by_id[i]) == "".join(words)
+
+
+def test_empty_and_null_docs_surface_with_empty_pieces(spark, sf_dir):
+    docs = spark.createDataFrame(
+        [(1, "hello world hello"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    vocab = unigram.train_unigram(
+        docs.where(F.col("doc_id") == 1), vocab_size=30, max_piece_len=3, seed_size=50
+    )
+    rows = {r["doc_id"]: r for r in unigram.unigram_encode(docs, vocab).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["pieces"] == [] and rows[2]["n_pieces"] == 0
+    assert rows[3]["pieces"] == [] and rows[3]["n_pieces"] == 0
+    assert rows[1]["n_pieces"] == len(rows[1]["pieces"]) > 0
+
+
+def test_train_twice_is_deterministic(spark, sf_dir):
+    texts = _texts(spark, sf_dir, 25)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(vocab_size=60, max_piece_len=4, seed_size=120, em_per_round=1)
+    a = sorted(
+        (r["piece"], r["logprob"]) for r in unigram.train_unigram(docs, **kw).collect()
+    )
+    b = sorted(
+        (r["piece"], r["logprob"]) for r in unigram.train_unigram(docs, **kw).collect()
+    )
+    assert [p for p, _ in a] == [p for p, _ in b]
+    for (pa, va), (_pb, vb) in zip(a, b):
+        assert abs(va - vb) <= 1e-12 * max(1.0, abs(va)), pa
+
+
+def test_vocab_ids_closed_table_and_encode_ids_agree(spark, sf_dir):
+    texts = _texts(spark, sf_dir, 20)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = unigram.train_unigram(
+        docs, vocab_size=60, max_piece_len=4, seed_size=120, em_per_round=1
+    )
+    ids = unigram.unigram_vocab_ids(vocab)
+    rows = ids.collect()
+    # ids are 1..N, dense, in (logprob DESC, piece ASC) order
+    assert sorted(r["token_id"] for r in rows) == list(range(1, len(rows) + 1))
+    ordered = sorted(rows, key=lambda r: r["token_id"])
+    keys = [(-r["logprob"], r["piece"]) for r in ordered]
+    assert keys == sorted(keys)
+    # encode_ids ≡ encode mapped through the table
+    id_of = {r["piece"]: r["token_id"] for r in rows}
+    enc = {r["doc_id"]: r["pieces"] for r in unigram.unigram_encode(docs, vocab).collect()}
+    enc_ids = {
+        r["doc_id"]: r["token_ids"]
+        for r in unigram.unigram_encode_ids(docs, vocab).collect()
+    }
+    for d, pieces in enc.items():
+        assert enc_ids[d] == [id_of[p] for p in pieces]
+
+
+def test_artifact_save_load_round_trip(spark, sf_dir, tmp_path):
+    texts = _texts(spark, sf_dir, 20)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = unigram.train_unigram(
+        docs, vocab_size=60, max_piece_len=4, seed_size=120, em_per_round=1
+    )
+    mdir = str(tmp_path / "unigram_model")
+    unigram.save_unigram_model(vocab, mdir, {"vocab_size": 60, "max_piece_len": 4})
+    loaded, meta = unigram.load_unigram_model(spark, mdir)
+    assert meta["family"] == "unigram" and meta["max_piece_len"] == 4
+    a = unigram.unigram_encode(docs, vocab).orderBy("doc_id").collect()
+    b = unigram.unigram_encode(docs, loaded).orderBy("doc_id").collect()
+    assert a == b
+    with pytest.raises(FileNotFoundError, match="no unigram model"):
+        unigram.load_unigram_model(spark, str(tmp_path / "missing"))
+
+
+def test_encode_python_is_arrow_batched_over_distinct_words(spark, sf_dir):
+    """Scale stance: the only Python in the encode plan is an
+    ArrowEvalPython over the distinct-word frame — never a
+    row-at-a-time BatchEvalPython, and never over the corpus rows."""
+    texts = _texts(spark, sf_dir, 20)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = unigram.train_unigram(
+        docs, vocab_size=60, max_piece_len=4, seed_size=120, em_per_round=1
+    )
+    plan = (
+        unigram.unigram_encode(docs, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_unigram_streaming_encode_sink_equals_batch(spark, sf_dir, tmp_path):
+    """The live-tokenization sink against the frozen artifact equals
+    batch encoding of the union — the start_bpe_encode_sink contract
+    for the unigram family."""
+    import os
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
+        pipeline as sp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    vocab = unigram.train_unigram(
+        docs, vocab_size=60, max_piece_len=4, seed_size=120, em_per_round=1
+    )
+    mdir = str(tmp_path / "uni_model")
+    unigram.save_unigram_model(vocab, mdir)
+
+    b1 = docs.where(F.col("doc_id") < 30).select("doc_id", "text")
+    b2 = docs.where(F.col("doc_id") >= 30).select("doc_id", "text")
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    out = str(tmp_path / "encoded")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/*.parquet")
+    )
+    q = sp.start_unigram_encode_sink(stream, mdir, out, str(tmp_path / "ck"))
+    for i, b in enumerate([b1, b2]):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f{i}.parquet")
+        q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["doc_id"], tuple(r["token_ids"]), r["n_pieces"])
+        for r in spark.read.parquet(out)
+        .select("doc_id", "token_ids", "n_pieces")
+        .collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["token_ids"]), r["n_pieces"])
+        for r in unigram.unigram_encode_ids(docs.select("doc_id", "text"), vocab).collect()
+    )
+    assert got == want and got
