@@ -355,6 +355,94 @@ def _fsck_phash(spark: SparkSession, d: str) -> list:
 
 
 # ------------------------------------------------------------------ #
+# ingest-sink corpus (batch_group dirs + epoch-scoped staging)         #
+# ------------------------------------------------------------------ #
+
+
+def _fsck_ingest_corpus(spark: SparkSession, d: str) -> list:
+    """The document/media ingest sinks' corpus layout: ``batch_group=``
+    dirs committed through epoch-scoped staging copies in the sibling
+    ``_meta`` dir.  Every staging residue shape is classified against
+    the ``_staged_group_rewrite`` protocol."""
+    out: list = []
+    meta_dir = d + "_meta"
+    groups = {
+        e
+        for e in (os.listdir(d) if os.path.isdir(d) else [])
+        if e.startswith("batch_group=") and os.path.isdir(os.path.join(d, e))
+    }
+    if os.path.isdir(meta_dir):
+        layout = _read_json(os.path.join(meta_dir, "_SINK_LAYOUT.json"))
+        if layout is None and os.path.isfile(
+            os.path.join(meta_dir, "_SINK_LAYOUT.json")
+        ):
+            out.append(_f(
+                "warn", "layout_unparseable", meta_dir,
+                "_SINK_LAYOUT.json exists but does not parse — unified "
+                "takedown (delete_documents/delete_assets) cannot fan out",
+                "the next sink epoch rewrites it; or restore it by hand "
+                "from the sink's constructor arguments",
+            ))
+        for e in sorted(os.listdir(meta_dir)):
+            if "_staging_e" not in e:
+                continue
+            staging = os.path.join(meta_dir, e)
+            if not os.path.isdir(staging):
+                continue
+            complete = os.path.isfile(os.path.join(staging, "_SUCCESS"))
+            # two staging name forms: the merge path writes
+            # _group<G>_staging_e<E>, the CDC removal path writes
+            # _cdc_batch_group=<G>_staging_e<E> — both target
+            # batch_group=<G>
+            base = e.split("_staging_e", 1)[0]
+            if base.startswith("_cdc_"):
+                gname = base[len("_cdc_"):]
+            elif base.startswith("_group"):
+                gname = "batch_group=" + base[len("_group"):]
+            else:
+                continue
+            gdir = os.path.join(d, gname)
+            live = os.path.isdir(gdir) and any(
+                f.endswith(".parquet") for f in os.listdir(gdir)
+            )
+            if complete and not live:
+                out.append(_f(
+                    "warn", "unrecovered_group_overwrite", staging,
+                    f"a COMPLETED staged copy exists but its live group "
+                    f"dir ({gname}) is missing/empty — a crash landed in "
+                    "the overwrite window; readers miss these rows until "
+                    "the epoch replays",
+                    "restart the sink (the replayed epoch re-commits the "
+                    "staged copy); if the sink is retired, copy the staged "
+                    "tree over the group dir by hand",
+                ))
+            elif complete:
+                out.append(_f(
+                    "info", "staged_copy_retained", staging,
+                    "a completed staged copy survives next to an intact "
+                    "live group dir (crash between re-commit and cleanup) "
+                    "— the replay re-commits identical bytes",
+                    "safe to delete after confirming the live dir answers",
+                ))
+            else:
+                out.append(_f(
+                    "info", "incomplete_staging_residue", staging,
+                    "an incomplete staging dir (no _SUCCESS) — the live "
+                    "group dir is intact and authoritative; writers "
+                    "recompute staging from scratch",
+                    "safe to delete",
+                ))
+    if not groups and not os.path.isdir(meta_dir):
+        out.append(_f(
+            "warn", "empty_corpus", d,
+            "no batch_group dirs and no meta dir — nothing ingested yet "
+            "or the wrong path",
+            "",
+        ))
+    return out
+
+
+# ------------------------------------------------------------------ #
 # entry points                                                         #
 # ------------------------------------------------------------------ #
 
@@ -376,6 +464,11 @@ def detect_family(artifact_dir: str) -> str | None:
     for _manifest, name, _fn, shapes in _FAMILIES:
         if any(os.path.isdir(os.path.join(artifact_dir, s)) for s in shapes):
             return name
+    if os.path.isdir(artifact_dir) and (
+        any(e.startswith("batch_group=") for e in os.listdir(artifact_dir))
+        or os.path.isdir(artifact_dir + "_meta")
+    ):
+        return "ingest_corpus"
     return None
 
 
@@ -392,7 +485,10 @@ def fsck_artifact(spark: SparkSession, artifact_dir: str) -> list[dict]:
     if fam is None:
         return [_f("warn", "unknown_family", artifact_dir,
                    "no known artifact manifest or table shape here", "")]
-    fn = next(f for _m, n, f, _s in _FAMILIES if n == fam)
+    if fam == "ingest_corpus":
+        fn = _fsck_ingest_corpus
+    else:
+        fn = next(f for _m, n, f, _s in _FAMILIES if n == fam)
     findings = fn(spark, artifact_dir)
     rank = {lv: i for i, lv in enumerate(_LEVELS)}
     findings.sort(key=lambda x: rank[x["level"]])

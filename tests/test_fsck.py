@@ -140,3 +140,36 @@ def test_fleet_report_dataframe(spark, sf_dir, tmp_path):
     assert set(rep.columns) == {
         "artifact", "family", "level", "code", "path", "message", "repair"
     }
+
+
+def test_ingest_corpus_staging_shapes(spark, tmp_path):
+    """The _staged_group_rewrite residue taxonomy: completed staging
+    with a live group dir = benign retained copy; completed staging
+    with the live dir gone = the overwrite crash window (readers miss
+    rows until the epoch replays); incomplete staging = residue the
+    writers recompute over."""
+    corpus = str(tmp_path / "corpus")
+    meta = corpus + "_meta"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    df.write.parquet(f"{corpus}/batch_group=0")
+    df.write.parquet(f"{meta}/_group0_staging_e3")  # completed (_SUCCESS)
+    f = fsck.fsck_artifact(spark, corpus)
+    assert f[0]["family"] == "ingest_corpus"
+    assert "staged_copy_retained" in _codes(f, "info")
+    assert not _codes(f, "warn") and not _codes(f, "error")
+
+    # the CDC-path staging form maps to the same group
+    df.write.parquet(f"{meta}/_cdc_batch_group=0_staging_e4")
+    f = fsck.fsck_artifact(spark, corpus)
+    assert sum(1 for x in f if x["code"] == "staged_copy_retained") == 2
+
+    # incomplete staging (no _SUCCESS): benign residue
+    os.makedirs(f"{meta}/_group1_staging_e5")
+    f = fsck.fsck_artifact(spark, corpus)
+    assert "incomplete_staging_residue" in _codes(f, "info")
+
+    # the overwrite crash window: live dir gone, completed copy stands
+    shutil.rmtree(f"{corpus}/batch_group=0")
+    f = fsck.fsck_artifact(spark, corpus)
+    assert "unrecovered_group_overwrite" in _codes(f, "warn")
+    assert any("restart the sink" in x["repair"] for x in f)

@@ -19,16 +19,41 @@ sys.path.insert(0, REPO)
 
 
 def _expand(d: str) -> list[str]:
+    import json
+
     from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.fsck import detect_family
 
     if detect_family(d) is not None:
-        return [d]
-    return [
-        os.path.join(d, e)
-        for e in sorted(os.listdir(d))
-        if os.path.isdir(os.path.join(d, e))
-        and detect_family(os.path.join(d, e)) is not None
-    ]
+        roots = [d]
+    else:
+        roots = [
+            os.path.join(d, e)
+            for e in sorted(os.listdir(d))
+            if os.path.isdir(os.path.join(d, e))
+            and detect_family(os.path.join(d, e)) is not None
+        ]
+    # follow ingest-sink layouts to the artifact dirs they track
+    out: list[str] = []
+    for r in roots:
+        if r not in out:
+            out.append(r)
+        lay = os.path.join(r + "_meta", "_SINK_LAYOUT.json")
+        if os.path.isfile(lay):
+            try:
+                with open(lay) as fh:
+                    layout = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for k, v in sorted(layout.items()):
+                if (
+                    isinstance(v, str)
+                    and k.endswith("_dir")
+                    and os.path.abspath(v) != os.path.abspath(r)
+                    and os.path.isdir(v)
+                    and v not in out
+                ):
+                    out.append(v)
+    return out
 
 
 def main(argv: list[str]) -> int:
