@@ -266,7 +266,54 @@ def _lm_score_kn(spark, sf):
     return lm_filter.perplexity_score(spark, docs, d)
 
 
+def _pruned_band_lookup(spark, sf):
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import lsh_index
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    idx = tempfile.mkdtemp(prefix="graft_plans_mh_")
+    lsh_index.build_minhash_index(docs.where(F.col("doc_id") % 5 != 0), idx)
+    batch = docs.where(F.col("doc_id") % 5 == 0).limit(5)
+    nb = lsh_index.minhash_band_entries(batch)
+    pairs = [
+        (r["band_id"], r["kb"])
+        for r in nb.select(
+            "band_id", lsh_index._kbucket_col(F.col("band_key")).alias("kb")
+        )
+        .distinct()
+        .collect()
+    ]
+    idx_bands = lsh_index._live_bands(spark, idx, band_pairs=pairs)
+    return (
+        idx_bands.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 EXTRA = [
+    (
+        "dedup_against_index_pruned_lookup",
+        "key-bucketed MinHash precedent lookup (candidate generation for a "
+        "CDC-sized fold): the batch's distinct (band_id, kbucket) pairs — "
+        "bounded by the bucket grid, never by batch rows — land as a static "
+        "PartitionFilter on the corpus bands scan, so fold I/O is ∝ the "
+        "batch's bucket coverage instead of ∝ corpus; the batch side "
+        "broadcasts, the index side never shuffles (inside "
+        "dedup_against_index the exact-Jaccard shingle read is likewise "
+        "dbucket-pruned and the final drop set localCheckpoints)",
+        _pruned_band_lookup,
+    ),
     (
         "shuffle_shard_by_tokens",
         "deterministic corpus shuffle + token-balanced shards: the global "
