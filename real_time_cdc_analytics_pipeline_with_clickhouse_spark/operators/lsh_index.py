@@ -660,7 +660,11 @@ def _live_shingles(
 
 
 def delete_from_minhash_index(
-    spark: SparkSession, index_dir: str, doc_ids, exclude_batch: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids,
+    exclude_batch: int | None = None,
+    victims_from_shingles: bool = False,
 ) -> None:
     """Remove documents from the dedup index by TOMBSTONE — the
     takedown / right-to-be-forgotten path AND the old-version
@@ -681,15 +685,45 @@ def delete_from_minhash_index(
     must not tombstone the rows its own previous attempt appended).
 
     ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
-    column."""
+    column.
+
+    ``victims_from_shingles=True`` locates the victim (doc_id, batch)
+    pairs from the SHINGLE table pruned to the ids' ``dbucket``
+    partitions instead of a full bands scan — lossless, because bands
+    and shingles are written per batch from the SAME post-shingling
+    document set (``minhash_signatures`` aggregates over
+    ``_doc_shingles``, so a doc has band rows iff it has shingle
+    rows), and at 100 TB it turns the per-epoch CDC delete from an
+    O(corpus) column scan into an O(ids' buckets) read.  It is the
+    UPSERT path's option only: a fold writes bands before shingles, so
+    an EXTERNAL takedown racing an in-flight fold could miss that
+    epoch's just-written band rows — harmless for ``upsert`` (its
+    ``exclude_batch == epoch`` already exempts the only batch that can
+    be mid-write under the single-writer contract), a silent
+    takedown-incompleteness for anyone else, so external callers keep
+    the bands scan."""
     from .retrieval import _commit_tombstones, _ids_frame
 
     _require_batched(index_dir)
     ids = _ids_frame(spark, doc_ids, "doc_id")
-    # victim (doc_id, batch) pairs from the bands table: bands and
-    # shingles are written per batch from the SAME document set, so a
-    # doc's shingle rows always share a batch id with its band rows
-    rows = spark.read.parquet(_bands_root(index_dir)).select("doc_id", "batch")
+    # victim (doc_id, batch) pairs: bands and shingles are written per
+    # batch from the SAME document set, so a doc's shingle rows always
+    # share a batch id with its band rows
+    if victims_from_shingles and _shingles_layout(index_dir) == "bucketed":
+        _validate_bucket_geometry(index_dir)
+        dbl = [
+            r["db"]
+            for r in ids.select(_dbucket_col(F.col("doc_id")).alias("db"))
+            .distinct()
+            .collect()
+        ]
+        rows = (
+            spark.read.parquet(_sh_root(index_dir))
+            .where(F.col("dbucket").isin(dbl))
+            .select("doc_id", "batch")
+        )
+    else:
+        rows = spark.read.parquet(_bands_root(index_dir)).select("doc_id", "batch")
     if exclude_batch is not None:
         rows = rows.where(F.col("batch") != int(exclude_batch))
     tomb = _lsh_tombstones(spark, index_dir)
@@ -741,7 +775,14 @@ def upsert_minhash_index(
     # itself commits with update_minhash_index's manifest flip)
     ownership.claim_writer(dict(meta), checkpoint, f"MinHash index at {index_dir}")
     delete_from_minhash_index(
-        spark, index_dir, new_documents.select("doc_id"), exclude_batch=epoch
+        spark,
+        index_dir,
+        new_documents.select("doc_id"),
+        exclude_batch=epoch,
+        # safe HERE and only here: exclude_batch exempts the one batch
+        # that can be mid-write under the single-writer contract (see
+        # delete_from_minhash_index)
+        victims_from_shingles=True,
     )
     update_minhash_index(new_documents, index_dir, epoch=epoch, checkpoint=checkpoint)
 

@@ -2238,7 +2238,14 @@ def start_corpus_ingest_sink(
                 if dels is not None:
                     arriving = arriving.unionByName(dels.select("doc_id"))
                 lsh_index.delete_from_minhash_index(
-                    sp_, index_dir, arriving.distinct(), exclude_batch=epoch
+                    sp_,
+                    index_dir,
+                    arriving.distinct(),
+                    exclude_batch=epoch,
+                    # the sink is the single writer and exclude_batch
+                    # exempts its own epoch, so the dbucket-pruned
+                    # victim scan is lossless here (lsh_index docstring)
+                    victims_from_shingles=True,
                 )
             if bootstrap:
                 # bootstrap: no corpus yet — within-batch fuzzy dedup only
@@ -2704,7 +2711,13 @@ def start_document_ingest_sink(
                 # stale versions stop acting as precedent (and stop
                 # serving) BEFORE the verdicts and folds
                 lsh_index.delete_from_minhash_index(
-                    sp_, minhash_index_dir, arriving, exclude_batch=epoch
+                    sp_,
+                    minhash_index_dir,
+                    arriving,
+                    exclude_batch=epoch,
+                    # single-writer sink + own-epoch exemption: the
+                    # dbucket-pruned victim scan is lossless here
+                    victims_from_shingles=True,
                 )
 
             if bootstrap:

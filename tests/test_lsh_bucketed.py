@@ -230,3 +230,49 @@ def test_decontaminate_against_bucketed_index_matches_fit_per_call(
     )
     want = decontam.fuzzy_decontaminate(train, bench).orderBy("doc_id").collect()
     assert got == want
+
+
+def test_shingle_pruned_victims_equal_bands_scan(spark, sf_dir, tmp_path):
+    """The upsert path's dbucket-pruned victim location must find
+    exactly the (doc_id, batch) pairs the full bands scan finds —
+    lossless because a doc has band rows iff it has shingle rows
+    (minhash_signatures aggregates over _doc_shingles)."""
+    import json
+
+    docs = _docs(spark, sf_dir, 150)
+    old = docs.where(F.col("doc_id") < 90)
+    b1 = docs.where(F.col("doc_id") >= 90)
+    flat, buck = str(tmp_path / "flat"), str(tmp_path / "buck")
+    for idx, kw in ((flat, {"bucketed": False}), (buck, {"bucketed": True})):
+        lsh_index.build_minhash_index(old, idx, **kw)
+        lsh_index.update_minhash_index(b1, idx)
+
+    # victims spanning both batches
+    vic = [r["doc_id"] for r in docs.limit(120).select("doc_id").collect()][::7]
+    lsh_index.delete_from_minhash_index(spark, flat, vic)  # bands scan
+    lsh_index.delete_from_minhash_index(
+        spark, buck, vic, victims_from_shingles=True
+    )  # pruned shingles scan
+    t_flat = sorted(
+        (r["doc_id"], r["batch"])
+        for r in spark.read.parquet(f"{flat}/tombstones").collect()
+    )
+    t_buck = sorted(
+        (r["doc_id"], r["batch"])
+        for r in spark.read.parquet(f"{buck}/tombstones").collect()
+    )
+    assert t_flat == t_buck and t_flat
+
+    # and the CDC upsert (which uses the pruned path on bucketed
+    # indexes) keeps answering exactly like the flat twin
+    revised = b1.select(
+        "doc_id",
+        F.concat(F.lit("revised "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    lsh_index.upsert_minhash_index(spark, flat, revised, epoch=7)
+    lsh_index.upsert_minhash_index(spark, buck, revised, epoch=7)
+    probe = revised.select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    assert _survivors(spark, probe, flat) == _survivors(spark, probe, buck) == []
