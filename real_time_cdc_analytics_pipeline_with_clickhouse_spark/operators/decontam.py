@@ -189,6 +189,12 @@ def decontaminate_against_index(
     bucket_sh = _shingles_layout(index_dir) == "bucketed"
     if bucket_bands or bucket_sh:
         _validate_bucket_geometry(index_dir)
+    # the eager pruning machinery engages only when the batch's bucket
+    # coverage is a small fraction of the grid (lsh_index's rule) — a
+    # corpus-sized training batch saturates every bucket and takes the
+    # plain lazy path
+    pruned = False
+    pairs = None
     if bucket_bands:
         batch_bands = batch_bands.persist()
         pairs = [
@@ -199,13 +205,15 @@ def decontaminate_against_index(
             .distinct()
             .collect()
         ]
-        if len(pairs) >= (k // band) * LSH_KBUCKETS:
+        if len(pairs) > ((k // band) * LSH_KBUCKETS) // 2:
             pairs = None
-        idx_bands = _live_bands(spark, index_dir, band_pairs=pairs)
-    else:
-        # the live readers anti-join (doc_id, batch)-scoped tombstones,
-        # so a taken-down benchmark doc stops flagging immediately
-        idx_bands = _live_bands(spark, index_dir)
+            batch_bands.unpersist()
+        else:
+            pruned = True
+    bucket_sh = bucket_sh and pruned
+    # the live readers anti-join (doc_id, batch)-scoped tombstones, so
+    # a taken-down benchmark doc stops flagging immediately
+    idx_bands = _live_bands(spark, index_dir, band_pairs=pairs)
     bb = idx_bands.select(F.col("doc_id").alias("bench_id"), "band_id", "band_key")
     cand = (
         batch_bands.join(bb, ["band_id", "band_key"])
@@ -229,7 +237,7 @@ def decontaminate_against_index(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("bench_id")
     )
     flags = _flag(documents, verified)
-    if bucket_bands or bucket_sh:
+    if pruned:
         flags = flags.localCheckpoint(eager=True)
         batch_bands.unpersist()
         if bucket_sh:

@@ -951,10 +951,17 @@ def dedup_against_index(
     bucket_sh = _shingles_layout(index_dir) == "bucketed"
     if bucket_bands or bucket_sh:
         _validate_bucket_geometry(index_dir)
-    pruned = bucket_bands or bucket_sh
-    if pruned:
-        new_bands = new_bands.persist()
+    # the eager pruning machinery (persist, two bounded collects, a
+    # localCheckpoint of the drop set) pays for itself only when the
+    # batch's bucket coverage is a small fraction of the grid — a
+    # corpus-sized batch saturates every bucket and would pay the
+    # extra jobs to prune nothing, so it takes the plain lazy path
+    # (identical to the pre-bucketing flow).  One cheap batch-sized
+    # job decides.
+    pruned = False
+    pairs = None
     if bucket_bands:
+        new_bands = new_bands.persist()
         pairs = [
             (r["band_id"], r["kb"])
             for r in new_bands.select(
@@ -963,11 +970,13 @@ def dedup_against_index(
             .distinct()
             .collect()
         ]
-        if len(pairs) >= (k // band) * LSH_KBUCKETS:
-            pairs = None  # saturated — the filter would prune nothing
-        idx_bands = _live_bands(spark, index_dir, band_pairs=pairs)
-    else:
-        idx_bands = _live_bands(spark, index_dir)
+        if len(pairs) > ((k // band) * LSH_KBUCKETS) // 2:
+            pairs = None  # saturated — the filter would prune little
+            new_bands.unpersist()
+        else:
+            pruned = True
+    bucket_sh = bucket_sh and pruned
+    idx_bands = _live_bands(spark, index_dir, band_pairs=pairs)
 
     # batch × index candidates: indexed doc is always doc_a (precedent).
     # doc_a < doc_b ENFORCES the module contract (indexed docs precede

@@ -276,3 +276,43 @@ def test_shingle_pruned_victims_equal_bands_scan(spark, sf_dir, tmp_path):
         (F.col("doc_id") + 700000).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
     assert _survivors(spark, probe, flat) == _survivors(spark, probe, buck) == []
+
+
+def test_pruning_engages_small_batch_skips_saturated(spark, sf_dir, tmp_path, monkeypatch):
+    """The eager pruning machinery engages only when the batch's bucket
+    coverage is ≤ half the grid: a CDC-sized batch prunes (band_pairs
+    passed to the index read), a corpus-sized batch takes the plain
+    lazy path (band_pairs=None) — and both answer exactly like a flat
+    twin."""
+    old, new = _split(spark, sf_dir)
+    buck, flat = str(tmp_path / "buck"), str(tmp_path / "flat")
+    lsh_index.build_minhash_index(old, buck, bucketed=True)
+    lsh_index.build_minhash_index(old, flat, bucketed=False)
+
+    seen = {}
+    real = lsh_index._live_bands
+
+    def spy(spark_, idx_dir, band_pairs=None):
+        seen["pairs"] = band_pairs
+        return real(spark_, idx_dir, band_pairs=band_pairs)
+
+    monkeypatch.setattr(lsh_index, "_live_bands", spy)
+
+    small = new.limit(3)
+    got_small = sorted(
+        r["doc_id"] for r in lsh_index.dedup_against_index(spark, small, buck).collect()
+    )
+    assert seen["pairs"] is not None and len(seen["pairs"]) <= 12  # 3 docs × 4 bands
+    want_small = sorted(
+        r["doc_id"] for r in lsh_index.dedup_against_index(spark, small, flat).collect()
+    )
+    assert got_small == want_small
+
+    got_big = sorted(
+        r["doc_id"] for r in lsh_index.dedup_against_index(spark, new, buck).collect()
+    )
+    assert seen["pairs"] is None  # saturated — lazy path, no filter
+    want_big = sorted(
+        r["doc_id"] for r in lsh_index.dedup_against_index(spark, new, flat).collect()
+    )
+    assert got_big == want_big
