@@ -43,6 +43,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LEVELS = ("error", "warn", "info", "ok")
 
@@ -202,10 +203,20 @@ def _fsck_minhash(spark: SparkSession, d: str) -> list:
             "any fold or compaction re-stamps the counts",
         ))
     if os.path.isdir(tomb):
-        live = set(L.live_batch_ids(d))
-        rows = spark.read.parquet(tomb).select("doc_id", "batch").collect()
-        pending = sum(1 for r in rows if r["batch"] in live)
-        inert = len(rows) - pending
+        live = list(L.live_batch_ids(d))
+        # count Spark-side, collect two scalars: driver memory must stay
+        # O(1) even when takedown churn has accumulated a huge tombstone
+        # table (the module's safe-from-a-laptop promise)
+        is_live = F.col("batch").isin(live) if live else F.lit(False)
+        counts = (
+            spark.read.parquet(tomb)
+            .agg(
+                F.count(F.when(is_live, 1)).alias("pending"),
+                F.count(F.when(~is_live, 1)).alias("inert"),
+            )
+            .collect()[0]
+        )
+        pending, inert = counts["pending"], counts["inert"]
         if pending:
             out.append(_f(
                 "info", "pending_tombstones", tomb,

@@ -374,16 +374,33 @@ def unigram_vocab_ids(vocab: DataFrame) -> DataFrame:
     )
 
 
-def unigram_encode_ids(documents: DataFrame, vocab: DataFrame) -> DataFrame:
-    """``unigram_encode`` straight to model-ready ids — (doc_id,
-    token_ids array<int>, n_pieces); the id assignment is
-    ``unigram_vocab_ids``'s, held in the closure."""
-    from pyspark.sql.functions import pandas_udf
-
+def prepare_unigram_encoder(vocab: DataFrame):
+    """Collect the driver-bounded (≤ vocab_size) id/logprob maps ONCE —
+    the id assignment is ``unigram_vocab_ids``'s.  A streaming encode
+    sink holds the returned token in state so each micro-batch pays
+    only the encode jobs, never the single-partition id window + full
+    vocab collect again."""
     rows = unigram_vocab_ids(vocab).collect()
     logp = {r["piece"]: float(r["logprob"]) for r in rows}
     ids = {r["piece"]: int(r["token_id"]) for r in rows}
     max_len = max((len(p) for p in logp), default=1)
+    return logp, ids, max_len
+
+
+def unigram_encode_ids(
+    documents: DataFrame, vocab: DataFrame | None = None, prepared=None
+) -> DataFrame:
+    """``unigram_encode`` straight to model-ready ids — (doc_id,
+    token_ids array<int>, n_pieces).  Pass either the vocab frame (the
+    maps collect per call) or a ``prepare_unigram_encoder`` token (the
+    per-run fast path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if prepared is None:
+        if vocab is None:
+            raise ValueError("unigram_encode_ids needs vocab or prepared")
+        prepared = prepare_unigram_encoder(vocab)
+    logp, ids, max_len = prepared
 
     @pandas_udf("array<int>")
     def enc(col: pd.Series) -> pd.Series:

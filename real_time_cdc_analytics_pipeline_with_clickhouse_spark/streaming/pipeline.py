@@ -1317,8 +1317,10 @@ def start_unigram_encode_sink(
     """``start_bpe_encode_sink``'s twin for the unigram-LM tokenizer
     family (``operators/unigram.py``): each micro-batch Viterbi-encodes
     to model-ready ids against the STORED artifact
-    (``unigram.save_unigram_model``; vocab collected once per run,
-    Python only over the batch's distinct words) and lands as its own
+    (``unigram.save_unigram_model``; the id/logprob maps collect once
+    per run via ``prepare_unigram_encoder`` and ride sink state, so
+    each epoch pays only the encode jobs; Python only over the batch's
+    distinct words) and lands as its own
     ``batch=<epoch>`` dir — frozen tokenizer + deterministic encode =
     byte-identical crash replays, with the ``last_epoch`` marker
     skipping clean ones.  Streamed ≡ batch encoding of the union
@@ -1333,10 +1335,10 @@ def start_unigram_encode_sink(
             return
         if _epoch_already_applied(meta_dir, epoch, checkpoint):
             return
-        if "vocab" not in state:
+        if "enc" not in state:
             vocab, _meta = unigram.load_unigram_model(batch.sparkSession, model_dir)
-            state["vocab"] = vocab.persist()
-        encoded = unigram.unigram_encode_ids(batch, state["vocab"])
+            state["enc"] = unigram.prepare_unigram_encoder(vocab)
+        encoded = unigram.unigram_encode_ids(batch, prepared=state["enc"])
         encoded.write.mode("overwrite").parquet(f"{out_dir}/batch={epoch}")
         _record_epoch(meta_dir, epoch, checkpoint)
 

@@ -211,6 +211,25 @@ def test_vocab_ids_closed_table_and_encode_ids_agree(spark, sf_dir):
         assert enc_ids[d] == [id_of[p] for p in pieces]
 
 
+def test_prepared_encoder_matches_per_call_path(spark, sf_dir):
+    """The once-per-run fast path (prepare_unigram_encoder held in sink
+    state) must encode identically to the collect-per-call path, and
+    refuse an unparameterized call loudly."""
+    texts = _texts(spark, sf_dir, 20)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = unigram.train_unigram(
+        docs, vocab_size=60, max_piece_len=4, seed_size=120, em_per_round=1
+    )
+    prep = unigram.prepare_unigram_encoder(vocab)
+    a = unigram.unigram_encode_ids(docs, vocab).orderBy("doc_id").collect()
+    b = unigram.unigram_encode_ids(docs, prepared=prep).orderBy("doc_id").collect()
+    assert a == b
+    with pytest.raises(ValueError, match="vocab or prepared"):
+        unigram.unigram_encode_ids(docs)
+
+
 def test_artifact_save_load_round_trip(spark, sf_dir, tmp_path):
     texts = _texts(spark, sf_dir, 20)
     docs = spark.createDataFrame(

@@ -23,7 +23,10 @@ def _expand(d: str) -> list[str]:
 
     from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators.fsck import detect_family
 
-    if detect_family(d) is not None:
+    if detect_family(d) is not None or not os.path.isdir(d):
+        # non-directories short-circuit to themselves so fsck_artifact
+        # emits its missing_artifact/unknown_family finding instead of
+        # this CLI tracebacking on a typo'd path (it is cron-able)
         roots = [d]
     else:
         roots = [
