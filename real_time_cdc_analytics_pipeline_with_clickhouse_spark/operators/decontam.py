@@ -163,8 +163,7 @@ def decontaminate_against_index(
     always hashed with the family the benchmark artifact was built
     with (``None`` = pinned value; a contradiction raises)."""
     from .lsh_index import (
-        LSH_DBUCKETS,
-        LSH_KBUCKETS,
+        _artifact_grid,
         _bands_layout,
         _dbucket_col,
         _kbucket_col,
@@ -174,7 +173,6 @@ def decontaminate_against_index(
         _resolve_lsh_params,
         _shingle_rows,
         _shingles_layout,
-        _validate_bucket_geometry,
         _verified,
     )
 
@@ -184,11 +182,17 @@ def decontaminate_against_index(
     # key-bucketed benchmark artifacts (lsh_index module docstring)
     # prune both corpus-side reads to the batch's partitions — same
     # move as dedup_against_index, bounded collects, checkpointed
-    # result so the intermediates can unpersist
-    bucket_bands = _bands_layout(index_dir) == "bucketed"
-    bucket_sh = _shingles_layout(index_dir) == "bucketed"
-    if bucket_bands or bucket_sh:
-        _validate_bucket_geometry(index_dir)
+    # result so the intermediates can unpersist.  The pruning modulus
+    # is the artifact's manifest-pinned grid; unannotated bucketed
+    # trees are never pruned (lsh_index._artifact_grid)
+    mk, md = (
+        _artifact_grid(index_dir, spark)
+        if _bands_layout(index_dir) == "bucketed"
+        or _shingles_layout(index_dir) == "bucketed"
+        else (None, None)
+    )
+    bucket_bands = mk is not None and _bands_layout(index_dir) == "bucketed"
+    bucket_sh = md is not None and _shingles_layout(index_dir) == "bucketed"
     # the eager pruning machinery engages only when the batch's bucket
     # coverage is a small fraction of the grid (lsh_index's rule) — a
     # corpus-sized training batch saturates every bucket and takes the
@@ -200,12 +204,12 @@ def decontaminate_against_index(
         pairs = [
             (r["band_id"], r["kb"])
             for r in batch_bands.select(
-                "band_id", _kbucket_col(F.col("band_key")).alias("kb")
+                "band_id", _kbucket_col(F.col("band_key"), mk).alias("kb")
             )
             .distinct()
             .collect()
         ]
-        if len(pairs) > ((k // band) * LSH_KBUCKETS) // 2:
+        if len(pairs) > ((k // band) * mk) // 2:
             pairs = None
             batch_bands.unpersist()
         else:
@@ -224,12 +228,12 @@ def decontaminate_against_index(
         cand = cand.persist()
         dbl = [
             r["db"]
-            for r in cand.select(_dbucket_col(F.col("doc_b")).alias("db"))
+            for r in cand.select(_dbucket_col(F.col("doc_b"), md).alias("db"))
             .distinct()
             .collect()
         ]
         idx_sh = _live_shingles(
-            spark, index_dir, dbuckets=dbl if len(dbl) < LSH_DBUCKETS else None
+            spark, index_dir, dbuckets=dbl if len(dbl) < md else None
         )
     else:
         idx_sh = _live_shingles(spark, index_dir)

@@ -178,29 +178,40 @@ def _fsck_minhash(spark: SparkSession, d: str) -> list:
                 "run compact_minhash_index (rewrites the whole tree under "
                 "one shape)",
             ))
-    # bucket-constant drift: the same check the readers enforce
+    # bucket-grid provenance: the manifest is authoritative for reads
+    # (round 11) — a non-default grid is a legitimate deployment state,
+    # but worth surfacing because sessions pinning a different grid via
+    # the spark.cdcAnalytics.lsh.* confs will refuse this artifact
     if meta:
-        for name, const in (("kbuckets", L.LSH_KBUCKETS), ("dbuckets", L.LSH_DBUCKETS)):
+        for name, default in (
+            ("kbuckets", L.LSH_KBUCKETS),
+            ("dbuckets", L.LSH_DBUCKETS),
+        ):
             pinned = meta.get(name)
-            if pinned is not None and int(pinned) != const:
+            if pinned is not None and int(pinned) != default:
                 out.append(_f(
-                    "error", "bucket_constant_drift", d,
-                    f"manifest pins {name}={pinned} but this deployment's "
-                    f"constant is {const} — pruned lookups would miss "
-                    "matches; readers refuse",
-                    "run compact_minhash_index (re-buckets under the "
-                    "current constants) or restore the original constants",
+                    "info", "nondefault_bucket_grid", d,
+                    f"manifest pins {name}={pinned} (module default "
+                    f"{default}) — reads follow the manifest; a session "
+                    f"conf pinning a different {name} refuses until "
+                    "recompacted",
+                    "none needed; run compact_minhash_index under the "
+                    "session conf to migrate the grid",
                 ))
     if (
         L._bands_layout(d) == "bucketed"
         and (meta is None or meta.get("kbuckets") is None)
     ):
         out.append(_f(
-            "info", "unannotated_bucketed", d,
+            "warn", "unannotated_bucketed", d,
             "bucketed tree without manifest bucket counts (a build crashed "
-            "before its manifest write) — readers assume the module "
-            "constants, which is the only writer there is",
-            "any fold or compaction re-stamps the counts",
+            "before its manifest write, or an artifact copied from a "
+            "deployment with an unknown grid) — the modulus its dirs were "
+            "written with is unknowable, so pruned lookups are DISABLED "
+            "(full scans, correct but slow) until a compaction rewrites "
+            "and stamps the tree; verify provenance before trusting it",
+            "run compact_minhash_index (re-buckets the whole tree and "
+            "stamps the grid)",
         ))
     if os.path.isdir(tomb):
         live = list(L.live_batch_ids(d))

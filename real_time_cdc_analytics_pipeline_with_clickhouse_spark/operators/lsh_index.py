@@ -94,14 +94,24 @@ those partitions; candidate verification likewise prunes the corpus
 shingle read to the candidates' ``dbucket`` dirs.  A small fold —
 the CDC steady state — reads a small fraction of the corpus artifact;
 a corpus-sized fold degrades gracefully to the full scan (the filter
-is dropped when the pair set saturates).  Bucket counts are
-module-level deployment constants (like the text index's tbuckets),
-NOT per-artifact knobs: the modulus must be identical across every
-batch dir of an artifact, and a code-level constant makes mixed-modulus
-trees unrepresentable.  The manifest records the counts purely to
-detect constant drift across deployments (readers/writers raise; the
-cure is ``compact_minhash_index``, which re-buckets under the current
-constants).  The layout itself is probed from the DIRECTORIES (dirs
+is dropped when the pair set saturates).  Bucket counts (round 11):
+the MANIFEST is authoritative for an existing artifact — every
+fold/read/compaction resolves the counts it was built with from
+there, so the modulus is identical across every batch dir by
+construction and a deployment never edits this module to size its
+grid.  New builds (and compaction, the migration cure) take the
+session conf ``spark.cdcAnalytics.lsh.kbuckets`` /
+``spark.cdcAnalytics.lsh.dbuckets`` when set, else the module
+defaults ``LSH_KBUCKETS``/``LSH_DBUCKETS`` (sized for the local test
+scale; a 100 TB deployment sets the confs to thousands).  A session
+that pins a grid CONTRADICTING an artifact's manifest refuses loudly
+(deployment intent vs artifact truth — pruned lookups under the
+intended grid would silently miss matches; recompact to migrate).  A
+bucketed tree WITHOUT manifest counts (a build crashed before its
+manifest write, or an artifact of unknown provenance) is never
+pruned — reads fall back to the full scan, folds append without
+stamping, and the next compaction rewrites + stamps the whole tree.
+The layout itself is probed from the DIRECTORIES (dirs
 are ground truth through every crash window): pre-round-10 flat
 artifacts keep working unpruned, folds match the existing layout, and
 the first compaction upgrades the whole tree atomically (stage + swap,
@@ -149,26 +159,81 @@ def _shingle_rows(documents: DataFrame, n: int) -> DataFrame:
 _LSH_MANIFEST = "_lsh_manifest.json"
 _LSH_DEFAULTS = {"n": 3, "k": N_MINHASH, "band": BAND_SIZE, "hash_mode": "md5"}
 
-# Deployment-level bucket counts for the key-bucketed layout (see the
-# module docstring).  Sized for the local test scale; a 100 TB
-# deployment raises them (thousands) so a fold's pruned read stays a
-# small fraction of the artifact.  Changing them requires
-# compact_minhash_index on existing bucketed artifacts — the manifest
-# records the build-time values and mismatched reads refuse loudly.
+# Default bucket counts for the key-bucketed layout (see the module
+# docstring).  Sized for the local test scale; a 100 TB deployment
+# sets the session confs below (thousands) so a fold's pruned read
+# stays a small fraction of the artifact — existing artifacts resolve
+# their build-time counts from the manifest, never from here.
 LSH_KBUCKETS = 32
 LSH_DBUCKETS = 16
+KBUCKETS_CONF = "spark.cdcAnalytics.lsh.kbuckets"
+DBUCKETS_CONF = "spark.cdcAnalytics.lsh.dbuckets"
 
 
-def _kbucket_col(band_key):
+def _conf_grid(spark: SparkSession | None) -> tuple[int | None, int | None]:
+    """The session's explicitly-pinned grid, (None, None) when unset."""
+    if spark is None:
+        return None, None
+    out = []
+    for key in (KBUCKETS_CONF, DBUCKETS_CONF):
+        v = spark.conf.get(key, None)
+        out.append(int(v) if v is not None else None)
+    return out[0], out[1]
+
+
+def _build_grid(spark: SparkSession | None) -> tuple[int, int]:
+    """Counts for a NEW bucketed tree (build, bootstrap fold, or a
+    compaction rewrite): the session conf when set, else the module
+    defaults."""
+    ck, cd = _conf_grid(spark)
+    return ck or LSH_KBUCKETS, cd or LSH_DBUCKETS
+
+
+def _artifact_grid(
+    index_dir: str, spark: SparkSession | None = None
+) -> tuple[int | None, int | None]:
+    """Authoritative counts for an EXISTING bucketed artifact — the
+    manifest's, recorded when the tree was built or last recompacted.
+    (None, None) means unannotated (a build crashed before its manifest
+    write, or an artifact of unknown provenance): callers must NOT
+    prune against it — the modulus its dirs were written with is
+    unknowable, and pruning with a guessed one silently misses
+    duplicates/contamination, the exact silent-survival failure mode
+    this pinning exists to prevent.
+
+    Passing ``spark`` arms the drift refusal: a session conf pinning a
+    grid DIFFERENT from the manifest's raises — the deployment intends
+    one grid, the artifact carries another, and the cure is
+    ``compact_minhash_index`` under the conf (re-buckets the tree) or
+    dropping the conf (follow the artifact)."""
+    meta = _lsh_manifest(index_dir)
+    mk, md = meta.get("kbuckets"), meta.get("dbuckets")
+    mk = int(mk) if mk is not None else None
+    md = int(md) if md is not None else None
+    ck, cd = _conf_grid(spark)
+    for name, pinned, conf in (("kbuckets", mk, ck), ("dbuckets", md, cd)):
+        if pinned is not None and conf is not None and pinned != conf:
+            raise ValueError(
+                f"MinHash index at {index_dir} was bucketed with {name}="
+                f"{pinned} but this session pins {name}={conf} — pruned "
+                "lookups would silently miss matches; run "
+                "compact_minhash_index to re-bucket it under the session's "
+                "grid (or drop the conf to follow the artifact)"
+            )
+    return mk, md
+
+
+def _kbucket_col(band_key, kbuckets: int):
     """Partition bucket of a band key.  crc32 (not the manifest's md5/
     xxh64 family) — this is LAYOUT, not dedup semantics: both sides of
     every pruned lookup compute it Spark-side with this one expression,
-    so the only requirement is self-consistency."""
-    return F.pmod(F.crc32(band_key), F.lit(LSH_KBUCKETS)).cast("int")
+    so the only requirement is self-consistency under ONE modulus (the
+    artifact's pinned count)."""
+    return F.pmod(F.crc32(band_key), F.lit(int(kbuckets))).cast("int")
 
 
-def _dbucket_col(doc_id):
-    return F.pmod(F.crc32(doc_id.cast("string")), F.lit(LSH_DBUCKETS)).cast("int")
+def _dbucket_col(doc_id, dbuckets: int):
+    return F.pmod(F.crc32(doc_id.cast("string")), F.lit(int(dbuckets))).cast("int")
 
 
 def _bands_layout(index_dir: str) -> str:
@@ -211,27 +276,6 @@ def _shingles_layout(index_dir: str) -> str:
             if e.endswith(".parquet"):
                 return "flat"
     return "empty"
-
-
-def _validate_bucket_geometry(index_dir: str) -> None:
-    """A bucketed artifact written under different LSH_KBUCKETS /
-    LSH_DBUCKETS constants than this deployment's would make every
-    pruned lookup silently miss matches (wrong modulus → wrong
-    partitions read) — the same silent-survival failure mode the
-    (n, k, band, hash_mode) pinning guards against.  Raise instead;
-    the cure is compact_minhash_index, which re-buckets the whole
-    tree under the current constants."""
-    meta = _lsh_manifest(index_dir)
-    for name, const in (("kbuckets", LSH_KBUCKETS), ("dbuckets", LSH_DBUCKETS)):
-        pinned = meta.get(name)
-        if pinned is not None and int(pinned) != const:
-            raise ValueError(
-                f"MinHash index at {index_dir} was bucketed with {name}="
-                f"{pinned} but this deployment's constant is {const} — "
-                "pruned lookups would silently miss matches; run "
-                "compact_minhash_index to re-bucket it under the current "
-                "constants (or restore the original constants)"
-            )
 
 
 def _lsh_manifest(index_dir: str) -> dict:
@@ -453,11 +497,14 @@ def build_minhash_index(
     )
     meta = {"n": int(n), "k": int(k), "band": int(band), "hash_mode": hash_mode}
     if bucketed:
+        # grid for the new tree: session conf else module defaults; the
+        # manifest stamp below is what every later fold/read resolves
+        kb, db = _build_grid(documents.sparkSession)
         # repartition on the leaf-dir keys: each (band_id, kbucket)
         # group lands wholly in one task → one file per leaf dir, not
         # tasks × dirs
         (
-            bands.withColumn("kbucket", _kbucket_col(F.col("band_key")))
+            bands.withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
             .repartition(F.col("band_id"), F.col("kbucket"))
             .write.mode("overwrite")
             .partitionBy("batch", "band_id", "kbucket")
@@ -468,13 +515,13 @@ def build_minhash_index(
         (
             _shingle_rows(documents, n)
             .withColumn("batch", F.lit(-1))
-            .withColumn("dbucket", _dbucket_col(F.col("doc_id")))
+            .withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
             .repartition(F.col("dbucket"), F.col("doc_id"))
             .write.mode("overwrite")
             .partitionBy("batch", "dbucket")
             .parquet(_sh_root(index_dir))
         )
-        meta.update({"kbuckets": LSH_KBUCKETS, "dbuckets": LSH_DBUCKETS})
+        meta.update({"kbuckets": kb, "dbuckets": db})
     else:
         bands.write.mode("overwrite").partitionBy("batch", "band_id").parquet(
             _bands_root(index_dir)
@@ -550,14 +597,22 @@ def update_minhash_index(
     # table: compact_minhash_index swaps the shingle tree before the
     # bands tree, so a fold landing in that window sees one bucketed
     # and one flat table — each write follows its own table's shape
-    bucket_bands = _bands_layout(index_dir) != "flat"
-    bucket_sh = _shingles_layout(index_dir) != "flat"
-    if bucket_bands or bucket_sh:
-        _validate_bucket_geometry(index_dir)
+    blay, slay = _bands_layout(index_dir), _shingles_layout(index_dir)
+    bucket_bands = blay != "flat"
+    bucket_sh = slay != "flat"
+    # manifest-authoritative grid (+ conf-drift refusal); a fold that
+    # CREATES a table (empty layout) writes the build grid and stamps
+    # it below — a fold into an existing bucketed-but-unannotated tree
+    # writes the build grid WITHOUT stamping (the old batches' modulus
+    # is unknowable; pruning stays off until compaction rewrites all)
+    mk, md = _artifact_grid(index_dir, spark)
+    gk, gd = _build_grid(spark)
+    kb = mk if mk is not None else gk
+    db = md if md is not None else gd
     bands = minhash_band_entries(new_documents, n, k, band, hash_mode)
     if bucket_bands:
         (
-            bands.withColumn("kbucket", _kbucket_col(F.col("band_key")))
+            bands.withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
             .repartition(F.col("band_id"), F.col("kbucket"))
             .write.mode("overwrite")
             .partitionBy("band_id", "kbucket")
@@ -570,7 +625,7 @@ def update_minhash_index(
     sh = _shingle_rows(new_documents, n)
     if bucket_sh:
         (
-            sh.withColumn("dbucket", _dbucket_col(F.col("doc_id")))
+            sh.withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
             .repartition(F.col("dbucket"))
             .write.mode("overwrite")
             .partitionBy("dbucket")
@@ -579,10 +634,10 @@ def update_minhash_index(
     else:
         sh.write.mode("overwrite").parquet(f"{_sh_root(index_dir)}/batch={b}")
     meta = _lsh_manifest(index_dir)
-    if bucket_bands:
-        meta.setdefault("kbuckets", LSH_KBUCKETS)
-    if bucket_sh:
-        meta.setdefault("dbuckets", LSH_DBUCKETS)
+    if bucket_bands and blay == "empty":
+        meta.setdefault("kbuckets", kb)
+    if bucket_sh and slay == "empty":
+        meta.setdefault("dbuckets", db)
     if epoch is not None:
         meta["last_epoch"] = int(epoch)
     ownership.claim_writer(meta, checkpoint, f"MinHash index at {index_dir}")
@@ -646,8 +701,9 @@ def _live_shingles(
 ) -> DataFrame:
     """``dbuckets`` prunes a bucketed shingle tree to the listed
     ``dbucket`` partitions — pass the distinct buckets of the candidate
-    doc ids (≤ LSH_DBUCKETS values) so exact-Jaccard verification reads
-    only the dirs that can hold a candidate's shingles."""
+    doc ids (≤ the artifact's pinned dbuckets values) so exact-Jaccard
+    verification reads only the dirs that can hold a candidate's
+    shingles."""
     df = spark.read.parquet(_sh_root(index_dir))
     if dbuckets is not None and "dbucket" in df.columns:
         df = df.where(F.col("dbucket").isin([int(x) for x in dbuckets]))
@@ -709,11 +765,13 @@ def delete_from_minhash_index(
     # victim (doc_id, batch) pairs: bands and shingles are written per
     # batch from the SAME document set, so a doc's shingle rows always
     # share a batch id with its band rows
+    md = None
     if victims_from_shingles and _shingles_layout(index_dir) == "bucketed":
-        _validate_bucket_geometry(index_dir)
+        md = _artifact_grid(index_dir, spark)[1]
+    if md is not None:
         dbl = [
             r["db"]
-            for r in ids.select(_dbucket_col(F.col("doc_id")).alias("db"))
+            for r in ids.select(_dbucket_col(F.col("doc_id"), md).alias("db"))
             .distinct()
             .collect()
         ]
@@ -723,6 +781,9 @@ def delete_from_minhash_index(
             .select("doc_id", "batch")
         )
     else:
+        # flat tree, caller keeping the bands scan, or an unannotated
+        # bucketed tree (modulus unknowable — pruning would silently
+        # miss victims; the full scan is always correct)
         rows = spark.read.parquet(_bands_root(index_dir)).select("doc_id", "batch")
     if exclude_batch is not None:
         rows = rows.where(F.col("batch") != int(exclude_batch))
@@ -820,6 +881,15 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     _require_batched(index_dir)
     newb = min(live_batch_ids(index_dir) + [-1]) - 1
     broot, sroot = _bands_root(index_dir), _sh_root(index_dir)
+    # the rewrite's target grid: the session conf when set (compaction
+    # IS the grid-migration cure, so the conf wins over the manifest
+    # here), else the artifact's own pinned counts, else the defaults.
+    # The full reads below never prune, so they are modulus-agnostic —
+    # safe against drifted AND unannotated trees alike.
+    ck, cd = _conf_grid(spark)
+    mk, md = _artifact_grid(index_dir)
+    kb = ck or mk or LSH_KBUCKETS
+    db = cd or md or LSH_DBUCKETS
 
     # BOTH stage trees materialize before EITHER swap: the live-row
     # reads resolve tombstones against the pre-compaction batch ids
@@ -829,7 +899,7 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         _live_bands(spark, index_dir)
         .distinct()
         .withColumn("batch", F.lit(newb))
-        .withColumn("kbucket", _kbucket_col(F.col("band_key")))
+        .withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
     )
     bstage = broot + "__stage"
     (
@@ -843,7 +913,7 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         _live_shingles(spark, index_dir)
         .distinct()
         .withColumn("batch", F.lit(newb))
-        .withColumn("dbucket", _dbucket_col(F.col("doc_id")))
+        .withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
     )
     sstage = sroot + "__stage"
     (
@@ -852,6 +922,21 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("batch", "dbucket")
         .parquet(sstage)
     )
+    # grid MIGRATION hazard: if the rewrite changes the modulus, the
+    # pre-compaction manifest counts would mislabel the newly-swapped
+    # dirs through any crash window between the swaps and the final
+    # stamp — pruned reads would silently miss matches, the exact
+    # failure this pinning prevents.  Un-annotate the manifest FIRST:
+    # an unannotated bucketed tree is never pruned (always-correct full
+    # scans), so every window below degrades to unpruned, never wrong;
+    # the stamp at the end (or the crash-recovery re-run's) restores
+    # pruning.  Unchanged-grid compactions skip this (no hazard, no
+    # pruning outage).
+    meta = _lsh_manifest(index_dir)
+    if (mk is not None and mk != kb) or (md is not None and md != db):
+        meta.pop("kbuckets", None)
+        meta.pop("dbuckets", None)
+        _write_lsh_manifest(index_dir, meta)
     # shingles swap FIRST: candidacy is decided by the bands table, so
     # while the bands are unpurged the tombstones (which resolve
     # against the BANDS batch dirs) stay valid and victims still can't
@@ -861,13 +946,9 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     _swap_tree(sstage, sroot)
     _swap_tree(bstage, broot)
     shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
-    # record the bucket constants the rewrite used (pure drift
-    # detection — readers decide bucketed-ness from the dirs, so a
-    # crash before this line leaves a bucketed tree whose counts are
-    # the module constants, exactly what validation assumes for an
-    # unannotated bucketed artifact)
-    meta = _lsh_manifest(index_dir)
-    meta["kbuckets"], meta["dbuckets"] = LSH_KBUCKETS, LSH_DBUCKETS
+    # record the grid the rewrite used — the authority every later
+    # fold/read resolves
+    meta["kbuckets"], meta["dbuckets"] = kb, db
     _write_lsh_manifest(index_dir, meta)
 
 
@@ -947,10 +1028,18 @@ def dedup_against_index(
     # final drop set is localCheckpoint'ed (≤ batch rows) so the
     # intermediates can unpersist and downstream actions on the
     # returned survivors never replay the verdict
-    bucket_bands = _bands_layout(index_dir) == "bucketed"
-    bucket_sh = _shingles_layout(index_dir) == "bucketed"
-    if bucket_bands or bucket_sh:
-        _validate_bucket_geometry(index_dir)
+    # the artifact's pinned grid is the pruning modulus; an unannotated
+    # bucketed tree (None counts) is never pruned — the modulus its
+    # dirs were written with is unknowable, and the full scan is
+    # always correct
+    mk, md = (
+        _artifact_grid(index_dir, spark)
+        if _bands_layout(index_dir) == "bucketed"
+        or _shingles_layout(index_dir) == "bucketed"
+        else (None, None)
+    )
+    bucket_bands = mk is not None and _bands_layout(index_dir) == "bucketed"
+    bucket_sh = md is not None and _shingles_layout(index_dir) == "bucketed"
     # the eager pruning machinery (persist, two bounded collects, a
     # localCheckpoint of the drop set) pays for itself only when the
     # batch's bucket coverage is a small fraction of the grid — a
@@ -965,12 +1054,12 @@ def dedup_against_index(
         pairs = [
             (r["band_id"], r["kb"])
             for r in new_bands.select(
-                "band_id", _kbucket_col(F.col("band_key")).alias("kb")
+                "band_id", _kbucket_col(F.col("band_key"), mk).alias("kb")
             )
             .distinct()
             .collect()
         ]
-        if len(pairs) > ((k // band) * LSH_KBUCKETS) // 2:
+        if len(pairs) > ((k // band) * mk) // 2:
             pairs = None  # saturated — the filter would prune little
             new_bands.unpersist()
         else:
@@ -1000,12 +1089,12 @@ def dedup_against_index(
         cross = cross.persist()
         dbl = [
             r["db"]
-            for r in cross.select(_dbucket_col(F.col("doc_a")).alias("db"))
+            for r in cross.select(_dbucket_col(F.col("doc_a"), md).alias("db"))
             .distinct()
             .collect()
         ]
         idx_sh = _live_shingles(
-            spark, index_dir, dbuckets=dbl if len(dbl) < LSH_DBUCKETS else None
+            spark, index_dir, dbuckets=dbl if len(dbl) < md else None
         )
     else:
         idx_sh = _live_shingles(spark, index_dir)

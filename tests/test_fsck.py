@@ -78,8 +78,18 @@ def test_minhash_bucket_drift_and_tombstones(spark, sf_dir, tmp_path):
     meta = json.load(open(p))
     meta["kbuckets"] = lsh_index.LSH_KBUCKETS + 5
     json.dump(meta, open(p, "w"))
+    # manifest-authoritative grid (round 11): a non-default grid is a
+    # legitimate deployment state — surfaced at info, not error
     f = fsck.fsck_artifact(spark, idx)
-    assert "bucket_constant_drift" in _codes(f, "error")
+    assert "nondefault_bucket_grid" in _codes(f, "info")
+    assert "bucket_constant_drift" not in _codes(f, "error")
+    # a bucketed tree with NO grid counts is suspect: pruning is off
+    # until compaction stamps it — warn with the provenance note
+    meta = json.load(open(p))
+    meta.pop("kbuckets"), meta.pop("dbuckets", None)
+    json.dump(meta, open(p, "w"))
+    f = fsck.fsck_artifact(spark, idx)
+    assert "unannotated_bucketed" in _codes(f, "warn")
     assert any("compact_minhash_index" in x["repair"] for x in f)
 
 

@@ -75,7 +75,7 @@ def test_pruned_band_read_reaches_partition_filters(spark, sf_dir, tmp_path):
     pairs = [
         (r["band_id"], r["kb"])
         for r in nb.select(
-            "band_id", lsh_index._kbucket_col(F.col("band_key")).alias("kb")
+            "band_id", lsh_index._kbucket_col(F.col("band_key"), lsh_index.LSH_KBUCKETS).alias("kb")
         )
         .distinct()
         .collect()
@@ -105,7 +105,7 @@ def test_pruned_read_is_correct_restriction(spark, sf_dir, tmp_path):
         .collect()
     )
     full = lsh_index._live_bands(spark, idx).withColumn(
-        "kb", lsh_index._kbucket_col(F.col("band_key"))
+        "kb", lsh_index._kbucket_col(F.col("band_key"), lsh_index.LSH_KBUCKETS)
     )
     want = (
         full.where(
@@ -196,23 +196,115 @@ def test_mixed_window_between_compaction_swaps(spark, sf_dir, tmp_path, monkeypa
     assert _survivors(spark, fresh, idx) == []
 
 
-def test_bucket_constant_drift_refuses(spark, sf_dir, tmp_path):
+def _set_grid_conf(spark, kb, db):
+    if kb is None:
+        spark.conf.unset(lsh_index.KBUCKETS_CONF)
+    else:
+        spark.conf.set(lsh_index.KBUCKETS_CONF, str(kb))
+    if db is None:
+        spark.conf.unset(lsh_index.DBUCKETS_CONF)
+    else:
+        spark.conf.set(lsh_index.DBUCKETS_CONF, str(db))
+
+
+def test_bucket_grid_drift_refuses(spark, sf_dir, tmp_path):
+    """A session conf pinning a grid that contradicts the artifact's
+    manifest refuses on read AND write; compaction under the conf is
+    the migration cure, after which both succeed."""
     old, new = _split(spark, sf_dir)
     idx = str(tmp_path / "idx")
+    lsh_index.build_minhash_index(old, idx)  # default 32/16 grid
+    p = os.path.join(idx, "_lsh_manifest.json")
+    assert json.load(open(p))["kbuckets"] == lsh_index.LSH_KBUCKETS
+    try:
+        _set_grid_conf(spark, 64, 32)
+        with pytest.raises(ValueError, match="bucketed with kbuckets"):
+            lsh_index.dedup_against_index(spark, new, idx)
+        with pytest.raises(ValueError, match="bucketed with kbuckets"):
+            lsh_index.update_minhash_index(new, idx)
+        # compaction is the documented cure: full reads never prune,
+        # the rewrite re-buckets under the session's grid
+        lsh_index.compact_minhash_index(spark, idx)
+        meta = json.load(open(p))
+        assert meta["kbuckets"] == 64 and meta["dbuckets"] == 32
+        assert lsh_index.dedup_against_index(spark, new, idx).count() >= 0
+        lsh_index.update_minhash_index(new, idx)
+    finally:
+        _set_grid_conf(spark, None, None)
+
+
+def test_conf_grid_build_fold_read_compact(spark, sf_dir, tmp_path):
+    """Deployment-configurable grid (round 11): build at 64/32 via the
+    session confs with the module constants untouched, fold/read/
+    compact against it, answers ≡ the default-grid twin, and the
+    manifest — not the module — is what every step resolves."""
+    old, new = _split(spark, sf_dir)
+    fresh = new.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    big, dflt = str(tmp_path / "big"), str(tmp_path / "dflt")
+    lsh_index.build_minhash_index(old, dflt)
+    # the default-grid twin's answer, read before the conf is pinned
+    # (reading a 32/16 artifact under a 64/32 conf rightly refuses)
+    want_new = _survivors(spark, new, dflt)
+    try:
+        _set_grid_conf(spark, 64, 32)
+        lsh_index.build_minhash_index(old, big)
+        meta = json.load(open(os.path.join(big, "_lsh_manifest.json")))
+        assert meta["kbuckets"] == 64 and meta["dbuckets"] == 32
+        assert lsh_index.LSH_KBUCKETS == 32  # module untouched
+        # dirs really carry the wider grid
+        b0 = os.path.join(big, "bands", "batch=-1", "band_id=0")
+        kbs = {e for e in os.listdir(b0) if e.startswith("kbucket=")}
+        assert any(int(e.split("=")[1]) >= 32 for e in kbs)
+        assert _survivors(spark, new, big) == want_new
+        lsh_index.update_minhash_index(new, big)
+        lsh_index.compact_minhash_index(spark, big)
+        meta = json.load(open(os.path.join(big, "_lsh_manifest.json")))
+        assert meta["kbuckets"] == 64 and meta["dbuckets"] == 32
+    finally:
+        _set_grid_conf(spark, None, None)
+    # with the conf dropped, the manifest alone drives folds and the
+    # pruned reads against the 64/32 artifact — same answers as the
+    # default-grid twin at the same corpus state
+    lsh_index.update_minhash_index(new, dflt)
+    assert _survivors(spark, fresh, big) == _survivors(spark, fresh, dflt)
+    lsh_index.update_minhash_index(fresh, big)
+    meta = json.load(open(os.path.join(big, "_lsh_manifest.json")))
+    assert meta["kbuckets"] == 64 and meta["dbuckets"] == 32
+
+
+def test_unannotated_bucketed_tree_never_prunes_and_heals_at_compaction(
+    spark, sf_dir, tmp_path
+):
+    """A bucketed tree whose manifest lost its grid counts (crashed
+    build / unknown provenance) must fall back to full scans — same
+    answers as an annotated twin — must NOT get stamped by a fold, and
+    heals (re-buckets + stamps) at compaction."""
+    old, new = _split(spark, sf_dir)
+    idx, twin = str(tmp_path / "idx"), str(tmp_path / "twin")
     lsh_index.build_minhash_index(old, idx)
+    lsh_index.build_minhash_index(old, twin)
     p = os.path.join(idx, "_lsh_manifest.json")
     meta = json.load(open(p))
-    meta["kbuckets"] = lsh_index.LSH_KBUCKETS + 1
+    meta.pop("kbuckets"), meta.pop("dbuckets")
     json.dump(meta, open(p, "w"))
-    with pytest.raises(ValueError, match="bucketed with kbuckets"):
-        lsh_index.dedup_against_index(spark, new, idx)
-    with pytest.raises(ValueError, match="bucketed with kbuckets"):
-        lsh_index.update_minhash_index(new, idx)
-    # compaction is the documented cure: full reads never prune, the
-    # rewrite re-buckets under the current constants
+    # reads fall back to the full scan, answers exact
+    assert _survivors(spark, new, idx) == _survivors(spark, new, twin)
+    # a fold appends but does NOT stamp (old batches' modulus unknown)
+    lsh_index.update_minhash_index(new, idx)
+    lsh_index.update_minhash_index(new, twin)
+    assert "kbuckets" not in json.load(open(p))
+    fresh = new.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    assert _survivors(spark, fresh, idx) == _survivors(spark, fresh, twin) == []
+    # compaction rewrites the whole tree under one modulus and stamps
     lsh_index.compact_minhash_index(spark, idx)
-    assert json.load(open(p))["kbuckets"] == lsh_index.LSH_KBUCKETS
-    assert lsh_index.dedup_against_index(spark, new, idx).count() >= 0
+    meta = json.load(open(p))
+    assert meta["kbuckets"] == lsh_index.LSH_KBUCKETS
+    assert meta["dbuckets"] == lsh_index.LSH_DBUCKETS
+    assert _survivors(spark, fresh, idx) == []
 
 
 def test_decontaminate_against_bucketed_index_matches_fit_per_call(
