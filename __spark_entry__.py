@@ -450,8 +450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ClickHouse windowFunnel analog (behavioral.py) — holds the gate
     # slot that having_large_orders ceded (that HAVING demo stays
     # DuckDB-twinned in tests/test_consolidated.py).
+    # the funnel reads only (user_id, event_type, event_ts); id must
+    # stay (unwrap drops id-less records) — same trimmed-wire treatment
+    # as _ROLLUP_FIELDS, same result (omitted keys surface as NULLs the
+    # funnel never touches)
     q["funnel_levels"] = lambda spark, sf: behavioral.funnel_levels(
-        _engagement(spark, sf),
+        _engagement(spark, sf, fields=("id", "user_id", "event_type", "event_ts")),
         ("view", "click", "purchase"),
         window_s=_oracle.FUNNEL_WINDOW_S,
     )

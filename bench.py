@@ -281,13 +281,23 @@ def main() -> None:
             )
 
             idx_dir = f"{scale_dir}/_ivf_index"
-            t0 = time.time()
-            IVFX.build_ivf_index(emb10, idx_dir, n_centroids=32, seed=7)
-            timings["_scale10x_ivf_index_build"] = round(time.time() - t0, 3)
+            # min-of-3 with raw samples (round-11, verdict #4: the two
+            # IVF build probes read 15.7/22.1 s in one round-10 run vs
+            # 10.2/11.9 s in another with zero code change — the same
+            # host-drift class the other ~10 s probes graduated from);
+            # each build overwrites the whole artifact, so iterations
+            # are independent and the last build is the one the query
+            # probes below read
+            ib_samples = []
+            for _ in range(3):
+                t0 = time.time()
+                IVFX.build_ivf_index(emb10, idx_dir, n_centroids=32, seed=7)
+                ib_samples.append(round(time.time() - t0, 3))
+            timings["_scale10x_ivf_index_build"] = min(ib_samples)
+            timings["_scale10x_ivf_index_build_samples"] = ib_samples
             # PQ tier builds its own artifact (codes alongside floats)
             # so the plain build metric stays round-comparable
             idx_pq = f"{scale_dir}/_ivf_pq_index"
-            t0 = time.time()
             # fit_fraction = the round-9 sample-bounded fit path (the
             # deployment stance at 100 TB): KMeans + the 8 PQ sub-fits
             # run on a pinned-seed 10% sample (shared, persisted once)
@@ -296,11 +306,18 @@ def main() -> None:
             # sampled codebooks against the same brute-force truth the
             # full fit was held to.  idx_dir above stays FULL-fit so
             # the float frontier remains the exact-fit reference.
-            IVFX.build_ivf_index(
-                emb10, idx_pq, n_centroids=32, seed=7, pq_m=8, pq_ks=16,
-                fit_fraction=0.1,
-            )
-            timings["_scale10x_ivf_pq_build"] = round(time.time() - t0, 3)
+            # min-of-3 + samples (round-11, verdict #4 — see the plain
+            # build probe above)
+            pb_samples = []
+            for _ in range(3):
+                t0 = time.time()
+                IVFX.build_ivf_index(
+                    emb10, idx_pq, n_centroids=32, seed=7, pq_m=8, pq_ks=16,
+                    fit_fraction=0.1,
+                )
+                pb_samples.append(round(time.time() - t0, 3))
+            timings["_scale10x_ivf_pq_build"] = min(pb_samples)
+            timings["_scale10x_ivf_pq_build_samples"] = pb_samples
             q10 = SIM.default_queries(emb10)
             learned = {
                 "ivf_index_topk": lambda: IVFX.ivf_index_topk(
@@ -845,6 +862,23 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings["_scale10x_unigram_encode"] = round(best, 3)
+            # stored-artifact tokenizer serving (round-11, verdict #7):
+            # save the trained model, then time COLD
+            # load_unigram_model → encode — the ``bm25_from_index``
+            # stance for the tokenizer family (an encode node loads a
+            # frozen artifact; it never re-trains)
+            uni_dir = f"{scale_dir}/_unigram_model"
+            UNI.save_unigram_model(uni_vocab, uni_dir)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                uni_re, _uni_params = UNI.load_unigram_model(spark, uni_dir)
+                UNI.unigram_encode(docs10, uni_re).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings["_scale10x_unigram_encode_from_artifact"] = round(best, 3)
             uni_vocab.unpersist()
 
             # DSIR selection at 10×: two bounded bucket histograms +

@@ -321,7 +321,7 @@ def phash_near_pairs(
     # it each branch re-runs the whole decode/tile MapInPandas stage
     # (the expensive pass) independently (ReusedExchange-asserted)
     par = assets.sparkSession.sparkContext.defaultParallelism
-    fp = perceptual_hashes(assets).repartition(par)
+    fp = perceptual_hashes(assets).repartition(par, F.col("asset_id"))
     bands = fp.select(
         "asset_id",
         "modality",
@@ -446,7 +446,7 @@ def asset_near_dup_pairs(
     par = assets.sparkSession.sparkContext.defaultParallelism
     # bits sized like embedding_near_dup_pairs (corpus_rows memoizes
     # the sizing count per session)
-    e = emb.repartition(par).select(
+    e = emb.repartition(par, F.col("vec_id")).select(
         "vec_id",
         "modality",
         "embedding",

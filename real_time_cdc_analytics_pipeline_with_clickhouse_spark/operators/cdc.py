@@ -26,6 +26,31 @@ from ..schemas import CONTENT_ENVELOPE, ENGAGEMENT_ENVELOPE
 from ..sources.cdc_feed import ISO_MICROS, ISO_MILLIS, ISO_OFFSET, ISO_SECONDS
 
 
+def _pin(col: Column) -> Column:
+    """Value-identical copy of ``col`` that the optimizer must treat as
+    NONDETERMINISTIC (``shuffle`` of a one-element array always yields
+    that element, but ``shuffle`` carries the nondeterministic flag),
+    so a filter built on it can never cross an Exchange.
+
+    Why this exists (round 11, guide §4.4 — the duplicated-evaluation
+    trap, native-expression edition): the unwrap filters reference the
+    PARSED envelope, and predicate pushdown substitutes the entire
+    to_json→from_json→try_cast chain into the predicate and lands it
+    below the feed's repartition — the whole JSON round-trip then runs
+    (a) twice per row and (b) inside the single-partition scan stage,
+    serializing the most expensive expression in the engine onto one
+    task (measured at sf0.1: unwrap 1.71 s with the pushed filter vs
+    0.85 s pinned, against a 0.65 s filterless floor).  The filter
+    itself prunes only ~1% of rows (malformed + id-less records), so
+    pushing it below the exchange saves ~1% of exchange bytes while
+    doubling parse CPU at ANY scale — pinning it above the exchange is
+    strictly better.  A ``rand() >= -1`` tautology does NOT work here:
+    Catalyst folds it away and the filter slides back onto the scan.
+    Task retries stay safe — the predicate's VALUE never depends on
+    the shuffle draw (one-element array)."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def parse_event_ts(c: Column) -> Column:
     """P3 — multi-format timestamp parse; unknown formats → null.
 
@@ -92,7 +117,7 @@ def unwrap_engagement(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.col("r.raw_payload").alias("raw_payload"),
             F.col("source_ts_ms"),
         )
-        .where(F.col("event_id").isNotNull())  # F1/F2
+        .where(_pin(F.col("event_id")).isNotNull())  # F1/F2 (pinned — see _pin)
     )
 
 
@@ -119,7 +144,7 @@ def unwrap_content(raw: DataFrame, value_col: str = "value") -> DataFrame:
         is_delete.alias("is_delete"),
         F.col("m.payload.source.ts_ms").alias("source_ts_ms"),
     )
-    return out.where(F.col("id").isNotNull())  # F4
+    return out.where(_pin(F.col("id")).isNotNull())  # F4 (pinned — see _pin)
 
 
 def enriched_columns(df: DataFrame) -> DataFrame:

@@ -78,8 +78,11 @@ def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         if TOKENS_COL in documents.columns
         else shingles(F.col("text"), n)
     )
+    # hash-keyed on doc_id, not round-robin: a keyless repartition(n)
+    # pays a local sort of its input first (guide §2.5), and the
+    # doc_id partitioning is reusable by doc-keyed aggregations above
     return (
-        documents.repartition(par)
+        documents.repartition(par, F.col("doc_id"))
         .select("doc_id", F.array_distinct(sh).alias("sh"))
         .where(F.size("sh") > 0)
     )
@@ -227,7 +230,7 @@ def simhash_fingerprints(
     production hash (same fingerprint construction, different bit
     values — never mix modes across a comparison)."""
     par = documents.sparkSession.sparkContext.defaultParallelism
-    toks = documents.repartition(par).select(
+    toks = documents.repartition(par, F.col("doc_id")).select(
         "doc_id", F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok")
     ).where(F.col("tok") != "")
     h = toks.select(
@@ -428,7 +431,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
 
     par = documents.sparkSession.sparkContext.defaultParallelism
     toks = (
-        documents.repartition(par)
+        documents.repartition(par, F.col("doc_id"))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .where(F.col("term") != "")
     )
@@ -472,7 +475,7 @@ def vocab_top_bigrams(documents: DataFrame, k: int = 20) -> DataFrame:
 
     par = documents.sparkSession.sparkContext.defaultParallelism
     grams = (
-        documents.repartition(par)
+        documents.repartition(par, F.col("doc_id"))
         .select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
         .where(F.col("bigram") != "")
     )
@@ -968,7 +971,7 @@ def embedding_near_dup_pairs(
     if bits is None:
         bits = lsh_bits_for(corpus_rows(embeddings))
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = embeddings.repartition(par).select(
+    e = embeddings.repartition(par, F.col("vec_id")).select(
         "vec_id", "embedding",
         sign_lsh_bucket("embedding", bits).alias("bucket"),
         norm(F.col("embedding")).alias("nrm"),
@@ -1004,7 +1007,7 @@ def multiprobe_embedding_near_dup_pairs(
     if bits is None:
         bits = lsh_bits_for(corpus_rows(embeddings))
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = embeddings.repartition(par).select(
+    e = embeddings.repartition(par, F.col("vec_id")).select(
         "vec_id", "embedding",
         sign_lsh_bucket("embedding", bits).alias("bucket"),
         norm(F.col("embedding")).alias("nrm"),

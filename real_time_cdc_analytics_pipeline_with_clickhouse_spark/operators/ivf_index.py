@@ -134,22 +134,52 @@ def _d2(vec_col: str, centroid_col: str = "centroid"):
     )
 
 
-def _assign(embeddings: DataFrame, centroids: DataFrame, int8: bool = False) -> DataFrame:
-    """Nearest-centroid assignment via broadcast cross-join + per-vector
-    min — the map-side KMeans.transform rule (euclidean, centroid_id
-    tiebreak) without needing the fitted model object."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+def _assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    int8: bool = False,
+    with_d2: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE map-side expression — the
+    KMeans.transform rule (euclidean, centroid_id tiebreak) without the
+    fitted model object.  The centroid table packs into a single
+    broadcast row (the ``_codebook_row`` construction) and each vector
+    takes ``array_min`` over struct(d2, centroid_id) — struct ordering
+    compares d2 first then centroid_id, exactly the
+    ``orderBy(_d2, centroid_id)`` pick of the crossJoin+row_number
+    formulation this replaces, which multiplied the batch by
+    n_centroids and paid a WINDOW SHUFFLE per fold (guide §2.4: remove
+    shuffles outright).  ``with_d2=True`` additionally surfaces the
+    winning squared distance as ``_d2`` so callers can fold the drift
+    statistic off the same pass instead of re-reading the batch."""
+    packed = (
+        centroids.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "centroid"))
+            ).alias("_cl")
+        )
+        .select("_cl")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cl"),
+            lambda c: F.struct(
+                _d2e(F.col("embedding"), c["centroid"]).alias("d"),
+                c["centroid_id"].alias("i"),
+            ),
+        )
+    )
     return (
-        embeddings.crossJoin(F.broadcast(centroids))
-        .withColumn("_d2", _d2("embedding"))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        embeddings.crossJoin(F.broadcast(packed))
+        .withColumn("_best", best)
         .select(
             "vec_id",
             "embedding",
-            "centroid_id",
+            F.col("_best")["i"].alias("centroid_id"),
             norm(F.col("embedding")).alias("nrm"),
             *([_int8_col()] if int8 else []),
+            *([F.col("_best")["d"].alias("_d2")] if with_d2 else []),
         )
     )
 
@@ -334,7 +364,7 @@ def build_ivf_index(
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     assigned = (
         model.transform(
-            embeddings.repartition(par).withColumn(
+            embeddings.repartition(par, F.col("vec_id")).withColumn(
                 "features", array_to_vector(F.col("embedding").cast("array<double>"))
             )
         )
@@ -345,6 +375,22 @@ def build_ivf_index(
             norm(F.col("embedding")).alias("nrm"),
             *([_int8_col()] if int8 else []),
         )
+    )
+    # row count (for lsh_bits sizing) + mean squared assignment
+    # distance — the DRIFT BASELINE every later fold compares its
+    # batches against — ride the assignments write as an Observation:
+    # zero extra jobs, and the corpus is never RE-READ after the write
+    # (the pre-round-11 formulation paid one full post-write scan of
+    # the just-written tree — an O(corpus) metadata-path term)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    stat_cols = assigned.columns
+    assigned = (
+        assigned.join(F.broadcast(centroids), "centroid_id")
+        .withColumn("_bd2", _d2e(F.col("embedding"), F.col("centroid")))
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("_bd2").alias("d2"))
+        .select(*stat_cols)
     )
     pq_dim = None
     if pq_m is not None:
@@ -362,12 +408,9 @@ def build_ivf_index(
     assigned.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
         "batch", "centroid_id"
     ).parquet(f"{index_dir}/assignments")
-    # one job: row count (for lsh_bits sizing) + the mean squared
-    # assignment distance — the DRIFT BASELINE every later fold
-    # compares its batches against (centroid-drift detection)
-    n, build_d2 = _count_and_mean_d2(
-        embeddings.sparkSession.read.parquet(f"{index_dir}/assignments"), centroids
-    )
+    stats = obs.get
+    n = int(stats["n"] or 0)
+    build_d2 = float(stats["d2"]) if stats["d2"] is not None else 0.0
     _write_manifest(
         index_dir,
         {
@@ -388,21 +431,6 @@ def build_ivf_index(
             **({"pq_m": pq_m, "pq_ks": pq_ks, "pq_dim": pq_dim} if pq_m else {}),
         },
     )
-
-
-def _count_and_mean_d2(assigned: DataFrame, centroids: DataFrame):
-    """(row count, mean squared distance to the assigned centroid) of
-    an assignments frame, in one combinable aggregation — the drift
-    statistic.  The centroid table is broadcast (always tiny)."""
-    row = (
-        assigned.join(F.broadcast(centroids), "centroid_id")
-        .agg(
-            F.count("*").alias("n"),
-            F.avg(_d2e(F.col("embedding"), F.col("centroid"))).alias("d2"),
-        )
-        .first()
-    )
-    return int(row["n"]), (float(row["d2"]) if row["d2"] is not None else 0.0)
 
 
 def _fold_drift_stats(meta: dict, batch_n: int, batch_mean_d2: float) -> None:
@@ -470,21 +498,40 @@ def update_ivf_index(
     ``checkpoint`` is the single-writer token (operators/ownership.py):
     streaming sinks pass theirs; a fold against an artifact stamped by
     a DIFFERENT checkpoint — or an unattributed manual fold against a
-    sink-owned artifact — refuses loudly before touching any data."""
+    sink-owned artifact — refuses loudly before touching any data.
+
+    Fold cost is ONE job (round 11): the batch stats ride the write as
+    an ``Observation`` (count + mean assignment d2 — zero extra
+    passes), the manifest row count folds ADDITIVELY (physical rows
+    only ever append between compactions, and compaction recounts from
+    ground truth) instead of re-counting the whole accumulated tree
+    per fold — the last O(index) term in the fold's metadata path —
+    and a fully-committed replay (``last_epoch`` already stamped)
+    no-ops up front exactly like ``upsert_ivf_index``'s fast path."""
+    from pyspark.sql import Observation
+
     from . import ownership
 
     spark = new_embeddings.sparkSession
     meta = read_manifest(index_dir)
+    if epoch is not None and meta.get("last_epoch", -1) >= epoch:
+        # the manifest flip IS the commit: re-running would rewrite
+        # identical bytes and double-fold the drift statistic
+        return
     ownership.claim_writer(meta, checkpoint, f"IVF index at {index_dir}")
     root = _data_root(index_dir, meta)
     centroids = spark.read.parquet(f"{root}/centroids")
+    obs = Observation()
     assigned = _assign(
         new_embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         ),
         centroids,
         int8=bool(meta.get("int8")),
-    )
+        with_d2=True,
+    ).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("_d2").alias("d2")
+    ).drop("_d2")
     if meta.get("pq_m"):
         codebooks = spark.read.parquet(f"{root}/pq_codebooks")
         assigned = _with_pq_codes(
@@ -498,13 +545,11 @@ def update_ivf_index(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{root}/assignments/batch={b}"
     )
-    n = spark.read.parquet(f"{root}/assignments").count()
-    # fold the batch's assignment-distance statistic (drift detection:
-    # one small agg over the just-written batch dir)
-    bn, bd2 = _count_and_mean_d2(
-        spark.read.parquet(f"{root}/assignments/batch={b}"), centroids
-    )
+    stats = obs.get
+    bn = int(stats["n"] or 0)
+    bd2 = float(stats["d2"]) if stats["d2"] is not None else 0.0
     _fold_drift_stats(meta, bn, bd2)
+    n = int(meta.get("n_rows", 0)) + bn
     meta.update({"n_rows": n, "lsh_bits": lsh_bits_for(n)})
     if epoch is not None:
         # the manifest write IS the commit: stamping the epoch in it

@@ -475,7 +475,7 @@ def dedup_assets_against_index(
     # one decode for the whole call: both the cross and within joins
     # (and the caller's later update) reuse the exchange
     par = spark.sparkContext.defaultParallelism
-    new_fp = perceptual_hashes(new_assets).repartition(par)
+    new_fp = perceptual_hashes(new_assets).repartition(par, F.col("asset_id"))
     drops = dedup_drops_for_fingerprints(
         spark, new_fp, index_dir, max_hamming, n_bands
     )

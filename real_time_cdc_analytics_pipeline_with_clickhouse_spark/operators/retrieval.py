@@ -214,29 +214,35 @@ def _write_tix_batch(
     documents: DataFrame, post: str, lens: str, batch_id: int, buckets: int
 ) -> tuple[int, int]:
     """Write one batch's postings, then derive its lengths table FROM
-    the written postings (|d| = Σ_t tf(t,d) — the normalized token
-    stream has no token outside a posting row), so each batch
-    tokenizes exactly once.  Returns the batch's (n_docs, sum_dl)."""
-    spark = documents.sparkSession
-    (
+    the same materialized postings (|d| = Σ_t tf(t,d) — the normalized
+    token stream has no token outside a posting row), so each batch
+    tokenizes exactly once.  Returns the batch's (n_docs, sum_dl).
+
+    Round 11: the postings persist for the lengths derivation (the
+    pre-round-11 code re-READ the just-written batch dir from disk)
+    and the manifest stats ride the lengths write as an
+    ``Observation`` (the second read-back job, gone) — two jobs per
+    fold instead of three, no disk round-trips."""
+    from pyspark.sql import Observation
+
+    post_df = (
         _postings(documents, buckets)
         .select("doc_id", "term", "tf", "positions", "tbucket")
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(f"{post}/batch={batch_id}")
+        .persist()
     )
-    dl = (
-        spark.read.parquet(f"{post}/batch={batch_id}")
-        .groupBy("doc_id")
-        .agg(F.sum("tf").cast("int").alias("dl"))
-    )
-    dl.write.mode("overwrite").parquet(f"{lens}/batch={batch_id}")
-    row = (
-        spark.read.parquet(f"{lens}/batch={batch_id}")
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-        .first()
-    )
-    return int(row["n"] or 0), int(row["s"] or 0)
+    try:
+        post_df.write.mode("overwrite").partitionBy("tbucket").parquet(
+            f"{post}/batch={batch_id}"
+        )
+        dl = post_df.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+        obs = Observation()
+        dl.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).write.mode("overwrite").parquet(f"{lens}/batch={batch_id}")
+        stats = obs.get
+    finally:
+        post_df.unpersist()
+    return int(stats["n"] or 0), int(stats["s"] or 0)
 
 
 def update_text_index(

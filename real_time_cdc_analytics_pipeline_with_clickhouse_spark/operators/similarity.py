@@ -66,7 +66,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     and the corpus is spread across the cluster before scoring.
     """
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    corpus = embeddings.repartition(par).withColumn("nrm", norm(F.col("embedding")))
+    corpus = embeddings.repartition(par, F.col("vec_id")).withColumn("nrm", norm(F.col("embedding")))
     q = queries.withColumn("qnrm", norm(F.col("query_vec")))
     return _rank_topk(corpus.crossJoin(F.broadcast(q)), k)
 
@@ -86,7 +86,7 @@ def quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> Dat
     bonus the ranking is integer-exact — no float tolerance anywhere.
     """
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    corpus = embeddings.repartition(par).select(
+    corpus = embeddings.repartition(par, F.col("vec_id")).select(
         "vec_id", _quantize_int8(F.col("embedding"), norm(F.col("embedding"))).alias("qv")
     )
     q = queries.select(
@@ -121,7 +121,7 @@ def ivf_topk(
     if bits is None:
         bits = lsh_bits_for(corpus_rows(embeddings))
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    corpus = embeddings.repartition(par).select(
+    corpus = embeddings.repartition(par, F.col("vec_id")).select(
         "vec_id", "embedding",
         sign_lsh_bucket("embedding", bits).alias("bucket"),
         norm(F.col("embedding")).alias("nrm"),
@@ -221,7 +221,7 @@ def ivf_kmeans_topk(
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     corpus = (
         model.transform(
-            embeddings.repartition(par).withColumn(
+            embeddings.repartition(par, F.col("vec_id")).withColumn(
                 "features", array_to_vector(F.col("embedding").cast("array<double>"))
             )
         )
@@ -322,7 +322,7 @@ def kmeans_near_dup_pairs(
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     assigned = (
         model.transform(
-            embeddings.repartition(par).withColumn(
+            embeddings.repartition(par, F.col("vec_id")).withColumn(
                 "features", array_to_vector(F.col("embedding").cast("array<double>"))
             )
         )

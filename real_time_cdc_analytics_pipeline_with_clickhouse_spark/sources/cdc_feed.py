@@ -127,7 +127,13 @@ def engagement_cdc_json(
         # yields zero rows downstream; fail loudly instead
         raise ValueError("engagement feed fields must include 'id'")
     par = events.sparkSession.sparkContext.defaultParallelism
-    rec = engagement_records(events.repartition(par))
+    # hash-keyed on event_id rather than round-robin: every keyless
+    # repartition(n) first pays a LOCAL SORT of its input (guide §2.5,
+    # sortBeforeRepartition) — here that sort ran inside the
+    # single-partition parquet scan task, serializing it; event_id is
+    # dense and (near-)unique, so the hash spreads evenly, and the
+    # deterministic key is also the retry-safe choice (SPARK-38388)
+    rec = engagement_records(events.repartition(par, F.col("event_id")))
     return rec.select(_engagement_envelope_json(rec, fields).alias("value"))
 
 

@@ -1025,6 +1025,46 @@ def _merge_into_group_dir(
         kept.write.mode("overwrite").parquet(gdir)
 
 
+def _run_fold_legs(legs, spark=None) -> None:
+    """Run per-artifact fold legs CONCURRENTLY from a driver thread
+    pool (guide §2.6 — overlap independent jobs: Spark's scheduler
+    happily runs several jobs at once; the folds were only sequential
+    because the sink called them sequentially).  Each leg owns ONE
+    artifact end-to-end (its tombstone delete, its build-or-fold, its
+    manifest flip), so legs never interleave writes within an
+    artifact, and every artifact keeps its own commit stamp — a crash
+    with some legs committed and some not replays exactly like the
+    sequential schedule crashing between folds (committed legs no-op,
+    the rest recompute from the same deterministic persisted inputs).
+    ``inheritable_thread_target`` keeps JVM thread-locals (job
+    group/description) correct per leg.  The first leg error
+    propagates after all legs settle (the epoch marker is then never
+    recorded, so the whole epoch replays)."""
+    if len(legs) <= 1:
+        for leg in legs:
+            leg()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    wrap = (
+        inheritable_thread_target(spark)
+        if spark is not None
+        else inheritable_thread_target
+    )
+    errs = []
+    with ThreadPoolExecutor(max_workers=len(legs)) as ex:
+        futs = [ex.submit(wrap(leg)) for leg in legs]
+        for f in futs:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+    if errs:
+        raise errs[0]
+
+
 def _ivf_fold_sink(
     index_dir: str,
     checkpoint: str,
@@ -2839,24 +2879,40 @@ def start_document_ingest_sink(
                     "doc_id",
                     epoch,
                 )
-            # MinHash fold: ALL gated docs (dropped docs stay dedup
-            # precedent — the corpus-ingest contract)
-            if bootstrap:
-                _stamp(build_marker, epoch)
-                lsh_index.build_minhash_index(
-                    gated, minhash_index_dir, hash_mode=hash_mode
-                )
-                _claim_built(
-                    os.path.join(minhash_index_dir, lsh_index._LSH_MANIFEST),
-                    checkpoint,
-                )
-            elif not ups_empty:
-                lsh_index.update_minhash_index(
-                    gated, minhash_index_dir, epoch=epoch, checkpoint=checkpoint
-                )
+            # survivor-side gate booleans in ONE combinable agg over
+            # the cached survivor frame (pre-round-11 this was two
+            # separate driver jobs — kept.isEmpty() then
+            # kept_vecs.isEmpty(); the counts are the same verdicts)
+            if kept is None:
+                kept_empty, has_live_vecs = True, False
+            else:
+                _krow = kept.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(
+                        F.when(
+                            (F.col("n_tokens") > 0)
+                            & (
+                                F.aggregate(
+                                    F.col("embedding"),
+                                    F.lit(0.0),
+                                    lambda a, x: a + F.abs(x),
+                                )
+                                > 0
+                            ),
+                            F.lit(1),
+                        )
+                    ).alias("nv"),
+                ).first()
+                kept_empty = int(_krow["n"]) == 0
+                has_live_vecs = int(_krow["nv"]) > 0
 
-            kept_empty = kept is None or kept.isEmpty()
-            # text index: serves the CORPUS, so survivors only
+            # adoption guards + build markers resolve up front (driver-
+            # side dir walks), then the four artifact folds run as
+            # CONCURRENT legs (_run_fold_legs): each leg owns one
+            # artifact's delete → build-or-fold → manifest flip, so the
+            # per-epoch constant pays ONE slowest leg instead of the
+            # sum of four (guide §2.6) with identical per-artifact
+            # commit/replay semantics.
             tix_built_by = _marker(tix_marker)
             post_root = f"{text_index_dir}/postings"
             has_tix = os.path.isdir(post_root)
@@ -2864,49 +2920,69 @@ def start_document_ingest_sink(
                 _guard_index_adoption(
                     meta_dir, retrieval._live_batches(post_root), "text"
                 )
-            if has_tix and arriving is not None and tix_built_by != epoch:
-                retrieval.delete_from_text_index(
-                    sp_, text_index_dir, arriving, exclude_batch=epoch
-                )
-            if not kept_empty:
-                if not has_tix or tix_built_by == epoch:
-                    _stamp(tix_marker, epoch)
-                    retrieval.build_text_index(kept, text_index_dir)
-                    _claim_built(
-                        os.path.join(text_index_dir, retrieval._TIX_MANIFEST),
-                        checkpoint,
-                    )
-                else:
-                    retrieval.update_text_index(
-                        kept, text_index_dir, epoch=epoch, checkpoint=checkpoint
-                    )
-
-            # embedding index: survivors with a live (nonzero) vector
             ivf_built_by = _marker(ivf_marker)
             has_ivf = ivf_index.has_ivf_index(embedding_index_dir)
             if has_ivf and ivf_built_by is None:
                 _guard_index_adoption(
                     meta_dir, ivf_index.live_batch_ids(embedding_index_dir), "IVF"
                 )
-            if has_ivf and arriving is not None and ivf_built_by != epoch:
-                ivf_index.delete_from_ivf_index(
-                    sp_,
-                    embedding_index_dir,
-                    arriving.select(F.col("doc_id").alias("vec_id")),
-                    exclude_batch=epoch,
-                )
-            if not kept_empty:
-                kept_vecs = (
-                    kept.where(F.col("n_tokens") > 0)
-                    .where(
-                        F.aggregate(
-                            F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
-                        )
-                        > 0
+
+            def _mh_leg():
+                # MinHash fold: ALL gated docs (dropped docs stay dedup
+                # precedent — the corpus-ingest contract)
+                if bootstrap:
+                    _stamp(build_marker, epoch)
+                    lsh_index.build_minhash_index(
+                        gated, minhash_index_dir, hash_mode=hash_mode
                     )
-                    .select(F.col("doc_id").alias("vec_id"), "embedding")
-                )
-                if not kept_vecs.isEmpty():
+                    _claim_built(
+                        os.path.join(minhash_index_dir, lsh_index._LSH_MANIFEST),
+                        checkpoint,
+                    )
+                elif not ups_empty:
+                    lsh_index.update_minhash_index(
+                        gated, minhash_index_dir, epoch=epoch, checkpoint=checkpoint
+                    )
+
+            def _tix_leg():
+                # text index: serves the CORPUS, so survivors only
+                if has_tix and arriving is not None and tix_built_by != epoch:
+                    retrieval.delete_from_text_index(
+                        sp_, text_index_dir, arriving, exclude_batch=epoch
+                    )
+                if not kept_empty:
+                    if not has_tix or tix_built_by == epoch:
+                        _stamp(tix_marker, epoch)
+                        retrieval.build_text_index(kept, text_index_dir)
+                        _claim_built(
+                            os.path.join(text_index_dir, retrieval._TIX_MANIFEST),
+                            checkpoint,
+                        )
+                    else:
+                        retrieval.update_text_index(
+                            kept, text_index_dir, epoch=epoch, checkpoint=checkpoint
+                        )
+
+            def _ivf_leg():
+                # embedding index: survivors with a live (nonzero) vector
+                if has_ivf and arriving is not None and ivf_built_by != epoch:
+                    ivf_index.delete_from_ivf_index(
+                        sp_,
+                        embedding_index_dir,
+                        arriving.select(F.col("doc_id").alias("vec_id")),
+                        exclude_batch=epoch,
+                    )
+                if not kept_empty and has_live_vecs:
+                    kept_vecs = (
+                        kept.where(F.col("n_tokens") > 0)
+                        .where(
+                            F.aggregate(
+                                F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+                            )
+                            > 0
+                        )
+                        .select(F.col("doc_id").alias("vec_id"), "embedding")
+                    )
                     if not has_ivf or ivf_built_by == epoch:
                         _stamp(ivf_marker, epoch)
                         ivf_index.build_ivf_index(
@@ -2926,6 +3002,7 @@ def start_document_ingest_sink(
                             checkpoint=checkpoint,
                         )
 
+            legs = [_mh_leg, _tix_leg, _ivf_leg]
             if passage_index_dir is not None:
                 # passage (chunk-level) fold: its OWN pinned chunk +
                 # embed geometry — chunk vectors cannot reuse the
@@ -2946,38 +3023,43 @@ def start_document_ingest_sink(
                         ivf_index.live_batch_ids(f"{passage_index_dir}/vectors"),
                         "passage IVF",
                     )
-                if has_psg and psg_built_by != epoch:
-                    # the vector fold's own commit stamp: a replay
-                    # after a crash between the fold and the epoch
-                    # marker must not re-tombstone or re-fold
-                    applied = (
-                        ivf_index.read_manifest(
-                            f"{passage_index_dir}/vectors"
-                        ).get("last_epoch", -1)
-                        >= epoch
-                    )
-                    if arriving is not None and not applied:
-                        psg.delete_docs_from_passage_index(
-                            sp_, passage_index_dir, arriving, exclude_batch=epoch
+
+                def _psg_leg():
+                    if has_psg and psg_built_by != epoch:
+                        # the vector fold's own commit stamp: a replay
+                        # after a crash between the fold and the epoch
+                        # marker must not re-tombstone or re-fold
+                        applied = (
+                            ivf_index.read_manifest(
+                                f"{passage_index_dir}/vectors"
+                            ).get("last_epoch", -1)
+                            >= epoch
                         )
-                    if not kept_empty and not applied:
-                        psg.update_passage_index(
-                            kept_docs, passage_index_dir, epoch=epoch,
-                            checkpoint=checkpoint,
+                        if arriving is not None and not applied:
+                            psg.delete_docs_from_passage_index(
+                                sp_, passage_index_dir, arriving, exclude_batch=epoch
+                            )
+                        if not kept_empty and not applied:
+                            psg.update_passage_index(
+                                kept_docs, passage_index_dir, epoch=epoch,
+                                checkpoint=checkpoint,
+                            )
+                    elif not kept_empty:
+                        _stamp(psg_marker, epoch)
+                        psg.build_passage_index(
+                            kept_docs, passage_index_dir, dim=dim,
+                            hash_mode=hash_mode, n_centroids=n_centroids,
+                            seed=seed, fit_fraction=fit_fraction,
                         )
-                elif not kept_empty:
-                    _stamp(psg_marker, epoch)
-                    psg.build_passage_index(
-                        kept_docs, passage_index_dir, dim=dim,
-                        hash_mode=hash_mode, n_centroids=n_centroids,
-                        seed=seed, fit_fraction=fit_fraction,
-                    )
-                    _claim_built(
-                        os.path.join(
-                            passage_index_dir, "vectors", ivf_index._MANIFEST
-                        ),
-                        checkpoint,
-                    )
+                        _claim_built(
+                            os.path.join(
+                                passage_index_dir, "vectors", ivf_index._MANIFEST
+                            ),
+                            checkpoint,
+                        )
+
+                legs.append(_psg_leg)
+            _run_fold_legs(legs, spark=sp_)
 
             if dsir_model_dir is not None and not kept_empty:
                 dsir_mod.update_dsir_model(
