@@ -32,6 +32,25 @@ from ..functions.vector import dot, norm
 N_MINHASH = 16
 BAND_SIZE = 4
 
+# Unresolved Column expressions are immutable and reusable across
+# queries; building the k min-of-permutation aggregates costs ~0.4 s of
+# py4j round-trips PER CALL (measured — pure driver-side plan
+# construction, the sign_lsh_bucket lesson), and incremental folds
+# build them 2-3× per epoch.  Memoize per (k, hash_mode).
+_MINHASH_AGGS_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _minhash_aggs(k: int, hash_mode: str) -> list:
+    key = (k, hash_mode)
+    if key not in _MINHASH_AGGS_CACHE:
+        from ..functions.scalar import minhash_base, minhash_perm
+
+        base = minhash_base(F.col("shingle"), mode=hash_mode)
+        _MINHASH_AGGS_CACHE[key] = [
+            F.min(minhash_perm(base, i)).alias(f"mh_{i}") for i in range(k)
+        ]
+    return _MINHASH_AGGS_CACHE[key]
+
 
 def with_exact_duplicates(documents: DataFrame, every: int = 10, offset: int = 100000) -> DataFrame:
     """Test corpus with constructed duplicates: every ``every``-th doc
@@ -160,12 +179,8 @@ def minhash_signatures(
     never mix within one index (``lsh_index`` pins the mode in its
     manifest).
     """
-    from ..functions.scalar import minhash_base, minhash_perm
-
     exploded = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
-    base = minhash_base(F.col("shingle"), mode=hash_mode)
-    aggs = [F.min(minhash_perm(base, i)).alias(f"mh_{i}") for i in range(k)]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return exploded.groupBy("doc_id").agg(*_minhash_aggs(k, hash_mode))
 
 
 def minhash_lsh_pairs(

@@ -2628,11 +2628,15 @@ def start_document_ingest_sink(
        shared replay shield) and leave the corpus group dirs
        (crash-safe staged rewrites).
     4. The fuzzy-dedup verdict against the accumulated index;
-       survivors merge into the corpus, ALL gated docs fold into the
-       MinHash index (dedup precedent includes dropped docs — the
-       corpus-ingest contract), and the SURVIVORS fold into the text
-       index and (nonzero vectors only) the IVF index — the serving
-       artifacts mirror the corpus exactly.
+       survivors merge into the corpus, then the per-artifact folds
+       run as CONCURRENT legs (``_run_fold_legs`` — guide §2.6): ALL
+       gated docs fold into the MinHash index (dedup precedent
+       includes dropped docs — the corpus-ingest contract), and the
+       SURVIVORS fold into the text index and (nonzero vectors only)
+       the IVF index — the serving artifacts mirror the corpus
+       exactly.  Each leg owns one artifact end-to-end, so
+       cross-artifact concurrency changes wall-clock, never any
+       artifact's commit/replay semantics.
     5. Optional PASSAGE-index fold over the survivors
        (``passage_index_dir=`` — chunk-level MaxP serving follows the
        deduped corpus; chunk vectors carry their own pinned geometry
