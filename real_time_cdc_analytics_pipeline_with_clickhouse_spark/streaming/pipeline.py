@@ -1994,20 +1994,29 @@ def start_media_ingest_sink(
                 )
                 .select(F.col("asset_id").alias("vec_id"), "embedding")
             )
-            if bootstrap:
-                os.makedirs(meta_dir, exist_ok=True)
-                with open(build_marker, "w") as fh:  # before the builds: a
-                    fh.write(str(epoch))  # crash mid-build replays as a rebuild
-                pidx.build_phash_index(batch, phash_index_dir, fingerprints=fp)
-                _claim_built(
-                    os.path.join(phash_index_dir, pidx._PHASH_MANIFEST), checkpoint
-                )
-            else:
-                pidx.update_phash_index(
-                    batch, phash_index_dir, epoch=epoch, fingerprints=fp,
-                    checkpoint=checkpoint,
-                )
-            if not kept_vecs.isEmpty():
+            # the two artifact folds are independent given the cached
+            # verdict — run them as concurrent legs (the document
+            # sink's _run_fold_legs treatment; each leg owns one
+            # artifact's build-or-fold + manifest flip, so concurrency
+            # changes wall-clock, never commit/replay semantics)
+            def _phash_leg():
+                if bootstrap:
+                    os.makedirs(meta_dir, exist_ok=True)
+                    with open(build_marker, "w") as fh:  # before the builds: a
+                        fh.write(str(epoch))  # crash mid-build replays as a rebuild
+                    pidx.build_phash_index(batch, phash_index_dir, fingerprints=fp)
+                    _claim_built(
+                        os.path.join(phash_index_dir, pidx._PHASH_MANIFEST), checkpoint
+                    )
+                else:
+                    pidx.update_phash_index(
+                        batch, phash_index_dir, epoch=epoch, fingerprints=fp,
+                        checkpoint=checkpoint,
+                    )
+
+            def _asset_ivf_leg():
+                if kept_vecs.isEmpty():
+                    return
                 if ivf_index.has_ivf_index(ivf_index_dir) and ivf_built_by != epoch:
                     ivf_index.update_ivf_index(
                         kept_vecs, ivf_index_dir, epoch=epoch, checkpoint=checkpoint
@@ -2028,6 +2037,8 @@ def start_media_ingest_sink(
                     _claim_built(
                         os.path.join(ivf_index_dir, ivf_index._MANIFEST), checkpoint
                     )
+
+            _run_fold_legs([_phash_leg, _asset_ivf_leg], spark=sp_)
         finally:
             if drops is not None:
                 drops.unpersist()
