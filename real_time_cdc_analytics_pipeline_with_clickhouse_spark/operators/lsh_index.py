@@ -128,6 +128,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .concurrency import overlap_jobs
 from .dedup import BAND_SIZE, N_MINHASH, _doc_shingles, minhash_signatures
 
 
@@ -512,43 +513,58 @@ def build_minhash_index(
         "batch", F.lit(-1)
     )
     meta = {"n": int(n), "k": int(k), "band": int(band), "hash_mode": hash_mode}
+    # the two table writes are independent (separate roots; the
+    # manifest — the artifact's commit — lands strictly after both),
+    # so they overlap from driver threads (guide §2.6): the shingle
+    # write's scan/shuffle back-fills the band write's stage tails
     if bucketed:
         # grid for the new tree: session conf else module defaults; the
         # manifest stamp below is what every later fold/read resolves
         kb, db = _build_grid(documents.sparkSession)
-        # repartition on the leaf-dir keys: each (band_id, kbucket)
-        # group lands wholly in one task → one file per leaf dir, not
-        # tasks × dirs
-        (
-            bands.withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
-            .repartition(F.col("band_id"), F.col("kbucket"))
-            .write.mode("overwrite")
-            .partitionBy("batch", "band_id", "kbucket")
-            .parquet(_bands_root(index_dir))
-        )
-        # dbucket in the keys for dir-locality, doc_id alongside so the
-        # corpus-sized shingle write keeps full parallelism
-        (
-            _shingle_rows(documents, n)
-            .withColumn("batch", F.lit(-1))
-            .withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
-            .repartition(F.col("dbucket"), F.col("doc_id"))
-            .write.mode("overwrite")
-            .partitionBy("batch", "dbucket")
-            .parquet(_sh_root(index_dir))
-        )
+
+        def _write_bands():
+            # repartition on the leaf-dir keys: each (band_id, kbucket)
+            # group lands wholly in one task → one file per leaf dir,
+            # not tasks × dirs
+            (
+                bands.withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
+                .repartition(F.col("band_id"), F.col("kbucket"))
+                .write.mode("overwrite")
+                .partitionBy("batch", "band_id", "kbucket")
+                .parquet(_bands_root(index_dir))
+            )
+
+        def _write_shingles():
+            # dbucket in the keys for dir-locality, doc_id alongside so
+            # the corpus-sized shingle write keeps full parallelism
+            (
+                _shingle_rows(documents, n)
+                .withColumn("batch", F.lit(-1))
+                .withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
+                .repartition(F.col("dbucket"), F.col("doc_id"))
+                .write.mode("overwrite")
+                .partitionBy("batch", "dbucket")
+                .parquet(_sh_root(index_dir))
+            )
+
         meta.update({"kbuckets": kb, "dbuckets": db})
     else:
-        bands.write.mode("overwrite").partitionBy("batch", "band_id").parquet(
-            _bands_root(index_dir)
-        )
-        (
-            _shingle_rows(documents, n)
-            .withColumn("batch", F.lit(-1))
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(_sh_root(index_dir))
-        )
+
+        def _write_bands():
+            bands.write.mode("overwrite").partitionBy("batch", "band_id").parquet(
+                _bands_root(index_dir)
+            )
+
+        def _write_shingles():
+            (
+                _shingle_rows(documents, n)
+                .withColumn("batch", F.lit(-1))
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .parquet(_sh_root(index_dir))
+            )
+
+    overlap_jobs([_write_bands, _write_shingles], spark=documents.sparkSession)
     _write_lsh_manifest(index_dir, meta)
 
 
@@ -579,6 +595,7 @@ def update_minhash_index(
     hash_mode: str | None = None,
     epoch: int | None = None,
     checkpoint: str | None = None,
+    _overlap_extra=(),
 ) -> None:
     """Fold a batch's artifacts in (ALL its docs, kept or dropped — a
     dropped doc still outranks later copies of itself, exactly as in
@@ -596,7 +613,12 @@ def update_minhash_index(
     callers may omit it (ids self-allocate).  ``checkpoint`` is the
     single-writer token (operators/ownership.py): a fold from a
     foreign checkpoint, or an unattributed manual fold against a
-    sink-owned index, refuses loudly before touching any data."""
+    sink-owned index, refuses loudly before touching any data.
+
+    ``_overlap_extra`` (module-private, for ``upsert_minhash_index``):
+    additional independent jobs thrown into the table-write overlap
+    pool; the manifest flip — the fold's commit — still happens only
+    after ALL of them settle."""
     from . import ownership
 
     _require_batched(index_dir)
@@ -626,29 +648,41 @@ def update_minhash_index(
     kb = mk if mk is not None else gk
     db = md if md is not None else gd
     bands = minhash_band_entries(new_documents, n, k, band, hash_mode)
-    if bucket_bands:
-        (
-            bands.withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
-            .repartition(F.col("band_id"), F.col("kbucket"))
-            .write.mode("overwrite")
-            .partitionBy("band_id", "kbucket")
-            .parquet(f"{_bands_root(index_dir)}/batch={b}")
-        )
-    else:
-        bands.write.mode("overwrite").partitionBy("band_id").parquet(
-            f"{_bands_root(index_dir)}/batch={b}"
-        )
     sh = _shingle_rows(new_documents, n)
-    if bucket_sh:
-        (
-            sh.withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
-            .repartition(F.col("dbucket"))
-            .write.mode("overwrite")
-            .partitionBy("dbucket")
-            .parquet(f"{_sh_root(index_dir)}/batch={b}")
-        )
-    else:
-        sh.write.mode("overwrite").parquet(f"{_sh_root(index_dir)}/batch={b}")
+
+    # independent per-table batch-dir writes overlap from driver
+    # threads (guide §2.6); the manifest flip below — the fold's
+    # commit — still lands strictly after both, so a crash with one
+    # table written replays exactly like the sequential schedule
+    # crashing between the writes (deterministic shingling rewrites
+    # byte-identical dirs)
+    def _write_bands():
+        if bucket_bands:
+            (
+                bands.withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
+                .repartition(F.col("band_id"), F.col("kbucket"))
+                .write.mode("overwrite")
+                .partitionBy("band_id", "kbucket")
+                .parquet(f"{_bands_root(index_dir)}/batch={b}")
+            )
+        else:
+            bands.write.mode("overwrite").partitionBy("band_id").parquet(
+                f"{_bands_root(index_dir)}/batch={b}"
+            )
+
+    def _write_shingles():
+        if bucket_sh:
+            (
+                sh.withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
+                .repartition(F.col("dbucket"))
+                .write.mode("overwrite")
+                .partitionBy("dbucket")
+                .parquet(f"{_sh_root(index_dir)}/batch={b}")
+            )
+        else:
+            sh.write.mode("overwrite").parquet(f"{_sh_root(index_dir)}/batch={b}")
+
+    overlap_jobs([_write_bands, _write_shingles, *_overlap_extra], spark=spark)
     meta = _lsh_manifest(index_dir)
     if bucket_bands and blay == "empty":
         meta.setdefault("kbuckets", kb)
@@ -767,17 +801,42 @@ def delete_from_minhash_index(
     ``_doc_shingles``, so a doc has band rows iff it has shingle
     rows), and at 100 TB it turns the per-epoch CDC delete from an
     O(corpus) column scan into an O(ids' buckets) read.  It is the
-    UPSERT path's option only: a fold writes bands before shingles, so
-    an EXTERNAL takedown racing an in-flight fold could miss that
-    epoch's just-written band rows — harmless for ``upsert`` (its
+    UPSERT path's option only: a fold's bands and shingles writes
+    OVERLAP (either table can land first), so an EXTERNAL takedown
+    racing an in-flight fold could miss that epoch's just-written rows
+    in whichever table it scans — harmless for ``upsert`` (its
     ``exclude_batch == epoch`` already exempts the only batch that can
     be mid-write under the single-writer contract), a silent
     takedown-incompleteness for anyone else, so external callers keep
-    the bands scan."""
+    the bands scan and the takedown entry points enforce the
+    stream-stopped precondition before scanning anything."""
     from .retrieval import _commit_tombstones, _ids_frame
 
     _require_batched(index_dir)
     ids = _ids_frame(spark, doc_ids, "doc_id")
+
+    def _victim_scan(root: str):
+        """Read a victim table's (doc_id, batch) rows.  With
+        ``exclude_batch`` the read enumerates the OTHER batch dirs
+        explicitly (basePath keeps the partition columns) instead of
+        listing the root and filtering: the excluded batch is the one
+        dir a concurrent fold of that epoch may be writing or (on
+        crash replay) overwriting, and never listing it makes this
+        scan immune to that churn — which is what lets
+        ``upsert_minhash_index`` overlap its delete half with the
+        fold's table writes."""
+        if exclude_batch is None:
+            return spark.read.parquet(root)
+        dirs = [
+            f"{root}/{d}"
+            for d in sorted(os.listdir(root))
+            if d.startswith("batch=")
+            and d != f"batch={int(exclude_batch)}"
+        ]
+        if not dirs:
+            return spark.createDataFrame([], "doc_id long, batch int")
+        return spark.read.option("basePath", root).parquet(*dirs)
+
     # victim (doc_id, batch) pairs: bands and shingles are written per
     # batch from the SAME document set, so a doc's shingle rows always
     # share a batch id with its band rows
@@ -791,18 +850,20 @@ def delete_from_minhash_index(
             .distinct()
             .collect()
         ]
+        sh_scan = _victim_scan(_sh_root(index_dir))
         rows = (
-            spark.read.parquet(_sh_root(index_dir))
-            .where(F.col("dbucket").isin(dbl))
+            (
+                sh_scan.where(F.col("dbucket").isin(dbl))
+                if "dbucket" in sh_scan.columns
+                else sh_scan
+            )
             .select("doc_id", "batch")
         )
     else:
         # flat tree, caller keeping the bands scan, or an unannotated
         # bucketed tree (modulus unknowable — pruning would silently
         # miss victims; the full scan is always correct)
-        rows = spark.read.parquet(_bands_root(index_dir)).select("doc_id", "batch")
-    if exclude_batch is not None:
-        rows = rows.where(F.col("batch") != int(exclude_batch))
+        rows = _victim_scan(_bands_root(index_dir)).select("doc_id", "batch")
     tomb = _lsh_tombstones(spark, index_dir)
     stale = spark.read.parquet(_tomb_path(index_dir)) if tomb is not None else None
     live = (
@@ -842,7 +903,17 @@ def upsert_minhash_index(
     ``batch == epoch`` rows, so a replay after a crash BETWEEN the
     batch-dir write and the manifest commit cannot tombstone the rows
     the crashed attempt appended (the epoch's dirs are rewritten
-    byte-identically)."""
+    byte-identically).
+
+    With a known ``epoch`` the delete half OVERLAPS the fold's table
+    writes (guide §2.6) instead of strictly preceding them: the two
+    halves touch disjoint paths (tombstone table vs ``batch=epoch``
+    dirs — the victim scan never even LISTS the epoch's dir, see
+    ``delete_from_minhash_index``), and the manifest flip — the one
+    commit point — still happens only after both settle, so every
+    crash window replays exactly as the sequential schedule's.
+    ``epoch=None`` keeps the sequential order: the fold self-allocates
+    its batch id, so the victim scan has no stable dir to exclude."""
     from . import ownership
 
     meta = _lsh_manifest(index_dir)
@@ -851,17 +922,27 @@ def upsert_minhash_index(
     # probe the writer guard BEFORE the tombstone half (the stamp
     # itself commits with update_minhash_index's manifest flip)
     ownership.claim_writer(dict(meta), checkpoint, f"MinHash index at {index_dir}")
-    delete_from_minhash_index(
-        spark,
-        index_dir,
-        new_documents.select("doc_id"),
-        exclude_batch=epoch,
-        # safe HERE and only here: exclude_batch exempts the one batch
-        # that can be mid-write under the single-writer contract (see
-        # delete_from_minhash_index)
-        victims_from_shingles=True,
-    )
-    update_minhash_index(new_documents, index_dir, epoch=epoch, checkpoint=checkpoint)
+
+    def _delete_half():
+        delete_from_minhash_index(
+            spark,
+            index_dir,
+            new_documents.select("doc_id"),
+            exclude_batch=epoch,
+            # safe HERE and only here: exclude_batch exempts the one
+            # batch that can be mid-write under the single-writer
+            # contract (see delete_from_minhash_index)
+            victims_from_shingles=True,
+        )
+
+    if epoch is None:
+        _delete_half()
+        update_minhash_index(new_documents, index_dir, checkpoint=checkpoint)
+    else:
+        update_minhash_index(
+            new_documents, index_dir, epoch=epoch, checkpoint=checkpoint,
+            _overlap_extra=(_delete_half,),
+        )
 
 
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
@@ -918,13 +999,6 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         .withColumn("kbucket", _kbucket_col(F.col("band_key"), kb))
     )
     bstage = broot + "__stage"
-    (
-        bands.repartition(F.col("band_id"), F.col("kbucket"))
-        .sortWithinPartitions("band_id", "kbucket", "band_key")
-        .write.mode("overwrite")
-        .partitionBy("batch", "band_id", "kbucket")
-        .parquet(bstage)
-    )
     sh = (
         _live_shingles(spark, index_dir)
         .distinct()
@@ -932,12 +1006,28 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         .withColumn("dbucket", _dbucket_col(F.col("doc_id"), db))
     )
     sstage = sroot + "__stage"
-    (
-        sh.repartition(F.col("dbucket"))
-        .write.mode("overwrite")
-        .partitionBy("batch", "dbucket")
-        .parquet(sstage)
-    )
+
+    # the two stage writes read disjoint source trees and land in
+    # disjoint stage dirs — overlap them (guide §2.6); the pool join
+    # keeps the "both stages before either swap" invariant
+    def _stage_bands():
+        (
+            bands.repartition(F.col("band_id"), F.col("kbucket"))
+            .sortWithinPartitions("band_id", "kbucket", "band_key")
+            .write.mode("overwrite")
+            .partitionBy("batch", "band_id", "kbucket")
+            .parquet(bstage)
+        )
+
+    def _stage_shingles():
+        (
+            sh.repartition(F.col("dbucket"))
+            .write.mode("overwrite")
+            .partitionBy("batch", "dbucket")
+            .parquet(sstage)
+        )
+
+    overlap_jobs([_stage_bands, _stage_shingles], spark=spark)
     # grid MIGRATION hazard: if the rewrite changes the modulus, the
     # pre-compaction manifest counts would mislabel the newly-swapped
     # dirs through any crash window between the swaps and the final

@@ -22,6 +22,29 @@ FEATURE_SCHEMA = (
     "asset_id long, modality string, byte_len long, payload_md5 string, mean_byte double"
 )
 
+# codec availability, probed ONCE per process: a failed import is not
+# cached by Python (unlike a successful one), so probing inside
+# decode_media made every decoded row re-run the import machinery's
+# full sys.path search when the codec is absent — per-row heavyweight
+# init, the guide-§4.5 trap.  None = probed and absent.
+_CODECS: dict[str, object] = {}
+
+
+def _codec(name: str):
+    if name not in _CODECS:
+        try:
+            if name == "pil":
+                from PIL import Image
+
+                _CODECS[name] = Image
+            else:
+                import soundfile
+
+                _CODECS[name] = soundfile
+        except ImportError:
+            _CODECS[name] = None
+    return _CODECS[name]
+
 
 def assets_from_documents(documents: DataFrame) -> DataFrame:
     """Derive a deterministic multimodal asset table from ``documents``:
@@ -83,35 +106,31 @@ def decode_media(
     """
     raw = bytes(payload)
     if modality == "image":
-        try:
-            import io
+        Image = _codec("pil")
+        if Image is not None:
+            try:
+                import io
 
-            from PIL import Image
-
-            return np.asarray(Image.open(io.BytesIO(raw)))
-        except ImportError:
-            pass
-        except Exception:
-            # importable codec but undecodable bytes (e.g. synthetic
-            # payloads that aren't a real container format): fall back
-            # rather than poison the whole Arrow batch.  A production
-            # pipeline would instead route undecodable assets to a
-            # reject lane with the error recorded.
-            pass
+                return np.asarray(Image.open(io.BytesIO(raw)))
+            except Exception:
+                # importable codec but undecodable bytes (e.g. synthetic
+                # payloads that aren't a real container format): fall back
+                # rather than poison the whole Arrow batch.  A production
+                # pipeline would instead route undecodable assets to a
+                # reject lane with the error recorded.
+                pass
         if not width or not height:
             raise ValueError("fallback image decode needs width/height metadata")
         return _tile_bytes(raw, int(width) * int(height)).reshape(int(height), int(width))
     if modality == "audio":
-        try:
-            import io
+        sf = _codec("soundfile")
+        if sf is not None:
+            try:
+                import io
 
-            import soundfile as sf
-
-            return sf.read(io.BytesIO(raw), dtype="int16")[0]
-        except ImportError:
-            pass
-        except Exception:
-            pass  # same undecodable-bytes fallback as the image path
+                return sf.read(io.BytesIO(raw), dtype="int16")[0]
+            except Exception:
+                pass  # same undecodable-bytes fallback as the image path
         if len(raw) % 2:
             raw += b"\x00"
         return np.frombuffer(raw, dtype="<i2")
@@ -150,8 +169,13 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "modality": pdf["modality"],
                     "byte_len": payloads.map(len),
                     "payload_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    # exact int64 byte-sum (≡ python sum(b)) then the
+                    # same float division — vectorized, value-identical
                     "mean_byte": payloads.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else None
+                        lambda b: float(int(np.frombuffer(b, np.uint8).sum(dtype=np.int64)))
+                        / len(b)
+                        if len(b)
+                        else None
                     ),
                 }
             )

@@ -157,12 +157,28 @@ def build_passage_index(
     # cache it so the corpus is chunked once, not once per consumer
     chunks = chunks.persist()
     try:
-        chunks.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
-            "batch"
-        ).parquet(f"{index_dir}/passages")
-        build_ivf_index(
-            vecs, f"{index_dir}/vectors", n_centroids, seed,
-            int8=int8, pq_m=pq_m, pq_ks=pq_ks, fit_fraction=fit_fraction,
+        # the passage-table write and the vector-index build are
+        # independent consumers of the cached chunk frame — overlap
+        # them (guide §2.6: the passages write back-fills the KMeans
+        # fit's driver-coordinated stage gaps).  The manifest below —
+        # the composite's commit — still lands after both, and a crash
+        # with either half written replays as a rebuild via the sink's
+        # build marker, exactly as the sequential schedule did.
+        from .concurrency import overlap_jobs
+
+        def _write_passages():
+            chunks.withColumn("batch", F.lit(-1)).write.mode("overwrite").partitionBy(
+                "batch"
+            ).parquet(f"{index_dir}/passages")
+
+        def _build_vectors():
+            build_ivf_index(
+                vecs, f"{index_dir}/vectors", n_centroids, seed,
+                int8=int8, pq_m=pq_m, pq_ks=pq_ks, fit_fraction=fit_fraction,
+            )
+
+        overlap_jobs(
+            [_write_passages, _build_vectors], spark=documents.sparkSession
         )
     finally:
         chunks.unpersist()

@@ -222,23 +222,40 @@ def _write_tix_batch(
     pre-round-11 code re-READ the just-written batch dir from disk)
     and the manifest stats ride the lengths write as an
     ``Observation`` (the second read-back job, gone) — two jobs per
-    fold instead of three, no disk round-trips."""
+    fold instead of three, no disk round-trips.  The two writes are
+    independent consumers of the persisted postings (tokenization is
+    deterministic, so even a racing first materialization of the cache
+    yields identical blocks) and their batch dirs are disjoint, so
+    they OVERLAP from driver threads (guide §2.6); the caller's
+    manifest fold — the commit — happens strictly after both."""
     from pyspark.sql import Observation
+
+    from .concurrency import overlap_jobs
 
     post_df = (
         _postings(documents, buckets)
         .select("doc_id", "term", "tf", "positions", "tbucket")
         .persist()
     )
+    obs = Observation()
     try:
-        post_df.write.mode("overwrite").partitionBy("tbucket").parquet(
-            f"{post}/batch={batch_id}"
+
+        def _write_postings():
+            post_df.write.mode("overwrite").partitionBy("tbucket").parquet(
+                f"{post}/batch={batch_id}"
+            )
+
+        def _write_lengths():
+            dl = post_df.groupBy("doc_id").agg(
+                F.sum("tf").cast("int").alias("dl")
+            )
+            dl.observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).write.mode("overwrite").parquet(f"{lens}/batch={batch_id}")
+
+        overlap_jobs(
+            [_write_postings, _write_lengths], spark=documents.sparkSession
         )
-        dl = post_df.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
-        obs = Observation()
-        dl.observe(
-            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).write.mode("overwrite").parquet(f"{lens}/batch={batch_id}")
         stats = obs.get
     finally:
         post_df.unpersist()

@@ -1040,29 +1040,9 @@ def _run_fold_legs(legs, spark=None) -> None:
     group/description) correct per leg.  The first leg error
     propagates after all legs settle (the epoch marker is then never
     recorded, so the whole epoch replays)."""
-    if len(legs) <= 1:
-        for leg in legs:
-            leg()
-        return
-    from concurrent.futures import ThreadPoolExecutor
+    from ..operators.concurrency import overlap_jobs
 
-    from pyspark import inheritable_thread_target
-
-    wrap = (
-        inheritable_thread_target(spark)
-        if spark is not None
-        else inheritable_thread_target
-    )
-    errs = []
-    with ThreadPoolExecutor(max_workers=len(legs)) as ex:
-        futs = [ex.submit(wrap(leg)) for leg in legs]
-        for f in futs:
-            try:
-                f.result()
-            except Exception as e:  # noqa: BLE001 — re-raised below
-                errs.append(e)
-    if errs:
-        raise errs[0]
+    overlap_jobs(legs, spark=spark)
 
 
 def _ivf_fold_sink(
