@@ -30,24 +30,40 @@ def _pin(col: Column) -> Column:
     """Value-identical copy of ``col`` that the optimizer must treat as
     NONDETERMINISTIC (``shuffle`` of a one-element array always yields
     that element, but ``shuffle`` carries the nondeterministic flag),
-    so a filter built on it can never cross an Exchange.
+    so the expression can never be substituted past, nor a dependent
+    filter pushed across, the node that computes it.
 
     Why this exists (round 11, guide §4.4 — the duplicated-evaluation
     trap, native-expression edition): the unwrap filters reference the
     PARSED envelope, and predicate pushdown substitutes the entire
     to_json→from_json→try_cast chain into the predicate and lands it
     below the feed's repartition — the whole JSON round-trip then runs
-    (a) twice per row and (b) inside the single-partition scan stage,
-    serializing the most expensive expression in the engine onto one
-    task (measured at sf0.1: unwrap 1.71 s with the pushed filter vs
-    0.85 s pinned, against a 0.65 s filterless floor).  The filter
-    itself prunes only ~1% of rows (malformed + id-less records), so
-    pushing it below the exchange saves ~1% of exchange bytes while
-    doubling parse CPU at ANY scale — pinning it above the exchange is
-    strictly better.  A ``rand() >= -1`` tautology does NOT work here:
-    Catalyst folds it away and the filter slides back onto the scan.
-    Task retries stay safe — the predicate's VALUE never depends on
-    the shuffle draw (one-element array)."""
+    (a) once per consumer per row and (b) inside the single-partition
+    scan stage, serializing the most expensive expression in the
+    engine onto one task (measured at sf0.1: unwrap 1.71 s with the
+    pushed filter vs 0.85 s pinned, against a 0.65 s filterless
+    floor).  The filter itself prunes only ~1% of rows (malformed +
+    id-less records), so pushing it below the exchange saves ~1% of
+    exchange bytes while multiplying parse CPU at ANY scale — pinning
+    above the exchange is strictly better.  A ``rand() >= -1``
+    tautology does NOT work here: Catalyst folds it away and the
+    filter slides back onto the scan.  Task retries stay safe — the
+    expression's VALUE never depends on the shuffle draw (one-element
+    array).
+
+    Second refinement (same round): the pin wraps the ``from_json``
+    STRUCT itself, not the filtered column.  Pinning only the filter
+    column kept the filter above the exchange but still let
+    CollapseProject substitute the parse chain into the predicate AND
+    into every output projection — ``from_json`` appeared 3× in the
+    physical plan and ran ~2× per surviving row.  With the pin on the
+    parse, the struct is nondeterministic, so the optimizer may
+    neither inline it into its many consumers nor push the (now
+    plain, deterministic) null-id filter through the projection that
+    computes it: the parse runs exactly once per row, field accesses
+    downstream are struct reads.  Measured at sf0.1 (min-of-5,
+    interleaved): unwrap 0.472 s pin-on-filter → 0.295 s
+    pin-on-parse; plan ``from_json`` count 3 → 1."""
     return F.element_at(F.shuffle(F.array(col)), 1)
 
 
@@ -95,7 +111,12 @@ def unwrap_engagement(raw: DataFrame, value_col: str = "value") -> DataFrame:
     duration_ms (long), event_ts (timestamp), raw_payload, source_ts_ms.
     Malformed JSON and records with no id are dropped (ESJ:200-203).
     """
-    parsed = raw.select(F.from_json(F.col(value_col), ENGAGEMENT_ENVELOPE).alias("m"))
+    # the pin makes the parse single-evaluation and un-pushable — the
+    # most expensive expression in the engine runs once per row, above
+    # the feed's exchange (see _pin)
+    parsed = raw.select(
+        _pin(F.from_json(F.col(value_col), ENGAGEMENT_ENVELOPE)).alias("m")
+    )
     # payload.after when enveloped; else the record sits at the root
     rec = F.coalesce(
         F.col("m.payload.after"),
@@ -117,7 +138,7 @@ def unwrap_engagement(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.col("r.raw_payload").alias("raw_payload"),
             F.col("source_ts_ms"),
         )
-        .where(_pin(F.col("event_id")).isNotNull())  # F1/F2 (pinned — see _pin)
+        .where(F.col("event_id").isNotNull())  # F1/F2 (parse pinned above)
     )
 
 
@@ -128,7 +149,9 @@ def unwrap_content(raw: DataFrame, value_col: str = "value") -> DataFrame:
     carry only ``before.id`` and set ``is_delete`` (ESJ:244-270).
     Rows without an id are dropped (ESJ:269).
     """
-    parsed = raw.select(F.from_json(F.col(value_col), CONTENT_ENVELOPE).alias("m"))
+    parsed = raw.select(
+        _pin(F.from_json(F.col(value_col), CONTENT_ENVELOPE)).alias("m")
+    )  # single-evaluation parse — see _pin
     op = F.col("m.payload.op")
     is_delete = F.lower(op) == "d"  # F3
     rec = F.coalesce(
@@ -144,7 +167,7 @@ def unwrap_content(raw: DataFrame, value_col: str = "value") -> DataFrame:
         is_delete.alias("is_delete"),
         F.col("m.payload.source.ts_ms").alias("source_ts_ms"),
     )
-    return out.where(_pin(F.col("id")).isNotNull())  # F4 (pinned — see _pin)
+    return out.where(F.col("id").isNotNull())  # F4 (parse pinned above)
 
 
 def enriched_columns(df: DataFrame) -> DataFrame:
