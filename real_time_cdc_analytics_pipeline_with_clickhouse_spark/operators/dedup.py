@@ -704,11 +704,24 @@ def connected_components(
     und = und.localCheckpoint(eager=True)
     spark = pairs.sparkSession
     with _iteration_shuffle(spark, und.count()):
+        # round 1 fused into the label init (round 11): labels start as
+        # self, so the first propagation is min over each node's CLOSED
+        # neighborhood — und is symmetric, so that is one groupBy over
+        # the edge list, no join and no separate distinct-nodes
+        # materialization.  Identical labels to the unfused round 1;
+        # the loop below then runs the remaining max_iter-1 rounds, so
+        # the total propagation-round bound (= graph diameter budget)
+        # is unchanged.
         labels = (
-            und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+            und.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select(
+                F.col("src").alias("doc_id"),
+                F.least("src", "_mn").alias("label"),
+            )
         ).localCheckpoint(eager=True)
         prev_sum = labels.agg(F.sum("label")).first()[0]
-        for _ in range(max_iter):
+        for _ in range(max_iter - 1):
             prop = und.withColumnRenamed("src", "doc_id").join(labels, "doc_id").select(
                 F.col("dst").alias("doc_id"), "label"
             )

@@ -40,6 +40,30 @@ def test_connected_components_long_path_converges(spark):
     assert labels == {0}
 
 
+def test_connected_components_fused_first_round(spark):
+    """The round-11 fused init (labels start at min over each node's
+    closed neighborhood — one groupBy, no join) must agree with the
+    star variant on a graph mixing every shape the init touches: a
+    self-pair, a clique, a multi-round path, and reversed edge
+    direction (doc_b < doc_a)."""
+    edges = (
+        [(5, 5)]                                   # isolated self-pair
+        + [(20, 21), (21, 22), (20, 22)]           # clique
+        + [(i, i + 1) for i in range(30, 36)]      # path (needs rounds)
+        + [(42, 41)]                               # reversed pair
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    prop = {r["doc_id"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    star = {
+        r["doc_id"]: r["label"]
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    want = {5: 5, 20: 20, 21: 20, 22: 20, 41: 41, 42: 41}
+    want.update({i: 30 for i in range(30, 37)})
+    assert prop == want
+    assert star == want
+
+
 def test_dedup_clusters_cover_constructed_duplicates(spark, sf_dir):
     """Every constructed duplicate (doc_id + 100000) must land in the
     same cluster as its source, and cluster_id = min member."""
