@@ -85,8 +85,17 @@ def _chunk_vectors(documents: DataFrame, meta: dict):
     """(pid-keyed chunk vectors, passage rows) for a document set —
     the shared build/update path: chunk ONCE, embed the chunk text,
     keep the (pid, doc_id, chunk_idx, chunk) lookup rows."""
+    # single-file corpora arrive as 1-2 scan partitions, and chunking +
+    # embedding are the heaviest per-byte map work in the engine —
+    # measured at sf0.1, the whole chunk pass ran as ONE task (11.7 s
+    # on a 32-core host).  Spread on the dense unique key before the
+    # heavy stage (hash-keyed, not round-robin: keyless repartition(n)
+    # pays a local sort first — guide §2.5 — and doc_id partitioning
+    # is reusable downstream).  Chunking and pid packing are per-doc
+    # deterministic, so the split is value-invisible.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     chunks = content_defined_chunks(
-        documents,
+        documents.repartition(par, F.col("doc_id")),
         window=int(meta["window"]),
         divisor=int(meta["divisor"]),
         segment=int(meta["segment"]),
