@@ -92,10 +92,16 @@ def _chunk_vectors(documents: DataFrame, meta: dict):
     # heavy stage (hash-keyed, not round-robin: keyless repartition(n)
     # pays a local sort first — guide §2.5 — and doc_id partitioning
     # is reusable downstream).  Chunking and pid packing are per-doc
-    # deterministic, so the split is value-invisible.
+    # deterministic, so the split is value-invisible.  The spread is
+    # CONDITIONAL on the scan actually being narrower than the
+    # cluster: a corpus-scale table arrives as many splits already,
+    # and an unconditional repartition there would shuffle the full
+    # document text purely to re-spread work that is already spread.
     par = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par, F.col("doc_id"))
     chunks = content_defined_chunks(
-        documents.repartition(par, F.col("doc_id")),
+        documents,
         window=int(meta["window"]),
         divisor=int(meta["divisor"]),
         segment=int(meta["segment"]),
