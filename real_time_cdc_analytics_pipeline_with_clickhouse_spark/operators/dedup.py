@@ -179,6 +179,16 @@ def minhash_signatures(
     never mix within one index (``lsh_index`` pins the mode in its
     manifest).
     """
+    # NOTE (round 12, measured): a map-side array formulation
+    # (transform the shingle array to base hashes, array_min over k
+    # affine transforms — no explode, no HashAggregate, no exchange)
+    # was built, verified bit-identical in both hash modes, and
+    # A/B-measured SLOWER (0.72 vs 0.57 s min at sf0.1, interleaved
+    # min-of-6): higher-order-function lambdas don't fuse into
+    # WholeStageCodegen the way hash-aggregate update expressions do,
+    # and the 16 intermediate arrays allocate per row.  The explode +
+    # partial-agg form stays (guide §1.1 — the "ideal" plan lost to
+    # the empirical one).
     exploded = _doc_shingles(documents, n).select("doc_id", F.explode("sh").alias("shingle"))
     return exploded.groupBy("doc_id").agg(*_minhash_aggs(k, hash_mode))
 
@@ -701,7 +711,15 @@ def connected_components(
     und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    und = und.localCheckpoint(eager=True)
+    # LAZY localCheckpoint throughout (round 12): eager=True spends one
+    # job per checkpoint and the convergence probe a second; marking
+    # the frame for checkpoint and letting the probe's agg be the
+    # materializing action fuses the two — the agg computes every
+    # parent partition (sum needs them all), the RDD is persisted as a
+    # side effect, and lineage is truncated exactly as before.  One
+    # job per round instead of two; labels identical (the checkpoint
+    # is a persistence boundary, not a computation change).
+    und = und.localCheckpoint(eager=False)
     spark = pairs.sparkSession
     with _iteration_shuffle(spark, und.count()):
         # round 1 fused into the label init (round 11): labels start as
@@ -719,7 +737,7 @@ def connected_components(
                 F.col("src").alias("doc_id"),
                 F.least("src", "_mn").alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         prev_sum = labels.agg(F.sum("label")).first()[0]
         for _ in range(max_iter - 1):
             prop = und.withColumnRenamed("src", "doc_id").join(labels, "doc_id").select(
@@ -727,7 +745,7 @@ def connected_components(
             )
             labels = (
                 labels.unionByName(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             cur_sum = labels.agg(F.sum("label")).first()[0]
             if cur_sum == prev_sum:
                 return labels
@@ -770,7 +788,9 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the count() below (and per round, canonical_sig's agg)
+        # is the materializing action — checkpoint rides the probe job
+        .localCheckpoint(eager=False)
     )
 
     def canonical_sig(e: DataFrame):
@@ -809,7 +829,7 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame
     with _iteration_shuffle(spark, edges.count()):
         sig = canonical_sig(edges)
         for _ in range(max_iter):
-            edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+            edges = small_star(large_star(edges)).localCheckpoint(eager=False)
             new_sig = canonical_sig(edges)
             if new_sig == sig:
                 break

@@ -158,34 +158,43 @@ def duplicated_engagement_cdc_json(
 
 
 def content_versions(part: DataFrame) -> DataFrame:
-    """Upsert/delete version history of the content dimension (pre-JSON)."""
+    """Upsert/delete version history of the content dimension (pre-JSON).
+
+    Single-scan derivation (round 12, guide §6): the old three-branch
+    ``base ∪ v2-filter ∪ v3-filter`` union planned THREE FileScans of
+    ``part``; each row now emits its 1-3 version structs as one
+    conditionally-sized array inlined in place — one scan, no union,
+    value-identical rows (v1 for every key; v2 when ``pk % 3 == 0``
+    with +30 s and ts+1; v3 delete when ``pk % 17 == 0`` with ts+2 —
+    the same field expressions, byte for byte).  ``slice(array(v), 1,
+    cond::int)`` is the typed empty-array idiom: length 0 drops the
+    version, length 1 keeps it."""
     pk = F.col("p_partkey")
     ctype = (
         F.when(pk % 3 == 0, "podcast").when(pk % 3 == 1, "newsletter").otherwise("video")
     )
-    base = part.select(
-        pk.cast("string").alias("id"),
-        F.lower(F.regexp_replace(F.col("p_name"), " ", "-")).alias("slug"),
-        F.col("p_name").alias("title"),
-        ctype.alias("content_type"),
-        (F.col("p_size").cast("long") * 60).alias("length_seconds"),
-        F.lit("2024-01-01T00:00:00").alias("publish_ts"),
-        F.lit("c").alias("op"),
-        (F.lit(DIM_TS_BASE_MS) + pk * 10 + 1).alias("source_ts_ms"),
-        pk.alias("_key"),
+    base_ts = F.lit(DIM_TS_BASE_MS) + pk * 10 + 1
+    length_s = F.col("p_size").cast("long") * 60
+
+    def _ver(op: str, length_col, ts_offset: int):
+        return F.struct(
+            pk.cast("string").alias("id"),
+            F.lower(F.regexp_replace(F.col("p_name"), " ", "-")).alias("slug"),
+            F.col("p_name").alias("title"),
+            ctype.alias("content_type"),
+            length_col.alias("length_seconds"),
+            F.lit("2024-01-01T00:00:00").alias("publish_ts"),
+            F.lit(op).alias("op"),
+            (base_ts + ts_offset).alias("source_ts_ms"),
+            pk.alias("_key"),
+        )
+
+    versions = F.concat(
+        F.array(_ver("c", length_s, 0)),
+        F.slice(F.array(_ver("u", length_s + 30, 1)), 1, (pk % 3 == 0).cast("int")),
+        F.slice(F.array(_ver("d", length_s, 2)), 1, (pk % 17 == 0).cast("int")),
     )
-    v2 = (
-        base.where(F.col("_key") % 3 == 0)
-        .withColumn("length_seconds", F.col("length_seconds") + 30)
-        .withColumn("op", F.lit("u"))
-        .withColumn("source_ts_ms", F.col("source_ts_ms") + 1)
-    )
-    v3 = (
-        base.where(F.col("_key") % 17 == 0)
-        .withColumn("op", F.lit("d"))
-        .withColumn("source_ts_ms", F.col("source_ts_ms") + 2)
-    )
-    return base.unionAll(v2).unionAll(v3)
+    return part.select(F.inline(versions))
 
 
 def content_cdc_json(part: DataFrame) -> DataFrame:
