@@ -7,11 +7,17 @@ every final segmentation must match exactly — no tolerance."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import bpe
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 
+
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
 
 def _ref_train(word_freqs: dict, n_merges: int, min_freq: int = 2):
     seqs = {w: list(w) for w in word_freqs}

@@ -19,6 +19,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 
 
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
+
 def _shingle_sets(df):
     rows = dedup._doc_shingles(df, 3).collect()
     return {r["doc_id"]: set(r["sh"]) for r in rows}

@@ -10,6 +10,8 @@ lockstep with the source table."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyspark.sql.functions as F
@@ -34,6 +36,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 
 from tests.test_lsh_cdc import _lone_texts
+
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string"
 CDC_SCHEMA = DOC_SCHEMA + ", op string, seq long"

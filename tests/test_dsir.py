@@ -15,6 +15,10 @@ import pytest
 
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dsir
 
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
+
 N_BUCKETS = 512
 SEED = "dsir:"
 

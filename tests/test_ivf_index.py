@@ -4,6 +4,8 @@ the manifest must carry the metadata the sign-LSH family sizes from."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -18,6 +20,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_t
 
 N_CENTROIDS, SEED, N_PROBE = 8, 7, 3
 
+
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
 
 def _emb(spark, sf_dir, n=400):
     return load_table(spark, sf_dir, "embeddings").limit(n).select(

@@ -6,6 +6,8 @@ survive with NULL evidence; the one-tokenize contract holds."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 
@@ -25,6 +27,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import
     plan_string,
 )
 
+
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
 
 def _tok(text: str) -> list[str]:
     return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]

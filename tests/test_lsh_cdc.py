@@ -27,6 +27,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.streaming import (
 )
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
+
 DOC_SCHEMA = "doc_id long, text string, lang string, source string"
 CDC_SCHEMA = DOC_SCHEMA + ", op string, seq long"
 

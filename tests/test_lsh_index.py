@@ -11,6 +11,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import ded
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 
 
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
+
 def _corpus(spark, sf_dir, limit=300):
     docs = load_table(spark, sf_dir, "documents").limit(limit)
     return dedup.with_exact_duplicates(docs)  # originals + +100000-id copies

@@ -17,6 +17,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import (
 )
 from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_table
 
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
+
 QUERY_SCHEMA = "query_id long, text string"
 
 

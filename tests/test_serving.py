@@ -11,6 +11,12 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.plans.explain import
 
 import __spark_entry__ as entrymod
 
+import pytest
+
+
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
 
 def test_serving_lookups_match_operators_and_prune(spark, sf_dir, tmp_path):
     enriched = entrymod._enriched(spark, sf_dir)

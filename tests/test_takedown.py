@@ -25,6 +25,10 @@ from real_time_cdc_analytics_pipeline_with_clickhouse_spark.tables import load_t
 from tests.test_lm_filter import _tok
 
 
+
+pytestmark = pytest.mark.slow  # multi-epoch lifecycle walk; fast tier keeps the
+# single-epoch/oracle coverage of this family (round 12, VERDICT r11 #3)
+
 @pytest.fixture(scope="module")
 def deployment(spark, sf_dir, tmp_path_factory):
     """One document-ingest run (40 docs, passage index on) shared by
