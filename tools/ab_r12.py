@@ -208,6 +208,59 @@ def case_sigs(spark, reps):
     run_arms(spark, arms, reps)
 
 
+def case_ngram(spark, reps):
+    """NEGATIVE RESULT (kept for the record): replacing the ngram
+    pair self-join with per-shingle collect_list + in-array pair
+    expansion (bounded by max_df=100, exchange-reusing the window's
+    shingle partitioning) measured 2x SLOWER at 10x (19.6 vs 10.2 s
+    min-of-4) and a wash at sf0.1 (1.79 vs 1.89) - the nested
+    higher-order-function expansion allocates ~df^2/2 structs per
+    group outside WholeStageCodegen, losing to the sort-merge join
+    it replaced.  Same lesson as the array-minhash attempt."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from real_time_cdc_analytics_pipeline_with_clickhouse_spark.operators import dedup
+
+    def ngram_pairs_grouped(documents, n=3, threshold=0.5, max_df=dedup.MAX_SHINGLE_DF):
+        exploded = dedup._doc_shingles(documents, n).select(
+            "doc_id", F.explode("sh").alias("shingle")
+        )
+        w = Window.partitionBy("shingle")
+        kept = (
+            exploded.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        grp = kept.groupBy("shingle").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        ds = F.col("ds")
+        pair_arr = F.flatten(F.transform(
+            ds, lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            )))
+        common = (
+            grp.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+        j = (
+            common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        )
+        return j.where(F.col("jaccard") >= threshold)
+
+    docs = dedup.with_exact_duplicates(load_table(spark, SF, "documents"))
+    arms = {
+        "ngram_grouped": lambda: noop(ngram_pairs_grouped(docs)),
+        "ngram_selfjoin": lambda: noop(dedup.ngram_jaccard_pairs(docs, threshold=0.5)),
+    }
+    run_arms(spark, arms, reps)
+
+
 def main():
     case = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
