@@ -872,9 +872,16 @@ def dedup_clusters(
     the component — the canonical keeper.
     """
     comp = connected_components(minhash_lsh_pairs(documents, n, k, band, hash_mode))
-    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return comp.join(sizes, "label").select(
-        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    # sizing via count-over-window on the SAME key instead of
+    # groupBy + join-back (round 12, guide §2.4): one exchange of the
+    # (tiny, checkpointed) label frame instead of an aggregate
+    # exchange plus a join; rows identical (parity-collected), A/B
+    # min 1.78 vs 1.91 s at sf0.1.
+    w = Window.partitionBy("label")
+    return comp.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
     )
 
 
