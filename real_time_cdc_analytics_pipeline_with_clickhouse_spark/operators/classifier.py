@@ -66,12 +66,25 @@ def _occurrences(
     documents: DataFrame, n_buckets: int, seed: str, hash_mode: str = "md5"
 ) -> DataFrame:
     """(doc_id, bucket) — one row per feature OCCURRENCE (raw counts,
-    the same featurization train and score must share)."""
-    return documents.select(
+    the same featurization train and score must share).
+
+    The hash runs AFTER the explode (round 12): ``feature_buckets``
+    evaluates the md5/xxh64 chain inside a ``transform`` lambda —
+    outside WholeStageCodegen — where the post-explode projection is
+    codegen'd.  Same features, same hash, same buckets (parity-
+    collected in both hash modes); measured −5% on the 10× DSIR
+    probes (counts 7.24 → 6.85 s, select 12.36 → 11.79 s,
+    interleaved min-of-4)."""
+    toks = F.filter(tokens(F.col("text")), lambda x: x != "")
+    bound = F.transform(
+        F.array(toks), lambda t: F.concat(t, shingles_from_tokens(t, 2))
+    )
+    feats = F.element_at(bound, 1)
+    return documents.select("doc_id", F.explode(feats).alias("_f")).select(
         "doc_id",
-        F.explode(
-            feature_buckets(F.col("text"), n_buckets, seed, hash_mode)
-        ).alias("bucket"),
+        (portable_hash64(F.col("_f"), seed=seed, mode=hash_mode) % n_buckets)
+        .cast("int")
+        .alias("bucket"),
     )
 
 
